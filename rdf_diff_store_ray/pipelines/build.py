@@ -1,0 +1,241 @@
+"""The flagship build: pages → versioned KG delta log (SURVEY §3.4).
+
+Stage graph (streaming execution, backpressured; ONE corpus-scale shuffle)::
+
+    read_parquet(pages, columns=[url, warc_ts, html, text, lang])
+      └─ map_batches(extract_batch)            # stateless, zero-copy Arrow; digest invariant
+      └─ map_batches(PageRelations, actors)    # NER + relation extraction → nested triples
+      └─ write_parquet(run_dir/raw)            # stage checkpoint (reused on resume)
+    raw ─ canonicalize (vocabulary-scale shuffle) → surface→IRI map
+        → persisted to canonical_map.json, ray.put once (broadcast)
+    raw ─ filter completed partitions (resume prune at the read)
+        ─ map_batches(VersionSerializer, actors)  # per-(url, ts) snapshot, NO shuffle
+        ─ add partition_id = stable_hash(url) % P
+        ─ groupby(partition_id).map_groups(DeltaPartitionWriter)   # THE shuffle + sink
+    raw ─ map_batches(TripleEmitter, actors) → write_parquet(run_dir/triples)
+
+Scale notes: the nested-per-page layout keeps version serialization
+shuffle-free; the canonicalization shuffle runs over the surface
+*vocabulary*; the single corpus-scale exchange is the delta groupby, keyed
+by the same ``partition_id`` the output is laid out by (one partitioning
+key reused end-to-end). Per-partition manifests + atomic renames give
+kill-and-resume that recomputes only unfinished partitions, and the
+persisted canonical map makes the resumed output byte-identical to an
+uninterrupted build (fixture F6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..shuffle_utils import add_partition_id
+from ..stages import deltas as deltas_mod
+from ..stages.canonicalize import build_canonical_map
+from ..stages.extract import extract_batch
+from ..stages.link import TripleEmitter, VersionSerializer
+from ..stages.ner import PageRelations
+
+PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    num_partitions: int
+    manifests: list
+    canonical_map_size: int
+    wall_s: float
+    resumed_partitions: int
+
+    @property
+    def delta_dir(self) -> str:
+        return os.path.join(self.out_dir, "deltas")
+
+    @property
+    def triples_dir(self) -> str:
+        return os.path.join(self.out_dir, "triples")
+
+    def delta_files(self) -> list:
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.delta_dir, "partition=*", "*.parquet")))
+
+    def delta_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(self.delta_files()).to_table()
+
+    def delta_dataset(self):
+        return rd.read_parquet(self.delta_files())
+
+
+def _snapshot_times(raw_ds) -> list:
+    """Distinct crawl snapshot instants (small; per-batch partial distinct
+    then grouped distinct — never a full collect of the corpus)."""
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"warc_ts": batch["warc_ts"].cast(pa.timestamp("s")).unique()}
+        )
+
+    rows = (
+        raw_ds.select_columns(["warc_ts"])
+        .map_batches(distinct, batch_format="pyarrow")
+        .groupby("warc_ts")
+        .count()
+        .take_all()
+    )
+    import pandas as pd
+
+    return sorted(int(pd.Timestamp(r["warc_ts"]).timestamp()) for r in rows)
+
+
+def build(
+    pages,
+    out_dir: str,
+    *,
+    gazetteer: dict,
+    num_partitions: int = 16,
+    resume: bool = True,
+    batch_size: int = 1024,
+    actor_pool: tuple = (1, 8),
+    enforce_digest: str = "raise",
+    write_triples: bool = True,
+) -> BuildResult:
+    """Run the full build. ``pages`` is a Parquet path/dir or a Dataset.
+
+    Ray must already be initialised by the caller (driver-owned session).
+    """
+    from .._bootstrap import ensure_importable
+
+    ensure_importable()
+    t0 = time.monotonic()
+    os.makedirs(out_dir, exist_ok=True)
+    delta_dir = os.path.join(out_dir, "deltas")
+    raw_dir = os.path.join(out_dir, "raw")
+    canon_path = os.path.join(out_dir, "canonical_map.json")
+    if not resume:
+        for sub in ("deltas", "raw", "triples"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        if os.path.exists(canon_path):
+            os.remove(canon_path)
+    done = deltas_mod.completed_partitions(delta_dir)
+
+    # -- stage 1: extract + relations → raw checkpoint (always full input) ---
+    raw_success = os.path.join(raw_dir, "_SUCCESS")
+    if not os.path.exists(raw_success):
+        if isinstance(pages, str):
+            ds = rd.read_parquet(pages, columns=PAGE_COLUMNS)
+        else:
+            ds = pages
+        extracted = ds.map_batches(
+            extract_batch,
+            fn_kwargs={"enforce": enforce_digest},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        raw = extracted.map_batches(
+            PageRelations,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=actor_pool,
+        )
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        raw.write_parquet(raw_dir)
+        with open(raw_success, "w") as f:
+            f.write("{}")
+    raw_ds = rd.read_parquet(raw_dir)
+
+    # -- stage 2: canonicalization (vocabulary-scale; persisted for resume) --
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            canonical_map = json.load(f)
+    else:
+        canonical_map = build_canonical_map(raw_ds, gazetteer)
+        tmp = canon_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(canonical_map, f, sort_keys=True)
+        os.replace(tmp, canon_path)
+    gaz_ref = ray.put(gazetteer)
+    canon_ref = ray.put(canonical_map)
+
+    # -- stage 3: versions → delta log (THE shuffle) -------------------------
+    snapshot_times = _snapshot_times(raw_ds)
+    todo_ds = raw_ds
+    if done:
+        todo_ds = raw_ds.map_batches(
+            deltas_mod.filter_completed,
+            fn_kwargs={
+                "key": "url",
+                "num_partitions": num_partitions,
+                "done": frozenset(done),
+            },
+            batch_format="pyarrow",
+        )
+    versions = todo_ds.map_batches(
+        VersionSerializer,
+        fn_constructor_kwargs={
+            "gazetteer_ref": gaz_ref,
+            "canonical_map_ref": canon_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=actor_pool,
+    ).map_batches(
+        add_partition_id,
+        fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
+        batch_format="pyarrow",
+    )
+    manifests = (
+        versions.groupby("partition_id")
+        .map_groups(
+            deltas_mod.make_partition_writer(delta_dir, snapshot_times, num_partitions),
+            batch_format="pandas",
+        )
+        .take_all()
+    )
+
+    # -- stage 4: queryable triple table -------------------------------------
+    if write_triples:
+        triples_dir = os.path.join(out_dir, "triples")
+        shutil.rmtree(triples_dir, ignore_errors=True)
+        raw_ds.map_batches(
+            TripleEmitter,
+            fn_constructor_kwargs={
+                "gazetteer_ref": gaz_ref,
+                "canonical_map_ref": canon_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=actor_pool,
+        ).write_parquet(triples_dir)
+
+    all_manifests = [
+        deltas_mod.read_manifest(delta_dir, pid)
+        for pid in sorted(deltas_mod.completed_partitions(delta_dir))
+    ]
+    deltas_mod.mark_success(
+        delta_dir,
+        {
+            "num_partitions": num_partitions,
+            "partitions_written": len(manifests),
+            "partitions_resumed": len(done),
+            "snapshot_times": snapshot_times,
+        },
+    )
+    return BuildResult(
+        out_dir=out_dir,
+        num_partitions=num_partitions,
+        manifests=all_manifests,
+        canonical_map_size=len(canonical_map),
+        wall_s=time.monotonic() - t0,
+        resumed_partitions=len(done),
+    )

@@ -1,0 +1,51 @@
+"""Partitioning / shuffle helpers shared by stages.
+
+All hashing here must be **stable across processes and nodes** (Python's
+builtin ``hash`` is salted per process and must never be used for
+partitioning). We use ``pandas.util.hash_array`` (fixed default key,
+vectorized) for bulk columns and ``zlib.crc32`` for scalars.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash_str(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def stable_hash_array(values) -> np.ndarray:
+    """Vectorized stable uint64 hash of a string column (Arrow or numpy)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def partition_ids(urls, num_partitions: int) -> np.ndarray:
+    """``hash(graph_id) % P`` — single-writer-per-partition ownership, the
+    engine's replacement for the reference's global write lock (repo pool of
+    size 1, ``/root/reference/src/bin/rdf-diff-writer.rs:25-31``)."""
+    return (stable_hash_array(urls) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def add_partition_id(batch: pa.Table, key: str, num_partitions: int,
+                     col: str = "partition_id") -> pa.Table:
+    pids = partition_ids(batch[key], num_partitions)
+    return batch.append_column(col, pa.array(pids, pa.int32()))
+
+
+def salt_column(batch: pa.Table, key: str, salt_buckets: int,
+                col: str = "salt") -> pa.Table:
+    """Split hot keys across ``salt_buckets`` sub-keys for two-phase
+    aggregation (partial agg on ``(key, salt)``, final agg on ``key``)."""
+    n = batch.num_rows
+    # deterministic per-row salt: hash of row position within a stable
+    # secondary column is unnecessary — round-robin is valid for salting
+    # partial aggregations because the final phase re-merges on the key.
+    salts = (np.arange(n) % salt_buckets).astype(np.int32)
+    return batch.append_column(col, pa.array(salts, pa.int32()))

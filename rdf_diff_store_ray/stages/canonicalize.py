@@ -1,0 +1,251 @@
+"""Entity canonicalization: MinHash-LSH over surface forms + union-find.
+
+Pipeline shape (SURVEY §7.1 step 6):
+
+1. distinct surface forms (corpus surfaces ∪ gazetteer aliases) —
+   per-batch partial dedup, then a grouped distinct (small shuffle over the
+   *vocabulary*, not the corpus);
+2. exact edges: surfaces sharing a normalized form (casefold, strip
+   non-alphanumerics) are linked directly — collapses space/hyphen/'&'
+   variants with no approximation;
+3. fuzzy candidates: per-surface MinHash signature over character
+   3-shingles of the normalized form (vectorized numpy, permutations
+   precomputed once per actor) → explode to ``(band_id, band_hash)``
+   bucket rows → ``groupby`` on the band key (the LSH shuffle) →
+   candidate pairs per bucket, with a **deterministic cap per bucket**
+   (hot-bucket/skew guard: degenerate buckets chain consecutive sorted
+   members instead of emitting O(n²) pairs);
+4. exact Jaccard verification of candidate pairs (``map_batches``);
+5. union-find over verified edges on the driver — the edge list is small
+   after dedup+verification (fallback documented: iterative min-label
+   propagation via groupby if it ever isn't);
+6. canonical map ``surface → IRI``: a cluster containing a gazetteer alias
+   resolves to that entity (min entity id for determinism); an all-unknown
+   cluster mints a stable slug IRI. The map is ``ray.put`` once and read
+   inside downstream actors (broadcast, never re-shipped per batch).
+
+This recovers surfaces deliberately absent from the gazetteer (typo /
+spacing variants) onto the right canonical entity — the MinHash-LSH +
+union-find canonicalization mandated by the north star.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+from ..corpus import ENTITY_NS, entity_iri
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def normalize_surface(s: str) -> str:
+    return _NORM_RE.sub("", s.casefold())
+
+
+def shingles(s: str, k: int = 3) -> set:
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = shingles(a, k), shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+class MinHashSignatures:
+    """Actor-pool stage: surface → LSH bucket rows.
+
+    Permutation parameters are sampled once per actor in ``__init__`` from a
+    fixed seed (identical across actors ⇒ identical signatures everywhere).
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+
+    def signature(self, norm: str) -> np.ndarray:
+        sh = shingles(norm)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in sorted(sh)),
+            dtype=np.uint64,
+            count=len(sh),
+        )
+        # (P, S) permuted hashes → min over shingles, vectorized
+        h = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        out_surface, out_band_id, out_band_hash = [], [], []
+        for s in surfaces:
+            sig = self.signature(normalize_surface(s))
+            for b in range(self.bands):
+                band = sig[b * self.rows : (b + 1) * self.rows]
+                bh = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
+                out_surface.append(s)
+                out_band_id.append(b)
+                out_band_hash.append(int.from_bytes(bh, "big") >> 1)
+        return pa.table(
+            {
+                "surface": pa.array(out_surface, pa.string()),
+                "band_id": pa.array(out_band_id, pa.int32()),
+                "band_hash": pa.array(out_band_hash, pa.int64()),
+            }
+        )
+
+
+def bucket_pairs(group, max_pairs_per_bucket: int = 1024):
+    """Candidate pairs within one LSH bucket (pandas group in, table out).
+    Hot buckets degrade to a sorted chain — union-find closes transitivity,
+    so a chain suffices to merge a genuinely-similar cluster while bounding
+    a degenerate bucket to O(n) pairs (skew guard)."""
+    import pandas as pd
+
+    surfaces = sorted(set(group["surface"]))
+    n = len(surfaces)
+    pairs = []
+    if n * (n - 1) // 2 <= max_pairs_per_bucket:
+        for i in range(n):
+            for j in range(i + 1, n):
+                pairs.append((surfaces[i], surfaces[j]))
+    else:
+        for i in range(n - 1):
+            pairs.append((surfaces[i], surfaces[i + 1]))
+    return pd.DataFrame({"s1": [p[0] for p in pairs], "s2": [p[1] for p in pairs]})
+
+
+def verify_pairs(batch: pa.Table, threshold: float) -> pa.Table:
+    s1 = batch["s1"].to_pylist()
+    s2 = batch["s2"].to_pylist()
+    keep = [
+        jaccard(normalize_surface(a), normalize_surface(b)) >= threshold
+        for a, b in zip(s1, s2)
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+class UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic orientation: smaller root wins
+            lo, hi = sorted((ra, rb))
+            self.parent[hi] = lo
+
+    def clusters(self) -> dict:
+        out = defaultdict(list)
+        for x in self.parent:
+            out[self.find(x)].append(x)
+        return {k: sorted(v) for k, v in out.items()}
+
+
+def canonical_map_from_edges(edges, surfaces, alias_to_eid: dict) -> dict:
+    """Union-find over verified edges → ``{surface: canonical IRI}``."""
+    uf = UnionFind()
+    for s in surfaces:
+        uf.find(s)
+    for a, b in edges:
+        uf.union(a, b)
+    # surfaces sharing a normalized form merge unconditionally (exact edges)
+    by_norm = defaultdict(list)
+    for s in surfaces:
+        by_norm[normalize_surface(s)].append(s)
+    for group in by_norm.values():
+        for other in group[1:]:
+            uf.union(group[0], other)
+    out = {}
+    for members in uf.clusters().values():
+        eids = sorted(alias_to_eid[m] for m in members if m in alias_to_eid)
+        if eids:
+            iri = entity_iri(eids[0])
+        else:
+            from .link import surface_slug
+
+            iri = ENTITY_NS + surface_slug(members[0])
+        for m in members:
+            out[m] = iri
+    return out
+
+
+def build_canonical_map(
+    raw_ds,
+    gazetteer: dict,
+    *,
+    threshold: float = 0.45,
+    num_perm: int = 64,
+    bands: int = 16,
+    batch_size: int = 4096,
+) -> dict:
+    """Distributed canonicalization over a raw nested-triples Dataset.
+
+    Returns the (small) ``surface → IRI`` dict, ready for ``ray.put``.
+    The shuffles here run over the **surface vocabulary** (≪ corpus size);
+    corpus-scale data is touched only by the first ``map_batches``.
+    """
+    import ray.data as rd
+
+    def surfaces_of(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for trips in batch["triples"].to_pylist():
+            for t in trips:
+                seen.add(t["subj_surface"])
+                if not t["obj_is_literal"]:
+                    seen.add(t["obj_surface"])
+        return pa.table({"surface": pa.array(sorted(seen), pa.string())})
+
+    alias_tbl = pa.table(
+        {"surface": pa.array(sorted(gazetteer["alias_to_eid"]), pa.string())}
+    )
+    surf_ds = (
+        raw_ds.map_batches(surfaces_of, batch_format="pyarrow")
+        .union(rd.from_arrow(alias_tbl))
+        .groupby("surface")
+        .count()
+        .select_columns(["surface"])
+    )
+    bucket_ds = surf_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    pair_ds = bucket_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    edge_ds = pair_ds.map_batches(
+        verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
+    )
+    # edges are tiny post-verification; driver-side union-find is the
+    # documented small-side reduce (fallback: label propagation rounds).
+    edges = [(r["s1"], r["s2"]) for r in edge_ds.take_all()]
+    surfaces = [r["surface"] for r in surf_ds.take_all()]
+    return canonical_map_from_edges(edges, surfaces, gazetteer["alias_to_eid"])

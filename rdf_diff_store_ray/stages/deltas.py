@@ -1,0 +1,219 @@
+"""Delta materialization: per-(graph, version) snapshots → the timestamped
+delta log, written as partitioned Parquet with per-partition manifests.
+
+Semantics reproduced from the reference:
+
+- **no-op suppression**: a version whose canonical content digest equals the
+  previous live version's digest produces no delta
+  (``/root/reference/src/graphs.rs:52-61``; ``test_no_diff``,
+  ``tests/integration_test.rs:96-125``);
+- **delete tombstones**: a graph absent from a crawl snapshot while
+  previously live gets an ``op='delete'`` delta at that snapshot's
+  timestamp (``src/graphs.rs:82-93``; the crawl analog of the DELETE
+  endpoint) and may later reappear as a new update;
+- the delta log is the git commit log analog: partitioned by
+  ``partition_id = stable_hash(graph_id) % P`` so each partition has
+  exactly **one writer task** — replacing the reference's global write
+  lock (repo pool of size 1, ``src/bin/rdf-diff-writer.rs:25-31``) with
+  partitioned ownership;
+- durable flush = an atomically-renamed Parquet file plus a JSON manifest
+  with lineage (graph/url range, row counts, snapshot range, content
+  checksum, stage timings) — the analog of the reference's periodic
+  ``push_updates`` (``src/git.rs:225-235``) and the basis for
+  **checkpoint/resume**: a re-run skips partitions whose manifest is
+  already valid.
+
+Execution shape: the whole step is ONE shuffle —
+``versions.groupby("partition_id").map_groups(writer)``. Sorting, per-graph
+lag comparison, tombstone inference and the Parquet write all happen inside
+the partition group (vectorized pandas within the group). The group must
+fit a worker's heap: size ``num_partitions`` so (corpus bytes / P) is a few
+hundred MB at most; P is a knob, default scales with input size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ntriples import sha256_bytes
+from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
+from ..shuffle_utils import partition_ids
+
+MANIFEST_NAME = "manifest.json"
+SUCCESS_NAME = "_SUCCESS"
+
+
+def derive_graph_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame:
+    """Delta rows for ONE graph's version history (already sorted by
+    ``warc_ts``; ties keep the last row in stable input order — documented
+    tie-break, FIXTURES.md note). ``snapshot_times`` is the sorted global
+    crawl grid (unix seconds) used to infer deletes from absence."""
+    # robust to pandas datetime64 resolution (ns vs s)
+    ts_s = group["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    present = {}
+    for i, t in enumerate(ts_s):
+        present[int(t)] = i  # last wins on same-second ties
+    first = ts_s.min()
+    rows = []
+    live = False
+    prev_digest = None
+    for t in snapshot_times:
+        t = int(t)
+        if t < first:
+            continue
+        i = present.get(t)
+        if i is not None:
+            digest = group["digest"].iloc[i]
+            if not live or digest != prev_digest:
+                rows.append((t, OP_UPDATE, group["delta_text"].iloc[i], digest))
+                prev_digest = digest
+            live = True
+        elif live:
+            rows.append((t, OP_DELETE, "", b""))
+            live = False
+            prev_digest = None
+    gid = group["graph_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "graph_id": gid,
+            "warc_ts": pd.to_datetime([r[0] for r in rows], unit="s"),
+            "op": [r[1] for r in rows],
+            "delta_text": [r[2] for r in rows],
+            "digest": [r[3] for r in rows],
+        }
+    )
+
+
+class DeltaPartitionWriter:
+    """``map_groups`` callable for one ``partition_id`` group: derive deltas
+    for every graph in the partition, write Parquet atomically, emit the
+    manifest summary row. Constructed once per actor; the snapshot grid is
+    a small broadcast (list of unix seconds)."""
+
+    def __init__(self, out_dir: str, snapshot_times, num_partitions: int):
+        self.out_dir = out_dir
+        self.snapshot_times = sorted(int(t) for t in snapshot_times)
+        self.num_partitions = num_partitions
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic()
+        pid = int(group["partition_id"].iloc[0])
+        group = group.sort_values(
+            ["graph_id", "warc_ts"], kind="stable", ignore_index=True
+        )
+        parts = [
+            derive_graph_deltas(g, self.snapshot_times)
+            for _, g in group.groupby("graph_id", sort=True)
+        ]
+        if parts:
+            deltas = pd.concat(parts, ignore_index=True)
+            deltas["partition_id"] = np.int32(pid)
+            table = pa.Table.from_pandas(deltas, preserve_index=False).cast(DELTAS)
+        else:
+            table = DELTAS.empty_table()
+        write_partition(self.out_dir, pid, table, wall_s=time.monotonic() - t0)
+        m = read_manifest(self.out_dir, pid)
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "rows": [m["rows"]],
+                "graphs": [m["graphs"]],
+                "content_sha256": [m["content_sha256"]],
+            }
+        )
+
+
+def make_partition_writer(out_dir: str, snapshot_times, num_partitions: int):
+    """Named-function wrapper for ``map_groups`` (which requires a plain
+    function); closes over a :class:`DeltaPartitionWriter`."""
+    writer = DeltaPartitionWriter(out_dir, snapshot_times, num_partitions)
+
+    def write_delta_partition(group: pd.DataFrame) -> pd.DataFrame:
+        return writer(group)
+
+    return write_delta_partition
+
+
+def partition_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"partition={pid:05d}")
+
+
+def write_partition(out_dir: str, pid: int, table: pa.Table, wall_s: float) -> None:
+    """Atomic write: Parquet to a temp name, rename, manifest last. A crash
+    mid-write leaves no manifest → the partition is recomputed on resume."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(out_dir, pid)
+    os.makedirs(pdir, exist_ok=True)
+    final = os.path.join(pdir, "deltas.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    gids = table["graph_id"]
+    content = sha256_bytes(
+        b"".join(sorted(d.as_py() or b"" for d in table["digest"]))
+    ).hex()
+    manifest = {
+        "partition_id": pid,
+        "rows": table.num_rows,
+        "graphs": len(set(gids.to_pylist())),
+        "graph_id_min": min(gids.to_pylist(), default=None),
+        "graph_id_max": max(gids.to_pylist(), default=None),
+        "ts_min": str(min(table["warc_ts"].to_pylist(), default=None)),
+        "ts_max": str(max(table["warc_ts"].to_pylist(), default=None)),
+        "content_sha256": content,
+        "wall_s": round(wall_s, 4),
+        "format": "deltas-v1",
+    }
+    mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+
+
+def read_manifest(out_dir: str, pid: int):
+    path = os.path.join(partition_dir(out_dir, pid), MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def completed_partitions(out_dir: str) -> set:
+    """Partitions with a valid manifest + data file (resume skip set)."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("partition="):
+            continue
+        pid = int(name.split("=")[1])
+        m = read_manifest(out_dir, pid)
+        if m is not None and os.path.exists(
+            os.path.join(out_dir, name, "deltas.parquet")
+        ):
+            done.add(pid)
+    return done
+
+
+def filter_completed(batch: pa.Table, key: str, num_partitions: int,
+                     done: frozenset) -> pa.Table:
+    """Early input prune on resume: drop rows whose partition is already
+    written — pruning happens at the very first stage, so completed work
+    never flows through extraction again."""
+    if not done:
+        return batch
+    pids = partition_ids(batch[key], num_partitions)
+    mask = ~np.isin(pids, list(done))
+    return batch.filter(pa.array(mask))
+
+
+def mark_success(out_dir: str, meta: dict) -> None:
+    with open(os.path.join(out_dir, SUCCESS_NAME), "w") as f:
+        json.dump(meta, f, sort_keys=True)

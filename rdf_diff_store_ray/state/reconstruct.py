@@ -1,0 +1,139 @@
+"""State-at-timestamp reconstruction and store metadata.
+
+Semantics (reference parity):
+
+- ``state_at(ts)``: for each graph, the latest delta with ``warc_ts <= ts``
+  (as-of predecessor semantics — the binary search in
+  ``/root/reference/src/git.rs:157-161``); graphs whose latest op is
+  ``delete`` are absent; a ``ts`` before the first delta yields the empty
+  state (``Err(0)`` → empty, ``src/git.rs:157-159``).
+- ``graphs_at(ts)``: union of all live graphs' triples serialized as ONE
+  canonical N-Triples document — graph identity erased, duplicates folded
+  (``combine_graphs`` + oxigraph store dedup, ``src/query.rs:127-169``).
+- ``metadata()``: (first, last) delta time (``repo_metadata``,
+  ``src/git.rs:78-85``).
+
+Two execution paths:
+
+- **Dataset path** (scales): ``groupby(graph_id).map_groups(latest)`` over
+  the delta Dataset — a keyed shuffle; partition pruning applies because
+  the log is hash-partitioned by graph_id.
+- **Table path** (pyarrow, no Ray): used by the cached query reader on a
+  single partition's (or a small store's) delta table; vectorized sort +
+  group-take-last, no Python row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import ntriples
+from ..schemas import OP_DELETE
+
+
+def _ts_scalar(ts) -> pa.Scalar:
+    """Accept unix seconds (int) or a datetime; compare at second grain —
+    the reference's version-axis resolution (``src/git.rs:82,157``)."""
+    if isinstance(ts, (int, np.integer)):
+        return pa.scalar(int(ts) * 10**6, pa.timestamp("us")).cast(pa.timestamp("s"))
+    return pa.scalar(ts, pa.timestamp("s"))
+
+
+# ---------------------------------------------------------------- table path
+def state_at_table(deltas: pa.Table, ts) -> pa.Table:
+    """Live (graph_id, warc_ts, delta_text, digest) rows at ``ts``."""
+    t = _ts_scalar(ts)
+    flt = deltas.filter(pc.less_equal(deltas["warc_ts"].cast(pa.timestamp("s")), t))
+    if flt.num_rows == 0:
+        return flt
+    # vectorized per-graph arg-max over warc_ts: stable sort then take the
+    # last row of each graph_id run (last wins ties = stable input order)
+    idx = pc.sort_indices(
+        flt, sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")]
+    )
+    srt = flt.take(idx)
+    gids = srt["graph_id"].to_numpy(zero_copy_only=False)
+    last_of_run = np.r_[gids[1:] != gids[:-1], True]
+    latest = srt.filter(pa.array(last_of_run))
+    return latest.filter(pc.not_equal(latest["op"], OP_DELETE))
+
+
+def graphs_at_table(deltas: pa.Table, ts) -> str:
+    """Merged canonical N-Triples document at ``ts``."""
+    live = state_at_table(deltas, ts)
+    triples = set()
+    for text in live["delta_text"].to_pylist() if live.num_rows else []:
+        triples.update(ntriples.parse(text))
+    return ntriples.serialize(triples)
+
+
+def triples_at_table(deltas: pa.Table, ts) -> pa.Table:
+    """Distinct (subj, pred, obj, obj_is_literal) live at ``ts``."""
+    live = state_at_table(deltas, ts)
+    triples = set()
+    for text in live["delta_text"].to_pylist() if live.num_rows else []:
+        triples.update(ntriples.parse(text))
+    rows = sorted(triples)
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def metadata_table(deltas: pa.Table):
+    if deltas.num_rows == 0:
+        return (None, None)
+    col = deltas["warc_ts"].cast(pa.timestamp("s"))
+    return (pc.min(col).as_py(), pc.max(col).as_py())
+
+
+# -------------------------------------------------------------- Dataset path
+def state_at(deltas_ds, ts):
+    """Dataset of live graph rows at ``ts`` (distributed as-of)."""
+
+    def upto(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less_equal(batch["warc_ts"].cast(pa.timestamp("s")), _ts_scalar(ts))
+        )
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("warc_ts", kind="stable")
+        last = group.iloc[[-1]]
+        return last[last["op"] != OP_DELETE]
+
+    return (
+        deltas_ds.map_batches(upto, batch_format="pyarrow")
+        .groupby("graph_id")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+def metadata(deltas_ds):
+    """(start_time, end_time) via Min/Max tree-reduce (no full shuffle)."""
+    from ray.data.aggregate import Max, Min
+
+    res = deltas_ds.aggregate(Min("warc_ts"), Max("warc_ts"))
+    return (res["min(warc_ts)"], res["max(warc_ts)"])
+
+
+def version_times(deltas_ds) -> list:
+    """Sorted distinct version instants — ``list_commit_times``
+    (``src/git.rs:134-148``, sorted TIME|REVERSE → ascending here)."""
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"warc_ts": batch["warc_ts"].unique()})
+
+    rows = (
+        deltas_ds.select_columns(["warc_ts"])
+        .map_batches(distinct, batch_format="pyarrow")
+        .groupby("warc_ts")
+        .count()
+        .take_all()
+    )
+    return sorted(r["warc_ts"] for r in rows)
