@@ -1,0 +1,345 @@
+"""Deduplication family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Patterns (scale-first):
+
+- **exact**: content hash inside ``map_batches`` (vectorized-ish hashing)
+  → ``groupby(hash)`` keep-min — hash-partition + per-group first; the
+  shuffle carries only ``(hash, doc_id)``, never the text.
+- **MinHash-LSH**: word-shingle signatures per batch → explode to band
+  buckets → band-key groupby → candidate pairs (hot-bucket capped) →
+  exact-Jaccard verify → connected components. Same machinery as entity
+  canonicalization (``stages/canonicalize.py``) at document granularity.
+- **SimHash**: 64-bit fingerprint via hashed-token sign aggregation
+  (numpy vectorized per doc); near-dup candidates = equal 16-bit chunk
+  (Hamming ≤ 3 guaranteed caught by pigeonhole with 4 chunks).
+- **embedding cosine**: random-hyperplane LSH buckets → within-bucket
+  pairwise cosine (numpy matmul) → threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.canonicalize import UnionFind
+
+# ----------------------------------------------------------------- exact ----
+
+
+def _text_md5_batch(batch: pa.Table) -> pa.Table:
+    h = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "text_md5": pa.array(h, pa.string())}
+    )
+
+
+def exact_dedup(docs_ds):
+    """One row per distinct content: (doc_id=min id, n_dupes)."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs_ds.map_batches(_text_md5_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes"))
+        .select_columns(["doc_id", "n_dupes"])
+    )
+
+
+# ------------------------------------------------------------- minhash ------
+
+
+def word_shingles(text: str, k: int = 3):
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+class DocMinHash:
+    """Actor-pool stage: doc → (band_id, band_hash, doc_id) bucket rows."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        m = np.uint64((1 << 61) - 1)
+        self.m = m
+        self.num_perm, self.bands = num_perm, bands
+        self.rows = num_perm // bands
+        self.a = rng.integers(1, int(m), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(m), size=num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in sh),
+            dtype=np.uint64,
+            count=len(sh),
+        )
+        return ((self.a[:, None] * x[None, :] + self.b[:, None]) % self.m).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.signature(text or "")
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(bh, "big") >> 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def _bucket_id_pairs(group: pd.DataFrame, cap: int = 256) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"]))
+    pairs = []
+    if len(ids) * (len(ids) - 1) // 2 <= cap:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.append((ids[i], ids[j]))
+    else:  # hot bucket: chain (skew guard; transitivity via union-find)
+        for i in range(len(ids) - 1):
+            pairs.append((ids[i], ids[i + 1]))
+    return pd.DataFrame(
+        {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
+    ).astype("int64")
+
+
+def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048):
+    """Distinct candidate near-dup id pairs from LSH banding."""
+    buckets = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        DocMinHash,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_id_pairs, batch_format="pandas"
+    )
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def jaccard_docs(t1: str, t2: str, k: int = 3) -> float:
+    s1, s2 = word_shingles(t1, k), word_shingles(t2, k)
+    if not s1 and not s2:
+        return 1.0
+    inter = len(s1 & s2)
+    return inter / (len(s1) + len(s2) - inter)
+
+
+def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7, **kw):
+    """(doc_id, cluster_id=min doc_id of its near-dup component).
+
+    Pair verification joins candidate ids back to texts via a broadcast
+    id→text lookup when the corpus is small; at scale this becomes a
+    hash-join of pairs against the docs table on each side — documented
+    trade-off, the candidate set after LSH is ≪ corpus².
+    """
+    import ray
+
+    pairs = minhash_candidate_pairs(docs_ds, **kw).take_all()
+    texts = {}
+    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    uf = UnionFind()
+    for did in texts:
+        uf.find(did)
+    for p in pairs:
+        if jaccard_docs(texts[p["a"]] or "", texts[p["b"]] or "") >= threshold:
+            uf.union(p["a"], p["b"])
+    rows = sorted((did, min(members)) for members in uf.clusters().values()
+                  for did in members)
+    _ = ray  # broadcast handle kept for the scale path
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+# -------------------------------------------------------------- simhash -----
+
+
+class DocSimHash:
+    """64-bit SimHash per document (token-hash sign aggregation)."""
+
+    def __init__(self) -> None:
+        self.bits = 64
+
+    def simhash(self, text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        out_chunks = {
+            f"chunk{c}": pa.array(
+                [(h >> (16 * c)) & 0xFFFF for h in sh], pa.int32()
+            )
+            for c in range(4)
+        }
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array([h - (1 << 63) for h in sh], pa.int64()),
+                **out_chunks,
+            }
+        )
+
+
+def simhash_signatures(docs_ds, batch_size: int = 2048):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        DocSimHash, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def simhash_near_pairs(docs_ds, max_hamming: int = 3):
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``. Candidates
+    via the 4×16-bit-chunk pigeonhole (any pair within distance 3 shares a
+    chunk); verified exactly."""
+    sigs = simhash_signatures(docs_ds)
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, keys, hashes = [], [], []
+        for r in batch.to_pylist():
+            for c in range(4):
+                doc_ids.append(r["doc_id"])
+                keys.append((c << 16) | r[f"chunk{c}"])
+                hashes.append(r["simhash"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_key": pa.array(keys, pa.int64()),
+                "simhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(group["doc_id"], group["simhash"])))
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                h = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if h <= max_hamming:
+                    out.append((rows[i][0], rows[j][0], h))
+        return pd.DataFrame(
+            {
+                "a": [p[0] for p in out],
+                "b": [p[1] for p in out],
+                "hamming": [p[2] for p in out],
+            }
+        ).astype("int64")
+
+    pairs = (
+        sigs.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    from ray.data.aggregate import Min
+
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------- embedding cosine ------
+
+
+class HyperplaneLSH:
+    """Random-hyperplane bucket assignment for cosine near-dup / ANN.
+    Plane matrix sampled once per actor from a fixed seed."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) > 0
+        return (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(
+            axis=1
+        ).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(self.bucket_of(vecs), pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+
+def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
+                         dim: int = 64):
+    """Cosine near-dup pairs within hyperplane-LSH buckets (numpy matmul
+    per bucket — vectorized; bucket sizes bounded by the plane count).
+    Group format is pyarrow so the output schema survives empty buckets."""
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V = V / norms
+        sim = V @ V.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[keep]], pa.int64()),
+                "b": pa.array(ids[jj[keep]], pa.int64()),
+                "cosine": pa.array(np.round(sim[ii, jj][keep], 6), pa.float64()),
+            }
+        )
+
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The image/audio codec libraries are not available in this environment, so
+the *decode kernels* are stubbed two ways:
+
+- a clearly-marked :class:`NotImplementedError` branch for real codecs
+  (``jpeg``/``png``/``wav``…), and
+- a deterministic ``fake-v1`` codec (self-describing header) used by
+  tests and benchmarks so the **Ray-side plumbing is real**: schemas,
+  actor-pool signatures, per-batch memory behavior (small batches for
+  large binary rows), and output layout are all exercised for real.
+
+Stage shapes mirror a production media pipeline:
+``decode → resize/frame-sample → feature-extract``, each an actor-pool
+``map_batches`` class with setup in ``__init__``. Batches stay in
+``pyarrow`` format end-to-end (binary/list columns don't round-trip
+pandas cleanly).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("codec", pa.string()),  # "fake-v1" | "jpeg" | ...
+        ("payload", pa.binary()),
+    ]
+)
+
+_FAKE_MAGIC = b"FAKE1"
+
+
+def encode_fake_image(media_id: int, h: int, w: int, seed: int = 3) -> bytes:
+    """Deterministic synthetic payload: header (h, w) + u8 pixel bytes."""
+    rng = np.random.default_rng(seed * 1_000_003 + media_id)
+    pixels = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+    return _FAKE_MAGIC + struct.pack("<II", h, w) + pixels.tobytes()
+
+
+def decode_payload(codec: str, payload: bytes) -> np.ndarray:
+    if codec == "fake-v1":
+        if payload[:5] != _FAKE_MAGIC:
+            raise ValueError("corrupt fake-v1 payload (bad magic)")
+        h, w = struct.unpack("<II", payload[5:13])
+        return np.frombuffer(payload[13:], dtype=np.uint8).reshape(h, w)
+    # STUB: real codecs need PIL / libjpeg / ffmpeg — not present in this
+    # environment. The call signature and batch plumbing are final.
+    raise NotImplementedError(
+        f"codec {codec!r} requires an image/audio library not present in "
+        "this environment; use codec='fake-v1' (deterministic test codec)"
+    )
+
+
+class DecodeStage:
+    """payload → decoded dims + grayscale histogram feature (16 bins).
+
+    Large-binary guidance: callers should use a small ``batch_size``
+    (e.g. 64) so batch × concurrency fits worker heap; payload columns
+    stream zero-copy from the object store.
+    """
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights, widths, hists = [], [], []
+        for codec, payload in zip(
+            batch["codec"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = decode_payload(codec, payload)
+            heights.append(arr.shape[0])
+            widths.append(arr.shape[1])
+            hist, _ = np.histogram(arr, bins=self.edges)
+            hists.append((hist / max(1, arr.size)).astype(np.float32))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "features": pa.array(
+                    [h.tolist() for h in hists], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+class ResizeStage:
+    """Nearest-neighbor resize on decoded fake payloads → re-encoded
+    payload (demonstrates transform-in-place layout)."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for codec, payload in zip(
+            batch["codec"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = decode_payload(codec, payload)
+            ys = (np.arange(self.out_h) * arr.shape[0] // self.out_h).clip(
+                0, arr.shape[0] - 1
+            )
+            xs = (np.arange(self.out_w) * arr.shape[1] // self.out_w).clip(
+                0, arr.shape[1] - 1
+            )
+            small = arr[np.ix_(ys, xs)]
+            payloads.append(
+                _FAKE_MAGIC
+                + struct.pack("<II", self.out_h, self.out_w)
+                + small.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "codec": batch["codec"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ).cast(MEDIA_SCHEMA)
+
+
+def synthetic_media_table(n: int, h: int = 32, w: int = 32, seed: int = 3) -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "codec": pa.array(["fake-v1"] * n, pa.string()),
+            "payload": pa.array(
+                [encode_fake_image(i, h, w, seed) for i in range(n)], pa.binary()
+            ),
+        }
+    ).cast(MEDIA_SCHEMA)
+
+
+def decode_features(media_ds, batch_size: int = 64, concurrency=(1, 4)):
+    return media_ds.map_batches(
+        DecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small on purpose: large binary rows
+        concurrency=concurrency,
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each ``map_batches`` task computes a
+  float64 matmul against its batch and emits only its local top-k; the
+  driver merges ``num_batches × k`` candidate rows (tiny). No full
+  materialization of scores.
+- :func:`lsh_topk` — the scale path: hyperplane-LSH buckets (same family
+  as ``dedup.HyperplaneLSH``) with multi-probe (flip each plane bit) so a
+  query touches a handful of buckets instead of the whole corpus; exact
+  rescoring within probed buckets. Recall vs brute force is measured in
+  tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class _TopKScorer:
+    """Actor: holds the (broadcast) normalized query matrix."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        q = np.asarray(q, dtype=np.float64)
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        self.q = q / n  # (Q, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        V = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (V / norms) @ self.q.T  # (B, Q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            # local top-k (argpartition = O(B))
+            idx = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_sim.extend(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
+    """Exact top-k rows ``(query_id, vec_id, rank, cosine)``; rank is
+    1-based, ordered by (cosine desc, vec_id asc) — fully deterministic."""
+    qref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    cand = emb_ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    ).take_all()  # num_batches × Q × k rows — small by construction
+    best: dict[int, list] = {}
+    for r in cand:
+        best.setdefault(r["query_id"], []).append((-r["cosine"], r["vec_id"]))
+    rows = []
+    for qid in sorted(best):
+        top = heapq.nsmallest(k, best[qid])
+        for rank, (negsim, vid) in enumerate(top, start=1):
+            rows.append((qid, vid, rank, -negsim))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
+             dim: int = 64, seed: int = 5) -> pa.Table:
+    """Approximate top-k: probe the query's bucket plus all 1-bit-flip
+    neighbors, exact-rescore those candidates. Same output schema as
+    :func:`brute_force_topk`."""
+    from .dedup import HyperplaneLSH
+
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qb = lsh.bucket_of(q)
+    probe: dict[int, set] = {}
+    for qi, b in enumerate(qb):
+        probes = {int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}
+        probe[qi] = probes
+    all_probed = set().union(*probe.values())
+
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+    wanted = pa.array(sorted(all_probed), pa.int64())
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["bucket"], value_set=wanted))
+
+    cand = bucketed.map_batches(in_probed, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    buckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
+    V = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
+    if len(ids):
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V = V / norms
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    rows = []
+    for qi in range(len(q)):
+        mask = np.isin(buckets, list(probe[qi]))
+        if not mask.any():
+            continue
+        sims = V[mask] @ qn[qi]
+        sub_ids = ids[mask]
+        order = sorted(zip(-sims, sub_ids))[: min(k, len(sub_ids))]
+        for rank, (negsim, vid) in enumerate(order, start=1):
+            rows.append((qi, int(vid), rank, float(-negsim)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

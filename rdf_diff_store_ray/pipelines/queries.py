@@ -1,0 +1,363 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``name -> callable(sf_dir)`` plus (where SQL-expressible) a DuckDB oracle
+string over the same tables. Consumed by ``__ray_entry__.py``.
+
+KG-pipeline entries run over a deterministic synthetic ``pages`` corpus
+sized from the sf_dir's ``documents`` row count (seeded, cached under
+``/tmp/ray_kg_cache``) — the corpus shape is mandated by
+``BASELINE.json`` ``input_hint`` and does not exist in the sf
+directories, so those entries carry no SQL oracle (rows-only checks);
+their real correctness gate is the oracle-parity pytest suite.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as rel
+
+KG_CACHE_ROOT = "/tmp/ray_kg_cache"
+
+
+# ---------------------------------------------------------- documents -------
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_stats(sf_dir: str):
+    from ..functions.text import doc_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pyarrow"
+    )
+
+
+DOC_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n]')) AS n_punct
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    from ..functions.text import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def exact_dedup_docs(sf_dir: str):
+    from ..functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def lang_dist(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    )
+
+
+LANG_DIST_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def top_docs_by_len(sf_dir: str, k: int = 20):
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.sort([("n_chars"), ("doc_id")], descending=[True, False]).limit(k)
+
+
+TOP_DOCS_SQL = """
+SELECT doc_id, length(text) AS n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+# --------------------------------------------------------- embeddings -------
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(vec_id)
+    return np.asarray([t["embedding"][idx].as_py()], dtype=np.float64)
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    from ..functions.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(emb, _query_vec(sf_dir), k=k)
+    return out.select(["vec_id", "rank"])
+
+
+ANN_TOPK_SQL = """
+SELECT vec_id, CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                  vec_id) AS BIGINT) AS rank
+FROM embeddings
+ORDER BY rank LIMIT 10
+"""
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    from ..functions.similarity import lsh_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(emb, _query_vec(sf_dir), k=k)
+
+
+def label_dist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+LABEL_DIST_SQL = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+def minhash_dedup(sf_dir: str):
+    from ..functions.dedup import minhash_dedup_clusters
+
+    return minhash_dedup_clusters(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def simhash_pairs(sf_dir: str):
+    from ..functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def embedding_dupes(sf_dir: str):
+    """Cosine near-dup pairs. The test embeddings are isotropic random
+    (max pairwise cosine ≈ 0.48), so a true near-dup threshold correctly
+    yields zero pairs; the result is materialized to a TYPED Arrow table
+    because Ray loses the schema of an all-empty Dataset."""
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_near_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = embedding_near_pairs(emb, threshold=0.9)
+    schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+    )
+    return pa.Table.from_pylist(ds.take_all(), schema=schema)
+
+
+def lang_id_docs(sf_dir: str):
+    from ..functions.text import lang_id
+
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def multimodal_decode(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.multimodal import decode_features, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(n=128, h=32, w=32))
+    out = decode_features(media)
+    return out.select_columns(["media_id", "height", "width"])
+
+
+# ------------------------------------------------------------- KG -----------
+def kg_build_for(sf_dir: str):
+    """Deterministic KG build over a synthetic pages corpus sized from the
+    sf's documents table; cached per sf under /tmp so the KG query entries
+    share one build."""
+    import pyarrow.parquet as pq
+
+    from .. import corpus as corpus_mod
+    from .build import build
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_urls = int(min(400, max(40, n_docs // 12)))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(KG_CACHE_ROOT, f"{tag}_u{n_urls}")
+    corpus_dir = os.path.join(root, "corpus")
+    out_dir = os.path.join(root, "kg")
+    os.makedirs(root, exist_ok=True)
+    if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
+        c = corpus_mod.generate(n_urls=n_urls, n_snapshots=5, seed=42)
+        c.write(corpus_dir)
+    import json
+
+    with open(os.path.join(corpus_dir, "gazetteer.json")) as f:
+        gaz = json.load(f)
+    res = build(
+        os.path.join(corpus_dir, "pages.parquet"),
+        out_dir,
+        gazetteer=gaz,
+        num_partitions=8,
+        resume=True,
+    )
+    return res
+
+
+def kg_triples(sf_dir: str):
+    import glob
+
+    import ray.data as rd
+
+    res = kg_build_for(sf_dir)
+    files = sorted(glob.glob(os.path.join(res.triples_dir, "*.parquet")))
+    return rd.read_parquet(files)
+
+
+def kg_delta_log(sf_dir: str):
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    return pa.table(
+        {
+            "graph_id": dt["graph_id"],
+            "warc_ts": dt["warc_ts"],
+            "op": dt["op"],
+            "digest_hex": pa.array(
+                [d.hex() if d is not None else "" for d in dt["digest"].to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def kg_state_at_mid(sf_dir: str):
+    from ..corpus import EPOCH, SNAPSHOT_STEP
+    from ..state.reconstruct import state_at_table
+
+    res = kg_build_for(sf_dir)
+    live = state_at_table(res.delta_table(), EPOCH + 2 * SNAPSHOT_STEP + 1)
+    if live.num_rows == 0:
+        return pa.table({"graph_id": pa.array([], pa.string()),
+                         "digest_hex": pa.array([], pa.string())})
+    return pa.table(
+        {
+            "graph_id": live["graph_id"],
+            "digest_hex": pa.array(
+                [d.hex() for d in live["digest"].to_pylist()], pa.string()
+            ),
+        }
+    )
+
+
+def kg_bgp_acquired(sf_dir: str):
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(int(pd.Timestamp(hi).timestamp()), f"?s <{P_ACQUIRED}> ?o")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_metadata(sf_dir: str):
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    lo, hi = metadata_table(res.delta_table())
+    return pa.table(
+        {
+            "start_time": pa.array([lo], pa.timestamp("s")),
+            "end_time": pa.array([hi], pa.timestamp("s")),
+        }
+    )
+
+
+# --------------------------------------------------------------- registry ---
+def registry():
+    """name -> callable(sf_dir). Keep in sync with :func:`oracles`."""
+    return {
+        # relational / generic operators (SQL-checked)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "top_orders": rel.top_orders,
+        "orders_by_nation": rel.orders_by_nation,
+        "lineitem_part_join": rel.lineitem_part_join,
+        "events_hourly": rel.events_hourly,
+        "events_asof_state": rel.events_asof_state,
+        "events_change_log": rel.events_change_log,
+        "events_metadata": rel.events_metadata,
+        "events_version_times": rel.events_version_times,
+        # documents / embeddings operators (SQL-checked)
+        "doc_stats": doc_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "exact_dedup": exact_dedup_docs,
+        "lang_dist": lang_dist,
+        "top_docs_by_len": top_docs_by_len,
+        "ann_topk": ann_topk,
+        "label_dist": label_dist,
+        # rows-only (non-SQL-expressible; correctness via pytest oracles)
+        "minhash_dedup": minhash_dedup,
+        "simhash_pairs": simhash_pairs,
+        "embedding_dupes": embedding_dupes,
+        "lang_id": lang_id_docs,
+        "ann_topk_lsh": ann_topk_lsh,
+        "multimodal_decode": multimodal_decode,
+        "kg_triples": kg_triples,
+        "kg_delta_log": kg_delta_log,
+        "kg_state_at_mid": kg_state_at_mid,
+        "kg_bgp_acquired": kg_bgp_acquired,
+        "kg_metadata": kg_metadata,
+    }
+
+
+def oracles():
+    """name -> DuckDB SQL equivalent (only for SQL-expressible entries)."""
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "top_orders": rel.TOP_ORDERS_SQL,
+        "orders_by_nation": rel.ORDERS_BY_NATION_SQL,
+        "lineitem_part_join": rel.LINEITEM_PART_JOIN_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_asof_state": rel.EVENTS_ASOF_SQL,
+        "events_change_log": rel.EVENTS_CHANGE_LOG_SQL,
+        "events_metadata": rel.EVENTS_METADATA_SQL,
+        "events_version_times": rel.EVENTS_VERSION_TIMES_SQL,
+        "doc_stats": DOC_STATS_SQL,
+        "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "lang_dist": LANG_DIST_SQL,
+        "top_docs_by_len": TOP_DOCS_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "label_dist": LABEL_DIST_SQL,
+    }

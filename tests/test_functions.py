@@ -1,0 +1,233 @@
+"""Training-data operators: dedup family, similarity search, text
+analysis, multimodal plumbing — semantic checks on planted ground truth."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+BASE_DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs_table():
+    texts = [
+        BASE_DOC,
+        BASE_DOC,  # exact dup of 0
+        BASE_DOC.replace("lazy", "sleepy"),  # near dup of 0
+        "completely different content about distributed query engines and arrow",
+        "another unrelated document mentioning parquet files and object stores",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["n_dupes"] for r in exact_dedup(docs_ds).take_all()}
+    assert out[0] == 2  # docs 0 and 1 identical, min id kept
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_minhash_dedup_clusters(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import minhash_dedup_clusters
+
+    t = minhash_dedup_clusters(docs_ds, threshold=0.5)
+    cl = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert cl[0] == cl[1] == cl[2] == 0  # exact + near dup share a cluster
+    assert cl[3] != 0 and cl[4] != 0 and cl[3] != cl[4]
+
+
+def test_simhash_near_pairs(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import simhash_near_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_pairs(docs_ds, max_hamming=8).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical → distance 0
+    assert all(not ((a in (3, 4)) ^ (b in (3, 4))) for a, b in pairs), pairs
+
+
+def test_jaccard_docs():
+    from rdf_diff_store_ray.functions.dedup import jaccard_docs
+
+    assert jaccard_docs(BASE_DOC, BASE_DOC) == 1.0
+    assert jaccard_docs(BASE_DOC, "zebra") == 0.0
+    j = jaccard_docs(BASE_DOC, BASE_DOC.replace("lazy", "sleepy"))
+    assert 0.5 < j < 1.0
+
+
+def test_embedding_near_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((50, 64))
+    V[7] = V[3] + rng.standard_normal(64) * 0.01  # planted near-dup pair
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = [(r["a"], r["b"]) for r in embedding_near_pairs(emb, threshold=0.98).take_all()]
+    assert (3, 7) in pairs
+    assert len(pairs) <= 3  # no spurious merges of random vectors
+
+
+def _random_embeddings(n=400, d=64, seed=11):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, d))
+    return V
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    V = _random_embeddings()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(V)), pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_brute_force_topk_matches_numpy(emb_ds, ray_session):
+    from rdf_diff_store_ray.functions.similarity import brute_force_topk
+
+    V = _random_embeddings().astype(np.float32).astype(np.float64)
+    q = V[5:6]
+    got = brute_force_topk(emb_ds, q, k=10)
+    ids = got["vec_id"].to_pylist()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Vn @ qn[0]
+    want = [int(i) for _, i in sorted(zip(-sims, range(len(V))))[:10]]
+    assert ids == want
+    assert got["rank"].to_pylist() == list(range(1, 11))
+    assert got["vec_id"].to_pylist()[0] == 5  # self is most similar
+
+
+def test_lsh_topk_finds_planted_neighbor(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.similarity import lsh_topk
+
+    V = _random_embeddings(n=300)
+    V[42] = V[5] * 1.001  # planted: same direction as query
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(V)), pa.int64()),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = lsh_topk(emb, V[5:6], k=5)
+    top_ids = out["vec_id"].to_pylist()[:2]
+    assert set(top_ids) == {5, 42}  # exact-direction matches always bucket together
+
+
+def test_langid_profiles():
+    from rdf_diff_store_ray.functions.text import LangId
+
+    li = LangId()
+    assert li.classify("the cat and the dog went to the market") == "en"
+    assert li.classify("der Hund und die Katze sind nicht hier") == "de"
+    assert li.classify("le chat est dans la maison pour la nuit") == "fr"
+    assert li.classify("el perro y el gato es una familia") == "es"
+    assert li.classify("det er ikke en katt på taket og på") == "no"
+    assert li.classify("") == "und"
+    assert li.classify("12345 67890") == "und"
+
+
+def test_doc_stats_counts():
+    from rdf_diff_store_ray.functions.text import doc_stats_batch
+
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array(["ab c1, d!"], pa.string())}
+    )
+    r = doc_stats_batch(batch).to_pylist()[0]
+    assert r["n_chars"] == 9
+    assert r["n_tokens"] == 3
+    assert r["n_digits"] == 1
+    assert r["n_punct"] == 2  # ',' and '!'
+
+
+def test_rolling_fingerprint_deterministic():
+    from rdf_diff_store_ray.functions.text import rolling_fingerprint
+
+    a = rolling_fingerprint("some document text " * 10)
+    b = rolling_fingerprint("some document text " * 10)
+    c = rolling_fingerprint("some document text " * 10 + "x")
+    assert a == b != c
+
+
+# ------------------------------------------------------------- multimodal ---
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.multimodal import (
+        decode_features,
+        synthetic_media_table,
+    )
+
+    media = rd.from_arrow(synthetic_media_table(n=10, h=24, w=32))
+    out = decode_features(media).take_all()
+    assert len(out) == 10
+    assert all(r["height"] == 24 and r["width"] == 32 for r in out)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in out)  # histogram sums to 1
+
+
+def test_multimodal_resize(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.multimodal import (
+        ResizeStage,
+        decode_features,
+        synthetic_media_table,
+    )
+
+    media = rd.from_arrow(synthetic_media_table(n=4, h=32, w=32))
+    resized = media.map_batches(
+        ResizeStage, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", batch_size=2, concurrency=1,
+    )
+    out = decode_features(resized).take_all()
+    assert all(r["height"] == 8 and r["width"] == 8 for r in out)
+
+
+def test_multimodal_real_codec_is_stubbed():
+    from rdf_diff_store_ray.functions.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_payload("jpeg", b"\xff\xd8\xff")
+
+
+def test_multimodal_corrupt_payload():
+    from rdf_diff_store_ray.functions.multimodal import decode_payload
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_payload("fake-v1", b"NOTFAKE123")
