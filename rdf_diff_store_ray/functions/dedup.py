@@ -146,6 +146,62 @@ def jaccard_docs(t1: str, t2: str, k: int = 3) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
+def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3, **kw):
+    """Verified near-dup pairs ``(a, b, jaccard)``: LSH candidates
+    exact-checked with word-``k``-gram Jaccard ≥ ``threshold``.
+
+    Verification is a distributed actor stage — candidate pairs are
+    re-batched through ``map_batches`` with the id→text lookup broadcast
+    once (``ray.put``), so pair checking scales with the candidate set,
+    not the corpus. ``jaccard`` is rounded to 6 decimals for hash-stable
+    comparison.
+    """
+    import ray
+
+    texts = {}
+    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+
+    class VerifyJaccard:
+        def __init__(self, texts_ref, threshold: float, k: int):
+            self.texts = ray.get(texts_ref)
+            self.threshold = threshold
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_out, b_out, j_out = [], [], []
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+                j = jaccard_docs(
+                    self.texts.get(a) or "", self.texts.get(b) or "", self.k
+                )
+                if j >= self.threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(round(j, 6))
+            return pa.table(
+                {
+                    "a": pa.array(a_out, pa.int64()),
+                    "b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+
+    return minhash_candidate_pairs(docs_ds, **kw).map_batches(
+        VerifyJaccard,
+        fn_constructor_kwargs={
+            "texts_ref": texts_ref,
+            "threshold": threshold,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+
 def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7, **kw):
     """(doc_id, cluster_id=min doc_id of its near-dup component).
 

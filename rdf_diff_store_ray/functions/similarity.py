@@ -86,6 +86,109 @@ def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, seed: int = 7,
+                      iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the coarse
+    quantizer is tiny: ``n_clusters × dim`` floats)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+    C = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            mask = assign == c
+            if mask.any():
+                C[c] = sample[mask].mean(axis=0)
+    return C
+
+
+def ivf_topk(emb_ds, query_vecs, k: int = 10, *, n_clusters: int = 16,
+             nprobe: int = 4, train_size: int = 2048, seed: int = 7) -> pa.Table:
+    """IVF approximate top-k (the scale path for very large corpora).
+
+    Train a coarse quantizer on a bounded driver-side sample
+    (``limit(train_size)`` — never the full corpus), broadcast the
+    centroids once, assign vectors in ``map_batches``, then exact-rescore
+    only the ``nprobe`` inverted lists nearest each query. Same output
+    schema as :func:`brute_force_topk`; recall vs brute force is measured
+    in tests.
+    """
+    sample = np.asarray(
+        [r["embedding"] for r in emb_ds.limit(train_size).take_all()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = _kmeans_centroids(sample / norms, n_clusters, seed=seed)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cref = ray.put(Cn)
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    # nprobe nearest centroids per query (by cosine)
+    cq = qn @ Cn.T  # (Q, C)
+    probe = {qi: set(np.argsort(-cq[qi])[:nprobe].tolist()) for qi in range(len(q))}
+    all_probed = sorted(set().union(*probe.values()))
+
+    class AssignAndFilter:
+        """Assign each vector to its nearest centroid; emit only vectors
+        in a probed list (candidate pruning happens inside the stream)."""
+
+        def __init__(self, centroids_ref, probed):
+            self.C = ray.get(centroids_ref)
+            self.probed = np.asarray(probed, dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            V = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(V, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Vn = V / n
+            assign = (Vn @ self.C.T).argmax(axis=1)
+            keep = np.isin(assign, self.probed)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[keep], pa.int64()),
+                    "cluster": pa.array(assign[keep], pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in Vn[keep]],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+    cand = emb_ds.map_batches(
+        AssignAndFilter,
+        fn_constructor_kwargs={"centroids_ref": cref, "probed": all_probed},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    ).take_all()  # bounded: only vectors inside probed lists
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    clusters = np.array([r["cluster"] for r in cand], dtype=np.int64)
+    V = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
+    rows = []
+    for qi in range(len(q)):
+        mask = np.isin(clusters, list(probe[qi]))
+        if not mask.any():
+            continue
+        sims = V[mask] @ qn[qi]
+        sub_ids = ids[mask]
+        order = sorted(zip(-sims, sub_ids))[: min(k, len(sub_ids))]
+        for rank, (negsim, vid) in enumerate(order, start=1):
+            rows.append((qi, int(vid), rank, float(-negsim)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
              dim: int = 64, seed: int = 5) -> pa.Table:
     """Approximate top-k: probe the query's bucket plus all 1-bit-flip

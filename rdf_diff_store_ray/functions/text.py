@@ -36,6 +36,53 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Whole-word stopword alternation; RE2 semantics identical in pyarrow and
+# DuckDB (both count non-overlapping left-to-right matches).
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "was", "for", "with")
+STOPWORD_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b"
+# BPE-ish pre-tokenizer: alpha runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+ALPHA_PATTERN = r"[a-zA-Z]"
+UPPER_PATTERN = r"[A-Z]"
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Quality counters + gate, all integer/boolean so the result is
+    hash-stable against the DuckDB oracle.
+
+    ``quality_ok`` uses integer cross-multiplication instead of float
+    ratios: stopword ratio ≥ 1% ⇔ ``100*n_stopwords >= n_tokens``; alpha
+    ratio ≥ 50% ⇔ ``2*n_alpha >= n_chars``.
+    """
+    text = batch["text"]
+    lower = pc.utf8_lower(text)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64())
+    n_alpha = pc.count_substring_regex(text, ALPHA_PATTERN).cast(pa.int64())
+    n_upper = pc.count_substring_regex(text, UPPER_PATTERN).cast(pa.int64())
+    n_stop = pc.count_substring_regex(lower, STOPWORD_PATTERN).cast(pa.int64())
+    n_bpe = pc.count_substring_regex(text, BPE_PATTERN).cast(pa.int64())
+    ok = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_tokens, pa.scalar(10, pa.int64())),
+            pc.greater_equal(pc.multiply(n_stop, pa.scalar(100, pa.int64())), n_tokens),
+        ),
+        pc.greater_equal(pc.multiply(n_alpha, pa.scalar(2, pa.int64())), n_chars),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_alpha": n_alpha,
+            "n_upper": n_upper,
+            "n_stopwords": n_stop,
+            "n_bpe_tokens": n_bpe,
+            "quality_ok": ok,
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """MD5 content fingerprint (hex, lowercase — DuckDB ``md5()``-equal)."""
     digests = [
@@ -111,6 +158,10 @@ class LangId:
 
 def doc_stats(docs_ds):
     return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def quality_scores(docs_ds):
+    return docs_ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
 def fingerprints(docs_ds):

@@ -49,6 +49,33 @@ FROM documents
 """
 
 
+def quality_score(sf_dir: str):
+    from ..functions.text import quality_score_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+QUALITY_SCORE_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+       len(regexp_extract_all(lower(text),
+           '\b(the|and|of|to|a|in|is|was|for|with)\b')) AS n_stopwords,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       (len(regexp_extract_all(text, '\S+')) >= 10
+        AND 100 * len(regexp_extract_all(lower(text),
+            '\b(the|and|of|to|a|in|is|was|for|with)\b'))
+            >= len(regexp_extract_all(text, '\S+'))
+        AND 2 * len(regexp_extract_all(text, '[a-zA-Z]')) >= length(text))
+           AS quality_ok
+FROM documents
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     from ..functions.text import fingerprint_batch
 
@@ -152,6 +179,21 @@ def label_dist(sf_dir: str):
 
 
 LABEL_DIST_SQL = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+def ivf_topk_q(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    from ..functions.similarity import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, _query_vec(sf_dir), k=k)
+
+
+def ngram_jaccard_q(sf_dir: str):
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
 def minhash_dedup(sf_dir: str):
@@ -318,8 +360,14 @@ def registry():
         "events_change_log": rel.events_change_log,
         "events_metadata": rel.events_metadata,
         "events_version_times": rel.events_version_times,
+        "revenue_q6": rel.revenue_q6,
+        "distinct_priorities": rel.distinct_priorities,
+        "customer_order_counts": rel.customer_order_counts,
+        "events_sessionize": rel.events_sessionize,
+        "lineitem_sample": rel.lineitem_sample,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
+        "quality_score": quality_score,
         "doc_fingerprints": doc_fingerprints,
         "exact_dedup": exact_dedup_docs,
         "lang_dist": lang_dist,
@@ -328,6 +376,8 @@ def registry():
         "label_dist": label_dist,
         # rows-only (non-SQL-expressible; correctness via pytest oracles)
         "minhash_dedup": minhash_dedup,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
+        "ivf_topk": ivf_topk_q,
         "simhash_pairs": simhash_pairs,
         "embedding_dupes": embedding_dupes,
         "lang_id": lang_id_docs,
@@ -353,7 +403,13 @@ def oracles():
         "events_change_log": rel.EVENTS_CHANGE_LOG_SQL,
         "events_metadata": rel.EVENTS_METADATA_SQL,
         "events_version_times": rel.EVENTS_VERSION_TIMES_SQL,
+        "revenue_q6": rel.REVENUE_Q6_SQL,
+        "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
+        "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
+        "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
         "doc_stats": DOC_STATS_SQL,
+        "quality_score": QUALITY_SCORE_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "lang_dist": LANG_DIST_SQL,

@@ -356,6 +356,219 @@ FROM (
 """
 
 
+# ------------------------------------------------- filter + global agg ------
+def revenue_q6(sf_dir: str):
+    """Selective filter + global sum (TPC-H Q6 shape): predicate pushdown
+    at the read (filter expression), per-batch partial sums, tree-reduce
+    final — no shuffle at all."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi),
+                ),
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        f = batch.filter(mask)
+        rev = _round_away(
+            pc.multiply(
+                pc.multiply(f["l_extendedprice"], f["l_discount"]), pa.scalar(100.0)
+            )
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(rev).as_py() or 0], pa.int64()
+                ),
+                "n_rows": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("revenue_cents"), Sum("n_rows"))
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array([agg["sum(revenue_cents)"] or 0], pa.int64()),
+            "n_rows": pa.array([agg["sum(n_rows)"] or 0], pa.int64()),
+        }
+    )
+
+
+REVENUE_Q6_SQL = """
+SELECT coalesce(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0)
+           AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------------ distinct ------
+def distinct_priorities(sf_dir: str):
+    """Global distinct (``unique`` op): per-batch partial distinct →
+    grouped distinct → sort. The shuffle carries only distinct values."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": batch["o_orderpriority"].unique()})
+
+    return (
+        ds.map_batches(distinct, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .count()
+        .select_columns(["o_orderpriority"])
+        .sort("o_orderpriority")
+    )
+
+
+DISTINCT_PRIORITIES_SQL = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------ left outer join -----
+def customer_order_counts(sf_dir: str):
+    """Left-outer join: every customer with their order count (0 when no
+    orders). The fact side is pre-aggregated per key (two-phase) BEFORE
+    the join, so the exchange carries one row per customer, not per
+    order."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_custkey").size().reset_index(name="n")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_orders": pc.coalesce(
+                    batch["n_orders"], pa.scalar(0, pa.int64())
+                ).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey AS c_custkey, count(o.o_custkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+# ------------------------------------------------------- session window -----
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
+    """Session windows per user (gap > ``gap_minutes`` starts a new
+    session): groupby(user) + in-group sort, vectorized gap/cumsum —
+    the windowed-aggregate op the reference lacks (SURVEY §2.8)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = new_session.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+SELECT min(user_id) AS user_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------- deterministic sample -----
+def lineitem_sample(sf_dir: str, modulus: int = 20, residue: int = 7):
+    """Deterministic systematic sample (~1/modulus of orders): keyed
+    residue filter inside ``map_batches`` — reproducible across runs and
+    cluster sizes, unlike ``random_sample`` (which exists for the
+    non-reproducible case)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(
+            pc.subtract(
+                batch["l_orderkey"],
+                pc.multiply(
+                    pc.divide(batch["l_orderkey"], pa.scalar(modulus, pa.int64())),
+                    pa.scalar(modulus, pa.int64()),
+                ),
+            ),
+            pa.scalar(residue, pa.int64()),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+LINEITEM_SAMPLE_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 20 = 7
+"""
+
+
 # ----------------------------------------------------------- metadata -------
 def events_metadata(sf_dir: str):
     """(start_time, end_time) — Min/Max tree-reduce, no shuffle

@@ -149,6 +149,56 @@ def test_lsh_topk_finds_planted_neighbor(ray_session):
     assert set(top_ids) == {5, 42}  # exact-direction matches always bucket together
 
 
+def test_ngram_jaccard_pairs(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs_ds, threshold=0.5).take_all()
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert all(not ((a in (3, 4)) ^ (b in (3, 4))) for a, b in pairs), pairs
+
+
+def test_ivf_topk_recall_vs_brute_force(emb_ds, ray_session):
+    from rdf_diff_store_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    V = _random_embeddings().astype(np.float32).astype(np.float64)
+    q = V[5:6]
+    exact = set(brute_force_topk(emb_ds, q, k=10)["vec_id"].to_pylist())
+    approx = ivf_topk(emb_ds, q, k=10, n_clusters=8, nprobe=4)
+    got = approx["vec_id"].to_pylist()
+    assert got[0] == 5  # self always lands in the probed list
+    assert len(set(got) & exact) >= 5  # recall@10 ≥ 0.5 with half the lists probed
+    assert approx["rank"].to_pylist() == sorted(approx["rank"].to_pylist())
+
+
+def test_ivf_topk_deterministic(emb_ds, ray_session):
+    from rdf_diff_store_ray.functions.similarity import ivf_topk
+
+    V = _random_embeddings().astype(np.float32).astype(np.float64)
+    a = ivf_topk(emb_ds, V[7:8], k=5)
+    b = ivf_topk(emb_ds, V[7:8], k=5)
+    assert a.equals(b)
+
+
+def test_quality_score_batch():
+    from rdf_diff_store_ray.functions.text import quality_score_batch
+
+    good = "the cat and the dog went to the market for a walk in the sun"
+    bad = "@@@ ### !!! $$$ %%%"
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array([good, bad], pa.string())}
+    )
+    out = quality_score_batch(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["quality_ok"] is True
+    assert rows[2]["quality_ok"] is False
+    assert rows[1]["n_stopwords"] >= 5
+    assert rows[2]["n_alpha"] == 0
+    assert rows[1]["n_bpe_tokens"] == rows[1]["n_tokens"]  # pure alpha words
+
+
 def test_langid_profiles():
     from rdf_diff_store_ray.functions.text import LangId
 
