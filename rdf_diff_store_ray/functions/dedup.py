@@ -106,23 +106,43 @@ class DocMinHash:
         )
 
 
-def _bucket_id_pairs(group: pd.DataFrame, cap: int = 256) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"]))
-    pairs = []
-    if len(ids) * (len(ids) - 1) // 2 <= cap:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.append((ids[i], ids[j]))
-    else:  # hot bucket: chain (skew guard; transitivity via union-find)
-        for i in range(len(ids) - 1):
-            pairs.append((ids[i], ids[i + 1]))
-    return pd.DataFrame(
-        {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
-    ).astype("int64")
+def _bucket_pairs_in_partition(group: pd.DataFrame, cap: int = 256) -> pd.DataFrame:
+    """Emit candidate pairs for EVERY band bucket hashed into this
+    partition. One ``map_groups`` call handles thousands of buckets:
+    singleton buckets (the vast majority) are dropped vectorized, and the
+    per-bucket pair loop only ever sees the survivors. Hot buckets are
+    chained, not exploded (skew guard; transitivity restored by
+    union-find downstream)."""
+    multi = group[group.duplicated(subset=["band_id", "band_hash"], keep=False)]
+    a_out: list = []
+    b_out: list = []
+    for _, bucket in multi.groupby(["band_id", "band_hash"], sort=False):
+        ids = sorted(set(bucket["doc_id"]))
+        if len(ids) < 2:
+            continue
+        if len(ids) * (len(ids) - 1) // 2 <= cap:
+            for i in range(len(ids)):
+                a_out.extend(ids[i] for _ in range(len(ids) - 1 - i))
+                b_out.extend(ids[i + 1 :])
+        else:  # hot bucket: chain
+            a_out.extend(ids[:-1])
+            b_out.extend(ids[1:])
+    return pd.DataFrame({"a": a_out, "b": b_out}).astype("int64")
 
 
-def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048):
-    """Distinct candidate near-dup id pairs from LSH banding."""
+def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048,
+                            num_partitions=64):
+    """Distinct candidate near-dup id pairs from LSH banding.
+
+    The shuffle key is ``(band_hash + band_id) % num_partitions``, NOT
+    the raw bucket key: bucket cardinality ≈ corpus × bands (mostly
+    singletons), and a ``map_groups`` per bucket would pay per-group
+    overhead millions of times at scale. Bounded partitions keep the
+    group count fixed while all rows of any bucket still co-locate
+    (``band_hash`` is itself a uniform blake2b-derived value, so plain
+    modulo distributes evenly)."""
+    import pyarrow.compute as pc
+
     buckets = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         DocMinHash,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
@@ -130,11 +150,23 @@ def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048)
         batch_size=batch_size,
         concurrency=(1, 8),
     )
-    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_id_pairs, batch_format="pandas"
-    )
-    from ray.data.aggregate import Count
 
+    def bucket_partition(batch: pa.Table) -> pa.Table:
+        key = pc.add(batch["band_hash"], batch["band_id"].cast(pa.int64()))
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("partition_id", pid)
+
+    pairs = (
+        buckets.map_batches(bucket_partition, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(_bucket_pairs_in_partition, batch_format="pandas")
+    )
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -307,14 +339,19 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
             }
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc_id"], group["simhash"])))
+    def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
+        """All chunk-key buckets hashed into one bounded partition;
+        singleton buckets dropped vectorized (same group-count-explosion
+        guard as :func:`_bucket_pairs_in_partition`)."""
+        multi = group[group.duplicated(subset=["chunk_key"], keep=False)]
         out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if h <= max_hamming:
-                    out.append((rows[i][0], rows[j][0], h))
+        for _, bucket in multi.groupby("chunk_key", sort=False):
+            rows = sorted(set(zip(bucket["doc_id"], bucket["simhash"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    h = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                    if h <= max_hamming:
+                        out.append((rows[i][0], rows[j][0], h))
         return pd.DataFrame(
             {
                 "a": [p[0] for p in out],
@@ -323,10 +360,24 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
             }
         ).astype("int64")
 
+    def add_pid(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch["chunk_key"]
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("partition_id", pid)
+
     pairs = (
         sigs.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(pairs_in_partition, batch_format="pandas")
     )
     from ray.data.aggregate import Min
 

@@ -112,23 +112,34 @@ class MinHashSignatures:
 
 
 def bucket_pairs(group, max_pairs_per_bucket: int = 1024):
-    """Candidate pairs within one LSH bucket (pandas group in, table out).
-    Hot buckets degrade to a sorted chain — union-find closes transitivity,
-    so a chain suffices to merge a genuinely-similar cluster while bounding
-    a degenerate bucket to O(n) pairs (skew guard)."""
+    """Candidate pairs for every LSH bucket hashed into one bounded
+    partition (pandas group in, frame out). The group here is NOT one
+    bucket: bucket cardinality ≈ vocabulary × bands and paying Ray's
+    per-group overhead for each (mostly singleton) bucket dominates the
+    whole build — so buckets are hashed into a fixed number of partitions
+    and this fn walks the multi-member buckets inside one partition.
+    Hot buckets degrade to a sorted chain — union-find closes
+    transitivity, so a chain suffices to merge a genuinely-similar
+    cluster while bounding a degenerate bucket to O(n) pairs (skew
+    guard)."""
     import pandas as pd
 
-    surfaces = sorted(set(group["surface"]))
-    n = len(surfaces)
-    pairs = []
-    if n * (n - 1) // 2 <= max_pairs_per_bucket:
-        for i in range(n):
-            for j in range(i + 1, n):
-                pairs.append((surfaces[i], surfaces[j]))
-    else:
-        for i in range(n - 1):
-            pairs.append((surfaces[i], surfaces[i + 1]))
-    return pd.DataFrame({"s1": [p[0] for p in pairs], "s2": [p[1] for p in pairs]})
+    multi = group[group.duplicated(subset=["band_id", "band_hash"], keep=False)]
+    s1_out: list = []
+    s2_out: list = []
+    for _, bucket in multi.groupby(["band_id", "band_hash"], sort=False):
+        surfaces = sorted(set(bucket["surface"]))
+        n = len(surfaces)
+        if n < 2:
+            continue
+        if n * (n - 1) // 2 <= max_pairs_per_bucket:
+            for i in range(n):
+                s1_out.extend(surfaces[i] for _ in range(n - 1 - i))
+                s2_out.extend(surfaces[i + 1 :])
+        else:
+            s1_out.extend(surfaces[:-1])
+            s2_out.extend(surfaces[1:])
+    return pd.DataFrame({"s1": s1_out, "s2": s2_out})
 
 
 def verify_pairs(batch: pa.Table, threshold: float) -> pa.Table:
@@ -230,6 +241,8 @@ def build_canonical_map(
         .groupby("surface")
         .count()
         .select_columns(["surface"])
+        .materialize()  # vocabulary-scale (small); consumed twice below —
+        # without this the corpus-scale surfaces_of pass would re-execute
     )
     bucket_ds = surf_ds.map_batches(
         MinHashSignatures,
@@ -238,8 +251,25 @@ def build_canonical_map(
         batch_size=batch_size,
         concurrency=(1, 8),
     )
-    pair_ds = bucket_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    import pyarrow.compute as pc
+
+    num_bucket_partitions = 64
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        key = pc.add(batch["band_hash"], batch["band_id"].cast(pa.int64()))
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_bucket_partitions, pa.int64())),
+                pa.scalar(num_bucket_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("partition_id", pid)
+
+    pair_ds = (
+        bucket_ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     edge_ds = pair_ds.map_batches(
         verify_pairs, fn_kwargs={"threshold": threshold}, batch_format="pyarrow"
