@@ -99,7 +99,26 @@ class Corpus:
         import pyarrow.parquet as pq
 
         os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(self.pages, f"{out_dir}/pages.parquet")
+        # Read parallelism is FILE granularity (Ray issues one read task
+        # per file; splitting inside a file's row group re-decodes it
+        # whole): shard big corpora into a directory of part files, keep
+        # bounded row groups within each.
+        shard_rows = 16384
+        n = self.pages.num_rows
+        if n > shard_rows:
+            pdir = f"{out_dir}/pages.parquet"
+            os.makedirs(pdir, exist_ok=True)
+            i = 0
+            for off in range(0, n, shard_rows):
+                pq.write_table(
+                    self.pages.slice(off, shard_rows),
+                    f"{pdir}/part-{i:05d}.parquet",
+                    row_group_size=2048,
+                )
+                i += 1
+        else:
+            pq.write_table(self.pages, f"{out_dir}/pages.parquet",
+                           row_group_size=2048)
         pq.write_table(self.expected_triples, f"{out_dir}/expected_triples.parquet")
         with open(f"{out_dir}/gazetteer.json", "w") as f:
             json.dump(self.gazetteer, f, sort_keys=True)
@@ -234,10 +253,41 @@ def _render(title: str, sentences, rng: np.random.Generator):
     return doc.encode("utf-8"), text
 
 
-def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42) -> Corpus:
-    """Deterministic corpus. ~``n_urls * n_snapshots * 0.8`` page rows."""
+_FILLER_TOPICS = [
+    "logistics", "archives", "catalogues", "inventories", "manifests",
+    "procedures", "registries", "schedules", "standards", "templates",
+]
+
+
+def _filler_pool(rng: np.random.Generator, size: int = 256) -> list:
+    """Deterministic boilerplate-free body filler: lowercase prose lines
+    that never match a relation pattern or a mention span, sized to make
+    per-page extraction work realistic (real web pages are tens of KB,
+    not three sentences)."""
+    out = []
+    for i in range(size):
+        t1 = _FILLER_TOPICS[int(rng.integers(len(_FILLER_TOPICS)))]
+        t2 = _FILLER_TOPICS[int(rng.integers(len(_FILLER_TOPICS)))]
+        n = int(rng.integers(1000))
+        out.append(
+            f"section {n:04d} of the {t1} records cross-references the {t2} "
+            f"index maintained since revision {int(rng.integers(90)) + 10}."
+        )
+    return out
+
+
+def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
+             filler_sentences: int = 0) -> Corpus:
+    """Deterministic corpus. ~``n_urls * n_snapshots * 0.8`` page rows.
+    ``filler_sentences`` > 0 pads every page with that many deterministic
+    non-fact body sentences (bench realism knob; default 0 keeps the
+    small test corpora byte-stable)."""
     rng = np.random.default_rng(seed)
-    n_orgs = max(20, n_urls // 3)
+    filler = _filler_pool(rng) if filler_sentences else []
+    # entity vocabulary grows sublinearly and is capped: a web corpus 10×
+    # bigger does not carry 10× more distinct organizations, and the
+    # canonicalization stage is sized for a bounded vocabulary
+    n_orgs = max(20, min(5000, n_urls // 3))
     orgs, cities = _make_entities(n_orgs, rng)
     snapshot_times = [EPOCH + k * SNAPSHOT_STEP for k in range(n_snapshots)]
 
@@ -316,6 +366,8 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42) -> Corpus:
                     sent_texts.append(
                         _DISTRACTORS[int(rng.integers(len(_DISTRACTORS)))]
                     )
+                for _ in range(filler_sentences):
+                    sent_texts.append(filler[int(rng.integers(len(filler)))])
                 html_b, text = _render(title, sent_texts, rng)
                 rendered = (html_b, text, trips)
             html_b, text, trips = rendered

@@ -39,6 +39,8 @@ import ray.data as rd
 from ..shuffle_utils import add_partition_id
 from ..stages import deltas as deltas_mod
 from ..stages.canonicalize import build_canonical_map
+from ..stages import link as link_mod
+from ..stages import ner as ner_mod
 from ..stages.extract import extract_batch
 from ..stages.link import TripleEmitter, VersionSerializer
 from ..stages.ner import PageRelations
@@ -54,6 +56,7 @@ class BuildResult:
     canonical_map_size: int
     wall_s: float
     resumed_partitions: int
+    stage_wall_s: dict = None
 
     @property
     def delta_dir(self) -> str:
@@ -109,15 +112,35 @@ def build(
     actor_pool: tuple = (1, 8),
     enforce_digest: str = "raise",
     write_triples: bool = True,
+    use_actor_pools: bool = False,
 ) -> BuildResult:
     """Run the full build. ``pages`` is a Parquet path/dir or a Dataset.
 
     Ray must already be initialised by the caller (driver-owned session).
+
+    ``use_actor_pools``: the NER / linker / serializer stages exist in two
+    forms with identical semantics — dedicated actor pools (setup in
+    ``__init__`` once per actor) and task-mode functions whose state is
+    memoized once per shared-pool worker. The default is task mode: this
+    build's per-worker setup is cheap (compiled regexes + two small
+    broadcast dicts fetched once via ``ray.get``), so paying a fresh
+    actor-process spawn per stage per run costs far more than it saves.
+    Flip to ``True`` when the stage state is genuinely expensive to build
+    (model weights, a large candidate index) — then amortizing it across
+    an actor's lifetime wins.
     """
     from .._bootstrap import ensure_importable
 
     ensure_importable()
     t0 = time.monotonic()
+    stage_wall: dict = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        stage_wall[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     os.makedirs(out_dir, exist_ok=True)
     delta_dir = os.path.join(out_dir, "deltas")
     raw_dir = os.path.join(out_dir, "raw")
@@ -133,6 +156,8 @@ def build(
     raw_success = os.path.join(raw_dir, "_SUCCESS")
     if not os.path.exists(raw_success):
         if isinstance(pages, str):
+            # parallelism comes from file/row-group granularity; never
+            # oversplit (splitting inside a row group re-decodes it whole)
             ds = rd.read_parquet(pages, columns=PAGE_COLUMNS)
         else:
             ds = pages
@@ -142,16 +167,24 @@ def build(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        raw = extracted.map_batches(
-            PageRelations,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=actor_pool,
-        )
+        if use_actor_pools:
+            raw = extracted.map_batches(
+                PageRelations,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=actor_pool,
+            )
+        else:
+            raw = extracted.map_batches(
+                ner_mod.page_relations_batch,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
         shutil.rmtree(raw_dir, ignore_errors=True)
         raw.write_parquet(raw_dir)
         with open(raw_success, "w") as f:
             f.write("{}")
+    _mark("extract_ner_raw")
     raw_ds = rd.read_parquet(raw_dir)
 
     # -- stage 2: canonicalization (vocabulary-scale; persisted for resume) --
@@ -166,9 +199,11 @@ def build(
         os.replace(tmp, canon_path)
     gaz_ref = ray.put(gazetteer)
     canon_ref = ray.put(canonical_map)
+    _mark("canonical_map")
 
     # -- stage 3: versions → delta log (THE shuffle) -------------------------
     snapshot_times = _snapshot_times(raw_ds)
+    _mark("snapshot_times")
     todo_ds = raw_ds
     if done:
         todo_ds = raw_ds.map_batches(
@@ -180,16 +215,28 @@ def build(
             },
             batch_format="pyarrow",
         )
-    versions = todo_ds.map_batches(
-        VersionSerializer,
-        fn_constructor_kwargs={
-            "gazetteer_ref": gaz_ref,
-            "canonical_map_ref": canon_ref,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=actor_pool,
-    ).map_batches(
+    if use_actor_pools:
+        serialized = todo_ds.map_batches(
+            VersionSerializer,
+            fn_constructor_kwargs={
+                "gazetteer_ref": gaz_ref,
+                "canonical_map_ref": canon_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=actor_pool,
+        )
+    else:
+        serialized = todo_ds.map_batches(
+            link_mod.serialize_versions_batch,
+            fn_kwargs={
+                "gazetteer_ref": gaz_ref,
+                "canonical_map_ref": canon_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    versions = serialized.map_batches(
         add_partition_id,
         fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
         batch_format="pyarrow",
@@ -202,21 +249,35 @@ def build(
         )
         .take_all()
     )
+    _mark("delta_log")
 
     # -- stage 4: queryable triple table -------------------------------------
     if write_triples:
         triples_dir = os.path.join(out_dir, "triples")
         shutil.rmtree(triples_dir, ignore_errors=True)
-        raw_ds.map_batches(
-            TripleEmitter,
-            fn_constructor_kwargs={
-                "gazetteer_ref": gaz_ref,
-                "canonical_map_ref": canon_ref,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=actor_pool,
-        ).write_parquet(triples_dir)
+        if use_actor_pools:
+            emitted = raw_ds.map_batches(
+                TripleEmitter,
+                fn_constructor_kwargs={
+                    "gazetteer_ref": gaz_ref,
+                    "canonical_map_ref": canon_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=actor_pool,
+            )
+        else:
+            emitted = raw_ds.map_batches(
+                link_mod.emit_triples_batch,
+                fn_kwargs={
+                    "gazetteer_ref": gaz_ref,
+                    "canonical_map_ref": canon_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        emitted.write_parquet(triples_dir)
+    _mark("triples")
 
     all_manifests = [
         deltas_mod.read_manifest(delta_dir, pid)
@@ -238,4 +299,5 @@ def build(
         canonical_map_size=len(canonical_map),
         wall_s=time.monotonic() - t0,
         resumed_partitions=len(done),
+        stage_wall_s=stage_wall,
     )

@@ -333,6 +333,44 @@ def kg_bgp_acquired(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_ntriples_roundtrip(sf_dir: str):
+    """Export the end-state KG to one canonical ``.ttl`` file per graph
+    (the reference's store layout) and read it back through the N-Triples
+    source — exercises the source/sink pair (SURVEY §2.1)."""
+    import tempfile
+
+    from ..sources import read_ntriples, write_ntriples
+    from ..state.reconstruct import metadata_table, state_at_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    live = state_at_table(dt, int(pd.Timestamp(hi).timestamp()))
+    import ray.data as rd
+
+    from ..ntriples import parse
+
+    rows = {"subj": [], "pred": [], "obj": [], "obj_is_literal": [], "graph_id": []}
+    for gid, text in zip(live["graph_id"].to_pylist(), live["delta_text"].to_pylist()):
+        for s, p, o, lit in parse(text):
+            rows["subj"].append(s)
+            rows["pred"].append(p)
+            rows["obj"].append(o)
+            rows["obj_is_literal"].append(lit)
+            rows["graph_id"].append(gid)
+    triples_ds = rd.from_arrow(pa.table(rows))
+    out_dir = tempfile.mkdtemp(prefix="nt_roundtrip_", dir="/tmp")
+    write_ntriples(triples_ds, out_dir).count()  # consume → files on disk
+    back = read_ntriples(out_dir)
+    from ray.data.aggregate import Count
+
+    return (
+        back.groupby("graph_id")
+        .aggregate(Count(alias_name="n_triples"))
+        .sort("graph_id")
+    )
+
+
 def kg_metadata(sf_dir: str):
     from ..state.reconstruct import metadata_table
 
@@ -364,6 +402,7 @@ def registry():
         "distinct_priorities": rel.distinct_priorities,
         "customer_order_counts": rel.customer_order_counts,
         "events_sessionize": rel.events_sessionize,
+        "events_user_counts_salted": rel.events_user_counts_salted,
         "lineitem_sample": rel.lineitem_sample,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
@@ -386,6 +425,7 @@ def registry():
         "kg_triples": kg_triples,
         "kg_delta_log": kg_delta_log,
         "kg_state_at_mid": kg_state_at_mid,
+        "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_metadata": kg_metadata,
     }
@@ -407,6 +447,7 @@ def oracles():
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,
         "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
         "doc_stats": DOC_STATS_SQL,
         "quality_score": QUALITY_SCORE_SQL,

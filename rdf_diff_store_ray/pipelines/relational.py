@@ -538,6 +538,37 @@ GROUP BY user_id, session_id
 """
 
 
+# ------------------------------------------ salted two-phase aggregate ------
+def events_user_counts_salted(sf_dir: str, salt_buckets: int = 8):
+    """Per-user event counts via EXPLICIT salting: partial aggregate on
+    ``(user_id, salt)`` (a hot user's rows spread across ``salt_buckets``
+    reducers), then final aggregate on ``user_id`` over the tiny partial
+    table — the hot-key/two-phase pattern the north rule mandates
+    (SURVEY §2.5). Result is identical to a direct groupby; what changes
+    is that no single reducer ever owns all rows of a hot key."""
+    from ..shuffle_utils import salt_column
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    salted = ds.map_batches(
+        salt_column,
+        fn_kwargs={"key": "user_id", "salt_buckets": salt_buckets},
+        batch_format="pyarrow",
+    )
+    partial = (
+        salted.groupby(["user_id", "salt"])
+        .aggregate(Count(alias_name="n_partial"))
+    )
+    return (
+        partial.groupby("user_id")
+        .aggregate(Sum("n_partial", alias_name="n_events"))
+    )
+
+
+EVENTS_USER_COUNTS_SQL = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
 # ------------------------------------------------- deterministic sample -----
 def lineitem_sample(sf_dir: str, modulus: int = 20, residue: int = 7):
     """Deterministic systematic sample (~1/modulus of orders): keyed

@@ -1,0 +1,118 @@
+"""N-Triples source / sink.
+
+The reference's store IS a directory of per-graph ``.ttl`` files read in
+bulk (``read_all_files``, ``/root/reference/src/graphs.rs:114-135``) and
+written one file per graph (``store_graph``, ``src/graphs.rs:35-79``).
+These are the Ray-Data equivalents:
+
+- :func:`read_ntriples` — ``ray.data.read_text`` over ``*.nt`` files →
+  vectorized line parse in ``map_batches`` → a columnar ``triples``
+  Dataset ``(subj, pred, obj, obj_is_literal, graph_id)``. ``graph_id``
+  is decoded from the filename using the reference's base64 encoding
+  (``src/graphs.rs:42-45``) so hostile ids round-trip.
+- :func:`write_ntriples` — the inverse sink: group triples by graph and
+  write one canonical ``.ttl``-named file per graph under ``out_dir``.
+  Files are written from inside the grouped stage (one writer per
+  graph id — the partitioned-ownership pattern), never on the driver.
+
+Both stream; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..ntriples import graph_filename, graph_id_from_filename, parse, serialize
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_is_literal", pa.bool_()),
+        ("graph_id", pa.string()),
+    ]
+)
+
+
+def _parse_lines(batch: pa.Table) -> pa.Table:
+    """Parse one batch of (text, path) rows into triple rows."""
+    subjs, preds, objs, lits, gids = [], [], [], [], []
+    paths = batch["path"].to_pylist() if "path" in batch.column_names else None
+    for i, line in enumerate(batch["text"].to_pylist()):
+        line = (line or "").strip()
+        if not line or line.startswith("#"):
+            continue
+        for s, p, o, lit in parse(line):
+            subjs.append(s)
+            preds.append(p)
+            objs.append(o)
+            lits.append(lit)
+            if paths is not None:
+                name = os.path.basename(paths[i])
+                try:
+                    gids.append(graph_id_from_filename(name))
+                except ValueError:
+                    gids.append(name)
+            else:
+                gids.append("")
+    return pa.table(
+        {
+            "subj": pa.array(subjs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+            "obj_is_literal": pa.array(lits, pa.bool_()),
+            "graph_id": pa.array(gids, pa.string()),
+        }
+    )
+
+
+def read_ntriples(paths):
+    """Read ``.nt``/``.ttl`` canonical N-Triples file(s) into a columnar
+    triples Dataset. ``paths`` is a file, directory, or list of either."""
+    import ray.data as rd
+
+    ds = rd.read_text(paths, include_paths=True)
+    return ds.map_batches(_parse_lines, batch_format="pyarrow")
+
+
+class _GraphFileWriter:
+    """Grouped writer: one canonical file per graph_id (atomic rename)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, group):
+        import pandas as pd
+
+        gid = group["graph_id"].iloc[0]
+        triples = list(
+            zip(group["subj"], group["pred"], group["obj"], group["obj_is_literal"])
+        )
+        text = serialize(triples)
+        fname = graph_filename(gid)
+        final = os.path.join(self.out_dir, fname)
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {"graph_id": [gid], "file": [fname], "n_triples": [len(text.splitlines())]}
+        )
+
+
+def write_ntriples(triples_ds, out_dir: str):
+    """Write one canonical N-Triples file per graph (the reference's
+    one-file-per-graph store layout). Returns a manifest Dataset
+    ``(graph_id, file, n_triples)``."""
+    writer = _GraphFileWriter(out_dir)
+
+    def write_graph_file(group):
+        return writer(group)
+
+    return triples_ds.groupby("graph_id").map_groups(
+        write_graph_file, batch_format="pandas"
+    )

@@ -111,6 +111,20 @@ class MinHashSignatures:
         )
 
 
+# Task-mode variant (per-worker memoized signer; see stages/link.py note)
+_SIGNER_CACHE: dict = {}
+
+
+def minhash_signatures_batch(batch: pa.Table, num_perm: int = 64,
+                             bands: int = 16, seed: int = 7) -> pa.Table:
+    key = (num_perm, bands, seed)
+    signer = _SIGNER_CACHE.get(key)
+    if signer is None:
+        signer = MinHashSignatures(num_perm=num_perm, bands=bands, seed=seed)
+        _SIGNER_CACHE[key] = signer
+    return signer(batch)
+
+
 def bucket_pairs(group, max_pairs_per_bucket: int = 1024):
     """Candidate pairs for every LSH bucket hashed into one bounded
     partition (pandas group in, frame out). The group here is NOT one
@@ -245,11 +259,10 @@ def build_canonical_map(
         # without this the corpus-scale surfaces_of pass would re-execute
     )
     bucket_ds = surf_ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        minhash_signatures_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
     import pyarrow.compute as pc
 

@@ -68,29 +68,96 @@ class VersionSerializer:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = self.resolver.resolve
-        texts, digests = [], []
-        for trips in batch["triples"].to_pylist():
-            canon = [
-                (
-                    res(t["subj_surface"]),
-                    t["pred"],
-                    t["obj_surface"] if t["obj_is_literal"] else res(t["obj_surface"]),
-                    t["obj_is_literal"],
-                )
-                for t in trips
-            ]
-            text = serialize(canon)
-            texts.append(text)
-            digests.append(sha256_text(text))
-        return pa.table(
-            {
-                "graph_id": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "delta_text": pa.array(texts, pa.large_string()),
-                "digest": pa.array(digests, pa.binary()),
-            }
-        ).cast(VERSIONS)
+        return _serialize_versions(self.resolver, batch)
+
+
+# ---------------------------------------------------------------------------
+# Task-mode variants: the same stages as plain batch functions with the
+# resolver memoized PER WORKER PROCESS (keyed by the broadcast object
+# refs). Setup still happens once per worker — the actor-pool invariant —
+# but the batches run on Ray's shared, already-warm task-worker pool, so a
+# build pays zero per-stage actor-spawn latency. Use the actor-pool
+# classes instead when per-worker setup is genuinely expensive (model
+# weights, large indexes): ``build(..., use_actor_pools=True)``.
+_RESOLVER_CACHE: dict = {}
+
+
+def _cached_resolver(gazetteer_ref, canonical_map_ref) -> SurfaceResolver:
+    key = (gazetteer_ref, canonical_map_ref)
+    r = _RESOLVER_CACHE.get(key)
+    if r is None:
+        r = SurfaceResolver(
+            _get(gazetteer_ref),
+            _get(canonical_map_ref) if canonical_map_ref is not None else None,
+        )
+        _RESOLVER_CACHE.clear()  # one live resolver per worker is plenty
+        _RESOLVER_CACHE[key] = r
+    return r
+
+
+def serialize_versions_batch(batch: pa.Table, gazetteer_ref=None,
+                             canonical_map_ref=None) -> pa.Table:
+    resolver = _cached_resolver(gazetteer_ref, canonical_map_ref)
+    return _serialize_versions(resolver, batch)
+
+
+def emit_triples_batch(batch: pa.Table, gazetteer_ref=None,
+                       canonical_map_ref=None) -> pa.Table:
+    resolver = _cached_resolver(gazetteer_ref, canonical_map_ref)
+    return _emit_triples(resolver, batch)
+
+
+def _serialize_versions(resolver: SurfaceResolver, batch: pa.Table) -> pa.Table:
+    res = resolver.resolve
+    texts, digests = [], []
+    for trips in batch["triples"].to_pylist():
+        canon = [
+            (
+                res(t["subj_surface"]),
+                t["pred"],
+                t["obj_surface"] if t["obj_is_literal"] else res(t["obj_surface"]),
+                t["obj_is_literal"],
+            )
+            for t in trips
+        ]
+        text = serialize(canon)
+        texts.append(text)
+        digests.append(sha256_text(text))
+    return pa.table(
+        {
+            "graph_id": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "delta_text": pa.array(texts, pa.large_string()),
+            "digest": pa.array(digests, pa.binary()),
+        }
+    ).cast(VERSIONS)
+
+
+def _emit_triples(resolver: SurfaceResolver, batch: pa.Table) -> pa.Table:
+    res = resolver.resolve
+    cols = {k: [] for k in TRIPLES.names}
+    urls = batch["url"].to_pylist()
+    tss = batch["warc_ts"].to_pylist()
+    for url, ts, trips in zip(urls, tss, batch["triples"].to_pylist()):
+        for t in trips:
+            cols["subj"].append(res(t["subj_surface"]))
+            cols["pred"].append(t["pred"])
+            cols["obj"].append(
+                t["obj_surface"] if t["obj_is_literal"] else res(t["obj_surface"])
+            )
+            cols["obj_is_literal"].append(t["obj_is_literal"])
+            cols["graph_id"].append(url)
+            cols["warc_ts"].append(ts)
+    return pa.table(
+        {
+            "subj": pa.array(cols["subj"], pa.string()),
+            "pred": pa.array(cols["pred"], pa.string()),
+            "obj": pa.array(cols["obj"], pa.string()),
+            "obj_is_literal": pa.array(cols["obj_is_literal"], pa.bool_()),
+            "graph_id": pa.array(cols["graph_id"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("s")),
+        }
+    ).cast(TRIPLES)
 
 
 class TripleEmitter:
@@ -103,27 +170,4 @@ class TripleEmitter:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        res = self.resolver.resolve
-        cols = {k: [] for k in TRIPLES.names}
-        urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pylist()
-        for url, ts, trips in zip(urls, tss, batch["triples"].to_pylist()):
-            for t in trips:
-                cols["subj"].append(res(t["subj_surface"]))
-                cols["pred"].append(t["pred"])
-                cols["obj"].append(
-                    t["obj_surface"] if t["obj_is_literal"] else res(t["obj_surface"])
-                )
-                cols["obj_is_literal"].append(t["obj_is_literal"])
-                cols["graph_id"].append(url)
-                cols["warc_ts"].append(ts)
-        return pa.table(
-            {
-                "subj": pa.array(cols["subj"], pa.string()),
-                "pred": pa.array(cols["pred"], pa.string()),
-                "obj": pa.array(cols["obj"], pa.string()),
-                "obj_is_literal": pa.array(cols["obj_is_literal"], pa.bool_()),
-                "graph_id": pa.array(cols["graph_id"], pa.string()),
-                "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("s")),
-            }
-        ).cast(TRIPLES)
+        return _emit_triples(self.resolver, batch)

@@ -117,3 +117,16 @@ class PageRelations:
                 "triples": pa.array(nested, pa.list_(TRIPLE_STRUCT)),
             }
         ).cast(RAW_SCHEMA)
+
+
+# Task-mode variant: compiled patterns memoized per worker process, so the
+# stage runs on the shared warm task pool with zero actor-spawn latency
+# (use the class + ``concurrency=`` when per-worker setup is expensive).
+_PAGE_RELATIONS: PageRelations | None = None
+
+
+def page_relations_batch(batch: pa.Table) -> pa.Table:
+    global _PAGE_RELATIONS
+    if _PAGE_RELATIONS is None:
+        _PAGE_RELATIONS = PageRelations()
+    return _PAGE_RELATIONS(batch)
