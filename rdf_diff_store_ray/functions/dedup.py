@@ -178,16 +178,27 @@ def jaccard_docs(t1: str, t2: str, k: int = 3) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
-def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3, **kw):
+def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3,
+                        verify: str = "broadcast", **kw):
     """Verified near-dup pairs ``(a, b, jaccard)``: LSH candidates
     exact-checked with word-``k``-gram Jaccard ≥ ``threshold``.
+    ``jaccard`` is rounded to 6 decimals for hash-stable comparison.
 
-    Verification is a distributed actor stage — candidate pairs are
-    re-batched through ``map_batches`` with the id→text lookup broadcast
-    once (``ray.put``), so pair checking scales with the candidate set,
-    not the corpus. ``jaccard`` is rounded to 6 decimals for hash-stable
-    comparison.
+    ``verify`` picks how candidate pairs are joined back to their texts:
+
+    - ``"broadcast"`` — id→text dict ``ray.put`` once, read per actor.
+      Right when the corpus's text fits comfortably in one object (small
+      side of a broadcast join).
+    - ``"join"`` — two hash joins of the pair list against the docs table
+      (on ``a`` then ``b``), verification in a stateless ``map_batches``.
+      The scale path: nothing corpus-sized ever lands on the driver or in
+      a single broadcast object; the exchanges carry only candidate pairs
+      plus the matched texts.
     """
+    cand = minhash_candidate_pairs(docs_ds, **kw)
+    if verify == "join":
+        return _verify_pairs_via_shuffle(cand, docs_ds, threshold, k)
+
     import ray
 
     texts = {}
@@ -221,7 +232,7 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3, **kw):
                 }
             )
 
-    return minhash_candidate_pairs(docs_ds, **kw).map_batches(
+    return cand.map_batches(
         VerifyJaccard,
         fn_constructor_kwargs={
             "texts_ref": texts_ref,
@@ -234,36 +245,139 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3, **kw):
     )
 
 
-def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7, **kw):
-    """(doc_id, cluster_id=min doc_id of its near-dup component).
+def _verify_pairs_via_shuffle(cand, docs_ds, threshold: float, k: int,
+                              num_partitions: int = 32):
+    """Scale path for pair verification: an explicit two-shuffle
+    co-partition join, with nothing corpus-sized on the driver or in a
+    broadcast object.
 
-    Pair verification joins candidate ids back to texts via a broadcast
-    id→text lookup when the corpus is small; at scale this becomes a
-    hash-join of pairs against the docs table on each side — documented
-    trade-off, the candidate set after LSH is ≪ corpus².
+    Shuffle 1 co-locates each candidate-pair *side* with its document
+    text (union of doc rows and exploded pair-side rows, hash-partitioned
+    on ``doc_id``); shuffle 2 re-keys the text-attached sides on the pair
+    identity and verifies Jaccard where both sides meet. Partitioning
+    assumption: a partition's share of the docs table fits a worker's
+    heap (same knob as every hash join: raise ``num_partitions``)."""
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["doc_id"],
+                "a": pa.array([-1] * n, pa.int64()),
+                "b": pa.array([-1] * n, pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(a + b, pa.int64()),
+                "a": pa.array(a + a, pa.int64()),
+                "b": pa.array(b + b, pa.int64()),
+                "text": pa.array([None] * (2 * len(a)), pa.string()),
+            }
+        )
+
+    def mod_partition(batch: pa.Table, col: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch[col]
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("partition_id", pid)
+
+    def attach_text(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group["a"] < 0]
+        sides = group[group["a"] >= 0]
+        texts = dict(zip(docs["key"], docs["text"]))
+        out = sides.copy()
+        out["text"] = out["key"].map(texts)
+        return out[["key", "a", "b", "text"]]
+
+    def verify_group(group: pd.DataFrame, threshold: float, k: int) -> pd.DataFrame:
+        a_out, b_out, j_out = [], [], []
+        for (a, b), sides in group.groupby(["a", "b"], sort=False):
+            texts = dict(zip(sides["key"], sides["text"]))
+            j = jaccard_docs(texts.get(a) or "", texts.get(b) or "", k)
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(j, 6))
+        return pd.DataFrame({"a": a_out, "b": b_out, "jaccard": j_out}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    sides = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(cand.map_batches(pair_rows, batch_format="pyarrow"))
+        .map_batches(mod_partition, fn_kwargs={"col": "key"}, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(attach_text, batch_format="pandas")
+    )
+    return (
+        sides.map_batches(mod_partition, fn_kwargs={"col": "a"}, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(
+            lambda g: verify_group(g, threshold, k), batch_format="pandas"
+        )
+    )
+
+
+def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
+                           verify: str = "broadcast", **kw):
+    """(doc_id, cluster_id=min doc_id of its near-dup component), as a
+    streaming Dataset.
+
+    Verified edges (LSH candidates + exact Jaccard, see
+    :func:`ngram_jaccard_pairs`) are union-found on the driver — the edge
+    list is tiny post-verification — and only the resulting
+    component map (docs that HAVE a near-dup) is broadcast; cluster
+    assignment then streams over the corpus ids in ``map_batches``
+    (singletons are their own cluster). Nothing corpus-sized is
+    collected on the driver.
     """
     import ray
 
-    pairs = minhash_candidate_pairs(docs_ds, **kw).take_all()
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    edges = ngram_jaccard_pairs(
+        docs_ds, threshold=threshold, verify=verify, **kw
+    ).take_all()
     uf = UnionFind()
-    for did in texts:
-        uf.find(did)
-    for p in pairs:
-        if jaccard_docs(texts[p["a"]] or "", texts[p["b"]] or "") >= threshold:
-            uf.union(p["a"], p["b"])
-    rows = sorted((did, min(members)) for members in uf.clusters().values()
-                  for did in members)
-    _ = ray  # broadcast handle kept for the scale path
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
-        }
+    for e in edges:
+        uf.union(e["a"], e["b"])
+    # union orientation is "smaller root wins" ⇒ root == min(component)
+    cluster_map = {x: uf.find(x) for x in uf.parent}
+    map_ref = ray.put(cluster_map)
+
+    class AssignCluster:
+        def __init__(self, map_ref):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(
+                        [self.map.get(i, i) for i in ids], pa.int64()
+                    ),
+                }
+            )
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        AssignCluster,
+        fn_constructor_kwargs={"map_ref": map_ref},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
     )
 
 

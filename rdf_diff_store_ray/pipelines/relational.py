@@ -28,6 +28,18 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _add_key_partition(batch: pa.Table, key: str, num_partitions: int = 64,
+                       ) -> pa.Table:
+    """Bounded-partition shuffle key: ``hash(key) % num_partitions``. Used
+    wherever a per-key ``map_groups`` would otherwise pay Ray's per-group
+    overhead once per DISTINCT key (users, urls, ...) — the group count
+    stays fixed while all rows of any key still co-locate, and the
+    per-partition function handles its keys in one vectorized pass."""
+    from ..shuffle_utils import add_partition_id
+
+    return add_partition_id(batch, key=key, num_partitions=num_partitions)
+
+
 def _round_away(arr):
     """DuckDB-compatible rounding (round() = half away from zero)."""
     return pc.round(arr, ndigits=0, round_mode="half_towards_infinity")
@@ -294,9 +306,13 @@ def events_asof_state(sf_dir: str, cutoff: str = ASOF_CUTOFF):
     def upto(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.less_equal(batch["ts"], cut))
 
-    def latest(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        last = g.iloc[[-1]]
+    def latest_per_user(group: pd.DataFrame) -> pd.DataFrame:
+        """All users hashed into this partition, handled in ONE
+        vectorized pass (sort + drop_duplicates keep-last) — key
+        cardinality is unbounded at scale, so never one map_groups call
+        per user."""
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        last = g.drop_duplicates(subset=["user_id"], keep="last")
         return pd.DataFrame(
             {
                 "user_id": last["user_id"].to_numpy(),
@@ -307,8 +323,12 @@ def events_asof_state(sf_dir: str, cutoff: str = ASOF_CUTOFF):
 
     return (
         ds.map_batches(upto, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(latest, batch_format="pandas")
+        .map_batches(
+            _add_key_partition, fn_kwargs={"key": "user_id"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(latest_per_user, batch_format="pandas")
     )
 
 
@@ -331,9 +351,13 @@ def events_change_log(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
 
-    def changes(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        keep = g["event_type"].ne(g["event_type"].shift())
+    def changes_per_user(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over ALL users in one hash partition: a row is kept
+        where the event_type differs from the same user's previous event
+        (a user boundary always starts a new run)."""
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        keep = new_user | g["event_type"].ne(g["event_type"].shift())
         out = g[keep]
         return pd.DataFrame(
             {
@@ -343,7 +367,14 @@ def events_change_log(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(changes, batch_format="pandas")
+    return (
+        ds.map_batches(
+            _add_key_partition, fn_kwargs={"key": "user_id"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(changes_per_user, batch_format="pandas")
+    )
 
 
 EVENTS_CHANGE_LOG_SQL = """
@@ -501,9 +532,13 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     )
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+    def sessions_per_user(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over ALL users in one hash partition: session
+        boundaries are user changes or >gap silences; one groupby over
+        (user, session) aggregates every session in the partition."""
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_session = new_user | (g["ts"].diff() > gap)
         sid = new_session.cumsum()
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
@@ -514,7 +549,14 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(
+            _add_key_partition, fn_kwargs={"key": "user_id"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(sessions_per_user, batch_format="pandas")
+    )
 
 
 EVENTS_SESSIONIZE_SQL = f"""

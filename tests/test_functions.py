@@ -44,10 +44,23 @@ def test_exact_dedup(docs_ds):
 def test_minhash_dedup_clusters(docs_ds):
     from rdf_diff_store_ray.functions.dedup import minhash_dedup_clusters
 
-    t = minhash_dedup_clusters(docs_ds, threshold=0.5)
-    cl = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    rows = minhash_dedup_clusters(docs_ds, threshold=0.5).take_all()
+    cl = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert cl[0] == cl[1] == cl[2] == 0  # exact + near dup share a cluster
     assert cl[3] != 0 and cl[4] != 0 and cl[3] != cl[4]
+
+
+def test_ngram_jaccard_pairs_join_verify_matches_broadcast(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import ngram_jaccard_pairs
+
+    def key(rows):
+        return sorted((r["a"], r["b"], r["jaccard"]) for r in rows)
+
+    bcast = key(ngram_jaccard_pairs(docs_ds, threshold=0.5).take_all())
+    joined = key(
+        ngram_jaccard_pairs(docs_ds, threshold=0.5, verify="join").take_all()
+    )
+    assert bcast == joined and len(bcast) > 0
 
 
 def test_simhash_near_pairs(docs_ds):
