@@ -371,6 +371,26 @@ def kg_ntriples_roundtrip(sf_dir: str):
     )
 
 
+def kg_query_service(sf_dir: str):
+    """Distributed query path: per-partition reader actors + router,
+    answering the acquired-BGP at the end timestamp; must equal
+    ``kg_bgp_acquired`` (asserted by pytest)."""
+    from ..corpus import P_ACQUIRED
+    from ..query.service import QueryService
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    _, hi = metadata_table(res.delta_table())
+    svc = QueryService(res.delta_dir)
+    try:
+        out = svc.query_at(
+            int(pd.Timestamp(hi).timestamp()), f"?s <{P_ACQUIRED}> ?o"
+        )
+    finally:
+        svc.shutdown()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_metadata(sf_dir: str):
     from ..state.reconstruct import metadata_table
 
@@ -426,6 +446,7 @@ def registry():
         "kg_delta_log": kg_delta_log,
         "kg_state_at_mid": kg_state_at_mid,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
+        "kg_query_service": kg_query_service,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_metadata": kg_metadata,
     }

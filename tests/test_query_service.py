@@ -1,0 +1,62 @@
+"""Distributed query service (per-partition reader actors + router) must
+agree with the single-reader path over the same delta log."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def service(ray_session, built):
+    from rdf_diff_store_ray.query.service import QueryService
+
+    svc = QueryService(built.delta_dir)
+    yield svc
+    svc.shutdown()
+
+
+@pytest.fixture(scope="module")
+def single_reader(built):
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+
+    return DiffStoreReader(built.delta_table())
+
+
+def _end_ts(single_reader):
+    _, hi = single_reader.metadata()
+    return int(pd.Timestamp(hi).timestamp())
+
+
+def test_metadata_matches(service, single_reader):
+    assert service.metadata() == single_reader.metadata()
+
+
+def test_graphs_at_matches(service, single_reader):
+    ts = _end_ts(single_reader)
+    assert service.graphs_at(ts) == single_reader.graphs_at(ts)
+    lo, _ = single_reader.metadata()
+    pre = int(pd.Timestamp(lo).timestamp()) - 10
+    assert service.graphs_at(pre) == single_reader.graphs_at(pre) == ""
+
+
+def test_query_at_matches(service, single_reader):
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    q = f"?s <{P_ACQUIRED}> ?o"
+    got = service.query_at(ts, q)
+    want = single_reader.query_at(ts, q)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_query_caches_warm(service, single_reader):
+    ts = _end_ts(single_reader)
+    q = "?s <https://kg.example/prop/partnersWith> ?o"
+    service.query_at(ts, q)
+    service.query_at(ts, q)
+    assert all(lv == "Query" for lv in service.cache_levels())
+
+
+def test_multi_pattern_rejected(service):
+    with pytest.raises(ValueError, match="multi-pattern"):
+        service.query_at(0, "?s <p> ?m . ?m <q> ?o")
