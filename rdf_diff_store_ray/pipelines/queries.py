@@ -424,6 +424,8 @@ def registry():
         "events_sessionize": rel.events_sessionize,
         "events_user_counts_salted": rel.events_user_counts_salted,
         "lineitem_sample": rel.lineitem_sample,
+        "region_nation_names": rel.region_nation_names,
+        "customer_running_totals": rel.customer_running_totals,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -470,6 +472,8 @@ def oracles():
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,
         "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
+        "region_nation_names": rel.REGION_NATION_NAMES_SQL,
+        "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "quality_score": QUALITY_SCORE_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

@@ -642,6 +642,89 @@ SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 20 = 7
 """
 
 
+# --------------------------------------------------------------- union ------
+def region_nation_names(sf_dir: str):
+    """``Dataset.union`` of two sources into one keyed output (bag
+    semantics, like SQL UNION ALL), tagged with provenance."""
+    regions = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
+    nations = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"])
+
+    def tag(col: str, src: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "name": batch[col],
+                    "src": pa.array([src] * batch.num_rows, pa.string()),
+                }
+            )
+
+        return fn
+
+    return (
+        regions.map_batches(tag("r_name", "region"), batch_format="pyarrow")
+        .union(nations.map_batches(tag("n_name", "nation"), batch_format="pyarrow"))
+        .sort(["name", "src"])
+    )
+
+
+REGION_NATION_NAMES_SQL = """
+SELECT name, src FROM (
+  SELECT r_name AS name, 'region' AS src FROM region
+  UNION ALL
+  SELECT n_name AS name, 'nation' AS src FROM nation
+) ORDER BY name, src
+"""
+
+
+# ------------------------------------------------------ running total -------
+def customer_running_totals(sf_dir: str):
+    """Per-customer cumulative order value (a per-key ordered window):
+    bounded hash partitions, one vectorized sort + grouped cumsum per
+    partition — never a map_groups per customer."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="stable"
+        )
+        g = g.assign(
+            running_cents=g.groupby("o_custkey", sort=False)["total_cents"].cumsum()
+        )
+        return g[["o_orderkey", "o_custkey", "running_cents"]]
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .map_batches(
+            _add_key_partition, fn_kwargs={"key": "o_custkey"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+CUSTOMER_RUNNING_TOTALS_SQL = """
+SELECT o_orderkey, o_custkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM orders
+"""
+
+
 # ----------------------------------------------------------- metadata -------
 def events_metadata(sf_dir: str):
     """(start_time, end_time) — Min/Max tree-reduce, no shuffle
