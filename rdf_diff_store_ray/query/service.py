@@ -19,14 +19,16 @@ and BGP matching are therefore per-partition-local:
 - ``graphs_at``: union of per-partition canonical N-Triples documents =
   sorted-unique merge of their lines (set-union semantics of the
   reference's merged store, ``src/query.rs:127-139``);
-- ``query_at``: a BGP is evaluated per partition against that
-  partition's live triples; bindings are concatenated, deduplicated and
-  sorted. NOTE: patterns whose variables join *across* graphs stored in
-  different partitions still work because every partition evaluates the
-  full pattern over its own triples — but a join between two triples
-  living in DIFFERENT partitions requires the single-reader path (or a
-  repartition by subject); the router raises for multi-pattern queries
-  to keep semantics exact rather than silently wrong;
+- ``query_at``: a single-pattern BGP is evaluated per partition against
+  that partition's live triples and the bindings are concatenated,
+  deduplicated and sorted (exact — a single pattern never joins across
+  partitions). A MULTI-pattern BGP can join two triples living in
+  different partitions, so the router instead gathers each partition's
+  live triple table at ``ts`` (bounded by live-state size, cached per
+  ``ts``) and evaluates the full pattern over the union — exact
+  semantics at the cost of one gather, the same trade the reference
+  makes when it loads the full store per timestamp
+  (``src/query.rs:117-145``);
 - ``metadata``: min/max over per-partition metadata.
 """
 
@@ -54,6 +56,11 @@ class PartitionReaderActor:
     def query_at(self, ts, query: str) -> pd.DataFrame:
         return self.reader.query_at(ts, query)
 
+    def triples_at(self, ts) -> pa.Table:
+        """This partition's live triple table at ``ts`` (for the router's
+        multi-pattern gather path); served from the store cache."""
+        return self.reader._store_at(ts)
+
     def graphs_at(self, ts) -> str:
         return self.reader.graphs_at(ts)
 
@@ -80,19 +87,30 @@ class QueryService:
             )
             for d in self.partition_dirs
         ]
+        from .bgp import LRU
+
+        self._gather_cache = LRU(64)  # ts -> unioned live triple table
 
     def query_at(self, ts, query: str) -> pd.DataFrame:
         if len(parse_bgp(query)) > 1 and len(self.actors) > 1:
-            raise ValueError(
-                "multi-pattern BGPs can join triples across partitions; "
-                "use a single DiffStoreReader over the full log (or "
-                "repartition by subject) for exact semantics"
-            )
+            return self._query_at_gathered(ts, query)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
         merged = pd.concat(parts, ignore_index=True).drop_duplicates(
             ignore_index=True
         )
         return merged.sort_values(list(merged.columns), ignore_index=True)
+
+    def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:
+        from .bgp import eval_bgp
+
+        key = ts if isinstance(ts, int) else int(pd.Timestamp(ts).timestamp())
+        store = self._gather_cache.get(key)
+        if store is None:
+            parts = ray.get([a.triples_at.remote(ts) for a in self.actors])
+            store = pa.concat_tables([p for p in parts if p.num_rows > 0]) \
+                if any(p.num_rows for p in parts) else parts[0]
+            self._gather_cache.put(key, store)
+        return eval_bgp(store, query)
 
     def graphs_at(self, ts) -> str:
         texts = ray.get([a.graphs_at.remote(ts) for a in self.actors])

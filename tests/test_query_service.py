@@ -57,6 +57,17 @@ def test_query_caches_warm(service, single_reader):
     assert all(lv == "Query" for lv in service.cache_levels())
 
 
-def test_multi_pattern_rejected(service):
-    with pytest.raises(ValueError, match="multi-pattern"):
-        service.query_at(0, "?s <p> ?m . ?m <q> ?o")
+def test_multi_pattern_gathers_and_matches(service, single_reader):
+    """Multi-pattern BGPs can join across partitions; the router gathers
+    the live state and must agree with the single-reader evaluation."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_HQ
+
+    ts = _end_ts(single_reader)
+    for q in (
+        f"?s <{P_ACQUIRED}> ?o . ?s <{P_ACQUIRED}> ?o",  # always non-empty
+        f"?s <{P_ACQUIRED}> ?o . ?s <{P_HQ}> ?c",        # cross-pattern join
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
+    assert len(service.query_at(ts, f"?s <{P_ACQUIRED}> ?o . ?s <{P_ACQUIRED}> ?o")) > 0
