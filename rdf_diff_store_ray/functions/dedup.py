@@ -332,24 +332,134 @@ def _verify_pairs_via_shuffle(cand, docs_ds, threshold: float, k: int,
     )
 
 
+def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int = 25,
+                                 num_partitions: int = 32):
+    """Connected components fully on Ray Data: iterative min-label
+    propagation — the scale fallback when the verified edge list is too
+    large for a driver-side union-find (SURVEY §7.4).
+
+    Per iteration: (1) co-partition label rows with symmetric edge rows
+    on the source node and emit each node's current label to its
+    neighbors; (2) ``groupby(node).min`` folds messages + self-label into
+    the new labels. Labels only ever decrease, so the global label sum is
+    a strictly decreasing convergence witness — no changed-flag join
+    needed. Iterations = component diameter (bounded by ``max_iters``).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return pa.table(
+            {
+                "src": pa.array(a + b, pa.int64()),
+                "dst": pa.array(b + a, pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = nodes_ds.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def mod_pid(batch: pa.Table, col: str) -> pa.Table:
+        key = batch[col]
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("lp_pid", pid)
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["node"],
+                "dst": pa.array([-1] * n, pa.int64()),
+                "label": batch["label"],
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["src"],
+                "dst": batch["dst"],
+                "label": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    def send_messages(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["dst"] < 0]
+        edg = group[group["dst"] >= 0]
+        lookup = dict(zip(lab["key"], lab["label"]))
+        out_node = list(lab["key"])          # self-message keeps the label
+        out_label = list(lab["label"])
+        out_node.extend(edg["dst"])          # neighbor messages
+        out_label.extend(edg["key"].map(lookup))
+        return pd.DataFrame({"node": out_node, "cand": out_label}).dropna().astype(
+            {"node": "int64", "cand": "int64"}
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+            .map_batches(mod_pid, fn_kwargs={"col": "key"}, batch_format="pyarrow")
+            .groupby("lp_pid")
+            .map_groups(send_messages, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
-                           verify: str = "broadcast", **kw):
+                           verify: str = "broadcast",
+                           components: str = "unionfind", **kw):
     """(doc_id, cluster_id=min doc_id of its near-dup component), as a
     streaming Dataset.
 
-    Verified edges (LSH candidates + exact Jaccard, see
-    :func:`ngram_jaccard_pairs`) are union-found on the driver — the edge
-    list is tiny post-verification — and only the resulting
-    component map (docs that HAVE a near-dup) is broadcast; cluster
-    assignment then streams over the corpus ids in ``map_batches``
-    (singletons are their own cluster). Nothing corpus-sized is
-    collected on the driver.
+    ``components`` picks the connected-components reduce over the
+    verified edges (LSH candidates + exact Jaccard, see
+    :func:`ngram_jaccard_pairs`):
+
+    - ``"unionfind"`` — driver-side union-find; right while the verified
+      edge list is small (it usually is: ≪ corpus after verification).
+      Only the resulting component map (docs that HAVE a near-dup) is
+      broadcast; cluster assignment streams over the corpus ids.
+    - ``"labelprop"`` — fully distributed iterative min-label
+      propagation (:func:`label_propagation_components`); the scale
+      fallback when even the edge list outgrows the driver.
     """
     import ray
 
-    edges = ngram_jaccard_pairs(
-        docs_ds, threshold=threshold, verify=verify, **kw
-    ).take_all()
+    edge_ds = ngram_jaccard_pairs(docs_ds, threshold=threshold, verify=verify, **kw)
+    if components == "labelprop":
+        nodes = docs_ds.select_columns(["doc_id"]).map_batches(
+            lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow"
+        )
+        labels = label_propagation_components(edge_ds, nodes)
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+            batch_format="pyarrow",
+        )
+
+    edges = edge_ds.take_all()
     uf = UnionFind()
     for e in edges:
         uf.union(e["a"], e["b"])

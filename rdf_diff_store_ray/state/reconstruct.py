@@ -95,23 +95,36 @@ def metadata_table(deltas: pa.Table):
 
 
 # -------------------------------------------------------------- Dataset path
-def state_at(deltas_ds, ts):
-    """Dataset of live graph rows at ``ts`` (distributed as-of)."""
+def state_at(deltas_ds, ts, num_partitions: int = 64):
+    """Dataset of live graph rows at ``ts`` (distributed as-of).
+
+    Graphs are hashed into a BOUNDED number of partitions and each
+    partition resolves all of its graphs in one vectorized pass (sort +
+    keep-last) — graph cardinality is corpus-scale, so a ``map_groups``
+    per graph_id would pay Ray's per-group overhead once per url."""
 
     def upto(batch: pa.Table) -> pa.Table:
         return batch.filter(
             pc.less_equal(batch["warc_ts"].cast(pa.timestamp("s")), _ts_scalar(ts))
         )
 
-    def latest(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("warc_ts", kind="stable")
-        last = group.iloc[[-1]]
-        return last[last["op"] != OP_DELETE]
+    def add_pid(batch: pa.Table) -> pa.Table:
+        from ..shuffle_utils import add_partition_id
+
+        return add_partition_id(batch, key="graph_id",
+                                num_partitions=num_partitions,
+                                col="state_pid")
+
+    def latest_per_graph(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["graph_id", "warc_ts"], kind="stable")
+        last = g.drop_duplicates(subset=["graph_id"], keep="last")
+        return last[last["op"] != OP_DELETE].drop(columns=["state_pid"])
 
     return (
         deltas_ds.map_batches(upto, batch_format="pyarrow")
-        .groupby("graph_id")
-        .map_groups(latest, batch_format="pandas")
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("state_pid")
+        .map_groups(latest_per_graph, batch_format="pandas")
     )
 
 

@@ -50,6 +50,20 @@ def test_minhash_dedup_clusters(docs_ds):
     assert cl[3] != 0 and cl[4] != 0 and cl[3] != cl[4]
 
 
+def test_labelprop_components_match_unionfind(docs_ds):
+    from rdf_diff_store_ray.functions.dedup import minhash_dedup_clusters
+
+    def as_map(ds):
+        return {r["doc_id"]: r["cluster_id"] for r in ds.take_all()}
+
+    uf = as_map(minhash_dedup_clusters(docs_ds, threshold=0.5))
+    lp = as_map(
+        minhash_dedup_clusters(docs_ds, threshold=0.5, components="labelprop")
+    )
+    assert uf == lp
+    assert lp[0] == lp[1] == lp[2] == 0
+
+
 def test_ngram_jaccard_pairs_join_verify_matches_broadcast(docs_ds):
     from rdf_diff_store_ray.functions.dedup import ngram_jaccard_pairs
 
