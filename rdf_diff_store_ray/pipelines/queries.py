@@ -426,6 +426,7 @@ def registry():
         "lineitem_sample": rel.lineitem_sample,
         "region_nation_names": rel.region_nation_names,
         "customer_running_totals": rel.customer_running_totals,
+        "events_top_users_per_type": rel.events_top_users_per_type,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -474,6 +475,7 @@ def oracles():
         "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
         "region_nation_names": rel.REGION_NATION_NAMES_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
+        "events_top_users_per_type": rel.EVENTS_TOP_USERS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "quality_score": QUALITY_SCORE_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

@@ -725,6 +725,53 @@ FROM orders
 """
 
 
+# ----------------------------------------------------- per-group top-k ------
+def events_top_users_per_type(sf_dir: str, k: int = 3):
+    """Top-k users by event count within each event_type: two-phase
+    count on the composite key (the heavy, corpus-scale step), then a
+    per-type top-k — grouped on ``event_type`` directly because the type
+    vocabulary is small and bounded (per-group map_groups is fine ONLY
+    for bounded-cardinality keys)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby(["event_type", "user_id"])
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["n_events", "user_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        return g[["event_type", "user_id", "n_events", "rank"]]
+
+    return counts.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT event_type, user_id, n_events, rank FROM (
+  SELECT event_type, user_id, n_events,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+  FROM (SELECT event_type, user_id, count(*) AS n_events
+        FROM events GROUP BY event_type, user_id)
+) WHERE rank <= 3
+"""
+
+
 # ----------------------------------------------------------- metadata -------
 def events_metadata(sf_dir: str):
     """(start_time, end_time) — Min/Max tree-reduce, no shuffle
