@@ -391,6 +391,52 @@ def kg_query_service(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_incremental_append(sf_dir: str):
+    """The reference's writer semantics as library calls: copy the built
+    log, upsert (new + no-op + changed) and delete, report deltas written
+    and resulting live-state sizes."""
+    import shutil
+    import tempfile
+
+    from ..state.append import append_graphs, delete_graphs
+    from ..state.reconstruct import metadata_table, state_at_table
+
+    res = kg_build_for(sf_dir)
+    delta_dir = os.path.join(tempfile.mkdtemp(prefix="kg_append_", dir="/tmp"),
+                             "deltas")
+    shutil.copytree(res.delta_dir, delta_dir)
+    dt0 = res.delta_table()
+    _, hi = metadata_table(dt0)
+    hi_s = int(pd.Timestamp(hi).timestamp())
+    live0 = state_at_table(dt0, hi_s)
+    existing_gid = sorted(live0["graph_id"].to_pylist())[0]
+    existing_text = live0.filter(
+        pc.equal(live0["graph_id"], existing_gid)
+    )["delta_text"][0].as_py()
+
+    n1 = append_graphs(delta_dir, {
+        "https://new.example/added": '<https://x/n> <https://x/p> "v" .\n',
+        existing_gid: existing_text,  # byte-identical → suppressed
+    }, hi_s + 60)
+    n2 = delete_graphs(delta_dir, [existing_gid], hi_s + 120)
+    import pyarrow.dataset as pads
+    import glob as _glob
+
+    dt1 = pads.dataset(sorted(_glob.glob(
+        os.path.join(delta_dir, "partition=*", "*.parquet")
+    ))).to_table()
+    return pa.table(
+        {
+            "deltas_written_on_append": pa.array([n1], pa.int64()),
+            "tombstones_written": pa.array([n2], pa.int64()),
+            "live_before": pa.array([live0.num_rows], pa.int64()),
+            "live_after": pa.array(
+                [state_at_table(dt1, hi_s + 121).num_rows], pa.int64()
+            ),
+        }
+    )
+
+
 def kg_metadata(sf_dir: str):
     from ..state.reconstruct import metadata_table
 
@@ -450,6 +496,7 @@ def registry():
         "kg_state_at_mid": kg_state_at_mid,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_query_service": kg_query_service,
+        "kg_incremental_append": kg_incremental_append,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_metadata": kg_metadata,
     }

@@ -1,0 +1,209 @@
+"""Incremental writes to an existing delta log — the library form of the
+reference's writer service (``POST /api/graphs`` / ``DELETE /api/graphs``,
+``/root/reference/src/bin/rdf-diff-writer.rs:45-91``).
+
+Semantics reproduced:
+
+- **upsert with no-op suppression** (``store_graph``,
+  ``src/graphs.rs:35-79``): an appended graph whose canonical text digest
+  equals its currently-stored digest produces NO new delta;
+- **delete as a first-class delta** (``delete_graph``,
+  ``src/graphs.rs:82-93``): a tombstone only if the graph is currently
+  live; deleting an absent graph is a no-op;
+- **monotone version axis** (commits always stamped "now",
+  ``src/git.rs:208``): appends must not predate a graph's existing
+  history — enforced, like the reference's monotone commit clock.
+
+Execution shape: the incoming batch is partitioned by the SAME
+``hash(graph_id) % P`` key as the build (P read from the log's _SUCCESS
+manifest), then one task per touched partition merges new rows with the
+partition's current table and rewrites it atomically (read-modify-write
+per partition — the log-structured-append optimization is a follow-up;
+untouched partitions are never opened). Single-writer-per-partition
+replaces the reference's global write lock (repo pool of size 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ntriples import serialize, sha256_text
+from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
+from ..shuffle_utils import partition_ids
+from ..stages import deltas as deltas_mod
+
+
+def init_log(delta_dir: str, num_partitions: int = 8) -> str:
+    """Create an EMPTY delta log (the reference's clone-if-absent boot
+    path, ``src/git.rs:38-49``): all partitions present with valid empty
+    manifests + the _SUCCESS marker, ready for :func:`append_graphs`."""
+    os.makedirs(delta_dir, exist_ok=True)
+    for pid in range(num_partitions):
+        deltas_mod.write_partition(delta_dir, pid, DELTAS.empty_table(), wall_s=0.0)
+    deltas_mod.mark_success(
+        delta_dir,
+        {
+            "num_partitions": num_partitions,
+            "partitions_written": num_partitions,
+            "partitions_resumed": 0,
+            "snapshot_times": [],
+        },
+    )
+    return delta_dir
+
+
+def _log_num_partitions(delta_dir: str) -> int:
+    with open(os.path.join(delta_dir, deltas_mod.SUCCESS_NAME)) as f:
+        return int(json.load(f)["num_partitions"])
+
+
+def _partition_table(delta_dir: str, pid: int) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(deltas_mod.partition_dir(delta_dir, pid), "deltas.parquet")
+    if os.path.exists(path):
+        # parquet round-trips large_string as string; re-cast to contract
+        return pq.read_table(path).cast(DELTAS)
+    return DELTAS.empty_table()
+
+
+def _latest_by_graph(table: pa.Table) -> dict:
+    """graph_id → (latest_ts_seconds, op, digest) — stable keep-last."""
+    if table.num_rows == 0:
+        return {}
+    idx = pc.sort_indices(
+        table, sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")]
+    )
+    srt = table.take(idx)
+    gids = srt["graph_id"].to_pylist()
+    tss = srt["warc_ts"].cast(pa.timestamp("s")).to_pylist()
+    ops = srt["op"].to_pylist()
+    digs = srt["digest"].to_pylist()
+    out = {}
+    for g, t, o, d in zip(gids, tss, ops, digs):  # later rows overwrite
+        out[g] = (int(pd.Timestamp(t).timestamp()), o, d)
+    return out
+
+
+class _PartitionAppender:
+    """One touched partition: merge new ops with the current table,
+    apply no-op suppression / tombstone rules, rewrite atomically."""
+
+    def __init__(self, delta_dir: str, ts: int, num_partitions: int):
+        self.delta_dir = delta_dir
+        self.ts = int(ts)
+        self.num_partitions = num_partitions
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        import time
+
+        t0 = time.monotonic()
+        pid = int(group["partition_id"].iloc[0])
+        current = _partition_table(self.delta_dir, pid)
+        latest = _latest_by_graph(current)
+        new_rows = []
+        applied = 0
+        for r in group.sort_values("graph_id").itertuples(index=False):
+            prev = latest.get(r.graph_id)
+            if prev is not None and self.ts < prev[0]:
+                raise ValueError(
+                    f"append at ts={self.ts} predates existing history "
+                    f"({prev[0]}) for graph {r.graph_id!r} — the version "
+                    "axis is monotone per graph (src/git.rs:208 analog)"
+                )
+            if r.op == OP_UPDATE:
+                digest = sha256_text(r.delta_text)
+                live = prev is not None and prev[1] != OP_DELETE
+                if live and prev[2] == digest:
+                    continue  # no-op suppression (src/graphs.rs:52-61)
+                new_rows.append(
+                    (r.graph_id, self.ts, OP_UPDATE, r.delta_text, digest)
+                )
+            else:  # delete
+                live = prev is not None and prev[1] != OP_DELETE
+                if not live:
+                    continue  # deleting an absent graph is a no-op
+                new_rows.append((r.graph_id, self.ts, OP_DELETE, "", b""))
+            applied += 1
+        if new_rows:
+            add = pa.table(
+                {
+                    "graph_id": pa.array([r[0] for r in new_rows], pa.string()),
+                    "warc_ts": pa.array(
+                        pd.to_datetime([r[1] for r in new_rows], unit="s"),
+                        pa.timestamp("s"),
+                    ),
+                    "op": pa.array([r[2] for r in new_rows], pa.string()),
+                    "delta_text": pa.array(
+                        [r[3] for r in new_rows], pa.large_string()
+                    ),
+                    "digest": pa.array([r[4] for r in new_rows], pa.binary()),
+                    "partition_id": pa.array(
+                        np.full(len(new_rows), pid, dtype=np.int32), pa.int32()
+                    ),
+                }
+            ).cast(DELTAS)
+            merged = pa.concat_tables([current, add]).cast(DELTAS)
+            deltas_mod.write_partition(
+                self.delta_dir, pid, merged, wall_s=time.monotonic() - t0
+            )
+        return pd.DataFrame({"partition_id": [pid], "applied": [applied]})
+
+
+def _apply(delta_dir: str, rows: pa.Table, ts: int) -> int:
+    import ray.data as rd
+
+    num_partitions = _log_num_partitions(delta_dir)
+    pids = partition_ids(rows["graph_id"], num_partitions)
+    rows = rows.append_column("partition_id", pa.array(pids, pa.int32()))
+    appender = _PartitionAppender(delta_dir, ts, num_partitions)
+
+    def append_partition(group: pd.DataFrame) -> pd.DataFrame:
+        return appender(group)
+
+    res = (
+        rd.from_arrow(rows)
+        .groupby("partition_id")
+        .map_groups(append_partition, batch_format="pandas")
+        .take_all()
+    )
+    return int(sum(r["applied"] for r in res))
+
+
+def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
+    """Upsert ``graph_id → graph`` at unix-seconds ``ts``. ``graph`` is
+    canonical N-Triples text or an iterable of
+    ``(subj, pred, obj, obj_is_literal)`` triples. Returns the number of
+    deltas actually written (no-op posts write nothing)."""
+    ids, texts = [], []
+    for gid, g in sorted(graphs.items()):
+        ids.append(gid)
+        texts.append(g if isinstance(g, str) else serialize(g))
+    rows = pa.table(
+        {
+            "graph_id": pa.array(ids, pa.string()),
+            "op": pa.array([OP_UPDATE] * len(ids), pa.string()),
+            "delta_text": pa.array(texts, pa.large_string()),
+        }
+    )
+    return _apply(delta_dir, rows, ts)
+
+
+def delete_graphs(delta_dir: str, graph_ids, ts: int) -> int:
+    """Tombstone each currently-live graph at ``ts``; absent graphs are
+    no-ops. Returns the number of tombstones written."""
+    ids = sorted(set(graph_ids))
+    rows = pa.table(
+        {
+            "graph_id": pa.array(ids, pa.string()),
+            "op": pa.array([OP_DELETE] * len(ids), pa.string()),
+            "delta_text": pa.array([""] * len(ids), pa.large_string()),
+        }
+    )
+    return _apply(delta_dir, rows, ts)

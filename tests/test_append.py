@@ -1,0 +1,117 @@
+"""Incremental append/delete API — ports of the reference's own
+integration scenarios (`tests/integration_test.rs:16-94` `timestamps`,
+`:96-125` `test_no_diff`) against the delta-log store, plus monotonicity
+and build-interop checks."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+HOSTILE_ID = "<#/(%¤=:"  # the reference's hostile graph id (it:22)
+
+G_A = '<https://x/a> <https://x/p> "1" .\n'
+G_B = '<https://x/b> <https://x/p> "2" .\n'
+G_A2 = '<https://x/a> <https://x/p> "changed" .\n'
+
+T1, T2, T3 = 1_700_000_000, 1_700_000_100, 1_700_000_200
+
+
+def _delta_table(delta_dir):
+    files = sorted(glob.glob(os.path.join(delta_dir, "partition=*", "*.parquet")))
+    return pads.dataset(files).to_table()
+
+
+@pytest.fixture()
+def store(ray_session, tmp_path):
+    from rdf_diff_store_ray.state.append import init_log
+
+    return init_log(str(tmp_path / "deltas"), num_partitions=4)
+
+
+def test_timestamps_scenario(store, ray_session):
+    """Store A at T1, B at T2; read post (2 graphs), pre (0), mid (1) —
+    deliberately out of order, proving time travel both directions."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    assert append_graphs(store, {HOSTILE_ID: G_A}, T1) == 1
+    assert append_graphs(store, {"graph-b": G_B}, T2) == 1
+    dt = _delta_table(store)
+    assert state_at_table(dt, T2 + 1).num_rows == 2  # post
+    assert state_at_table(dt, T1 - 1).num_rows == 0  # pre (before history)
+    assert state_at_table(dt, T1 + 50).num_rows == 1  # mid
+    reader = DiffStoreReader(dt)
+    assert G_A.strip() in reader.graphs_at(T2 + 1)
+    assert G_B.strip() in reader.graphs_at(T2 + 1)
+    assert reader.graphs_at(T1 - 1) == ""
+
+
+def test_no_diff_scenario(store, ray_session):
+    """Storing byte-identical content twice produces exactly one delta
+    (`store_graph` equality abort, src/graphs.rs:52-61)."""
+    from rdf_diff_store_ray.state.append import append_graphs
+
+    assert append_graphs(store, {"g": G_A}, T1) == 1
+    assert append_graphs(store, {"g": G_A}, T2) == 0  # suppressed
+    dt = _delta_table(store)
+    assert dt.num_rows == 1
+
+
+def test_delete_is_first_class_and_reappear(store, ray_session):
+    from rdf_diff_store_ray.state.append import append_graphs, delete_graphs
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    append_graphs(store, {"g": G_A}, T1)
+    assert delete_graphs(store, ["g"], T2) == 1
+    assert delete_graphs(store, ["g", "never-existed"], T2 + 1) == 0  # no-ops
+    append_graphs(store, {"g": G_A2}, T3)  # reappears with new content
+    dt = _delta_table(store)
+    assert state_at_table(dt, T1 + 1).num_rows == 1
+    assert state_at_table(dt, T2 + 1).num_rows == 0
+    assert state_at_table(dt, T3 + 1).num_rows == 1
+
+
+def test_change_after_delete_then_same_content(store, ray_session):
+    """Same content re-posted AFTER a delete must produce a new update
+    (the graph was absent; suppression only applies while live)."""
+    from rdf_diff_store_ray.state.append import append_graphs, delete_graphs
+
+    append_graphs(store, {"g": G_A}, T1)
+    delete_graphs(store, ["g"], T2)
+    assert append_graphs(store, {"g": G_A}, T3) == 1
+    assert _delta_table(store).num_rows == 3
+
+
+def test_monotonicity_enforced(store, ray_session):
+    from rdf_diff_store_ray.state.append import append_graphs
+
+    append_graphs(store, {"g": G_A}, T2)
+    with pytest.raises(Exception, match="monotone|predates"):
+        append_graphs(store, {"g": G_A2}, T1)
+
+
+def test_append_onto_built_log(ray_session, built, tmp_path):
+    """The incremental API composes with a batch-built log: append a new
+    graph after the build's end and reconstruct both sides. (Appends to a
+    COPY — the `built` fixture is shared session-wide.)"""
+    import shutil
+
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.reconstruct import metadata_table, state_at_table
+
+    delta_dir = str(tmp_path / "deltas_copy")
+    shutil.copytree(built.delta_dir, delta_dir)
+    dt0 = _delta_table(delta_dir)
+    _, hi = metadata_table(dt0)
+    hi_s = int(pd.Timestamp(hi).timestamp())
+    n_before = state_at_table(dt0, hi_s).num_rows
+    assert append_graphs(delta_dir, {"https://new.example/g": G_B},
+                         hi_s + 60) == 1
+    dt1 = _delta_table(delta_dir)
+    assert state_at_table(dt1, hi_s + 61).num_rows == n_before + 1
+    # pre-append states are untouched
+    assert state_at_table(dt1, hi_s).num_rows == n_before
