@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "triples": int(n_triples),
         "pages_per_sec": round(n_pages / build_sec, 1),
         "triples_per_sec": round(n_triples / build_sec, 1),
+        "stage_wall_s": res.stage_wall_s,
     }
     ray.shutdown()
     return result

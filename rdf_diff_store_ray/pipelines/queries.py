@@ -22,6 +22,9 @@ import pyarrow.compute as pc
 from . import relational as rel
 
 KG_CACHE_ROOT = "/tmp/ray_kg_cache"
+# bump when build outputs change shape/content — /tmp persists across
+# rounds and a stale cached build must never mask current-code behavior
+KG_CACHE_VERSION = 2
 
 
 # ---------------------------------------------------------- documents -------
@@ -254,7 +257,7 @@ def kg_build_for(sf_dir: str):
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_urls = int(min(400, max(40, n_docs // 12)))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(KG_CACHE_ROOT, f"{tag}_u{n_urls}")
+    root = os.path.join(KG_CACHE_ROOT, f"v{KG_CACHE_VERSION}_{tag}_u{n_urls}")
     corpus_dir = os.path.join(root, "corpus")
     out_dir = os.path.join(root, "kg")
     os.makedirs(root, exist_ok=True)
