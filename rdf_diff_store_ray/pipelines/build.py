@@ -241,18 +241,21 @@ def build(
         fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
         batch_format="pyarrow",
     )
-    manifests = (
-        versions.groupby("partition_id")
-        .map_groups(
-            deltas_mod.make_partition_writer(delta_dir, snapshot_times, num_partitions),
-            batch_format="pandas",
+    def run_delta_log():
+        return (
+            versions.groupby("partition_id")
+            .map_groups(
+                deltas_mod.make_partition_writer(
+                    delta_dir, snapshot_times, num_partitions
+                ),
+                batch_format="pandas",
+            )
+            .take_all()
         )
-        .take_all()
-    )
-    _mark("delta_log")
 
-    # -- stage 4: queryable triple table -------------------------------------
-    if write_triples:
+    def run_triples():
+        if not write_triples:
+            return None
         triples_dir = os.path.join(out_dir, "triples")
         shutil.rmtree(triples_dir, ignore_errors=True)
         if use_actor_pools:
@@ -277,7 +280,19 @@ def build(
                 batch_size=batch_size,
             )
         emitted.write_parquet(triples_dir)
-    _mark("triples")
+        return None
+
+    # stages 3b and 4 are independent consumers of raw_ds — run their two
+    # Dataset executions concurrently so the cluster is never idle between
+    # the delta shuffle's barrier and the triples map
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool_exec:
+        fut_deltas = pool_exec.submit(run_delta_log)
+        fut_triples = pool_exec.submit(run_triples)
+        manifests = fut_deltas.result()
+        fut_triples.result()
+    _mark("delta_log_and_triples")
 
     all_manifests = [
         deltas_mod.read_manifest(delta_dir, pid)

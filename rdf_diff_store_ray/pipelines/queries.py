@@ -394,6 +394,41 @@ def kg_query_service(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_triple_pr(sf_dir: str):
+    """Measured triple precision/recall vs the corpus ground truth — the
+    BASELINE.json headline metric (P/R ≥ 0.95) as a direct artifact."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    res = kg_build_for(sf_dir)
+    corpus_dir = os.path.join(os.path.dirname(res.out_dir), "corpus")
+    import pyarrow.parquet as pq
+
+    exp = pq.read_table(os.path.join(corpus_dir, "expected_triples.parquet"))
+    tt = pads.dataset(
+        sorted(glob.glob(os.path.join(res.triples_dir, "*.parquet")))
+    ).to_table()
+    got = set(zip(tt["subj"].to_pylist(), tt["pred"].to_pylist(),
+                  tt["obj"].to_pylist()))
+    want = set(zip(exp["subj"].to_pylist(), exp["pred"].to_pylist(),
+                   exp["obj"].to_pylist()))
+    tp = len(got & want)
+    return pa.table(
+        {
+            "true_positives": pa.array([tp], pa.int64()),
+            "emitted": pa.array([len(got)], pa.int64()),
+            "expected": pa.array([len(want)], pa.int64()),
+            "precision_pct": pa.array(
+                [round(100.0 * tp / max(1, len(got)), 3)], pa.float64()
+            ),
+            "recall_pct": pa.array(
+                [round(100.0 * tp / max(1, len(want)), 3)], pa.float64()
+            ),
+        }
+    )
+
+
 def kg_incremental_append(sf_dir: str):
     """The reference's writer semantics as library calls: copy the built
     log, upsert (new + no-op + changed) and delete, report deltas written
@@ -500,6 +535,7 @@ def registry():
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_query_service": kg_query_service,
         "kg_incremental_append": kg_incremental_append,
+        "kg_triple_pr": kg_triple_pr,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_metadata": kg_metadata,
     }
