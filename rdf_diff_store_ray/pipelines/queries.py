@@ -90,6 +90,25 @@ def doc_fingerprints(sf_dir: str):
 DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def doc_rolling_fingerprints(sf_dir: str):
+    """Rabin-Karp rolling-hash document fingerprints (rows-only: no SQL
+    analog; determinism asserted by pytest)."""
+    from ..functions.text import rolling_fingerprint
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rolling_fp": pa.array(fps, pa.int64()),  # < 2^61, fits int64
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        batch_fn, batch_format="pyarrow"
+    )
+
+
 def exact_dedup_docs(sf_dir: str):
     from ..functions.dedup import exact_dedup
 
@@ -522,6 +541,7 @@ def registry():
         "label_dist": label_dist,
         # rows-only (non-SQL-expressible; correctness via pytest oracles)
         "minhash_dedup": minhash_dedup,
+        "doc_rolling_fingerprints": doc_rolling_fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "ivf_topk": ivf_topk_q,
         "simhash_pairs": simhash_pairs,
