@@ -56,6 +56,18 @@ class PartitionReaderActor:
     def query_at(self, ts, query: str) -> pd.DataFrame:
         return self.reader.query_at(ts, query)
 
+    def graph_at(self, graph_id: str, ts):
+        """One graph's live canonical text at ``ts`` (None if absent)."""
+        import pyarrow.compute as pc
+
+        from ..state.reconstruct import state_at_table
+
+        live = state_at_table(self.reader.deltas, ts)
+        hit = live.filter(pc.equal(live["graph_id"], graph_id))
+        if hit.num_rows == 0:
+            return None
+        return hit["delta_text"][0].as_py()
+
     def triples_at(self, ts) -> pa.Table:
         """This partition's live triple table at ``ts`` (for the router's
         multi-pattern gather path); served from the store cache."""
@@ -111,6 +123,17 @@ class QueryService:
                 if any(p.num_rows for p in parts) else parts[0]
             self._gather_cache.put(key, store)
         return eval_bgp(store, query)
+
+    def graph_at(self, graph_id: str, ts):
+        """Point lookup with PARTITION PRUNING: the build's
+        ``hash(graph_id) % P`` ownership means exactly one actor can hold
+        this graph — only that partition is touched (the per-graph
+        point-read of ``store_graph``'s equality check,
+        ``src/graphs.rs:52-58``, served without scanning the store)."""
+        from ..shuffle_utils import partition_ids
+
+        pid = int(partition_ids([graph_id], len(self.actors))[0])
+        return ray.get(self.actors[pid].graph_at.remote(graph_id, ts))
 
     def graphs_at(self, ts) -> str:
         texts = ray.get([a.graphs_at.remote(ts) for a in self.actors])

@@ -57,6 +57,20 @@ def test_query_caches_warm(service, single_reader):
     assert all(lv == "Query" for lv in service.cache_levels())
 
 
+def test_point_lookup_partition_pruned(service, single_reader, built):
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    ts = _end_ts(single_reader)
+    live = state_at_table(built.delta_table(), ts)
+    gid = live["graph_id"][0].as_py()
+    want = live["delta_text"][0].as_py()
+    assert service.graph_at(gid, ts) == want
+    assert service.graph_at("https://never.example/x", ts) is None
+    lo, _ = single_reader.metadata()
+    pre = int(pd.Timestamp(lo).timestamp()) - 10
+    assert service.graph_at(gid, pre) is None  # pre-history
+
+
 def test_multi_pattern_gathers_and_matches(service, single_reader):
     """Multi-pattern BGPs can join across partitions; the router gathers
     the live state and must agree with the single-reader evaluation."""
