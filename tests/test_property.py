@@ -22,7 +22,11 @@ _iri = st.text(
 )
 # literal lexical forms are arbitrary text (escaping must handle all of it)
 _lit = st.text(max_size=40)
-_triple = st.tuples(_iri, _iri, st.one_of(_iri, _lit), st.booleans())
+# object: IRI-safe when lit=False, arbitrary text when lit=True
+_triple = st.one_of(
+    st.tuples(_iri, _iri, _iri, st.just(False)),
+    st.tuples(_iri, _iri, _lit, st.just(True)),
+)
 
 
 @given(st.lists(_triple, max_size=25))
@@ -30,12 +34,7 @@ _triple = st.tuples(_iri, _iri, st.one_of(_iri, _lit), st.booleans())
 def test_serialize_parse_roundtrip(triples):
     from rdf_diff_store_ray.ntriples import parse, serialize
 
-    # IRIs in object position must also be IRI-safe; literals are free-form
-    fixed = [
-        (s, p, o if lit else o.replace(">", ""), lit)
-        for (s, p, o, lit) in triples
-        if not ((not lit) and o == "")
-    ]
+    fixed = triples
     text = serialize(fixed)
     back = parse(text)
     import unicodedata
