@@ -206,15 +206,24 @@ def _surface_for(e: _Entity, rng: np.random.Generator) -> str:
     return e.name
 
 
-def _page_facts(primary: _Entity, orgs, cities, rng: np.random.Generator):
+def _page_facts(primary: _Entity, orgs, cities, rng: np.random.Generator,
+                entity_skew: float = 0.0):
     """The fact set for one url: (kind, subj_entity, obj_entity_or_literal).
-    Facts are stable per url; snapshots add/remove/alter from this pool."""
+    Facts are stable per url; snapshots add/remove/alter from this pool.
+    ``entity_skew`` > 0 draws relation partners power-law style (head
+    entities get most mentions); 0 keeps the uniform stream byte-stable."""
     facts = []
     n_rel = 2 + int(rng.integers(4))
     for _ in range(n_rel):
         kind = ["acq", "partner", "hq", "founded"][int(rng.integers(4))]
         if kind in ("acq", "partner"):
-            other = orgs[int(rng.integers(len(orgs)))]
+            if entity_skew > 0:
+                other = orgs[
+                    min(len(orgs) - 1,
+                        int(len(orgs) * rng.random() ** (1.0 + entity_skew)))
+                ]
+            else:
+                other = orgs[int(rng.integers(len(orgs)))]
             if other.eid == primary.eid:
                 kind = "founded"
                 facts.append((kind, primary, str(1900 + int(rng.integers(125)))))
@@ -277,11 +286,14 @@ def _filler_pool(rng: np.random.Generator, size: int = 256) -> list:
 
 
 def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
-             filler_sentences: int = 0) -> Corpus:
+             filler_sentences: int = 0, entity_skew: float = 0.0) -> Corpus:
     """Deterministic corpus. ~``n_urls * n_snapshots * 0.8`` page rows.
     ``filler_sentences`` > 0 pads every page with that many deterministic
     non-fact body sentences (bench realism knob; default 0 keeps the
-    small test corpora byte-stable)."""
+    small test corpora byte-stable). ``entity_skew`` > 0 draws relation
+    partners power-law style (``index = n * u^(1+skew)``): a few head
+    entities dominate mentions — the high-degree-node case the north
+    rule's skew handling must survive. 0 keeps the uniform draw."""
     rng = np.random.default_rng(seed)
     filler = _filler_pool(rng) if filler_sentences else []
     # entity vocabulary grows sublinearly and is capped: a web corpus 10×
@@ -317,7 +329,7 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
         primary = orgs[u % len(orgs)]
         url = f"https://site{u % 7}.example/page{u:06d}"
         lang = _LANGS[int(rng.integers(len(_LANGS)))]
-        facts = _page_facts(primary, orgs, cities, rng)
+        facts = _page_facts(primary, orgs, cities, rng, entity_skew)
         title = f"{primary.name} company profile"
         start = int(rng.integers(max(1, n_snapshots - 1)))
         alive = False

@@ -494,6 +494,41 @@ def kg_incremental_append(sf_dir: str):
     )
 
 
+def kg_entity_degree(sf_dir: str, k: int = 20):
+    """Top-k entities by degree (mentions as subject or object) over the
+    triple table — the high-degree-node aggregation, two-phase: per-batch
+    partial counts (the shuffle carries partials, never raw triples) then
+    a small keyed merge. Hot entities cannot swamp a reducer because each
+    batch contributes at most one row per entity."""
+    from ray.data.aggregate import Sum
+
+    ds = kg_triples(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(batch["subj"].to_pylist())
+        for o, lit in zip(batch["obj"].to_pylist(),
+                          batch["obj_is_literal"].to_pylist()):
+            if not lit:
+                c[o] += 1
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "entity": pa.array([e for e, _ in items], pa.string()),
+                "n": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("entity")
+        .aggregate(Sum("n", alias_name="degree"))
+        .sort([("degree"), ("entity")], descending=[True, False])
+        .limit(k)
+    )
+
+
 def kg_metadata(sf_dir: str):
     from ..state.reconstruct import metadata_table
 
@@ -556,6 +591,7 @@ def registry():
         "kg_query_service": kg_query_service,
         "kg_incremental_append": kg_incremental_append,
         "kg_triple_pr": kg_triple_pr,
+        "kg_entity_degree": kg_entity_degree,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_metadata": kg_metadata,
     }
