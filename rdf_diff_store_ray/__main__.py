@@ -1,0 +1,183 @@
+"""Command-line surface: everything a user of the reference's two HTTP
+services does, as subcommands over the Parquet delta log.
+
+    python -m rdf_diff_store_ray build --pages pages.parquet --out /kg \
+        --gazetteer gazetteer.json --partitions 32
+    python -m rdf_diff_store_ray init --store /kg/deltas --partitions 8
+    python -m rdf_diff_store_ray append --store /kg/deltas --graph URL \
+        --file graph.nt --ts 1700000000        # POST /api/graphs
+    python -m rdf_diff_store_ray delete --store /kg/deltas --graph URL \
+        --ts 1700000100                        # DELETE /api/graphs?id=
+    python -m rdf_diff_store_ray graphs-at --store /kg/deltas --ts TS
+    python -m rdf_diff_store_ray query --store /kg/deltas --ts TS \
+        --bgp '?s <https://kg.example/prop/acquired> ?o'
+    python -m rdf_diff_store_ray metadata --store /kg/deltas
+
+This module owns a Ray session (guarded — a driver that pre-initialised
+Ray keeps its session). Read paths print to stdout; logs go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _delta_table(store: str):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
+    if not files:
+        raise SystemExit(f"no delta partitions under {store!r}")
+    return pads.dataset(files).to_table()
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from .pipelines.build import build
+
+    with open(args.gazetteer) as f:
+        gaz = json.load(f)
+    res = build(
+        args.pages,
+        args.out,
+        gazetteer=gaz,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+        use_actor_pools=args.actor_pools,
+    )
+    print(json.dumps({
+        "out_dir": res.out_dir,
+        "partitions": res.num_partitions,
+        "resumed_partitions": res.resumed_partitions,
+        "canonical_map_size": res.canonical_map_size,
+        "wall_s": round(res.wall_s, 3),
+        "stage_wall_s": res.stage_wall_s,
+    }))
+    return 0
+
+
+def cmd_init(args) -> int:
+    from .state.append import init_log
+
+    init_log(args.store, num_partitions=args.partitions)
+    print(json.dumps({"store": args.store, "partitions": args.partitions}))
+    return 0
+
+
+def cmd_append(args) -> int:
+    _ensure_ray()
+    from .state.append import append_graphs
+
+    text = open(args.file).read() if args.file else (args.text or "")
+    n = append_graphs(args.store, {args.graph: text}, args.ts)
+    print(json.dumps({"applied": n, "suppressed": n == 0}))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    _ensure_ray()
+    from .state.append import delete_graphs
+
+    n = delete_graphs(args.store, [args.graph], args.ts)
+    print(json.dumps({"applied": n}))
+    return 0
+
+
+def cmd_graphs_at(args) -> int:
+    from .query.bgp import DiffStoreReader
+
+    reader = DiffStoreReader(_delta_table(args.store))
+    sys.stdout.write(reader.graphs_at(args.ts))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .query.bgp import DiffStoreReader
+
+    reader = DiffStoreReader(_delta_table(args.store))
+    print(reader.query_at_json(args.ts, args.bgp))
+    return 0
+
+
+def cmd_metadata(args) -> int:
+    import pandas as pd
+
+    from .state.reconstruct import metadata_table
+
+    lo, hi = metadata_table(_delta_table(args.store))
+    out = {
+        "start_time": None if lo is None else int(pd.Timestamp(lo).timestamp()),
+        "end_time": None if hi is None else int(pd.Timestamp(hi).timestamp()),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rdf_diff_store_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full KG build: pages parquet → delta log")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--gazetteer", required=True)
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--actor-pools", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser("init", help="create an empty delta log")
+    i.add_argument("--store", required=True)
+    i.add_argument("--partitions", type=int, default=8)
+    i.set_defaults(fn=cmd_init)
+
+    a = sub.add_parser("append", help="upsert one graph (POST analog)")
+    a.add_argument("--store", required=True)
+    a.add_argument("--graph", required=True)
+    a.add_argument("--ts", type=int, required=True)
+    a.add_argument("--file")
+    a.add_argument("--text")
+    a.set_defaults(fn=cmd_append)
+
+    d = sub.add_parser("delete", help="tombstone one graph (DELETE analog)")
+    d.add_argument("--store", required=True)
+    d.add_argument("--graph", required=True)
+    d.add_argument("--ts", type=int, required=True)
+    d.set_defaults(fn=cmd_delete)
+
+    g = sub.add_parser("graphs-at", help="merged canonical N-Triples at ts")
+    g.add_argument("--store", required=True)
+    g.add_argument("--ts", type=int, required=True)
+    g.set_defaults(fn=cmd_graphs_at)
+
+    q = sub.add_parser("query", help="BGP query at ts (SPARQL-JSON output)")
+    q.add_argument("--store", required=True)
+    q.add_argument("--ts", type=int, required=True)
+    q.add_argument("--bgp", required=True)
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("metadata", help="(start_time, end_time) of the store")
+    m.add_argument("--store", required=True)
+    m.set_defaults(fn=cmd_metadata)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

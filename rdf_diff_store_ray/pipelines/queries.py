@@ -552,6 +552,7 @@ def registry():
         "orders_by_nation": rel.orders_by_nation,
         "lineitem_part_join": rel.lineitem_part_join,
         "events_hourly": rel.events_hourly,
+        "events_sliding_window": rel.events_sliding_window,
         "events_asof_state": rel.events_asof_state,
         "events_change_log": rel.events_change_log,
         "events_metadata": rel.events_metadata,
@@ -605,6 +606,7 @@ def oracles():
         "orders_by_nation": rel.ORDERS_BY_NATION_SQL,
         "lineitem_part_join": rel.LINEITEM_PART_JOIN_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_sliding_window": rel.EVENTS_SLIDING_SQL,
         "events_asof_state": rel.EVENTS_ASOF_SQL,
         "events_change_log": rel.EVENTS_CHANGE_LOG_SQL,
         "events_metadata": rel.EVENTS_METADATA_SQL,

@@ -290,6 +290,89 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+# ------------------------------------------------------ sliding window ------
+SLIDE_HOURS = 3
+
+
+def events_sliding_window(sf_dir: str, window_hours: int = SLIDE_HOURS):
+    """Sliding ``window_hours``-hour count per event_type, advancing
+    hourly: each event EXPLODES into the ``window_hours`` window ends it
+    belongs to (the flat_map pattern — output rows ≫ input rows), then a
+    two-phase count. Only windows an event actually lands in exist
+    (sparse, like the SQL oracle's DISTINCT-hours join)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    hour_us = 3_600 * 10**6
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.int64())
+        n = batch.num_rows
+        out_end, out_type = [], []
+        types = batch["event_type"].to_pylist()
+        hrs = hours.to_pylist()
+        for k in range(window_hours):
+            off = k * hour_us
+            out_end.extend(h + off for h in hrs)
+            out_type.extend(types)
+        t = pa.table(
+            {
+                "window_end_hour": pa.array(out_end, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(out_type, pa.string()),
+            }
+        )
+        # partial count: one row per (window, type) per batch
+        df = (
+            t.to_pandas()
+            .groupby(["window_end_hour", "event_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window_end_hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    # keep only windows anchored at an hour actually PRESENT in the
+    # stream (the oracle's window set): distinct hours are computed with
+    # a grouped distinct (bounded by the time range — hours, not events)
+    # and broadcast into the filter
+    present = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"h": pc.floor_temporal(b["ts"], unit="hour").unique()}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .count()
+        .take_all()
+    )
+    hours = pa.array(sorted(r["h"] for r in present), pa.timestamp("us"))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["window_end_hour"], value_set=hours)
+        )
+
+    return counts.map_batches(clip, batch_format="pyarrow")
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT w.hour AS window_end_hour, e.event_type, count(*) AS n_events
+FROM (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events) w
+JOIN events e
+  ON e.ts >= w.hour - INTERVAL {SLIDE_HOURS - 1} HOUR
+ AND e.ts < w.hour + INTERVAL 1 HOUR
+GROUP BY w.hour, e.event_type
+"""
+
+
 # ------------------------------------------------------- as-of state --------
 ASOF_CUTOFF = "2024-01-03 00:00:00"
 

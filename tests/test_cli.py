@@ -1,0 +1,37 @@
+"""CLI surface: init → append (suppression) → query → delete, in-process
+(the CLI reuses the session's Ray; subprocess startup is covered by the
+drive recipe)."""
+
+import json
+
+
+def test_cli_roundtrip(ray_session, tmp_path, capsys):
+    from rdf_diff_store_ray.__main__ import main
+
+    store = str(tmp_path / "deltas")
+    text = '<https://x/a> <https://x/p> "1" .\n'
+
+    assert main(["init", "--store", store, "--partitions", "4"]) == 0
+    assert main(["append", "--store", store, "--graph", "https://x/g",
+                 "--text", text, "--ts", "1700000000"]) == 0
+    assert main(["append", "--store", store, "--graph", "https://x/g",
+                 "--text", text, "--ts", "1700000050"]) == 0
+    assert main(["metadata", "--store", store]) == 0
+    assert main(["query", "--store", store, "--ts", "1700000100",
+                 "--bgp", "?s <https://x/p> ?o"]) == 0
+    assert main(["delete", "--store", store, "--graph", "https://x/g",
+                 "--ts", "1700000200"]) == 0
+    assert main(["graphs-at", "--store", store, "--ts", "1700000300"]) == 0
+
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[1]) == {"applied": 1, "suppressed": False}
+    assert json.loads(lines[2]) == {"applied": 0, "suppressed": True}
+    assert json.loads(lines[3]) == {"start_time": 1700000000,
+                                    "end_time": 1700000000}
+    q = json.loads(lines[4])
+    assert q["results"]["bindings"] == [
+        {"o": {"value": "1"}, "s": {"value": "https://x/a"}}
+    ]
+    assert json.loads(lines[5]) == {"applied": 1}
+    # graphs-at after delete prints the empty document (no trailing line)
+    assert lines[5] == lines[-1]
