@@ -59,7 +59,7 @@ def ensure_corpus(sf_dir: str) -> str:
     from rdf_diff_store_ray import corpus as corpus_mod
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    n_urls = _SCALE_URLS.get(tag, 1200)
+    n_urls = int(os.environ.get("GRAFT_URLS", _SCALE_URLS.get(tag, 1200)))
     cdir = os.path.join(BENCH_CACHE, f"{tag}_u{n_urls}_f{FILLER}")
     if not os.path.exists(os.path.join(cdir, "pages.parquet")):
         log(f"[bench] generating corpus n_urls={n_urls} → {cdir}")

@@ -49,43 +49,74 @@ MANIFEST_NAME = "manifest.json"
 SUCCESS_NAME = "_SUCCESS"
 
 
-def derive_graph_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame:
-    """Delta rows for ONE graph's version history (already sorted by
-    ``warc_ts``; ties keep the last row in stable input order — documented
-    tie-break, FIXTURES.md note). ``snapshot_times`` is the sorted global
-    crawl grid (unix seconds) used to infer deletes from absence."""
+def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame:
+    """Delta rows for EVERY graph in one partition, in a single pass over
+    the (graph_id, warc_ts)-sorted arrays — one output frame per
+    partition, never per graph (a per-graph DataFrame + concat costs more
+    than the delta derivation itself at 10⁵ graphs/partition).
+
+    Per graph: versions ordered by ``warc_ts`` (ties keep the last row in
+    stable input order — documented tie-break, FIXTURES.md note); a
+    version whose digest equals the previous live digest is suppressed;
+    absence from a snapshot instant while live emits a delete tombstone.
+    ``snapshot_times`` is the sorted global crawl grid (unix seconds)."""
+    g = group.sort_values(["graph_id", "warc_ts"], kind="stable",
+                          ignore_index=True)
+    gids = g["graph_id"].to_numpy()
     # robust to pandas datetime64 resolution (ns vs s)
-    ts_s = group["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
-    present = {}
-    for i, t in enumerate(ts_s):
-        present[int(t)] = i  # last wins on same-second ties
-    first = ts_s.min()
-    rows = []
-    live = False
-    prev_digest = None
-    for t in snapshot_times:
-        t = int(t)
-        if t < first:
+    ts_s = g["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    texts = g["delta_text"].to_numpy()
+    digests = g["digest"].to_numpy()
+    snap = [int(t) for t in snapshot_times]
+
+    out_gid: list = []
+    out_ts: list = []
+    out_op: list = []
+    out_text: list = []
+    out_dig: list = []
+    n = len(gids)
+    start = 0
+    for i in range(1, n + 1):
+        if i < n and gids[i] == gids[start]:
             continue
-        i = present.get(t)
-        if i is not None:
-            digest = group["digest"].iloc[i]
-            if not live or digest != prev_digest:
-                rows.append((t, OP_UPDATE, group["delta_text"].iloc[i], digest))
-                prev_digest = digest
-            live = True
-        elif live:
-            rows.append((t, OP_DELETE, "", b""))
-            live = False
-            prev_digest = None
-    gid = group["graph_id"].iloc[0]
+        # one graph's block [start:i], sorted by warc_ts
+        present = {}
+        for j in range(start, i):
+            present[int(ts_s[j])] = j  # last wins on same-second ties
+        first = int(ts_s[start])
+        live = False
+        prev_digest = None
+        gid = gids[start]
+        for t in snap:
+            if t < first:
+                continue
+            j = present.get(t)
+            if j is not None:
+                digest = digests[j]
+                if not live or digest != prev_digest:
+                    out_gid.append(gid)
+                    out_ts.append(t)
+                    out_op.append(OP_UPDATE)
+                    out_text.append(texts[j])
+                    out_dig.append(digest)
+                    prev_digest = digest
+                live = True
+            elif live:
+                out_gid.append(gid)
+                out_ts.append(t)
+                out_op.append(OP_DELETE)
+                out_text.append("")
+                out_dig.append(b"")
+                live = False
+                prev_digest = None
+        start = i
     return pd.DataFrame(
         {
-            "graph_id": gid,
-            "warc_ts": pd.to_datetime([r[0] for r in rows], unit="s"),
-            "op": [r[1] for r in rows],
-            "delta_text": [r[2] for r in rows],
-            "digest": [r[3] for r in rows],
+            "graph_id": out_gid,
+            "warc_ts": pd.to_datetime(out_ts, unit="s"),
+            "op": out_op,
+            "delta_text": out_text,
+            "digest": out_dig,
         }
     )
 
@@ -104,15 +135,8 @@ class DeltaPartitionWriter:
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
         pid = int(group["partition_id"].iloc[0])
-        group = group.sort_values(
-            ["graph_id", "warc_ts"], kind="stable", ignore_index=True
-        )
-        parts = [
-            derive_graph_deltas(g, self.snapshot_times)
-            for _, g in group.groupby("graph_id", sort=True)
-        ]
-        if parts:
-            deltas = pd.concat(parts, ignore_index=True)
+        deltas = derive_partition_deltas(group, self.snapshot_times)
+        if len(deltas):
             deltas["partition_id"] = np.int32(pid)
             table = pa.Table.from_pandas(deltas, preserve_index=False).cast(DELTAS)
         else:
