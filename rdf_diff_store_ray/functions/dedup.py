@@ -130,6 +130,35 @@ def _bucket_pairs_in_partition(group: pd.DataFrame, cap: int = 256) -> pd.DataFr
     return pd.DataFrame({"a": a_out, "b": b_out}).astype("int64")
 
 
+# task-mode stage state, memoized once per worker process (see
+# stages/link.py for the pattern rationale: these setups are cheap, so
+# shared-pool workers beat paying an actor spawn per operator call)
+_STAGE_CACHE: dict = {}
+
+
+def _cached(cls, *args):
+    key = (cls.__name__, args)
+    obj = _STAGE_CACHE.get(key)
+    if obj is None:
+        obj = cls(*args)
+        _STAGE_CACHE[key] = obj
+    return obj
+
+
+def doc_minhash_batch(batch: pa.Table, num_perm: int = 128, bands: int = 32,
+                      seed: int = 11) -> pa.Table:
+    return _cached(DocMinHash, num_perm, bands, seed)(batch)
+
+
+def doc_simhash_batch(batch: pa.Table) -> pa.Table:
+    return _cached(DocSimHash)(batch)
+
+
+def hyperplane_lsh_batch(batch: pa.Table, dim: int = 64, n_planes: int = 12,
+                         seed: int = 5) -> pa.Table:
+    return _cached(HyperplaneLSH, dim, n_planes, seed)(batch)
+
+
 def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048,
                             num_partitions=64):
     """Distinct candidate near-dup id pairs from LSH banding.
@@ -144,11 +173,10 @@ def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048,
     import pyarrow.compute as pc
 
     buckets = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        DocMinHash,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        doc_minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
 
     def bucket_partition(batch: pa.Table) -> pa.Table:
@@ -208,40 +236,33 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3,
         texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     texts_ref = ray.put(texts)
 
-    class VerifyJaccard:
-        def __init__(self, texts_ref, threshold: float, k: int):
-            self.texts = ray.get(texts_ref)
-            self.threshold = threshold
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_out, b_out, j_out = [], [], []
-            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-                j = jaccard_docs(
-                    self.texts.get(a) or "", self.texts.get(b) or "", self.k
-                )
-                if j >= self.threshold:
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(round(j, 6))
-            return pa.table(
-                {
-                    "a": pa.array(a_out, pa.int64()),
-                    "b": pa.array(b_out, pa.int64()),
-                    "jaccard": pa.array(j_out, pa.float64()),
-                }
-            )
+    def verify_jaccard_batch(batch: pa.Table, texts_ref=None,
+                             threshold: float = 0.5, k: int = 3) -> pa.Table:
+        texts = _STAGE_CACHE.get(("texts", texts_ref))
+        if texts is None:
+            texts = ray.get(texts_ref)
+            _STAGE_CACHE.clear()
+            _STAGE_CACHE[("texts", texts_ref)] = texts
+        a_out, b_out, j_out = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            j = jaccard_docs(texts.get(a) or "", texts.get(b) or "", k)
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
 
     return cand.map_batches(
-        VerifyJaccard,
-        fn_constructor_kwargs={
-            "texts_ref": texts_ref,
-            "threshold": threshold,
-            "k": k,
-        },
+        verify_jaccard_batch,
+        fn_kwargs={"texts_ref": texts_ref, "threshold": threshold, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
     )
 
 
@@ -467,27 +488,27 @@ def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
     cluster_map = {x: uf.find(x) for x in uf.parent}
     map_ref = ray.put(cluster_map)
 
-    class AssignCluster:
-        def __init__(self, map_ref):
-            self.map = ray.get(map_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_pylist()
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "cluster_id": pa.array(
-                        [self.map.get(i, i) for i in ids], pa.int64()
-                    ),
-                }
-            )
+    def assign_cluster_batch(batch: pa.Table, map_ref=None) -> pa.Table:
+        cmap = _STAGE_CACHE.get(("cmap", map_ref))
+        if cmap is None:
+            cmap = ray.get(map_ref)
+            _STAGE_CACHE.clear()
+            _STAGE_CACHE[("cmap", map_ref)] = cmap
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    [cmap.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
 
     return docs_ds.select_columns(["doc_id"]).map_batches(
-        AssignCluster,
-        fn_constructor_kwargs={"map_ref": map_ref},
+        assign_cluster_batch,
+        fn_kwargs={"map_ref": map_ref},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
     )
 
 
@@ -538,7 +559,7 @@ class DocSimHash:
 
 def simhash_signatures(docs_ds, batch_size: int = 2048):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        DocSimHash, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+        doc_simhash_batch, batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -665,11 +686,10 @@ def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
         )
 
     bucketed = emb_ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        hyperplane_lsh_batch,
+        fn_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
     )
     return bucketed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pyarrow"

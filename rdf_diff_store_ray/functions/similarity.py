@@ -57,16 +57,30 @@ class _TopKScorer:
         )
 
 
+# per-worker memoized scorer (broadcast query matrix fetched once; see
+# stages/link.py for the task-mode-vs-actor-pool rationale)
+_SCORER_CACHE: dict = {}
+
+
+def _topk_score_batch(batch: pa.Table, query_ref=None, k: int = 10) -> pa.Table:
+    key = (query_ref, k)
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = _TopKScorer(query_ref, k)
+        _SCORER_CACHE.clear()
+        _SCORER_CACHE[key] = scorer
+    return scorer(batch)
+
+
 def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
     """Exact top-k rows ``(query_id, vec_id, rank, cosine)``; rank is
     1-based, ordered by (cosine desc, vec_id asc) — fully deterministic."""
     qref = ray.put(np.asarray(query_vecs, dtype=np.float64))
     cand = emb_ds.map_batches(
-        _TopKScorer,
-        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        _topk_score_batch,
+        fn_kwargs={"query_ref": qref, "k": k},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     ).take_all()  # num_batches × Q × k rows — small by construction
     best: dict[int, list] = {}
     for r in cand:
@@ -159,12 +173,21 @@ def ivf_topk(emb_ds, query_vecs, k: int = 10, *, n_clusters: int = 16,
                 }
             )
 
+    def assign_and_filter_batch(batch: pa.Table, centroids_ref=None,
+                                probed=()) -> pa.Table:
+        key = (centroids_ref, tuple(probed))
+        stage = _SCORER_CACHE.get(key)
+        if stage is None:
+            stage = AssignAndFilter(centroids_ref, list(probed))
+            _SCORER_CACHE.clear()
+            _SCORER_CACHE[key] = stage
+        return stage(batch)
+
     cand = emb_ds.map_batches(
-        AssignAndFilter,
-        fn_constructor_kwargs={"centroids_ref": cref, "probed": all_probed},
+        assign_and_filter_batch,
+        fn_kwargs={"centroids_ref": cref, "probed": tuple(all_probed)},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     ).take_all()  # bounded: only vectors inside probed lists
     ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
     clusters = np.array([r["cluster"] for r in cand], dtype=np.int64)
@@ -205,12 +228,13 @@ def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
         probe[qi] = probes
     all_probed = set().union(*probe.values())
 
+    from .dedup import hyperplane_lsh_batch
+
     bucketed = emb_ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        hyperplane_lsh_batch,
+        fn_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 8),
     )
     wanted = pa.array(sorted(all_probed), pa.int64())
 

@@ -168,7 +168,27 @@ def fingerprints(docs_ds):
     return docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
-def lang_id(docs_ds, concurrency=(1, 4)):
+_LANG_ID: LangId | None = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-mode LangId: profiles memoized once per worker process."""
+    global _LANG_ID
+    if _LANG_ID is None:
+        _LANG_ID = LangId()
+    return _LANG_ID(batch)
+
+
+def lang_id(docs_ds, concurrency=None):
+    """Language-ID over documents. ``concurrency`` switches to a
+    dedicated actor pool — worth it only when the model state is heavy
+    (here the profiles are tiny, so the default shared-pool task mode
+    avoids per-call actor spawn)."""
+    if concurrency is not None:
+        return docs_ds.map_batches(
+            LangId, batch_format="pyarrow", batch_size=4096,
+            concurrency=concurrency,
+        )
     return docs_ds.map_batches(
-        LangId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+        lang_id_batch, batch_format="pyarrow", batch_size=4096
     )
