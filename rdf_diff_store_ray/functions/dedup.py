@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
