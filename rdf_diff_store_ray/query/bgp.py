@@ -107,23 +107,45 @@ def _parse_term(t: str):
 def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     """Evaluate a BGP against a triple table
     (``subj, pred, obj, obj_is_literal``); returns distinct bindings, one
-    column per variable, sorted for determinism."""
+    column per variable, sorted for determinism.
+
+    A variable binds an RDF *term*, not a lexical form: bindings are
+    carried internally as ``(value, is_literal)`` tuples so that a
+    literal ``"x"`` never joins the IRI ``<x>`` — across patterns AND for
+    a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
+    """
     df = triples.to_pandas()
     result: pd.DataFrame | None = None
-    for si, (s, p, o) in enumerate(parse_bgp(query)):
+    for s, p, o in parse_bgp(query):
         cur = df
-        proj = {}
+        var_positions: dict = {}  # var -> [position, ...]
         for pos, term, is_obj in (("subj", s, False), ("pred", p, False), ("obj", o, True)):
             kind, val = term
             if kind == "var":
-                proj[pos] = val
+                var_positions.setdefault(val, []).append(pos)
             elif kind == "iri":
                 cur = cur[cur[pos] == val]
                 if is_obj:
                     cur = cur[~cur["obj_is_literal"]]
             else:  # literal — only matches the object position
                 cur = cur[(cur[pos] == val) & cur["obj_is_literal"]]
-        cur = cur[list(proj)].rename(columns=proj).drop_duplicates()
+        # tagged term per position (subj/pred are always IRIs)
+        tagged = pd.DataFrame(index=cur.index)
+        for pos in ("subj", "pred", "obj"):
+            lit = cur["obj_is_literal"] if pos == "obj" else False
+            tagged[pos] = list(zip(cur[pos], lit if pos == "obj" else [False] * len(cur)))
+        # a variable repeated WITHIN the pattern must bind one term
+        mask = pd.Series(True, index=cur.index)
+        for var, positions in var_positions.items():
+            for extra in positions[1:]:
+                mask &= tagged[positions[0]] == tagged[extra]
+        proj = pd.DataFrame(index=cur.index)
+        for var, positions in var_positions.items():
+            proj[var] = tagged[positions[0]]
+        if var_positions:
+            cur = proj[mask].drop_duplicates()
+        else:
+            cur = proj.head(1) if len(cur) else proj  # boolean pattern
         if result is None:
             result = cur
         else:
@@ -133,10 +155,18 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
             else:
                 result = result.merge(cur, how="cross")
         result = result.drop_duplicates(ignore_index=True)
-        if result.empty:
-            break
+        if len(result) == 0:  # NOT .empty — a zero-column boolean frame
+            break             # with rows still means "matched"
     assert result is not None
-    return result.sort_values(list(result.columns), ignore_index=True)
+    # unwrap tagged tuples to lexical forms for the caller
+    out = pd.DataFrame(
+        {c: [t[0] for t in result[c]] for c in result.columns},
+        index=result.index,
+    )
+    if len(out.columns):
+        out = out.drop_duplicates(ignore_index=True)
+        return out.sort_values(list(out.columns), ignore_index=True)
+    return out.reset_index(drop=True)
 
 
 def bindings_json(df: pd.DataFrame) -> str:
