@@ -188,22 +188,31 @@ def build(
     raw_ds = rd.read_parquet(raw_dir)
 
     # -- stage 2: canonicalization (vocabulary-scale; persisted for resume) --
-    if os.path.exists(canon_path):
-        with open(canon_path) as f:
-            canonical_map = json.load(f)
-    else:
-        canonical_map = build_canonical_map(raw_ds, gazetteer)
+    # the snapshot grid is an independent small aggregation over raw —
+    # computed concurrently with canonicalization so neither waits
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _canon():
+        if os.path.exists(canon_path):
+            with open(canon_path) as f:
+                return json.load(f)
+        cm = build_canonical_map(raw_ds, gazetteer)
         tmp = canon_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(canonical_map, f, sort_keys=True)
+            json.dump(cm, f, sort_keys=True)
         os.replace(tmp, canon_path)
+        return cm
+
+    with _TPE(max_workers=2) as tpe:
+        fut_canon = tpe.submit(_canon)
+        fut_snap = tpe.submit(_snapshot_times, raw_ds)
+        canonical_map = fut_canon.result()
+        snapshot_times = fut_snap.result()
     gaz_ref = ray.put(gazetteer)
     canon_ref = ray.put(canonical_map)
-    _mark("canonical_map")
+    _mark("canonical_map_and_snapshots")
 
     # -- stage 3: versions → delta log (THE shuffle) -------------------------
-    snapshot_times = _snapshot_times(raw_ds)
-    _mark("snapshot_times")
     todo_ds = raw_ds
     if done:
         todo_ds = raw_ds.map_batches(
