@@ -100,8 +100,8 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -195,7 +195,7 @@ def orders_by_nation(sf_dir: str):
 
 ORDERS_BY_NATION_SQL = """
 SELECT n.n_name AS n_name, count(*) AS n_orders,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -240,7 +240,7 @@ def lineitem_part_join(sf_dir: str):
 
 LINEITEM_PART_JOIN_SQL = """
 SELECT p.p_brand AS p_brand, count(*) AS n_items,
-       sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_cents
+       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -284,7 +284,7 @@ def events_hourly(sf_dir: str):
 EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
@@ -524,7 +524,7 @@ def revenue_q6(sf_dir: str):
 
 
 REVENUE_Q6_SQL = """
-SELECT coalesce(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0)
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT)
            AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem
@@ -801,9 +801,9 @@ def customer_running_totals(sf_dir: str):
 
 CUSTOMER_RUNNING_TOTALS_SQL = """
 SELECT o_orderkey, o_custkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS UNBOUNDED PRECEDING) AS running_cents
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM orders
 """
 
