@@ -206,21 +206,20 @@ def jaccard_docs(t1: str, t2: str, k: int = 3) -> float:
 
 
 def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3,
-                        verify: str = "broadcast", **kw):
+                        verify: str = "join", **kw):
     """Verified near-dup pairs ``(a, b, jaccard)``: LSH candidates
     exact-checked with word-``k``-gram Jaccard ≥ ``threshold``.
     ``jaccard`` is rounded to 6 decimals for hash-stable comparison.
 
     ``verify`` picks how candidate pairs are joined back to their texts:
 
+    - ``"join"`` (default) — the scale path: an explicit co-partition
+      join of the pair list against the docs table; nothing corpus-sized
+      ever lands on the driver or in a single broadcast object; the
+      exchanges carry only candidate pairs plus the matched texts.
     - ``"broadcast"`` — id→text dict ``ray.put`` once, read per actor.
-      Right when the corpus's text fits comfortably in one object (small
-      side of a broadcast join).
-    - ``"join"`` — two hash joins of the pair list against the docs table
-      (on ``a`` then ``b``), verification in a stateless ``map_batches``.
-      The scale path: nothing corpus-sized ever lands on the driver or in
-      a single broadcast object; the exchanges carry only candidate pairs
-      plus the matched texts.
+      Opt-in fast path for corpora whose text fits comfortably in one
+      object (small side of a broadcast join).
     """
     cand = minhash_candidate_pairs(docs_ds, **kw)
     if verify == "join":
@@ -352,7 +351,7 @@ def _verify_pairs_via_shuffle(cand, docs_ds, threshold: float, k: int,
     )
 
 
-def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int = 25,
+def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int | None = None,
                                  num_partitions: int = 32):
     """Connected components fully on Ray Data: iterative min-label
     propagation — the scale fallback when the verified edge list is too
@@ -363,8 +362,15 @@ def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int = 25,
     neighbors; (2) ``groupby(node).min`` folds messages + self-label into
     the new labels. Labels only ever decrease, so the global label sum is
     a strictly decreasing convergence witness — no changed-flag join
-    needed. Iterations = component diameter (bounded by ``max_iters``).
-    """
+    needed, and the loop terminates in ≤ diameter iterations.
+
+    ``max_iters=None`` (default) iterates until the witness stabilizes —
+    the only way to guarantee correct components: the skew guard in
+    :func:`_bucket_pairs_in_partition` deliberately chains hot buckets,
+    so long-diameter path components are *expected*, not pathological.
+    Passing a finite ``max_iters`` raises ``RuntimeError`` if the cap is
+    hit before convergence rather than silently returning unmerged
+    components."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
@@ -428,7 +434,8 @@ def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int = 25,
         )
 
     prev_sum = None
-    for _ in range(max_iters):
+    it = 0
+    while True:
         msgs = (
             labels.map_batches(label_rows, batch_format="pyarrow")
             .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
@@ -443,14 +450,20 @@ def label_propagation_components(edges_ds, nodes_ds, *, max_iters: int = 25,
         )
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+        it += 1
+        if max_iters is not None and it >= max_iters:
+            raise RuntimeError(
+                f"label propagation did not converge within max_iters={max_iters}; "
+                "components would be unmerged — raise the cap or pass max_iters=None"
+            )
 
 
 def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
-                           verify: str = "broadcast",
-                           components: str = "unionfind", **kw):
+                           verify: str = "join",
+                           components: str = "auto",
+                           max_driver_edges: int = 2_000_000, **kw):
     """(doc_id, cluster_id=min doc_id of its near-dup component), as a
     streaming Dataset.
 
@@ -458,9 +471,13 @@ def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
     verified edges (LSH candidates + exact Jaccard, see
     :func:`ngram_jaccard_pairs`):
 
-    - ``"unionfind"`` — driver-side union-find; right while the verified
-      edge list is small (it usually is: ≪ corpus after verification).
-      Only the resulting component map (docs that HAVE a near-dup) is
+    - ``"auto"`` (default) — materialize the verified edge list (tiny
+      relative to the corpus: only pairs that PASSED exact-Jaccard
+      verification), count it, and pick ``"unionfind"`` when it is under
+      ``max_driver_edges`` else ``"labelprop"``. The driver never holds
+      anything corpus-sized either way — only actual near-dup edges.
+    - ``"unionfind"`` — driver-side union-find over the edge list. Only
+      the resulting component map (docs that HAVE a near-dup) is
       broadcast; cluster assignment streams over the corpus ids.
     - ``"labelprop"`` — fully distributed iterative min-label
       propagation (:func:`label_propagation_components`); the scale
@@ -469,6 +486,11 @@ def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
     import ray
 
     edge_ds = ngram_jaccard_pairs(docs_ds, threshold=threshold, verify=verify, **kw)
+    if components == "auto":
+        edge_ds = edge_ds.materialize()
+        components = (
+            "unionfind" if edge_ds.count() <= max_driver_edges else "labelprop"
+        )
     if components == "labelprop":
         nodes = docs_ds.select_columns(["doc_id"]).map_batches(
             lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow"
@@ -515,42 +537,77 @@ def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
 
 
 class DocSimHash:
-    """64-bit SimHash per document (token-hash sign aggregation)."""
+    """64-bit SimHash per document (token-hash sign aggregation).
+
+    Vectorized over the whole batch: tokens are factorized so each
+    *unique* token in the batch is blake2b-hashed exactly once (the only
+    Python loop left, and it shrinks with cross-doc token overlap); bit
+    expansion and the per-document ±1 vote fold are pure numpy
+    (``reduceat`` over the token→doc run boundaries)."""
 
     def __init__(self) -> None:
         self.bits = 64
+        self._shifts = np.arange(64, dtype=np.uint64)
+        self._token_hash_cache: dict = {}
+
+    def _hash_tokens(self, uniques) -> np.ndarray:
+        cache = self._token_hash_cache
+        out = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            h = cache.get(u)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                if len(cache) < 1_000_000:  # per-worker bound
+                    cache[u] = h
+            out[i] = h
+        return out
+
+    def simhash_batch(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        toks_per_doc = [t.split() if t else [] for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        total = int(lens.sum())
+        sh = np.zeros(n, dtype=np.uint64)
+        if total == 0:
+            return sh
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in toks_per_doc:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        codes, uniques = pd.factorize(flat)
+        tok_hashes = self._hash_tokens(uniques)[codes]
+        # (total, 64) ±1 votes, folded per doc via reduceat on run starts
+        votes_tok = (
+            ((tok_hashes[:, None] >> self._shifts[None, :]) & 1).astype(np.int32) * 2 - 1
+        )
+        nonempty = np.flatnonzero(lens)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        votes = np.add.reduceat(votes_tok, starts, axis=0)
+        sh[nonempty] = ((votes > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
+        return sh
 
     def simhash(self, text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        hashes = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                for t in toks
-            ],
-            dtype=np.uint64,
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int32
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(self.simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        sh = self.simhash_batch(batch["text"].to_pylist())
         out_chunks = {
             f"chunk{c}": pa.array(
-                [(h >> (16 * c)) & 0xFFFF for h in sh], pa.int32()
+                ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32),
+                pa.int32(),
             )
             for c in range(4)
         }
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array([h - (1 << 63) for h in sh], pa.int64()),
+                # h - 2^63 (the storable int64 form) == flip the top bit
+                "simhash": pa.array(
+                    (sh ^ np.uint64(1 << 63)).view(np.int64), pa.int64()
+                ),
                 **out_chunks,
             }
         )

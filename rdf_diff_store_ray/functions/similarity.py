@@ -71,18 +71,12 @@ def _topk_score_batch(batch: pa.Table, query_ref=None, k: int = 10) -> pa.Table:
     return scorer(batch)
 
 
-def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
-    """Exact top-k rows ``(query_id, vec_id, rank, cosine)``; rank is
-    1-based, ordered by (cosine desc, vec_id asc) — fully deterministic."""
-    qref = ray.put(np.asarray(query_vecs, dtype=np.float64))
-    cand = emb_ds.map_batches(
-        _topk_score_batch,
-        fn_kwargs={"query_ref": qref, "k": k},
-        batch_format="pyarrow",
-        batch_size=8192,
-    ).take_all()  # num_batches × Q × k rows — small by construction
+def _merge_local_topk(cand_rows, k: int) -> pa.Table:
+    """Driver-side merge of per-batch local top-k rows — the only thing
+    any top-k variant ever materializes (``num_batches × Q × k`` rows).
+    Rank is 1-based, ordered by (cosine desc, vec_id asc)."""
     best: dict[int, list] = {}
-    for r in cand:
+    for r in cand_rows:
         best.setdefault(r["query_id"], []).append((-r["cosine"], r["vec_id"]))
     rows = []
     for qid in sorted(best):
@@ -97,6 +91,86 @@ def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
             "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def brute_force_topk(emb_ds, query_vecs, k: int = 10) -> pa.Table:
+    """Exact top-k rows ``(query_id, vec_id, rank, cosine)``; rank is
+    1-based, ordered by (cosine desc, vec_id asc) — fully deterministic."""
+    qref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    cand = emb_ds.map_batches(
+        _topk_score_batch,
+        fn_kwargs={"query_ref": qref, "k": k},
+        batch_format="pyarrow",
+        batch_size=8192,
+    ).take_all()  # num_batches × Q × k rows — small by construction
+    return _merge_local_topk(cand, k)
+
+
+class _ProbedTopKScorer:
+    """Per-batch exact rescoring restricted to each query's probed key
+    set (IVF inverted lists / LSH buckets). Like :class:`_TopKScorer`
+    but with a per-query eligibility mask on ``key_col`` — so candidate
+    *embeddings* never leave the workers; only local top-k rows do."""
+
+    def __init__(self, query_ref, probe_ref, key_col: str, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        q = np.asarray(q, dtype=np.float64)
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        self.q = q / n
+        probe = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        self.keysets = [
+            np.fromiter(sorted(probe[qi]), dtype=np.int64, count=len(probe[qi]))
+            for qi in range(len(probe))
+        ]
+        self.key_col = key_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keys = np.asarray(batch[self.key_col].to_pylist(), dtype=np.int64)
+        V = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (V / norms) @ self.q.T  # (B, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi, ks in enumerate(self.keysets):
+            mask = np.isin(keys, ks)
+            if not mask.any():
+                continue
+            col = sims[mask, qi]
+            sub_ids = ids[mask]
+            kk = min(self.k, len(sub_ids))
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_sim.extend(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def _probed_topk_batch(batch: pa.Table, query_ref=None, probe_ref=None,
+                       key_col: str = "cluster", k: int = 10) -> pa.Table:
+    key = (query_ref, probe_ref, key_col, k)
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = _ProbedTopKScorer(query_ref, probe_ref, key_col, k)
+        _SCORER_CACHE.clear()
+        _SCORER_CACHE[key] = scorer
+    return scorer(batch)
 
 
 def _kmeans_centroids(sample: np.ndarray, n_clusters: int, seed: int = 7,
@@ -140,6 +214,7 @@ def ivf_topk(emb_ds, query_vecs, k: int = 10, *, n_clusters: int = 16,
 
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qref = ray.put(qn)
     # nprobe nearest centroids per query (by cosine)
     cq = qn @ Cn.T  # (Q, C)
     probe = {qi: set(np.argsort(-cq[qi])[:nprobe].tolist()) for qi in range(len(q))}
@@ -182,33 +257,25 @@ def ivf_topk(emb_ds, query_vecs, k: int = 10, *, n_clusters: int = 16,
             _SCORER_CACHE[key] = stage
         return stage(batch)
 
-    cand = emb_ds.map_batches(
-        assign_and_filter_batch,
-        fn_kwargs={"centroids_ref": cref, "probed": tuple(all_probed)},
-        batch_format="pyarrow",
-        batch_size=8192,
-    ).take_all()  # bounded: only vectors inside probed lists
-    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-    clusters = np.array([r["cluster"] for r in cand], dtype=np.int64)
-    V = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
-    rows = []
-    for qi in range(len(q)):
-        mask = np.isin(clusters, list(probe[qi]))
-        if not mask.any():
-            continue
-        sims = V[mask] @ qn[qi]
-        sub_ids = ids[mask]
-        order = sorted(zip(-sims, sub_ids))[: min(k, len(sub_ids))]
-        for rank, (negsim, vid) in enumerate(order, start=1):
-            rows.append((qi, int(vid), rank, float(-negsim)))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "rank": pa.array([r[2] for r in rows], pa.int64()),
-            "cosine": pa.array([r[3] for r in rows], pa.float64()),
-        }
+    probe_list = [probe[qi] for qi in range(len(q))]
+    pref = ray.put(probe_list)
+    cand = (
+        emb_ds.map_batches(
+            assign_and_filter_batch,
+            fn_kwargs={"centroids_ref": cref, "probed": tuple(all_probed)},
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .map_batches(
+            _probed_topk_batch,
+            fn_kwargs={"query_ref": qref, "probe_ref": pref,
+                       "key_col": "cluster", "k": k},
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .take_all()  # num_batches × Q × k rows — embeddings never land here
     )
+    return _merge_local_topk(cand, k)
 
 
 def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
@@ -242,30 +309,18 @@ def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
 
         return batch.filter(pc.is_in(batch["bucket"], value_set=wanted))
 
-    cand = bucketed.map_batches(in_probed, batch_format="pyarrow").take_all()
-    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
-    buckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
-    V = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
-    if len(ids):
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        V = V / norms
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    rows = []
-    for qi in range(len(q)):
-        mask = np.isin(buckets, list(probe[qi]))
-        if not mask.any():
-            continue
-        sims = V[mask] @ qn[qi]
-        sub_ids = ids[mask]
-        order = sorted(zip(-sims, sub_ids))[: min(k, len(sub_ids))]
-        for rank, (negsim, vid) in enumerate(order, start=1):
-            rows.append((qi, int(vid), rank, float(-negsim)))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "rank": pa.array([r[2] for r in rows], pa.int64()),
-            "cosine": pa.array([r[3] for r in rows], pa.float64()),
-        }
+    qref = ray.put(qn)
+    pref = ray.put([probe[qi] for qi in range(len(q))])
+    cand = (
+        bucketed.map_batches(in_probed, batch_format="pyarrow")
+        .map_batches(
+            _probed_topk_batch,
+            fn_kwargs={"query_ref": qref, "probe_ref": pref,
+                       "key_col": "bucket", "k": k},
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .take_all()  # num_batches × Q × k rows — embeddings never land here
     )
+    return _merge_local_topk(cand, k)

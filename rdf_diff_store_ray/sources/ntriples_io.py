@@ -10,10 +10,11 @@ These are the Ray-Data equivalents:
   Dataset ``(subj, pred, obj, obj_is_literal, graph_id)``. ``graph_id``
   is decoded from the filename using the reference's base64 encoding
   (``src/graphs.rs:42-45``) so hostile ids round-trip.
-- :func:`write_ntriples` — the inverse sink: group triples by graph and
-  write one canonical ``.ttl``-named file per graph under ``out_dir``.
-  Files are written from inside the grouped stage (one writer per
-  graph id — the partitioned-ownership pattern), never on the driver.
+- :func:`write_ntriples` — the inverse sink: hash graphs into bounded
+  partitions and write one canonical ``.ttl``-named file per graph under
+  ``out_dir``. Files are written from inside the grouped stage (one
+  writer task per partition owns all of its graphs' files), never on
+  the driver.
 
 Both stream; nothing materializes the corpus.
 """
@@ -78,41 +79,51 @@ def read_ntriples(paths):
     return ds.map_batches(_parse_lines, batch_format="pyarrow")
 
 
-class _GraphFileWriter:
-    """Grouped writer: one canonical file per graph_id (atomic rename)."""
-
-    def __init__(self, out_dir: str):
-        self.out_dir = out_dir
-        os.makedirs(out_dir, exist_ok=True)
-
-    def __call__(self, group):
-        import pandas as pd
-
-        gid = group["graph_id"].iloc[0]
-        triples = list(
-            zip(group["subj"], group["pred"], group["obj"], group["obj_is_literal"])
-        )
-        text = serialize(triples)
-        fname = graph_filename(gid)
-        final = os.path.join(self.out_dir, fname)
-        tmp = final + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(text)
-        os.replace(tmp, final)
-        return pd.DataFrame(
-            {"graph_id": [gid], "file": [fname], "n_triples": [len(text.splitlines())]}
-        )
-
-
-def write_ntriples(triples_ds, out_dir: str):
+def write_ntriples(triples_ds, out_dir: str, num_partitions: int = 64):
     """Write one canonical N-Triples file per graph (the reference's
     one-file-per-graph store layout). Returns a manifest Dataset
-    ``(graph_id, file, n_triples)``."""
-    writer = _GraphFileWriter(out_dir)
+    ``(graph_id, file, n_triples)``.
 
-    def write_graph_file(group):
-        return writer(group)
+    ``graph_id`` cardinality is corpus-scale (one per url), so the
+    shuffle key is ``hash(graph_id) % num_partitions`` — one grouped
+    call per *partition*, each writing every one of its graphs' files
+    (the bounded-partition pattern from ``stages/deltas.py``), never one
+    Ray group per graph."""
+    import pandas as pd
+    import zlib
 
-    return triples_ds.groupby("graph_id").map_groups(
-        write_graph_file, batch_format="pandas"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pids = pa.array(
+            [
+                zlib.crc32(g.encode("utf-8")) % num_partitions
+                for g in batch["graph_id"].to_pylist()
+            ],
+            pa.int32(),
+        )
+        return batch.append_column("partition_id", pids)
+
+    def write_partition_files(group: pd.DataFrame) -> pd.DataFrame:
+        gids, files, counts = [], [], []
+        for gid, g in group.groupby("graph_id", sort=False):
+            triples = list(
+                zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
+            )
+            text = serialize(triples)
+            fname = graph_filename(gid)
+            final = os.path.join(out_dir, fname)
+            tmp = final + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            os.replace(tmp, final)
+            gids.append(gid)
+            files.append(fname)
+            counts.append(len(text.splitlines()))
+        return pd.DataFrame({"graph_id": gids, "file": files, "n_triples": counts})
+
+    return (
+        triples_ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(write_partition_files, batch_format="pandas")
     )
