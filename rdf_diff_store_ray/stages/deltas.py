@@ -168,9 +168,23 @@ def partition_dir(out_dir: str, pid: int) -> str:
     return os.path.join(out_dir, f"partition={pid:05d}")
 
 
+def segment_files(out_dir: str, pid: int) -> list:
+    """All data files of one partition in replay order: the base
+    ``deltas.parquet`` then ``deltas.seg-NNNNNN.parquet`` appends
+    (lexicographic order == append order by construction)."""
+    import glob
+
+    pdir = partition_dir(out_dir, pid)
+    if not os.path.isdir(pdir):
+        return []
+    return sorted(glob.glob(os.path.join(pdir, "deltas*.parquet")))
+
+
 def write_partition(out_dir: str, pid: int, table: pa.Table, wall_s: float) -> None:
-    """Atomic write: Parquet to a temp name, rename, manifest last. A crash
-    mid-write leaves no manifest → the partition is recomputed on resume."""
+    """Atomic FULL write: Parquet to a temp name, rename, manifest last. A
+    crash mid-write leaves no manifest → the partition is recomputed on
+    resume. Any append segments from a previous life of this partition are
+    invalidated (a full rewrite supersedes the log)."""
     import pyarrow.parquet as pq
 
     pdir = partition_dir(out_dir, pid)
@@ -179,6 +193,35 @@ def write_partition(out_dir: str, pid: int, table: pa.Table, wall_s: float) -> N
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
+    for seg in segment_files(out_dir, pid):
+        if os.path.basename(seg) != "deltas.parquet":
+            os.remove(seg)
+    _write_manifest(pdir, pid, table, wall_s)
+
+
+def append_segment(out_dir: str, pid: int, add: pa.Table, merged: pa.Table,
+                   wall_s: float) -> None:
+    """Log-structured append: write ONLY the new rows as the next segment
+    file; existing data bytes are never rewritten — the analog of the
+    reference's O(delta) git commit (``src/git.rs:192-222``) instead of a
+    whole-partition rewrite. The manifest is refreshed from the merged
+    view so lineage/resume semantics are unchanged."""
+    import pyarrow.parquet as pq
+
+    pdir = partition_dir(out_dir, pid)
+    os.makedirs(pdir, exist_ok=True)
+    n_seg = sum(
+        1 for f in segment_files(out_dir, pid)
+        if os.path.basename(f) != "deltas.parquet"
+    )
+    final = os.path.join(pdir, f"deltas.seg-{n_seg:06d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(add, tmp)
+    os.replace(tmp, final)
+    _write_manifest(pdir, pid, merged, wall_s)
+
+
+def _write_manifest(pdir: str, pid: int, table: pa.Table, wall_s: float) -> None:
     gids = table["graph_id"]
     content = sha256_bytes(
         b"".join(sorted(d.as_py() or b"" for d in table["digest"]))

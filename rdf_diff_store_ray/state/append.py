@@ -16,11 +16,15 @@ Semantics reproduced:
 
 Execution shape: the incoming batch is partitioned by the SAME
 ``hash(graph_id) % P`` key as the build (P read from the log's _SUCCESS
-manifest), then one task per touched partition merges new rows with the
-partition's current table and rewrites it atomically (read-modify-write
-per partition — the log-structured-append optimization is a follow-up;
-untouched partitions are never opened). Single-writer-per-partition
-replaces the reference's global write lock (repo pool of size 1).
+manifest); a read-only validation pass over the touched partitions runs
+FIRST (so a monotonicity violation raises before any bytes change — the
+atomicity the reference gets from its global write lock), then one task
+per touched partition writes ONLY its new rows as the next log segment
+(``deltas.seg-NNNNNN.parquet``; existing data files are never
+rewritten — O(delta) like the reference's git commit) and refreshes the
+partition manifest. Untouched partitions are never opened.
+Single-writer-per-partition replaces the reference's global write lock
+(repo pool of size 1).
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..ntriples import serialize, sha256_text
+from ..ntriples import parse, serialize, sha256_text
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
 from ..shuffle_utils import partition_ids
 from ..stages import deltas as deltas_mod
@@ -64,13 +68,15 @@ def _log_num_partitions(delta_dir: str) -> int:
 
 
 def _partition_table(delta_dir: str, pid: int) -> pa.Table:
+    """Merged view of one partition: base file + append segments, in
+    replay order (segment order is the same-second tie-break)."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(deltas_mod.partition_dir(delta_dir, pid), "deltas.parquet")
-    if os.path.exists(path):
-        # parquet round-trips large_string as string; re-cast to contract
-        return pq.read_table(path).cast(DELTAS)
-    return DELTAS.empty_table()
+    files = deltas_mod.segment_files(delta_dir, pid)
+    if not files:
+        return DELTAS.empty_table()
+    # parquet round-trips large_string as string; re-cast to contract
+    return pa.concat_tables([pq.read_table(f).cast(DELTAS) for f in files])
 
 
 def _latest_by_graph(table: pa.Table) -> dict:
@@ -112,6 +118,7 @@ class _PartitionAppender:
         for r in group.sort_values("graph_id").itertuples(index=False):
             prev = latest.get(r.graph_id)
             if prev is not None and self.ts < prev[0]:
+                # defense in depth: _apply pre-validates before any write
                 raise ValueError(
                     f"append at ts={self.ts} predates existing history "
                     f"({prev[0]}) for graph {r.graph_id!r} — the version "
@@ -150,8 +157,8 @@ class _PartitionAppender:
                 }
             ).cast(DELTAS)
             merged = pa.concat_tables([current, add]).cast(DELTAS)
-            deltas_mod.write_partition(
-                self.delta_dir, pid, merged, wall_s=time.monotonic() - t0
+            deltas_mod.append_segment(
+                self.delta_dir, pid, add, merged, wall_s=time.monotonic() - t0
             )
         return pd.DataFrame({"partition_id": [pid], "applied": [applied]})
 
@@ -162,6 +169,38 @@ def _apply(delta_dir: str, rows: pa.Table, ts: int) -> int:
     num_partitions = _log_num_partitions(delta_dir)
     pids = partition_ids(rows["graph_id"], num_partitions)
     rows = rows.append_column("partition_id", pa.array(pids, pa.int32()))
+    ts = int(ts)
+
+    # Read-only validation over the touched partitions BEFORE any write:
+    # a multi-graph append either applies entirely or raises with zero
+    # bytes changed (the atomicity the reference's global write lock
+    # provides; partial application would otherwise be unrecoverable).
+    def check_monotone(group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["partition_id"].iloc[0])
+        latest = _latest_by_graph(_partition_table(delta_dir, pid))
+        bad_g, bad_t = [], []
+        for gid in group["graph_id"]:
+            prev = latest.get(gid)
+            if prev is not None and ts < prev[0]:
+                bad_g.append(gid)
+                bad_t.append(prev[0])
+        return pd.DataFrame({"graph_id": bad_g, "prev_ts": bad_t})
+
+    violations = (
+        rd.from_arrow(rows)
+        .groupby("partition_id")
+        .map_groups(check_monotone, batch_format="pandas")
+        .take_all()
+    )
+    if violations:
+        v = violations[0]
+        raise ValueError(
+            f"append at ts={ts} predates existing history "
+            f"({v['prev_ts']}) for graph {v['graph_id']!r} "
+            f"(+{len(violations) - 1} more) — the version axis is "
+            "monotone per graph (src/git.rs:208 analog); nothing was written"
+        )
+
     appender = _PartitionAppender(delta_dir, ts, num_partitions)
 
     def append_partition(group: pd.DataFrame) -> pd.DataFrame:
@@ -178,13 +217,17 @@ def _apply(delta_dir: str, rows: pa.Table, ts: int) -> int:
 
 def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     """Upsert ``graph_id → graph`` at unix-seconds ``ts``. ``graph`` is
-    canonical N-Triples text or an iterable of
-    ``(subj, pred, obj, obj_is_literal)`` triples. Returns the number of
-    deltas actually written (no-op posts write nothing)."""
+    N-Triples text or an iterable of ``(subj, pred, obj, obj_is_literal)``
+    triples. String input is re-canonicalized (parse → serialize: sort,
+    dedupe, NFC, trailing newline) before digesting — the reference
+    prettifies before its equality check (``src/graphs.rs:35-61``), so a
+    reordered-but-equal document must still be a suppressed no-op.
+    Returns the number of deltas actually written (no-op posts write
+    nothing)."""
     ids, texts = [], []
     for gid, g in sorted(graphs.items()):
         ids.append(gid)
-        texts.append(g if isinstance(g, str) else serialize(g))
+        texts.append(serialize(parse(g) if isinstance(g, str) else g))
     rows = pa.table(
         {
             "graph_id": pa.array(ids, pa.string()),

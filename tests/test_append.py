@@ -115,3 +115,58 @@ def test_append_onto_built_log(ray_session, built, tmp_path):
     assert state_at_table(dt1, hi_s + 61).num_rows == n_before + 1
     # pre-append states are untouched
     assert state_at_table(dt1, hi_s).num_rows == n_before
+
+
+def test_append_is_log_structured(store, ray_session):
+    """An append writes a NEW segment file and never rewrites existing
+    data bytes (the O(delta) commit analog, src/git.rs:192-222)."""
+    from rdf_diff_store_ray.state.append import append_graphs
+
+    append_graphs(store, {"g1": G_A, "g2": G_B}, T1)
+
+    def data_files():
+        return {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(store, "partition=*", "*.parquet"))
+        }
+
+    before = data_files()
+    assert append_graphs(store, {"g1": G_A2, "g3": G_B}, T2) == 2
+    after = data_files()
+    # every pre-existing data file is byte-for-byte untouched
+    for path, stat in before.items():
+        assert after[path] == stat, f"append rewrote {path}"
+    # and the new rows landed in fresh segment files
+    new_files = set(after) - set(before)
+    assert new_files and all(".seg-" in os.path.basename(p) for p in new_files)
+
+
+def test_append_canonicalizes_string_input(store, ray_session):
+    """Raw string input is re-canonicalized before digesting: the same
+    graph content reordered / duplicated / missing the trailing newline
+    must be a suppressed no-op (the reference prettifies before its
+    equality check, src/graphs.rs:35-61)."""
+    from rdf_diff_store_ray.state.append import append_graphs
+
+    two = ('<https://x/a> <https://x/p> "1" .\n'
+           '<https://x/b> <https://x/p> "2" .\n')
+    reordered = ('<https://x/b> <https://x/p> "2" .\n'
+                 '<https://x/a> <https://x/p> "1" .\n'
+                 '<https://x/a> <https://x/p> "1" .')  # dupe + no trailing \n
+    assert append_graphs(store, {"g": two}, T1) == 1
+    assert append_graphs(store, {"g": reordered}, T2) == 0  # suppressed
+
+
+def test_failed_append_writes_nothing(store, ray_session):
+    """A multi-graph append with one monotonicity violation raises BEFORE
+    any partition is touched — no partial application."""
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    append_graphs(store, {"old": G_A}, T2)
+    before = _delta_table(store)
+    with pytest.raises(Exception, match="predates"):
+        # "fresh" alone would be valid; "old" at T1 < T2 is not
+        append_graphs(store, {"fresh": G_B, "old": G_A2}, T1)
+    after = _delta_table(store)
+    assert after.equals(before)
