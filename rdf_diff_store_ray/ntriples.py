@@ -24,7 +24,22 @@ parser is scoped to exactly this canonical subset.
 from __future__ import annotations
 
 import hashlib
+import re
 import unicodedata
+
+# Typed literals ("5"^^<dt-iri>) and language-tagged literals ("x"@en)
+# are carried in the 4-tuple/columnar form as a DECORATED object string:
+# the full canonical literal token (quotes + suffix) with
+# obj_is_literal=True. Plain literals stay raw values, so their canonical
+# bytes (and every existing digest) are unchanged. The strict shape check
+# below is what keeps the encoding unambiguous: a *plain* literal whose
+# value merely resembles a decorated token fails the escape discipline
+# test only if it IS a well-formed token, which the serializer then
+# emits identically — the two readings produce the same canonical line.
+_DECORATED_RE = re.compile(
+    r'^"(?:[^"\\\n\r\t]|\\["\\nrt])*"'
+    r'(?:\^\^<[^<>"\s{}|^`\\]+>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)$'
+)
 
 _ESCAPES = {
     "\\": "\\\\",
@@ -60,10 +75,27 @@ def unescape_literal(value: str) -> str:
     return "".join(out)
 
 
+def is_decorated_literal(obj: str) -> bool:
+    """True when ``obj`` is a full typed/lang-tagged literal token."""
+    return bool(_DECORATED_RE.match(obj))
+
+
+def literal_parts(obj: str):
+    """Split a literal object into ``(lexical_value, suffix)`` where
+    suffix is ``''`` (plain), ``'@lang'`` or ``'^^<iri>'``."""
+    if is_decorated_literal(obj):
+        j = obj.rindex('"')
+        return unescape_literal(obj[1:j]), obj[j + 1 :]
+    return obj, ""
+
+
 def format_line(subj: str, pred: str, obj: str, obj_is_literal: bool) -> str:
     """One canonical N-Triples line (without trailing newline)."""
     if obj_is_literal:
-        o = f'"{escape_literal(obj)}"'
+        if is_decorated_literal(obj):
+            o = unicodedata.normalize("NFC", obj)
+        else:
+            o = f'"{escape_literal(obj)}"'
     else:
         o = f"<{unicodedata.normalize('NFC', obj)}>"
     s = unicodedata.normalize("NFC", subj)
@@ -108,9 +140,25 @@ def parse(text: str):
                 raise ValueError(f"bad object IRI in: {line!r}")
             out.append((subj, pred, obj, False))
         elif orest.startswith('"'):
-            if not orest.endswith('"'):
+            # find the closing quote (escape-aware), then the suffix
+            j, n = 1, len(orest)
+            while j < n:
+                if orest[j] == "\\":
+                    j += 2
+                    continue
+                if orest[j] == '"':
+                    break
+                j += 1
+            if j >= n:
                 raise ValueError(f"bad literal in: {line!r}")
-            out.append((subj, pred, unescape_literal(orest[1:-1]), True))
+            suffix = orest[j + 1 :]
+            if suffix == "":
+                out.append((subj, pred, unescape_literal(orest[1:-1]), True))
+            elif is_decorated_literal(orest):
+                # typed / lang-tagged: keep the full token as the object
+                out.append((subj, pred, orest, True))
+            else:
+                raise ValueError(f"bad literal suffix in: {line!r}")
         else:
             raise ValueError(f"bad object in: {line!r}")
     return out

@@ -355,6 +355,85 @@ def kg_bgp_acquired(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_filter(sf_dir: str):
+    """FILTER over the KG: companies founded in or after 1995 at the end
+    timestamp (numeric comparison on a literal binding) — the oxigraph
+    FILTER surface (``src/query.rs:102-114``) the BGP subset now covers."""
+    from ..corpus import P_FOUNDED
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(
+        int(pd.Timestamp(hi).timestamp()),
+        f"?s <{P_FOUNDED}> ?y . FILTER(?y >= 1995)",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_bgp_optional(sf_dir: str):
+    """OPTIONAL over the KG: every acquirer with its partner when one
+    exists (left-outer merge; unbound → null column)."""
+    from ..corpus import P_ACQUIRED, P_PARTNERS
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(
+        int(pd.Timestamp(hi).timestamp()),
+        f"?s <{P_ACQUIRED}> ?o . OPTIONAL {{ ?s <{P_PARTNERS}> ?partner }}",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_bgp_typed(sf_dir: str):
+    """Typed + language-tagged literals through the whole store stack:
+    append graphs carrying ``"5"^^xsd:integer`` / ``"alpha"@en`` objects
+    to a fresh log, then query them back by typed term, language tag and
+    numeric FILTER."""
+    import tempfile
+
+    from ..query.bgp import DiffStoreReader
+    from ..state.append import append_graphs, init_log
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    store = init_log(tempfile.mkdtemp(prefix="kg_typed_", dir="/tmp"),
+                     num_partitions=2)
+    append_graphs(
+        store,
+        {
+            "g1": [
+                ("https://e/a", "https://p/size", f'"5"^^<{xsd_int}>', True),
+                ("https://e/a", "https://p/label", '"alpha"@en', True),
+            ],
+            "g2": [
+                ("https://e/b", "https://p/size", f'"12"^^<{xsd_int}>', True),
+                ("https://e/b", "https://p/label", '"beta"@en', True),
+            ],
+        },
+        1_700_000_000,
+    )
+    import glob
+
+    import pyarrow.dataset as pads
+
+    dt = pads.dataset(
+        sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
+    ).to_table()
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(
+        1_700_000_001,
+        "?s <https://p/size> ?n . ?s <https://p/label> ?l . FILTER(?n >= 10)",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_ntriples_roundtrip(sf_dir: str):
     """Export the end-state KG to one canonical ``.ttl`` file per graph
     (the reference's store layout) and read it back through the N-Triples
@@ -594,6 +673,9 @@ def registry():
         "kg_triple_pr": kg_triple_pr,
         "kg_entity_degree": kg_entity_degree,
         "kg_bgp_acquired": kg_bgp_acquired,
+        "kg_bgp_filter": kg_bgp_filter,
+        "kg_bgp_optional": kg_bgp_optional,
+        "kg_bgp_typed": kg_bgp_typed,
         "kg_metadata": kg_metadata,
     }
 

@@ -4,14 +4,19 @@ The reference loads all live graphs at ``ts`` into an in-memory oxigraph
 store and runs SPARQL (``/root/reference/src/query.rs:117-145``). This
 engine holds the reconstructed state as an Arrow triple table and evaluates
 BGPs — conjunctions of triple patterns with shared variables — via hash
-joins (pandas merges) on the variable columns. Scoped to the subset the
-reference's observable tests exercise: triple patterns with ``?var``,
-``<iri>`` and ``"literal"`` terms; results as SPARQL-JSON-shaped bindings.
+joins (pandas merges) on the variable columns, plus ``FILTER``
+(=, !=, numeric and lexical <, <=, >, >=), ``OPTIONAL`` (left-outer
+merge), typed literals (``"5"^^<dt>``) and language tags (``"x"@en``).
+Results are SPARQL-JSON-shaped bindings; unbound OPTIONAL variables are
+omitted, as SPARQL does.
 
 Query syntax::
 
     ?s <https://kg.example/prop/acquired> ?o
     ?s <p1> ?m . ?m <p2> "lit"
+    ?s <p> ?v . FILTER(?v >= 10)
+    ?s <p1> ?o . OPTIONAL { ?s <p2> ?label }
+    ?s <p> "name"@en . ?s <q> "5"^^<http://www.w3.org/2001/XMLSchema#integer>
 
 :class:`DiffStoreReader` mirrors the reference's ``QueryCache`` —
 three LRU caches (``store_cache: ts→store``, ``graphs_cache: ts→text``,
@@ -52,14 +57,130 @@ class LRU:
 
 
 def parse_bgp(query: str):
-    """Parse ``pat ( . pat)*`` where pat = 3 terms."""
-    patterns = []
-    for part in query.strip().split(" . "):
-        terms = _split_terms(part.strip())
-        if len(terms) != 3:
-            raise ValueError(f"bad triple pattern: {part!r}")
-        patterns.append(tuple(_parse_term(t) for t in terms))
-    return patterns
+    """Parse ``pat ( . pat)*`` where pat = 3 terms — the base group's
+    pattern list (legacy surface; :func:`parse_query` is the full
+    grammar)."""
+    return parse_query(query)["patterns"]
+
+
+def parse_query(query: str) -> dict:
+    """Parse the SPARQL-subset grammar into a group dict::
+
+        group   := clause ( " . " clause )*
+        clause  := pattern | FILTER( expr ) | OPTIONAL { group }
+        pattern := term term term
+        expr    := operand (= | != | < | <= | > | >=) operand
+        operand := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt> | number
+
+    Returns ``{"patterns": [...], "filters": [...], "optionals":
+    [group, ...]}``. OPTIONAL groups may carry their own filters but not
+    nested OPTIONALs (one level, like the reference tests exercise).
+    Grows the oxigraph-subset surface of ``src/query.rs:102-114``."""
+    group = {"patterns": [], "filters": [], "optionals": []}
+    for clause in _split_clauses(query.strip()):
+        up = clause.upper()
+        if up.startswith("FILTER"):
+            inner = clause[len("FILTER"):].strip()
+            if not (inner.startswith("(") and inner.endswith(")")):
+                raise ValueError(f"FILTER needs parentheses: {clause!r}")
+            group["filters"].append(_parse_filter(inner[1:-1].strip()))
+        elif up.startswith("OPTIONAL"):
+            inner = clause[len("OPTIONAL"):].strip()
+            if not (inner.startswith("{") and inner.endswith("}")):
+                raise ValueError(f"OPTIONAL needs braces: {clause!r}")
+            sub = parse_query(inner[1:-1].strip())
+            if sub["optionals"]:
+                raise ValueError("nested OPTIONAL is not supported")
+            group["optionals"].append(sub)
+        else:
+            terms = _split_terms(clause)
+            if len(terms) != 3:
+                raise ValueError(f"bad triple pattern: {clause!r}")
+            group["patterns"].append(tuple(_parse_term(t) for t in terms))
+    return group
+
+
+def _split_clauses(s: str):
+    """Split on top-level ``.`` separators, protecting ``<>``, quoted
+    literals, ``{}`` groups and ``()`` filter expressions."""
+    out, buf = [], []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            buf.append(s[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+        elif c in "{(":
+            depth += 1
+            buf.append(c)
+            i += 1
+        elif c in "})":
+            depth -= 1
+            buf.append(c)
+            i += 1
+        elif c == "." and depth == 0 and (i + 1 == n or s[i + 1].isspace()) \
+                and (i == 0 or s[i - 1].isspace()):
+            part = "".join(buf).strip()
+            if part:
+                out.append(part)
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    part = "".join(buf).strip()
+    if part:
+        out.append(part)
+    return out
+
+
+_FILTER_OPS = ("<=", ">=", "!=", "=", "<", ">")
+
+
+def _parse_filter(s: str):
+    toks = _split_terms(s)
+    if len(toks) != 3 or toks[1] not in _FILTER_OPS:
+        raise ValueError(f"bad FILTER expression: {s!r}")
+    return (_parse_operand(toks[0]), toks[1], _parse_operand(toks[2]))
+
+
+_NUM_RE = None
+
+
+def _parse_operand(t: str):
+    global _NUM_RE
+    if _NUM_RE is None:
+        import re
+
+        _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+    if _NUM_RE.match(t):
+        return ("num", float(t))
+    return _parse_term(t)
+
+
+def _iri_end(s: str, i: int):
+    """``s[i] == '<'`` starts an IRI iff a ``>`` closes it before any
+    whitespace (canonical IRIs contain no spaces); otherwise ``<`` is the
+    comparison operator. Returns the index of ``>`` or None."""
+    j = i + 1
+    n = len(s)
+    while j < n and not s[j].isspace():
+        if s[j] == ">":
+            return j
+        j += 1
+    return None
 
 
 def _split_terms(s: str):
@@ -68,8 +189,7 @@ def _split_terms(s: str):
         c = s[i]
         if c.isspace():
             i += 1
-        elif c == "<":
-            j = s.index(">", i)
+        elif c == "<" and (j := _iri_end(s, i)) is not None:
             out.append(s[i : j + 1])
             i = j + 1
         elif c == '"':
@@ -81,8 +201,16 @@ def _split_terms(s: str):
                 if s[j] == '"':
                     break
                 j += 1
-            out.append(s[i : j + 1])
-            i = j + 1
+            # consume a typed/lang suffix so the decorated literal stays
+            # one token: "x"@en or "5"^^<iri>
+            k = j + 1
+            if k < n and s[k] == "@":
+                while k < n and not s[k].isspace():
+                    k += 1
+            elif s[k : k + 3] == "^^<":
+                k = s.index(">", k) + 1
+            out.append(s[i:k])
+            i = k
         else:
             j = i
             while j < n and not s[j].isspace():
@@ -93,7 +221,7 @@ def _split_terms(s: str):
 
 
 def _parse_term(t: str):
-    from ..ntriples import unescape_literal
+    from ..ntriples import is_decorated_literal, unescape_literal
 
     if t.startswith("?"):
         return ("var", t[1:])
@@ -101,13 +229,17 @@ def _parse_term(t: str):
         return ("iri", t[1:-1])
     if t.startswith('"') and t.endswith('"'):
         return ("lit", unescape_literal(t[1:-1]))
+    if is_decorated_literal(t):
+        # typed / lang-tagged literal term == the decorated object form
+        return ("lit", t)
     raise ValueError(f"bad term: {t!r}")
 
 
 def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
-    """Evaluate a BGP against a triple table
+    """Evaluate a SPARQL-subset query against a triple table
     (``subj, pred, obj, obj_is_literal``); returns distinct bindings, one
-    column per variable, sorted for determinism.
+    column per variable, sorted for determinism. Unbound OPTIONAL
+    variables are ``None`` (omitted in the SPARQL-JSON form).
 
     A variable binds an RDF *term*, not a lexical form: bindings are
     carried internally as ``(value, is_literal)`` tuples so that a
@@ -115,8 +247,43 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
     """
     df = triples.to_pandas()
+    group = parse_query(query)
+    result = _eval_patterns(df, group["patterns"])
+    for opt in group["optionals"]:
+        ores = _eval_patterns(df, opt["patterns"])
+        ores = _apply_filters(ores, opt["filters"])
+        shared = [c for c in result.columns if c in ores.columns]
+        new_cols = [c for c in ores.columns if c not in result.columns]
+        if len(ores) == 0:
+            for c in new_cols:
+                result[c] = None
+        elif shared:
+            result = result.merge(ores, on=shared, how="left")
+        else:
+            result = result.merge(ores, how="cross")
+        result = result.drop_duplicates(ignore_index=True)
+    result = _apply_filters(result, group["filters"])
+    # unwrap tagged tuples to lexical forms for the caller; unbound → None
+    out = pd.DataFrame(
+        {
+            c: [t[0] if isinstance(t, tuple) else None for t in result[c]]
+            for c in result.columns
+        },
+        index=result.index,
+    )
+    if len(out.columns):
+        out = out.drop_duplicates(ignore_index=True)
+        return out.sort_values(
+            list(out.columns), ignore_index=True, na_position="last"
+        )
+    return out.reset_index(drop=True)
+
+
+def _eval_patterns(df: pd.DataFrame, patterns) -> pd.DataFrame:
+    """Conjunction of triple patterns via hash joins; returns a frame of
+    TAGGED ``(value, is_literal)`` bindings, one column per variable."""
     result: pd.DataFrame | None = None
-    for s, p, o in parse_bgp(query):
+    for s, p, o in patterns:
         cur = df
         var_positions: dict = {}  # var -> [position, ...]
         for pos, term, is_obj in (("subj", s, False), ("pred", p, False), ("obj", o, True)):
@@ -157,16 +324,116 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
         result = result.drop_duplicates(ignore_index=True)
         if len(result) == 0:  # NOT .empty — a zero-column boolean frame
             break             # with rows still means "matched"
-    assert result is not None
-    # unwrap tagged tuples to lexical forms for the caller
-    out = pd.DataFrame(
-        {c: [t[0] for t in result[c]] for c in result.columns},
-        index=result.index,
-    )
-    if len(out.columns):
-        out = out.drop_duplicates(ignore_index=True)
-        return out.sort_values(list(out.columns), ignore_index=True)
-    return out.reset_index(drop=True)
+    if result is None:  # empty pattern list (pure-OPTIONAL/FILTER group)
+        result = pd.DataFrame(index=[0])
+    return result
+
+
+# ------------------------------------------------------------- FILTER ------
+
+_XSD_NUMERIC = frozenset(
+    f"http://www.w3.org/2001/XMLSchema#{t}"
+    for t in ("integer", "int", "long", "short", "byte", "decimal", "float",
+              "double", "nonNegativeInteger", "positiveInteger",
+              "unsignedInt", "unsignedLong")
+)
+
+
+def _term_lexical(tagged):
+    """Lexical form of a tagged binding (decorated literals unwrapped)."""
+    from ..ntriples import literal_parts
+
+    value, is_lit = tagged
+    if is_lit:
+        return literal_parts(value)[0]
+    return value
+
+
+def _term_numeric(tagged):
+    """Numeric value of a tagged binding, or None. Plain literals are
+    coerced when they look numeric (the corpus stores numbers as plain
+    literals); typed literals only for XSD numeric datatypes."""
+    from ..ntriples import literal_parts
+
+    value, is_lit = tagged
+    if not is_lit:
+        return None
+    lex, suffix = literal_parts(value)
+    if suffix.startswith("^^<"):
+        if suffix[3:-1] not in _XSD_NUMERIC:
+            return None
+    elif suffix:  # language-tagged — never numeric
+        return None
+    try:
+        return float(lex)
+    except ValueError:
+        return None
+
+
+def _operand_value(operand, row):
+    """Resolve a filter operand against one result row → tagged term,
+    ("num", x) constant, or None (unbound)."""
+    kind, val = operand
+    if kind == "var":
+        t = row.get(val)
+        return t if isinstance(t, tuple) else None
+    if kind == "iri":
+        return (val, False)
+    if kind == "lit":
+        return (val, True)
+    return ("__num__", val)  # sentinel handled in _filter_true
+
+
+def _filter_true(lhs, op: str, rhs) -> bool:
+    """SPARQL-style comparison; unbound/incomparable → False (a filter
+    error removes the row)."""
+    if lhs is None or rhs is None:
+        return False
+
+    def num(x):
+        if isinstance(x, tuple) and x[0] == "__num__":
+            return x[1]
+        return _term_numeric(x)
+
+    ln, rn = num(lhs), num(rhs)
+    if ln is not None and rn is not None:
+        a, b = ln, rn
+    elif op in ("=", "!="):
+        if isinstance(lhs, tuple) and lhs[0] == "__num__":
+            return False  # numeric const vs non-numeric term
+        if isinstance(rhs, tuple) and rhs[0] == "__num__":
+            return False
+        a, b = lhs, rhs  # term equality (value, is_literal)
+    else:
+        # ordering on lexical forms (codepoint order), literals/IRIs alike
+        if isinstance(lhs, tuple) and lhs[0] == "__num__":
+            return False
+        if isinstance(rhs, tuple) and rhs[0] == "__num__":
+            return False
+        a, b = _term_lexical(lhs), _term_lexical(rhs)
+    if op == "=":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    return a >= b
+
+
+def _apply_filters(result: pd.DataFrame, filters) -> pd.DataFrame:
+    for lhs, op, rhs in filters:
+        if len(result) == 0:
+            break
+        mask = [
+            _filter_true(_operand_value(lhs, row), op, _operand_value(rhs, row))
+            for _, row in result.iterrows()
+        ]
+        result = result[pd.Series(mask, index=result.index)]
+    return result
 
 
 def bindings_json(df: pd.DataFrame) -> str:
@@ -175,7 +442,7 @@ def bindings_json(df: pd.DataFrame) -> str:
         "head": {"vars": list(df.columns)},
         "results": {
             "bindings": [
-                {c: {"value": row[c]} for c in df.columns}
+                {c: {"value": row[c]} for c in df.columns if row[c] is not None}
                 for _, row in df.iterrows()
             ]
         },

@@ -104,7 +104,14 @@ class QueryService:
         self._gather_cache = LRU(64)  # ts -> unioned live triple table
 
     def query_at(self, ts, query: str) -> pd.DataFrame:
-        if len(parse_bgp(query)) > 1 and len(self.actors) > 1:
+        from .bgp import parse_query
+
+        g = parse_query(query)
+        # a single pattern (filters are row-local, so they distribute
+        # over the union) can be evaluated per partition and unioned;
+        # joins and OPTIONAL need the whole live state in one evaluator
+        simple = len(g["patterns"]) == 1 and not g["optionals"]
+        if not simple and len(self.actors) > 1:
             return self._query_at_gathered(ts, query)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
         merged = pd.concat(parts, ignore_index=True).drop_duplicates(

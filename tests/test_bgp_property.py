@@ -104,3 +104,177 @@ def test_eval_bgp_matches_naive(triples, pats):
         assert bool(len(got_df)) == bool(want)
     else:
         assert got == want, (query, rows)
+
+
+# ---------------------------------------------------------------------------
+# Extended grammar: FILTER / OPTIONAL / typed + lang-tagged literals
+# ---------------------------------------------------------------------------
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_DECORATED = [f'"5"^^<{_XSD_INT}>', f'"7"^^<{_XSD_INT}>', '"x"@en']
+_ALL_LITS = _LITS + _DECORATED
+
+_triple_ext = st.tuples(
+    st.sampled_from(_ENTS),
+    st.sampled_from(_PREDS),
+    st.one_of(
+        st.tuples(st.sampled_from(_ENTS), st.just(False)),
+        st.tuples(st.sampled_from(_ALL_LITS), st.just(True)),
+    ),
+)
+
+_pattern_ext = st.tuples(
+    st.sampled_from(_VARS + [f"<{e}>" for e in _ENTS]),
+    st.sampled_from(_VARS + [f"<{p}>" for p in _PREDS]),
+    st.sampled_from(
+        _VARS
+        + [f"<{e}>" for e in _ENTS]
+        + [f'"{v}"' for v in _LITS]
+        + _DECORATED
+    ),
+)
+
+_operand = st.sampled_from(
+    _VARS + [f"<{_ENTS[0]}>", f'"{_LITS[0]}"', _DECORATED[0], "5", "1999"]
+)
+_filter = st.tuples(_operand, st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+                    _operand)
+
+
+def _nv_lexical(val, lit):
+    if lit and val.startswith('"'):
+        j = val.rindex('"')
+        return val[1:j]
+    return val
+
+
+def _nv_numeric(val, lit):
+    if not lit:
+        return None
+    j = val.rindex('"') if val.startswith('"') else -1
+    lex, suffix = (val[1:j], val[j + 1:]) if j > 0 else (val, "")
+    if suffix.startswith("@"):
+        return None
+    if suffix.startswith("^^<") and "XMLSchema#int" not in suffix:
+        return None
+    try:
+        return float(lex)
+    except ValueError:
+        return None
+
+
+def _nv_operand(tok, binding):
+    if tok.startswith("?"):
+        return binding.get(tok[1:])
+    if tok.startswith("<"):
+        return (tok[1:-1], False)
+    if tok.startswith('"'):
+        return (tok, True) if not tok.endswith('"') or "^^" in tok or "@" in tok[tok.rindex('"'):] else (tok[1:-1], True)
+    return ("__num__", float(tok))
+
+
+def _nv_filter_true(f, binding):
+    lt, op, rt = f
+    lhs, rhs = _nv_operand(lt, binding), _nv_operand(rt, binding)
+    if lhs is None or rhs is None:
+        return False
+
+    def num(x):
+        if x[0] == "__num__":
+            return x[1]
+        return _nv_numeric(x[0], x[1])
+
+    ln, rn = num(lhs), num(rhs)
+    if ln is not None and rn is not None:
+        a, b = ln, rn
+    elif op in ("=", "!="):
+        if lhs[0] == "__num__" or rhs[0] == "__num__":
+            return False
+        a, b = lhs, rhs
+    else:
+        if lhs[0] == "__num__" or rhs[0] == "__num__":
+            return False
+        a, b = _nv_lexical(*lhs), _nv_lexical(*rhs)
+    return {"=": a == b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+
+def _nv_extensions(triples, patterns, seed):
+    """All bindings extending ``seed`` over the pattern conjunction."""
+    out = []
+
+    def match(pattern, triple, binding):
+        (s, p, o, lit) = triple
+        vals = {"subj": (s, False), "pred": (p, False), "obj": (o, lit)}
+        b = dict(binding)
+        for pos, term in zip(("subj", "pred", "obj"), pattern):
+            val = vals[pos]
+            if term.startswith("?"):
+                var = term[1:]
+                if var in b and b[var] != val:
+                    return None
+                b[var] = val
+            elif term.startswith("<"):
+                if val != (term[1:-1], False):
+                    return None
+            else:  # plain or decorated literal constant
+                want = (term, True) if ("^^" in term or term.rindex('"') != len(term) - 1) else (term[1:-1], True)
+                if pos != "obj" or val != want:
+                    return None
+        return b
+
+    def rec(i, binding):
+        if i == len(patterns):
+            out.append(binding)
+            return
+        for t in triples:
+            b = match(patterns[i], t, binding)
+            if b is not None:
+                rec(i + 1, b)
+
+    rec(0, dict(seed))
+    return out
+
+
+@given(
+    triples=st.lists(_triple_ext, min_size=0, max_size=8),
+    pats=st.lists(_pattern_ext, min_size=1, max_size=2),
+    opt=st.lists(_pattern_ext, min_size=0, max_size=1),
+    filters=st.lists(_filter, min_size=0, max_size=2),
+)
+@settings(max_examples=250, deadline=None)
+def test_eval_extended_matches_naive(triples, pats, opt, filters):
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    parts = [" ".join(p) for p in pats]
+    if opt:
+        parts.append("OPTIONAL { " + " . ".join(" ".join(p) for p in opt) + " }")
+    parts.extend(f"FILTER({l} {op} {r})" for (l, op, r) in filters)
+    query = " . ".join(parts)
+    if not any(t.startswith("?") for p in pats for t in p):
+        return  # zero-column boolean frames covered by the base fuzz test
+    got_df = eval_bgp(table, query)
+    cols = sorted(got_df.columns)
+
+    want = set()
+    for b in _nv_extensions(rows, pats, {}):
+        cands = [b]
+        if opt:
+            exts = _nv_extensions(rows, opt, b)
+            cands = exts if exts else [b]
+        for c in cands:
+            if all(_nv_filter_true(f, c) for f in filters):
+                want.add(tuple(c[v][0] if v in c else None for v in cols))
+    got = {
+        tuple(r[c] for c in cols) for _, r in got_df.iterrows()
+    }
+    assert got == want, (query, rows, got, want)

@@ -109,3 +109,69 @@ def test_bindings_json_shape(built, oracle_store):
     js = json.loads(reader.query_at_json(ts, f"?s <{P_FOUNDED}> ?y"))
     assert set(js["head"]["vars"]) == {"s", "y"}
     assert all("value" in b["s"] for b in js["results"]["bindings"])
+
+
+# ------------------------------------------------- extended query surface ---
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kg_bgp_filter_matches_pandas_oracle(ray_session):
+    """kg_bgp_filter == filter the raw end-state triples in pandas."""
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.corpus import P_FOUNDED
+    from rdf_diff_store_ray.state.reconstruct import metadata_table, triples_at_table
+
+    got = q.kg_bgp_filter(SF_DIR).to_pandas()
+    res = q.kg_build_for(SF_DIR)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    t = triples_at_table(dt, int(pd.Timestamp(hi).timestamp())).to_pandas()
+    t = t[(t["pred"] == P_FOUNDED) & t["obj_is_literal"]]
+    t = t[pd.to_numeric(t["obj"], errors="coerce") >= 1995]
+    want = (
+        t.rename(columns={"subj": "s", "obj": "y"})[["s", "y"]]
+        .drop_duplicates()
+        .sort_values(["s", "y"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_kg_bgp_optional_matches_pandas_oracle(ray_session):
+    """kg_bgp_optional == left merge of acquired with partnersWith."""
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_PARTNERS
+    from rdf_diff_store_ray.state.reconstruct import metadata_table, triples_at_table
+
+    got = q.kg_bgp_optional(SF_DIR).to_pandas()
+    res = q.kg_build_for(SF_DIR)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    t = triples_at_table(dt, int(pd.Timestamp(hi).timestamp())).to_pandas()
+    acq = t[t["pred"] == P_ACQUIRED].rename(columns={"subj": "s", "obj": "o"})
+    part = t[t["pred"] == P_PARTNERS].rename(
+        columns={"subj": "s", "obj": "partner"}
+    )
+    want = (
+        acq[["s", "o"]]
+        .merge(part[["s", "partner"]], on="s", how="left")
+        .drop_duplicates()
+        .sort_values(["s", "o", "partner"], ignore_index=True, na_position="last")
+    )
+    want["partner"] = want["partner"].astype(object).where(
+        pd.notna(want["partner"]), None
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_kg_bgp_typed_exact(ray_session):
+    """Typed + lang-tagged literals through append → store → query."""
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    got = q.kg_bgp_typed(SF_DIR).to_pandas()
+    assert list(got.columns) == ["s", "n", "l"] or set(got.columns) == {"s", "n", "l"}
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["s"] == "https://e/b"
+    assert row["n"] == '"12"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert row["l"] == '"beta"@en'
