@@ -472,6 +472,81 @@ def kg_ntriples_roundtrip(sf_dir: str):
     )
 
 
+def kg_turtle_ingest(sf_dir: str):
+    """Turtle ingestion interop: export the end-state KG as Turtle-style
+    documents WITH ``@prefix`` headers and abbreviations, read them back
+    through :func:`read_turtle`, and verify the canonical digest per
+    graph matches the store's (prefix expansion is lossless)."""
+    import tempfile
+
+    from ..ntriples import graph_filename, parse, serialize, sha256_text
+    from ..sources import read_turtle
+    from ..state.reconstruct import metadata_table, state_at_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    live = state_at_table(dt, int(pd.Timestamp(hi).timestamp()))
+    out_dir = tempfile.mkdtemp(prefix="ttl_ingest_", dir="/tmp")
+    prefix = "https://kg.example/prop/"
+
+    def term(iri: str) -> str:
+        local = iri[len(prefix):] if iri.startswith(prefix) else None
+        if local and "/" not in local and local.isidentifier():
+            return "prop:" + local
+        return f"<{iri}>"
+
+    from ..ntriples import escape_literal, is_decorated_literal
+
+    want = {}
+    for gid, text in zip(live["graph_id"].to_pylist(),
+                         live["delta_text"].to_pylist()):
+        want[gid] = sha256_text(text).hex()
+        lines = [f"@prefix prop: <{prefix}> ."]
+        for s, p, o, lit in parse(text):
+            if lit:
+                obj = o if is_decorated_literal(o) else f'"{escape_literal(o)}"'
+            else:
+                obj = term(o)
+            lines.append(f"{term(s)} {term(p)} {obj} .")
+        with open(f"{out_dir}/{graph_filename(gid)}", "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+    back = read_turtle(out_dir)
+
+    from ..shuffle_utils import add_partition_id
+
+    def digest_partition(df):
+        import pandas as pdd
+
+        out_g, out_d = [], []
+        for gid, g in df.groupby("graph_id", sort=False):
+            text = serialize(
+                zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
+            )
+            out_g.append(gid)
+            out_d.append(sha256_text(text).hex())
+        return pdd.DataFrame({"graph_id": out_g, "digest_hex": out_d})
+
+    got = (
+        back.map_batches(
+            lambda b: add_partition_id(b, key="graph_id", num_partitions=16,
+                                       col="tp_pid"),
+            batch_format="pyarrow",
+        )
+        .groupby("tp_pid")
+        .map_groups(digest_partition, batch_format="pandas")
+        .take_all()
+    )
+    n_match = sum(1 for r in got if want.get(r["graph_id"]) == r["digest_hex"])
+    return pa.table(
+        {
+            "graphs": pa.array([len(want)], pa.int64()),
+            "roundtripped": pa.array([len(got)], pa.int64()),
+            "digest_matches": pa.array([n_match], pa.int64()),
+        }
+    )
+
+
 def kg_query_service(sf_dir: str):
     """Distributed query path: per-partition reader actors + router,
     answering the acquired-BGP at the end timestamp; must equal
@@ -668,6 +743,7 @@ def registry():
         "kg_delta_log": kg_delta_log,
         "kg_state_at_mid": kg_state_at_mid,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
+        "kg_turtle_ingest": kg_turtle_ingest,
         "kg_query_service": kg_query_service,
         "kg_incremental_append": kg_incremental_append,
         "kg_triple_pr": kg_triple_pr,

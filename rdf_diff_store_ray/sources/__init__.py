@@ -1,1 +1,1 @@
-from .ntriples_io import read_ntriples, write_ntriples  # noqa: F401
+from .ntriples_io import read_ntriples, read_turtle, write_ntriples  # noqa: F401

@@ -79,6 +79,47 @@ def read_ntriples(paths):
     return ds.map_batches(_parse_lines, batch_format="pyarrow")
 
 
+def _parse_turtle_files(batch: pa.Table) -> pa.Table:
+    """Whole-document parse (Turtle is not line-oriented): one input row
+    per file from ``read_binary_files(include_paths=True)``."""
+    from ..turtle import parse_turtle
+
+    subjs, preds, objs, lits, gids = [], [], [], [], []
+    for data, path in zip(batch["bytes"].to_pylist(), batch["path"].to_pylist()):
+        name = os.path.basename(path)
+        try:
+            gid = graph_id_from_filename(name)
+        except ValueError:
+            gid = name
+        for s, p, o, lit in parse_turtle(data.decode("utf-8")):
+            subjs.append(s)
+            preds.append(p)
+            objs.append(o)
+            lits.append(lit)
+            gids.append(gid)
+    return pa.table(
+        {
+            "subj": pa.array(subjs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+            "obj_is_literal": pa.array(lits, pa.bool_()),
+            "graph_id": pa.array(gids, pa.string()),
+        }
+    )
+
+
+def read_turtle(paths):
+    """Read Turtle file(s) — ``@prefix``/``a``/``;``/``,`` abbreviations,
+    typed and lang-tagged literals — into the same columnar triples
+    Dataset as :func:`read_ntriples`. This is the ingestion path for a
+    reference-style ``.ttl`` store (``src/query.rs:148-169`` semantics:
+    prefix headers are expanded away, not carried)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(_parse_turtle_files, batch_format="pyarrow")
+
+
 def write_ntriples(triples_ds, out_dir: str, num_partitions: int = 64):
     """Write one canonical N-Triples file per graph (the reference's
     one-file-per-graph store layout). Returns a manifest Dataset

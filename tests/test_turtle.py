@@ -1,0 +1,175 @@
+"""Turtle ingestion: prefix expansion, abbreviations, literal shorthands,
+and interop with the canonical store (SURVEY gap: the reference's graphs
+are Turtle, src/query.rs:148-169)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdf_diff_store_ray.ntriples import parse, serialize
+from rdf_diff_store_ray.turtle import parse_turtle, turtle_to_canonical
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+DOC = """
+@prefix ex: <https://kg.example/entity/> .
+@prefix prop: <https://kg.example/prop/> .
+@prefix xsd: <{xsd}> .
+# comment line
+ex:E1 a <https://kg.example/class/Org> ;
+    prop:acquired ex:E2, ex:E3 ;
+    prop:label "Alpha Corp"@en ;
+    prop:foundedIn "1999"^^xsd:integer ;
+    prop:employees 250 ;
+    prop:rating 4.5 ;
+    prop:active true .
+ex:E2 prop:label "caf\\u00e9" .
+""".format(xsd=XSD)
+
+
+def test_prefix_expansion_and_abbreviations():
+    triples = parse_turtle(DOC)
+    assert (
+        "https://kg.example/entity/E1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "https://kg.example/class/Org",
+        False,
+    ) in triples
+    acq = [t for t in triples if t[1] == "https://kg.example/prop/acquired"]
+    assert {t[2] for t in acq} == {
+        "https://kg.example/entity/E2",
+        "https://kg.example/entity/E3",
+    }
+
+
+def test_literal_shorthands():
+    objs = {t[1].rsplit("/", 1)[-1]: t[2] for t in parse_turtle(DOC)}
+    assert objs["label"] in ('"Alpha Corp"@en', "café")  # two label triples
+    assert objs["foundedIn"] == f'"1999"^^<{XSD}integer>'
+    assert objs["employees"] == f'"250"^^<{XSD}integer>'
+    assert objs["rating"] == f'"4.5"^^<{XSD}decimal>'
+    assert objs["active"] == f'"true"^^<{XSD}boolean>'
+
+
+def test_unicode_escape():
+    t = [x for x in parse_turtle(DOC) if x[0].endswith("E2")]
+    assert t == [("https://kg.example/entity/E2",
+                  "https://kg.example/prop/label", "café", True)]
+
+
+def test_xsd_string_is_plain():
+    doc = f'<https://s> <https://p> "x"^^<{XSD}string> .'
+    assert parse_turtle(doc) == [("https://s", "https://p", "x", True)]
+
+
+def test_sparql_style_prefix_and_base():
+    doc = """
+    PREFIX ex: <https://kg.example/>
+    BASE <https://base.example/>
+    ex:a ex:p <rel> .
+    """
+    assert parse_turtle(doc) == [
+        ("https://kg.example/a", "https://kg.example/p",
+         "https://base.example/rel", False)
+    ]
+
+
+def test_blank_nodes_rejected():
+    with pytest.raises(ValueError, match="blank"):
+        parse_turtle("<https://s> <https://p> [ <https://q> <https://o> ] .")
+    with pytest.raises(ValueError, match="blank"):
+        parse_turtle("<https://s> <https://p> _:b0 .")
+
+
+def test_undefined_prefix_raises():
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_turtle("nope:a <https://p> <https://o> .")
+
+
+def test_canonicalization_fixpoint():
+    canon = turtle_to_canonical(DOC)
+    assert turtle_to_canonical(canon) == canon
+    assert canon.endswith("\n") and canon == serialize(parse(canon))
+
+
+_plain_lit = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='"\\'),
+    max_size=12,
+)
+
+
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.sampled_from(["https://s/1", "https://s/2"]),
+            st.sampled_from(["https://p/1", "https://p/2"]),
+            st.one_of(
+                st.tuples(st.sampled_from(["https://o/1", "https://o/2"]),
+                          st.just(False)),
+                st.tuples(_plain_lit, st.just(True)),
+            ),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_canonical_ntriples_is_valid_turtle(triples):
+    """Every canonical N-Triples document parses identically as Turtle."""
+    doc = serialize((s, p, o, lit) for (s, p, (o, lit)) in triples)
+    assert sorted(parse_turtle(doc)) == sorted(parse(doc))
+
+
+def test_read_turtle_source(ray_session, tmp_path):
+    """.ttl files → columnar triples Dataset with decoded graph ids."""
+    from rdf_diff_store_ray.ntriples import graph_filename
+    from rdf_diff_store_ray.sources import read_turtle
+
+    doc1 = """@prefix p: <https://p/> .
+<https://s/a> p:x "v" ; p:y 7 ."""
+    doc2 = '<https://s/b> <https://p/x> "w"@en .'
+    (tmp_path / graph_filename("graph one")).write_text(doc1, encoding="utf-8")
+    (tmp_path / graph_filename("graph/two")).write_text(doc2, encoding="utf-8")
+    rows = sorted(
+        read_turtle(str(tmp_path)).take_all(),
+        key=lambda r: (r["graph_id"], r["pred"]),
+    )
+    assert [r["graph_id"] for r in rows] == ["graph one", "graph one", "graph/two"]
+    assert rows[0]["obj"] == "v" and rows[0]["obj_is_literal"]
+    assert rows[1]["obj"] == f'"7"^^<{XSD}integer>'
+    assert rows[2]["obj"] == '"w"@en'
+
+
+def test_turtle_into_store_and_query(ray_session, tmp_path):
+    """Reference-style .ttl content appended into a store, then queried
+    back with a typed FILTER — full ingestion interop."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+    from rdf_diff_store_ray.turtle import parse_turtle
+
+    store = init_log(str(tmp_path / "deltas"), num_partitions=2)
+    doc = """@prefix p: <https://p/> .
+<https://s/a> p:size 5 .
+<https://s/b> p:size 12 ."""
+    append_graphs(store, {"g": parse_turtle(doc)}, 1_700_000_000)
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+
+    dt = pads.dataset(
+        sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
+    ).to_table()
+    out = DiffStoreReader(dt).query_at(
+        1_700_000_001, "?s <https://p/size> ?n . FILTER(?n > 10)"
+    )
+    assert list(out["s"]) == ["https://s/b"]
+
+
+def test_kg_turtle_ingest_digests_match(ray_session):
+    """Registry entry: KG → Turtle (with @prefix) → read_turtle →
+    canonical digests identical for every graph."""
+    from rdf_diff_store_ray.pipelines.queries import kg_turtle_ingest
+
+    row = kg_turtle_ingest("/root/testdata/sf0.001").to_pydict()
+    assert row["graphs"] == row["roundtripped"] == row["digest_matches"]
+    assert row["graphs"][0] > 0
