@@ -83,8 +83,11 @@ def cmd_append(args) -> int:
     _ensure_ray()
     from .state.append import append_graphs
 
+    from .state.append import Graph
+
     text = open(args.file).read() if args.file else (args.text or "")
-    n = append_graphs(args.store, {args.graph: text}, args.ts)
+    g = Graph(id=args.graph, graph=text, format=args.format)
+    n = append_graphs(args.store, {args.graph: g}, args.ts)
     print(json.dumps({"applied": n, "suppressed": n == 0}))
     return 0
 
@@ -152,6 +155,8 @@ def main(argv=None) -> int:
     a.add_argument("--ts", type=int, required=True)
     a.add_argument("--file")
     a.add_argument("--text")
+    a.add_argument("--format", default=None,
+                   help="text/turtle | application/n-triples (default)")
     a.set_defaults(fn=cmd_append)
 
     d = sub.add_parser("delete", help="tombstone one graph (DELETE analog)")

@@ -35,6 +35,15 @@ MEDIA_SCHEMA = pa.schema(
 
 _FAKE_MAGIC = b"FAKE1"
 
+try:  # route real image codecs through PIL when the library exists
+    from PIL import Image as _PIL_Image  # pragma: no cover (absent here)
+except ImportError:  # pragma: no cover
+    _PIL_Image = None
+
+
+def pil_available() -> bool:
+    return _PIL_Image is not None
+
 
 def encode_fake_image(media_id: int, h: int, w: int, seed: int = 3) -> bytes:
     """Deterministic synthetic payload: header (h, w) + u8 pixel bytes."""
@@ -49,11 +58,23 @@ def decode_payload(codec: str, payload: bytes) -> np.ndarray:
             raise ValueError("corrupt fake-v1 payload (bad magic)")
         h, w = struct.unpack("<II", payload[5:13])
         return np.frombuffer(payload[13:], dtype=np.uint8).reshape(h, w)
-    # STUB: real codecs need PIL / libjpeg / ffmpeg — not present in this
-    # environment. The call signature and batch plumbing are final.
+    if codec in ("jpeg", "png", "bmp", "webp"):
+        if _PIL_Image is not None:
+            import io
+
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        # STUB: libjpeg/libpng decode needs PIL, which is not present in
+        # this environment. The call signature and batch plumbing are
+        # final; installing Pillow lights this path up with no code
+        # change (detected at import).
+        raise NotImplementedError(
+            f"codec {codec!r} requires Pillow, which is not installed; "
+            "use codec='fake-v1' (deterministic test codec)"
+        )
     raise NotImplementedError(
-        f"codec {codec!r} requires an image/audio library not present in "
-        "this environment; use codec='fake-v1' (deterministic test codec)"
+        f"codec {codec!r} is not supported (audio/video decode requires "
+        "ffmpeg-class libraries not present in this environment)"
     )
 
 

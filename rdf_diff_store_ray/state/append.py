@@ -37,10 +37,38 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from dataclasses import dataclass
+
 from ..ntriples import parse, serialize, sha256_text
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
 from ..shuffle_utils import partition_ids
 from ..stages import deltas as deltas_mod
+
+
+@dataclass
+class Graph:
+    """The reference's wire model (``src/models/graph.rs:14-22``,
+    ``openapi.yaml:21-41``): ``id`` + document text + optional
+    ``format``. Here ``format`` selects the input parser —
+    ``"text/turtle"`` routes through the Turtle reader; ``None`` or
+    ``"application/n-triples"`` expects canonical N-Triples. Either way
+    the stored form is the canonical serialization (the reference's
+    prettifier normalizes every accepted format the same way,
+    ``src/rdf.rs:44-84``)."""
+
+    id: str
+    graph: str
+    format: str | None = None
+
+
+def _graph_triples(text: str, fmt: str | None):
+    if fmt == "text/turtle":
+        from ..turtle import parse_turtle
+
+        return parse_turtle(text)
+    if fmt in (None, "application/n-triples"):
+        return parse(text)
+    raise ValueError(f"unsupported graph format: {fmt!r}")
 
 
 def init_log(delta_dir: str, num_partitions: int = 8) -> str:
@@ -217,17 +245,23 @@ def _apply(delta_dir: str, rows: pa.Table, ts: int) -> int:
 
 def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     """Upsert ``graph_id → graph`` at unix-seconds ``ts``. ``graph`` is
-    N-Triples text or an iterable of ``(subj, pred, obj, obj_is_literal)``
-    triples. String input is re-canonicalized (parse → serialize: sort,
-    dedupe, NFC, trailing newline) before digesting — the reference
-    prettifies before its equality check (``src/graphs.rs:35-61``), so a
+    a :class:`Graph` (with optional ``format``), document text, or an
+    iterable of ``(subj, pred, obj, obj_is_literal)`` triples. String
+    input is re-canonicalized (parse → serialize: sort, dedupe, NFC,
+    trailing newline) before digesting — the reference prettifies before
+    its equality check (``src/graphs.rs:35-61``), so a
     reordered-but-equal document must still be a suppressed no-op.
     Returns the number of deltas actually written (no-op posts write
     nothing)."""
     ids, texts = [], []
     for gid, g in sorted(graphs.items()):
         ids.append(gid)
-        texts.append(serialize(parse(g) if isinstance(g, str) else g))
+        if isinstance(g, Graph):
+            texts.append(serialize(_graph_triples(g.graph, g.format)))
+        elif isinstance(g, str):
+            texts.append(serialize(_graph_triples(g, None)))
+        else:
+            texts.append(serialize(g))
     rows = pa.table(
         {
             "graph_id": pa.array(ids, pa.string()),

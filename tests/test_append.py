@@ -170,3 +170,27 @@ def test_failed_append_writes_nothing(store, ray_session):
         append_graphs(store, {"fresh": G_B, "old": G_A2}, T1)
     after = _delta_table(store)
     assert after.equals(before)
+
+
+def test_append_turtle_format(store, ray_session):
+    """The Graph wire model's format field (src/models/graph.rs:14-22)
+    selects the input parser: text/turtle documents with prefixes are
+    canonicalized to the same stored form as equivalent N-Triples."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.state.append import Graph, append_graphs
+
+    ttl = """@prefix x: <https://x/> .
+x:a x:p "1" .
+x:b x:p 2 ."""
+    assert append_graphs(store, {"g": Graph("g", ttl, "text/turtle")}, T1) == 1
+    reader = DiffStoreReader(_delta_table(store))
+    text = reader.graphs_at(T1 + 1)
+    assert '<https://x/a> <https://x/p> "1" .' in text
+    assert ('<https://x/b> <https://x/p> '
+            '"2"^^<http://www.w3.org/2001/XMLSchema#integer> .') in text
+    # same content posted as canonical N-Triples is a suppressed no-op
+    assert append_graphs(store, {"g": text}, T2) == 0
+    # unknown format raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported graph format"):
+        append_graphs(store, {"g": Graph("g", ttl, "application/rdf+xml")}, T3)

@@ -296,11 +296,28 @@ def test_multimodal_resize(ray_session):
     assert all(r["height"] == 8 and r["width"] == 8 for r in out)
 
 
-def test_multimodal_real_codec_is_stubbed():
-    from rdf_diff_store_ray.functions.multimodal import decode_payload
+def test_multimodal_real_codec_routes_or_stubs():
+    """jpeg/png decode goes through PIL when installed, else raises the
+    clearly-marked environment stub — parametrized on availability."""
+    from rdf_diff_store_ray.functions.multimodal import decode_payload, pil_available
 
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_payload("jpeg", b"\xff\xd8\xff")
+    if pil_available():
+        import io
+
+        from PIL import Image
+        import numpy as np
+
+        buf = io.BytesIO()
+        Image.fromarray(np.arange(64, dtype=np.uint8).reshape(8, 8)).save(
+            buf, format="PNG"
+        )
+        arr = decode_payload("png", buf.getvalue())
+        assert arr.shape == (8, 8)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_payload("jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError, match="not supported"):
+        decode_payload("wav", b"RIFF")
 
 
 def test_multimodal_corrupt_payload():
