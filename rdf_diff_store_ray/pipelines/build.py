@@ -316,6 +316,19 @@ def build(
             "snapshot_times": snapshot_times,
         },
     )
+    # operational metrics artifact (the reference's GET /metrics analog,
+    # src/metrics/mod.rs): stage walls + per-partition manifest lineage
+    # rendered as Prometheus text next to the log
+    from ..metrics import BUCKETS_PARSE, MetricsRegistry, record_build_manifests
+
+    registry = MetricsRegistry()
+    for stage, wall in stage_wall.items():
+        registry.observe("build_stage_seconds", float(wall),
+                         "Build stage wall times", BUCKETS_PARSE)
+        registry.counter_inc("build_stages_total", f'stage="{stage}"')
+    record_build_manifests(registry, delta_dir)
+    with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
+        f.write(registry.render_prometheus())
     return BuildResult(
         out_dir=out_dir,
         num_partitions=num_partitions,

@@ -547,6 +547,33 @@ def kg_turtle_ingest(sf_dir: str):
     )
 
 
+def kg_metrics_export(sf_dir: str):
+    """Operational metrics artifact (``GET /metrics`` analog,
+    ``src/metrics/mod.rs``): build-stage histograms + manifest counters
+    from the build, plus cache-level labeled query counters from live
+    reader traffic, as one samples table. The Prometheus text itself is
+    written to ``<build>/metrics.txt``."""
+    from ..metrics import MetricsRegistry, record_build_manifests
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    registry = MetricsRegistry()
+    record_build_manifests(registry, res.delta_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    hi_s = int(pd.Timestamp(hi).timestamp())
+    reader = DiffStoreReader(dt, registry=registry)
+    from ..corpus import P_ACQUIRED
+
+    reader.query_at(hi_s, f"?s <{P_ACQUIRED}> ?o")   # Nothing
+    reader.query_at(hi_s, f"?s <{P_ACQUIRED}> ?o")   # Query hit
+    reader.graphs_at(hi_s)                           # Graph (store warm)
+    text = registry.render_prometheus()
+    assert "cache_requests_total" in text and "repo_commit_time_bucket" in text
+    return registry.samples_table()
+
+
 def kg_query_service(sf_dir: str):
     """Distributed query path: per-partition reader actors + router,
     answering the acquired-BGP at the end timestamp; must equal
@@ -744,6 +771,7 @@ def registry():
         "kg_state_at_mid": kg_state_at_mid,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_turtle_ingest": kg_turtle_ingest,
+        "kg_metrics_export": kg_metrics_export,
         "kg_query_service": kg_query_service,
         "kg_incremental_append": kg_incremental_append,
         "kg_triple_pr": kg_triple_pr,

@@ -456,12 +456,29 @@ class DiffStoreReader:
     (``src/query.rs:14-26``): "Query"/"Prettified" > "Store"/"Graph" >
     "Nothing"."""
 
-    def __init__(self, deltas: pa.Table, cache_capacity: int = 1000):
+    def __init__(self, deltas: pa.Table, cache_capacity: int = 1000,
+                 registry=None):
+        from ..metrics import REGISTRY
+
         self.deltas = deltas
         self.store_cache = LRU(cache_capacity)  # ts -> triple table
         self.graphs_cache = LRU(cache_capacity)  # ts -> canonical text
         self.query_cache = LRU(cache_capacity)  # (ts, q) -> bindings df
         self.last_cache_level: str = "Nothing"
+        self.registry = REGISTRY if registry is None else registry
+
+    def _record(self, endpoint: str, level: str, wall_s: float) -> None:
+        """Cache-level counters + latency histograms — the reference's
+        HTTP middleware labels (``src/metrics/middleware.rs:50-89``) and
+        query-time envelope (``src/metrics/mod.rs:29-36``)."""
+        from ..metrics import BUCKETS_FAST
+
+        self.registry.counter_inc(
+            "cache_requests_total",
+            f'endpoint="{endpoint}",cache_level="{level}"',
+        )
+        self.registry.observe("query_processing_time", wall_s,
+                              "Query Processing Times", BUCKETS_FAST)
 
     def _key(self, ts) -> int:
         import numpy as np
@@ -480,10 +497,14 @@ class DiffStoreReader:
         return store
 
     def graphs_at(self, ts) -> str:
+        import time
+
+        t0 = time.monotonic()
         k = self._key(ts)
         hit = self.graphs_cache.get(k)
         if hit is not None:
             self.last_cache_level = "Prettified"
+            self._record("graphs", "Prettified", time.monotonic() - t0)
             return hit
         had_store = self.store_cache.get(k) is not None
         from ..ntriples import serialize
@@ -495,18 +516,24 @@ class DiffStoreReader:
         )
         self.graphs_cache.put(k, text)
         self.last_cache_level = "Graph" if had_store else "Nothing"
+        self._record("graphs", self.last_cache_level, time.monotonic() - t0)
         return text
 
     def query_at(self, ts, query: str) -> pd.DataFrame:
+        import time
+
+        t0 = time.monotonic()
         k = self._key(ts)
         hit = self.query_cache.get((k, query))
         if hit is not None:
             self.last_cache_level = "Query"
+            self._record("sparql", "Query", time.monotonic() - t0)
             return hit
         had_store = self.store_cache.get(k) is not None
         res = eval_bgp(self._store_at(k), query)
         self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"
+        self._record("sparql", self.last_cache_level, time.monotonic() - t0)
         return res
 
     def query_at_json(self, ts, query: str) -> str:
