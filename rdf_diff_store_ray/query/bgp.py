@@ -248,22 +248,60 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     """
     df = triples.to_pandas()
     group = parse_query(query)
-    result = _eval_patterns(df, group["patterns"])
+    result = eval_group(group, lambda pat: eval_one_pattern(df, pat))
+    return finalize_bindings(result)
+
+
+def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
+    """Evaluate a parsed group given ``pattern_bindings(pattern) →
+    tagged df``. The bindings source is what varies between the local
+    evaluator (one triple table) and the distributed service (union of
+    per-partition pattern evaluations) — the join/OPTIONAL/FILTER
+    algebra is identical."""
+    result = _conjoin(group["patterns"], pattern_bindings)
     for opt in group["optionals"]:
-        ores = _eval_patterns(df, opt["patterns"])
+        ores = _conjoin(opt["patterns"], pattern_bindings)
         ores = _apply_filters(ores, opt["filters"])
-        shared = [c for c in result.columns if c in ores.columns]
-        new_cols = [c for c in ores.columns if c not in result.columns]
-        if len(ores) == 0:
-            for c in new_cols:
-                result[c] = None
-        elif shared:
-            result = result.merge(ores, on=shared, how="left")
-        else:
-            result = result.merge(ores, how="cross")
+        result = _merge_optional(result, ores)
+    return _apply_filters(result, group["filters"])
+
+
+def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
+    result: pd.DataFrame | None = None
+    for pat in patterns:
+        cur = pattern_bindings(pat)
+        result = cur if result is None else _merge_bindings(result, cur)
         result = result.drop_duplicates(ignore_index=True)
-    result = _apply_filters(result, group["filters"])
-    # unwrap tagged tuples to lexical forms for the caller; unbound → None
+        if len(result) == 0:  # NOT .empty — a zero-column boolean frame
+            break             # with rows still means "matched"
+    if result is None:  # empty pattern list (pure-OPTIONAL/FILTER group)
+        result = pd.DataFrame(index=[0])
+    return result
+
+
+def _merge_bindings(result: pd.DataFrame, cur: pd.DataFrame) -> pd.DataFrame:
+    shared = [c for c in result.columns if c in cur.columns]
+    if shared:
+        return result.merge(cur, on=shared, how="inner")
+    return result.merge(cur, how="cross")
+
+
+def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
+    shared = [c for c in result.columns if c in ores.columns]
+    new_cols = [c for c in ores.columns if c not in result.columns]
+    if len(ores) == 0:
+        for c in new_cols:
+            result[c] = None
+    elif shared:
+        result = result.merge(ores, on=shared, how="left")
+    else:
+        result = result.merge(ores, how="cross")
+    return result.drop_duplicates(ignore_index=True)
+
+
+def finalize_bindings(result: pd.DataFrame) -> pd.DataFrame:
+    """Unwrap tagged tuples to lexical forms; unbound → None; distinct +
+    deterministic sort."""
     out = pd.DataFrame(
         {
             c: [t[0] if isinstance(t, tuple) else None for t in result[c]]
@@ -279,54 +317,57 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _eval_patterns(df: pd.DataFrame, patterns) -> pd.DataFrame:
-    """Conjunction of triple patterns via hash joins; returns a frame of
-    TAGGED ``(value, is_literal)`` bindings, one column per variable."""
-    result: pd.DataFrame | None = None
-    for s, p, o in patterns:
-        cur = df
-        var_positions: dict = {}  # var -> [position, ...]
-        for pos, term, is_obj in (("subj", s, False), ("pred", p, False), ("obj", o, True)):
-            kind, val = term
-            if kind == "var":
-                var_positions.setdefault(val, []).append(pos)
-            elif kind == "iri":
-                cur = cur[cur[pos] == val]
-                if is_obj:
-                    cur = cur[~cur["obj_is_literal"]]
-            else:  # literal — only matches the object position
-                cur = cur[(cur[pos] == val) & cur["obj_is_literal"]]
-        # tagged term per position (subj/pred are always IRIs)
-        tagged = pd.DataFrame(index=cur.index)
-        for pos in ("subj", "pred", "obj"):
-            lit = cur["obj_is_literal"] if pos == "obj" else False
-            tagged[pos] = list(zip(cur[pos], lit if pos == "obj" else [False] * len(cur)))
-        # a variable repeated WITHIN the pattern must bind one term
-        mask = pd.Series(True, index=cur.index)
-        for var, positions in var_positions.items():
-            for extra in positions[1:]:
-                mask &= tagged[positions[0]] == tagged[extra]
-        proj = pd.DataFrame(index=cur.index)
-        for var, positions in var_positions.items():
-            proj[var] = tagged[positions[0]]
-        if var_positions:
-            cur = proj[mask].drop_duplicates()
-        else:
-            cur = proj.head(1) if len(cur) else proj  # boolean pattern
-        if result is None:
-            result = cur
-        else:
-            shared = [c for c in result.columns if c in cur.columns]
-            if shared:
-                result = result.merge(cur, on=shared, how="inner")
-            else:
-                result = result.merge(cur, how="cross")
-        result = result.drop_duplicates(ignore_index=True)
-        if len(result) == 0:  # NOT .empty — a zero-column boolean frame
-            break             # with rows still means "matched"
-    if result is None:  # empty pattern list (pure-OPTIONAL/FILTER group)
-        result = pd.DataFrame(index=[0])
-    return result
+def format_term(term) -> str:
+    """Inverse of :func:`_parse_term` (for shipping parsed patterns)."""
+    from ..ntriples import escape_literal, is_decorated_literal
+
+    kind, val = term
+    if kind == "var":
+        return "?" + val
+    if kind == "iri":
+        return f"<{val}>"
+    if is_decorated_literal(val):
+        return val
+    return f'"{escape_literal(val)}"'
+
+
+def format_pattern(pattern) -> str:
+    return " ".join(format_term(t) for t in pattern)
+
+
+def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
+    """One triple pattern against a triple frame → frame of TAGGED
+    ``(value, is_literal)`` bindings, one column per variable (a
+    zero-column frame with 0/1 rows for a variable-free pattern)."""
+    s, p, o = pattern
+    cur = df
+    var_positions: dict = {}  # var -> [position, ...]
+    for pos, term, is_obj in (("subj", s, False), ("pred", p, False), ("obj", o, True)):
+        kind, val = term
+        if kind == "var":
+            var_positions.setdefault(val, []).append(pos)
+        elif kind == "iri":
+            cur = cur[cur[pos] == val]
+            if is_obj:
+                cur = cur[~cur["obj_is_literal"]]
+        else:  # literal — only matches the object position
+            cur = cur[(cur[pos] == val) & cur["obj_is_literal"]]
+    # tagged term per position (subj/pred are always IRIs)
+    tagged = pd.DataFrame(index=cur.index)
+    for pos in ("subj", "pred", "obj"):
+        lit = cur["obj_is_literal"] if pos == "obj" else False
+        tagged[pos] = list(zip(cur[pos], lit if pos == "obj" else [False] * len(cur)))
+    # a variable repeated WITHIN the pattern must bind one term
+    mask = pd.Series(True, index=cur.index)
+    for var, positions in var_positions.items():
+        for extra in positions[1:]:
+            mask &= tagged[positions[0]] == tagged[extra]
+    proj = pd.DataFrame(index=cur.index)
+    for var, positions in var_positions.items():
+        proj[var] = tagged[positions[0]]
+    if var_positions:
+        return proj[mask].drop_duplicates()
+    return proj.head(1) if len(cur) else proj  # boolean pattern
 
 
 # ------------------------------------------------------------- FILTER ------

@@ -22,13 +22,12 @@ and BGP matching are therefore per-partition-local:
 - ``query_at``: a single-pattern BGP is evaluated per partition against
   that partition's live triples and the bindings are concatenated,
   deduplicated and sorted (exact — a single pattern never joins across
-  partitions). A MULTI-pattern BGP can join two triples living in
-  different partitions, so the router instead gathers each partition's
-  live triple table at ``ts`` (bounded by live-state size, cached per
-  ``ts``) and evaluates the full pattern over the union — exact
-  semantics at the cost of one gather, the same trade the reference
-  makes when it loads the full store per timestamp
-  (``src/query.rs:117-145``);
+  partitions). A MULTI-pattern / OPTIONAL query pushes EACH pattern
+  down the same way and joins the unioned tagged binding sets on the
+  router with the local evaluator's own algebra — router memory is
+  bounded by per-pattern selectivity, never by live-state size (an
+  unrestricted ``?s ?p ?o`` still transfers everything, exactly as the
+  reference's full-store load does, ``src/query.rs:117-145``);
 - ``metadata``: min/max over per-partition metadata.
 """
 
@@ -41,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .bgp import DiffStoreReader, parse_bgp
+from .bgp import DiffStoreReader
 
 
 @ray.remote
@@ -70,8 +69,24 @@ class PartitionReaderActor:
 
     def triples_at(self, ts) -> pa.Table:
         """This partition's live triple table at ``ts`` (for the router's
-        multi-pattern gather path); served from the store cache."""
+        opt-in gather path); served from the store cache."""
         return self.reader._store_at(ts)
+
+    def pattern_bindings(self, ts, pattern_str: str) -> pd.DataFrame:
+        """TAGGED bindings of ONE pattern against this partition's live
+        triples — the push-down unit of the distributed multi-pattern
+        path. Cached per (ts, pattern) beside the query cache."""
+        from .bgp import eval_one_pattern, parse_query
+
+        k = self.reader._key(ts)
+        key = (k, pattern_str, "tagged")
+        hit = self.reader.query_cache.get(key)
+        if hit is not None:
+            return hit
+        pat = parse_query(pattern_str)["patterns"][0]
+        out = eval_one_pattern(self.reader._store_at(k).to_pandas(), pat)
+        self.reader.query_cache.put(key, out)
+        return out
 
     def graphs_at(self, ts) -> str:
         return self.reader.graphs_at(ts)
@@ -108,18 +123,48 @@ class QueryService:
 
         g = parse_query(query)
         # a single pattern (filters are row-local, so they distribute
-        # over the union) can be evaluated per partition and unioned;
-        # joins and OPTIONAL need the whole live state in one evaluator
+        # over the union) is evaluated per partition and unioned; joins
+        # and OPTIONAL push each pattern down and join BINDINGS on the
+        # router — the router never holds live triples, only per-pattern
+        # binding sets (bounded by each pattern's selectivity)
         simple = len(g["patterns"]) == 1 and not g["optionals"]
         if not simple and len(self.actors) > 1:
-            return self._query_at_gathered(ts, query)
+            return self._query_at_distributed(ts, g)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
         merged = pd.concat(parts, ignore_index=True).drop_duplicates(
             ignore_index=True
         )
         return merged.sort_values(list(merged.columns), ignore_index=True)
 
+    def _query_at_distributed(self, ts, group: dict) -> pd.DataFrame:
+        """Multi-pattern / OPTIONAL evaluation with per-pattern push-down:
+        every pattern is evaluated against each partition's live triples
+        IN the partition actor; the router unions the tagged binding sets
+        and runs the identical join/OPTIONAL/FILTER algebra
+        (:func:`..query.bgp.eval_group`). Correct because a single
+        pattern never joins across partitions, and all cross-pattern
+        joining happens over the unioned bindings. Router memory is
+        bounded by pattern selectivity, not live-state size — a
+        ``?s ?p ?o`` pattern still transfers everything, exactly as the
+        reference's full-store load does (``src/query.rs:117-145``)."""
+        from .bgp import eval_group, finalize_bindings, format_pattern
+
+        def pattern_bindings(pat):
+            ps = format_pattern(pat)
+            parts = ray.get(
+                [a.pattern_bindings.remote(ts, ps) for a in self.actors]
+            )
+            cur = pd.concat(parts, ignore_index=True)
+            if len(cur.columns):
+                return cur.drop_duplicates(ignore_index=True)
+            return cur.head(1)  # boolean pattern: any partition matched
+
+        return finalize_bindings(eval_group(group, pattern_bindings))
+
     def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:
+        """Opt-in fallback: gather per-partition live triples and run the
+        local evaluator over the union (live-state-sized transfer; kept
+        for diagnostics and tiny stores)."""
         from .bgp import eval_bgp
 
         key = ts if isinstance(ts, int) else int(pd.Timestamp(ts).timestamp())

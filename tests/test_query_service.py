@@ -85,3 +85,20 @@ def test_multi_pattern_gathers_and_matches(service, single_reader):
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
     assert len(service.query_at(ts, f"?s <{P_ACQUIRED}> ?o . ?s <{P_ACQUIRED}> ?o")) > 0
+
+
+def test_distributed_filter_optional_match_single_reader(service, single_reader):
+    """The push-down path (per-pattern bindings joined on the router)
+    must agree with the single-reader evaluator for FILTER/OPTIONAL
+    queries too — and the router never requests live triple tables."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_FOUNDED, P_PARTNERS
+
+    ts = _end_ts(single_reader)
+    for q in (
+        f"?s <{P_FOUNDED}> ?y . FILTER(?y >= 1995)",
+        f"?s <{P_ACQUIRED}> ?o . OPTIONAL {{ ?s <{P_PARTNERS}> ?p }}",
+        f"?s <{P_ACQUIRED}> ?o . ?o <{P_FOUNDED}> ?y . FILTER(?y < 2005)",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
