@@ -64,7 +64,12 @@ def word_shingles(text: str, k: int = 3):
 
 
 class DocMinHash:
-    """Actor-pool stage: doc → (band_id, band_hash, doc_id) bucket rows."""
+    """Actor-pool stage: doc → (band_id, band_hash, doc_id) bucket rows.
+
+    Per-batch costs are bounded: shingle CRCs are memoized per worker
+    (templated web text repeats heavily), and band hashes are a
+    splitmix-style numpy fold over the signature matrix — one vectorized
+    pass per batch instead of a Python ``blake2b`` per (doc, band)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, seed: int = 11):
         rng = np.random.default_rng(seed)
@@ -74,33 +79,56 @@ class DocMinHash:
         self.rows = num_perm // bands
         self.a = rng.integers(1, int(m), size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(m), size=num_perm, dtype=np.uint64)
+        self._shingle_cache: dict = {}
+
+    def _shingle_hashes(self, sh) -> np.ndarray:
+        cache = self._shingle_cache
+        out = np.empty(len(sh), dtype=np.uint64)
+        for i, s in enumerate(sh):
+            v = cache.get(s)
+            if v is None:
+                v = zlib.crc32(s.encode("utf-8"))
+                if len(cache) < 2_000_000:  # per-worker bound
+                    cache[s] = v
+            out[i] = v
+        return out
 
     def signature(self, text: str) -> np.ndarray:
         sh = word_shingles(text)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        x = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in sh),
-            dtype=np.uint64,
-            count=len(sh),
-        )
+        x = self._shingle_hashes(list(sh))  # order-free: min() commutes
         return ((self.a[:, None] * x[None, :] + self.b[:, None]) % self.m).min(axis=1)
 
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(D, num_perm) signatures → (D, bands) nonnegative int64 band
+        keys (splitmix64-style avalanche, fully vectorized)."""
+        chunks = sigs.reshape(len(sigs), self.bands, self.rows)
+        c1 = np.uint64(0xBF58476D1CE4E5B9)
+        c2 = np.uint64(0x94D049BB133111EB)
+        h = np.full((len(sigs), self.bands), np.uint64(0x9E3779B97F4A7C15))
+        for r in range(self.rows):
+            h = (h ^ chunks[:, :, r]) * c1
+            h ^= h >> np.uint64(30)
+            h *= c2
+            h ^= h >> np.uint64(31)
+        return (h >> np.uint64(1)).view(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(text or "")
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                doc_ids.append(did)
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(bh, "big") >> 1)
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text or "")
+        bh = self.band_hashes(sigs)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), len(texts)),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(bh.reshape(-1), pa.int64()),
             }
         )
 
@@ -159,8 +187,11 @@ def hyperplane_lsh_batch(batch: pa.Table, dim: int = 64, n_planes: int = 12,
 
 
 def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048,
-                            num_partitions=64):
+                            num_partitions=64, distinct=True):
     """Distinct candidate near-dup id pairs from LSH banding.
+    ``distinct=False`` skips the final pair-dedup shuffle — correct when
+    the consumer already folds duplicate ``(a, b)`` rows (the join-verify
+    path groups by pair identity anyway), saving one all-to-all.
 
     The shuffle key is ``(band_hash + band_id) % num_partitions``, NOT
     the raw bucket key: bucket cardinality ≈ corpus × bands (mostly
@@ -194,6 +225,8 @@ def minhash_candidate_pairs(docs_ds, *, num_perm=128, bands=32, batch_size=2048,
         .groupby("partition_id")
         .map_groups(_bucket_pairs_in_partition, batch_format="pandas")
     )
+    if not distinct:
+        return pairs
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -221,9 +254,12 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.5, k: int = 3,
       Opt-in fast path for corpora whose text fits comfortably in one
       object (small side of a broadcast join).
     """
-    cand = minhash_candidate_pairs(docs_ds, **kw)
     if verify == "join":
+        # duplicate (a, b) candidates fold inside the verify's pair-identity
+        # grouping, so the candidate distinct shuffle is skipped
+        cand = minhash_candidate_pairs(docs_ds, distinct=False, **kw)
         return _verify_pairs_via_shuffle(cand, docs_ds, threshold, k)
+    cand = minhash_candidate_pairs(docs_ds, **kw)
 
     import ray
 
@@ -579,14 +615,36 @@ class DocSimHash:
             pos += len(toks)
         codes, uniques = pd.factorize(flat)
         tok_hashes = self._hash_tokens(uniques)[codes]
-        # (total, 64) ±1 votes, folded per doc via reduceat on run starts
-        votes_tok = (
-            ((tok_hashes[:, None] >> self._shifts[None, :]) & 1).astype(np.int32) * 2 - 1
-        )
         nonempty = np.flatnonzero(lens)
-        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        votes = np.add.reduceat(votes_tok, starts, axis=0)
-        sh[nonempty] = ((votes > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
+        ne_lens = lens[nonempty]
+        ne_starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+        ne_ends = ne_starts + ne_lens
+        n_docs = len(nonempty)
+        ones = np.empty((n_docs, 64), dtype=np.int64)
+        # Bit expansion via unpackbits (SIMD; a broadcast uint64 shift of
+        # the same shape measures ~50× slower), processed in ~16k-token
+        # blocks: the block's bit matrix stays ~4 MB, because this host
+        # faults in large cold allocations pathologically slowly (a
+        # monolithic (total, 64) matrix costs seconds on first touch).
+        chunk_tokens = 16384
+        di = 0
+        while di < n_docs:
+            dj = di + 1
+            while dj < n_docs and ne_ends[dj] - ne_starts[di] <= chunk_tokens:
+                dj += 1
+            tok0, tok1 = int(ne_starts[di]), int(ne_ends[dj - 1])
+            bits = np.unpackbits(
+                tok_hashes[tok0:tok1].view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            ).astype(np.int32)
+            ones[di:dj] = np.add.reduceat(bits, ne_starts[di:dj] - tok0, axis=0)
+            di = dj
+        # majority vote: sum(±1) > 0  ⇔  2·ones > n_tokens
+        sh[nonempty] = (
+            (ones * 2 > ne_lens[:, None]).astype(np.uint64)
+            << self._shifts[None, :]
+        ).sum(axis=1)
         return sh
 
     def simhash(self, text: str) -> int:
@@ -626,16 +684,19 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
     sigs = simhash_signatures(docs_ds)
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, keys, hashes = [], [], []
-        for r in batch.to_pylist():
-            for c in range(4):
-                doc_ids.append(r["doc_id"])
-                keys.append((c << 16) | r[f"chunk{c}"])
-                hashes.append(r["simhash"])
+        # explode each doc into its 4 chunk-bucket rows, fully vectorized
+        n = batch.num_rows
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), 4)
+        hashes = np.repeat(batch["simhash"].to_numpy(), 4)
+        chunks = np.stack(
+            [batch[f"chunk{c}"].to_numpy().astype(np.int64) for c in range(4)],
+            axis=1,
+        )  # (n, 4)
+        keys = (np.arange(4, dtype=np.int64)[None, :] << 16) | chunks
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "chunk_key": pa.array(keys, pa.int64()),
+                "chunk_key": pa.array(keys.reshape(-1), pa.int64()),
                 "simhash": pa.array(hashes, pa.int64()),
             }
         )

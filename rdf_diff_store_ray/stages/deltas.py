@@ -62,61 +62,71 @@ def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame
     ``snapshot_times`` is the sorted global crawl grid (unix seconds)."""
     g = group.sort_values(["graph_id", "warc_ts"], kind="stable",
                           ignore_index=True)
+    # last row wins on same-second ties (documented tie-break): dedup to
+    # one row per (graph, second) — the per-graph `present` map, batched
+    ts_all = g["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    g = g.assign(_ts_s=ts_all).drop_duplicates(
+        subset=["graph_id", "_ts_s"], keep="last", ignore_index=True
+    )
     gids = g["graph_id"].to_numpy()
-    # robust to pandas datetime64 resolution (ns vs s)
-    ts_s = g["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    ts_s = g["_ts_s"].to_numpy()
     texts = g["delta_text"].to_numpy()
     digests = g["digest"].to_numpy()
-    snap = [int(t) for t in snapshot_times]
+    snap = sorted(int(t) for t in snapshot_times)
 
-    out_gid: list = []
-    out_ts: list = []
-    out_op: list = []
-    out_text: list = []
-    out_dig: list = []
-    n = len(gids)
-    start = 0
-    for i in range(1, n + 1):
-        if i < n and gids[i] == gids[start]:
-            continue
-        # one graph's block [start:i], sorted by warc_ts
-        present = {}
-        for j in range(start, i):
-            present[int(ts_s[j])] = j  # last wins on same-second ties
-        first = int(ts_s[start])
-        live = False
-        prev_digest = None
-        gid = gids[start]
-        for t in snap:
-            if t < first:
-                continue
-            j = present.get(t)
-            if j is not None:
-                digest = digests[j]
-                if not live or digest != prev_digest:
-                    out_gid.append(gid)
-                    out_ts.append(t)
-                    out_op.append(OP_UPDATE)
-                    out_text.append(texts[j])
-                    out_dig.append(digest)
-                    prev_digest = digest
-                live = True
-            elif live:
-                out_gid.append(gid)
-                out_ts.append(t)
-                out_op.append(OP_DELETE)
-                out_text.append("")
-                out_dig.append(b"")
-                live = False
-                prev_digest = None
-        start = i
+    # vectorized across ALL graphs of the partition, one pass per
+    # snapshot instant (the grid is small; the corpus is not): per
+    # instant, emit updates where the graph has a version at t whose
+    # digest differs from its previous live digest, and tombstones where
+    # a live graph is absent — identical semantics to the per-graph scan
+    graphs, gidx = np.unique(gids, return_inverse=True)
+    n_graphs = len(graphs)
+    live = np.zeros(n_graphs, dtype=bool)
+    prev = np.empty(n_graphs, dtype=object)  # previous live digest
+    out_gid_parts: list = []
+    out_ts_parts: list = []
+    out_op_parts: list = []
+    out_row_parts: list = []  # row index into g for update text/digest
+    for t in snap:
+        sel = np.flatnonzero(ts_s == t)  # ≤ 1 row per graph after dedup
+        gsel = gidx[sel]
+        dig = digests[sel]
+        changed = ~live[gsel] | (prev[gsel] != dig)
+        present_mask = np.zeros(n_graphs, dtype=bool)
+        present_mask[gsel] = True
+        del_g = np.flatnonzero(live & ~present_mask)
+        out_gid_parts.append(gsel[changed])
+        out_ts_parts.append(np.full(int(changed.sum()), t, dtype=np.int64))
+        out_op_parts.append(np.full(int(changed.sum()), OP_UPDATE, dtype=object))
+        out_row_parts.append(sel[changed])
+        out_gid_parts.append(del_g)
+        out_ts_parts.append(np.full(len(del_g), t, dtype=np.int64))
+        out_op_parts.append(np.full(len(del_g), OP_DELETE, dtype=object))
+        out_row_parts.append(np.full(len(del_g), -1, dtype=np.int64))
+        prev[gsel] = dig
+        live[gsel] = True
+        live[del_g] = False
+        prev[del_g] = None
+    gidx_out = np.concatenate(out_gid_parts) if out_gid_parts else np.array([], dtype=np.int64)
+    ts_out = np.concatenate(out_ts_parts) if out_ts_parts else np.array([], dtype=np.int64)
+    op_out = np.concatenate(out_op_parts) if out_op_parts else np.array([], dtype=object)
+    row_out = np.concatenate(out_row_parts) if out_row_parts else np.array([], dtype=np.int64)
+    # restore the per-graph, time-ascending emission order (at most one
+    # delta per (graph, instant), so the sort is unambiguous)
+    order = np.lexsort((ts_out, gidx_out))
+    gidx_out, ts_out, op_out, row_out = (
+        gidx_out[order], ts_out[order], op_out[order], row_out[order]
+    )
+    is_upd = row_out >= 0
+    text_out = np.where(is_upd, texts[np.maximum(row_out, 0)], "")
+    dig_out = np.where(is_upd, digests[np.maximum(row_out, 0)], b"")
     return pd.DataFrame(
         {
-            "graph_id": out_gid,
-            "warc_ts": pd.to_datetime(out_ts, unit="s"),
-            "op": out_op,
-            "delta_text": out_text,
-            "digest": out_dig,
+            "graph_id": graphs[gidx_out],
+            "warc_ts": pd.to_datetime(ts_out, unit="s"),
+            "op": op_out,
+            "delta_text": text_out,
+            "digest": dig_out,
         }
     )
 
