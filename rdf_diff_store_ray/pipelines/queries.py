@@ -392,6 +392,24 @@ def kg_bgp_optional(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_union(sf_dir: str):
+    """UNION over the KG: all (subject, object) pairs related by either
+    acquisition or partnership at the end timestamp."""
+    from ..corpus import P_ACQUIRED, P_PARTNERS
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(
+        int(pd.Timestamp(hi).timestamp()),
+        f"{{ ?s <{P_ACQUIRED}> ?o }} UNION {{ ?s <{P_PARTNERS}> ?o }}",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_typed(sf_dir: str):
     """Typed + language-tagged literals through the whole store stack:
     append graphs carrying ``"5"^^xsd:integer`` / ``"alpha"@en`` objects
@@ -779,6 +797,7 @@ def registry():
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_optional": kg_bgp_optional,
+        "kg_bgp_union": kg_bgp_union,
         "kg_bgp_typed": kg_bgp_typed,
         "kg_metadata": kg_metadata,
     }

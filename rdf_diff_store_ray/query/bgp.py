@@ -16,6 +16,7 @@ Query syntax::
     ?s <p1> ?m . ?m <p2> "lit"
     ?s <p> ?v . FILTER(?v >= 10)
     ?s <p1> ?o . OPTIONAL { ?s <p2> ?label }
+    { ?s <p1> ?o } UNION { ?s <p2> ?o }
     ?s <p> "name"@en . ?s <q> "5"^^<http://www.w3.org/2001/XMLSchema#integer>
 
 :class:`DiffStoreReader` mirrors the reference's ``QueryCache`` —
@@ -73,13 +74,19 @@ def parse_query(query: str) -> dict:
         operand := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt> | number
 
     Returns ``{"patterns": [...], "filters": [...], "optionals":
-    [group, ...]}``. OPTIONAL groups may carry their own filters but not
-    nested OPTIONALs (one level, like the reference tests exercise).
-    Grows the oxigraph-subset surface of ``src/query.rs:102-114``."""
-    group = {"patterns": [], "filters": [], "optionals": []}
+    [group, ...], "unions": [[branch, ...], ...]}``. OPTIONAL groups may
+    carry their own filters but not nested OPTIONALs (one level, like
+    the reference tests exercise); UNION clauses are
+    ``{ group } UNION { group } (UNION { group })*`` — branches may use
+    FILTER/OPTIONAL but not nest further UNIONs. Evaluation order is
+    patterns → unions → optionals → filters. Grows the oxigraph-subset
+    surface of ``src/query.rs:102-114``."""
+    group = {"patterns": [], "filters": [], "optionals": [], "unions": []}
     for clause in _split_clauses(query.strip()):
         up = clause.upper()
-        if up.startswith("FILTER"):
+        if clause.startswith("{"):
+            group["unions"].append(_parse_union(clause))
+        elif up.startswith("FILTER"):
             inner = clause[len("FILTER"):].strip()
             if not (inner.startswith("(") and inner.endswith(")")):
                 raise ValueError(f"FILTER needs parentheses: {clause!r}")
@@ -98,6 +105,60 @@ def parse_query(query: str) -> dict:
                 raise ValueError(f"bad triple pattern: {clause!r}")
             group["patterns"].append(tuple(_parse_term(t) for t in terms))
     return group
+
+
+def _match_brace(s: str, i: int) -> int:
+    """Index of the ``}`` matching ``s[i] == '{'`` (quote/IRI aware)."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            i = j + 1
+        elif c == '"':
+            i += 1
+            while i < n:
+                if s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == '"':
+                    break
+                i += 1
+            i += 1
+        elif c == "{":
+            depth += 1
+            i += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+            i += 1
+        else:
+            i += 1
+    raise ValueError("unbalanced braces in query")
+
+
+def _parse_union(clause: str) -> list:
+    """``{ group } UNION { group } ...`` → list of parsed branch groups."""
+    branches = []
+    rest = clause
+    while True:
+        if not rest.startswith("{"):
+            raise ValueError(f"expected '{{' in UNION clause: {rest!r}")
+        j = _match_brace(rest, 0)
+        sub = parse_query(rest[1:j].strip())
+        if sub["unions"]:
+            raise ValueError("nested UNION is not supported")
+        branches.append(sub)
+        rest = rest[j + 1 :].strip()
+        if not rest:
+            break
+        if not rest.upper().startswith("UNION"):
+            raise ValueError(f"expected UNION between groups: {rest!r}")
+        rest = rest[5:].strip()
+    if len(branches) < 2:
+        raise ValueError("UNION needs at least two groups")
+    return branches
 
 
 def _split_clauses(s: str):
@@ -259,6 +320,18 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
     per-partition pattern evaluations) — the join/OPTIONAL/FILTER
     algebra is identical."""
     result = _conjoin(group["patterns"], pattern_bindings)
+    for branches in group["unions"]:
+        parts = [eval_group(b, pattern_bindings) for b in branches]
+        cols: list = []
+        for p in parts:
+            cols.extend(c for c in p.columns if c not in cols)
+        udf = pd.concat(
+            [p.reindex(columns=cols) for p in parts], ignore_index=True
+        )
+        # variables bound in only some branches are unbound (NaN → None
+        # at finalize) elsewhere — SPARQL's UNION shape
+        udf = udf.drop_duplicates(ignore_index=True)
+        result = _merge_bindings(result, udf).drop_duplicates(ignore_index=True)
     for opt in group["optionals"]:
         ores = _conjoin(opt["patterns"], pattern_bindings)
         ores = _apply_filters(ores, opt["filters"])

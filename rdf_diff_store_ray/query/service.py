@@ -127,7 +127,8 @@ class QueryService:
         # and OPTIONAL push each pattern down and join BINDINGS on the
         # router — the router never holds live triples, only per-pattern
         # binding sets (bounded by each pattern's selectivity)
-        simple = len(g["patterns"]) == 1 and not g["optionals"]
+        simple = (len(g["patterns"]) == 1 and not g["optionals"]
+                  and not g["unions"])
         if not simple and len(self.actors) > 1:
             return self._query_at_distributed(ts, g)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])

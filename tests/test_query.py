@@ -175,3 +175,91 @@ def test_kg_bgp_typed_exact(ray_session):
     assert row["s"] == "https://e/b"
     assert row["n"] == '"12"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert row["l"] == '"beta"@en'
+
+
+def test_union_merges_branches():
+    t = _triples_table(
+        [
+            ("https://e/a", P_ACQUIRED, "https://e/b", False),
+            ("https://e/b", "https://p/partner", "https://e/c", False),
+            ("https://e/c", P_FOUNDED, "1999", True),
+        ]
+    )
+    out = eval_bgp(
+        t, f"{{ ?s <{P_ACQUIRED}> ?o }} UNION {{ ?s <https://p/partner> ?o }}"
+    )
+    assert out.values.tolist() == [
+        ["https://e/a", "https://e/b"],
+        ["https://e/b", "https://e/c"],
+    ]
+
+
+def test_union_as_conjunct_and_branch_filter():
+    t = _triples_table(
+        [
+            ("https://e/a", P_ACQUIRED, "https://e/b", False),
+            ("https://e/b", "https://p/p2", "https://e/c", False),
+            ("https://e/a", P_FOUNDED, "1999", True),
+            ("https://e/b", P_FOUNDED, "2005", True),
+        ]
+    )
+    # branch filters see only the branch's own bindings (SPARQL group
+    # scope): filter on an in-branch variable
+    q = (f"?s <{P_FOUNDED}> ?y . "
+         f"{{ ?s <{P_ACQUIRED}> ?o . FILTER(?s = <https://e/a>) }} "
+         f"UNION {{ ?s <https://p/p2> ?o }}")
+    out = eval_bgp(t, q)
+    assert out[["s", "o"]].values.tolist() == [
+        ["https://e/a", "https://e/b"],
+        ["https://e/b", "https://e/c"],
+    ]
+    # an outer-scope variable is UNBOUND inside a branch filter → the
+    # branch contributes nothing (filter error removes the row)
+    q2 = (f"?s <{P_FOUNDED}> ?y . "
+          f"{{ ?s <{P_ACQUIRED}> ?o . FILTER(?y < 2000) }} "
+          f"UNION {{ ?s <https://p/p2> ?o }}")
+    out2 = eval_bgp(t, q2)
+    assert out2[["s", "o"]].values.tolist() == [["https://e/b", "https://e/c"]]
+
+
+def test_union_disjoint_vars_unbound():
+    t = _triples_table(
+        [
+            ("https://e/a", P_ACQUIRED, "https://e/b", False),
+            ("https://e/b", P_FOUNDED, "1999", True),
+        ]
+    )
+    out = eval_bgp(
+        t, f"{{ ?s <{P_ACQUIRED}> ?x }} UNION {{ ?s <{P_FOUNDED}> ?y }}"
+    )
+    rows = out.to_dict("records")
+    assert {r["s"] for r in rows} == {"https://e/a", "https://e/b"}
+    assert any(r["x"] is None for r in rows) and any(r["y"] is None for r in rows)
+
+
+def test_union_nested_rejected():
+    with pytest.raises(ValueError, match="nested UNION"):
+        parse_bgp("{ { ?a <p> ?b } UNION { ?a <q> ?b } } UNION { ?a <r> ?b }")
+
+
+def test_union_distributed_matches_single_reader(ray_session):
+    """The distributed router evaluates UNION via the same group algebra."""
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.query.service import QueryService
+    from rdf_diff_store_ray.state.reconstruct import metadata_table
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_PARTNERS
+
+    res = q.kg_build_for(SF_DIR)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    ts = int(pd.Timestamp(hi).timestamp())
+    reader = DiffStoreReader(dt)
+    query = (f"{{ ?s <{P_ACQUIRED}> ?o }} UNION {{ ?s <{P_PARTNERS}> ?o }}")
+    svc = QueryService(res.delta_dir)
+    try:
+        got = svc.query_at(ts, query)
+    finally:
+        svc.shutdown()
+    want = reader.query_at(ts, query)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0
