@@ -52,6 +52,33 @@ def encode_fake_image(media_id: int, h: int, w: int, seed: int = 3) -> bytes:
     return _FAKE_MAGIC + struct.pack("<II", h, w) + pixels.tobytes()
 
 
+_FAKE_VIDEO_MAGIC = b"FAKEV"
+
+
+def encode_fake_video(media_id: int, n_frames: int, h: int, w: int,
+                      seed: int = 3) -> bytes:
+    """Deterministic synthetic video: header (n, h, w) + n grayscale
+    frames of u8 pixels."""
+    rng = np.random.default_rng(seed * 2_000_003 + media_id)
+    frames = rng.integers(0, 256, size=n_frames * h * w, dtype=np.uint8)
+    return (_FAKE_VIDEO_MAGIC + struct.pack("<III", n_frames, h, w)
+            + frames.tobytes())
+
+
+def decode_video_payload(codec: str, payload: bytes) -> np.ndarray:
+    """(n_frames, h, w) u8 array for the deterministic test codec; real
+    containers (mp4/webm) need ffmpeg-class libraries absent here."""
+    if codec == "fake-video-v1":
+        if payload[:5] != _FAKE_VIDEO_MAGIC:
+            raise ValueError("corrupt fake-video-v1 payload (bad magic)")
+        n, h, w = struct.unpack("<III", payload[5:17])
+        return np.frombuffer(payload[17:], dtype=np.uint8).reshape(n, h, w)
+    raise NotImplementedError(
+        f"video codec {codec!r} requires ffmpeg-class libraries not "
+        "present in this environment; use codec='fake-video-v1'"
+    )
+
+
 def decode_payload(codec: str, payload: bytes) -> np.ndarray:
     if codec == "fake-v1":
         if payload[:5] != _FAKE_MAGIC:
@@ -100,9 +127,11 @@ class DecodeStage:
             widths.append(arr.shape[1])
             hist, _ = np.histogram(arr, bins=self.edges)
             hists.append((hist / max(1, arr.size)).astype(np.float32))
-        return pa.table(
+        cols = {"media_id": batch["media_id"]}
+        if "frame_id" in batch.column_names:  # chained after frame sampling
+            cols["frame_id"] = batch["frame_id"]
+        cols.update(
             {
-                "media_id": batch["media_id"],
                 "height": pa.array(heights, pa.int32()),
                 "width": pa.array(widths, pa.int32()),
                 "features": pa.array(
@@ -110,6 +139,7 @@ class DecodeStage:
                 ),
             }
         )
+        return pa.table(cols)
 
 
 class ResizeStage:
@@ -145,6 +175,76 @@ class ResizeStage:
                 "payload": pa.array(payloads, pa.binary()),
             }
         ).cast(MEDIA_SCHEMA)
+
+
+class FrameSampleStage:
+    """Video → every k-th frame re-encoded as an image payload row (one
+    input row explodes into ``ceil(n_frames / stride)`` output rows — a
+    flat-map-shaped actor stage). ``frame_id`` keys the output so a
+    downstream :class:`DecodeStage` can feature-extract per frame.
+
+    Large-binary guidance as for :class:`DecodeStage`: small
+    ``batch_size``, payload columns stream zero-copy."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_ids, payloads = [], [], []
+        for mid, codec, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["codec"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            frames = decode_video_payload(codec, payload)
+            for fi in range(0, frames.shape[0], self.stride):
+                f = frames[fi]
+                media_ids.append(mid)
+                frame_ids.append(fi)
+                payloads.append(
+                    _FAKE_MAGIC
+                    + struct.pack("<II", f.shape[0], f.shape[1])
+                    + f.tobytes()
+                )
+        n = len(media_ids)
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "frame_id": pa.array(frame_ids, pa.int32()),
+                "media_type": pa.array(["image"] * n, pa.string()),
+                "codec": pa.array(["fake-v1"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def sample_frames(video_ds, stride: int = 4, batch_size: int = 16,
+                  concurrency=(1, 4)):
+    """Actor-pool frame sampling over a video table (``MEDIA_SCHEMA``
+    with ``media_type='video'``); output is image-typed rows chainable
+    into :func:`decode_features`."""
+    return video_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # video rows are the largest payloads
+        concurrency=concurrency,
+    )
+
+
+def synthetic_video_table(n: int, n_frames: int = 16, h: int = 16,
+                          w: int = 16, seed: int = 3) -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "codec": pa.array(["fake-video-v1"] * n, pa.string()),
+            "payload": pa.array(
+                [encode_fake_video(i, n_frames, h, w, seed) for i in range(n)],
+                pa.binary(),
+            ),
+        }
+    ).cast(MEDIA_SCHEMA)
 
 
 def synthetic_media_table(n: int, h: int = 32, w: int = 32, seed: int = 3) -> pa.Table:

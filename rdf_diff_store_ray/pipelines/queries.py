@@ -263,6 +263,22 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width"])
 
 
+def multimodal_frames(sf_dir: str):
+    """Video frame-sampling chain: synthetic videos → every-4th-frame
+    flat-map actor stage → per-frame histogram features."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        decode_features,
+        sample_frames,
+        synthetic_video_table,
+    )
+
+    vids = rd.from_arrow(synthetic_video_table(n=32, n_frames=16, h=16, w=16))
+    out = decode_features(sample_frames(vids, stride=4), batch_size=16)
+    return out.select_columns(["media_id", "frame_id", "height", "width"])
+
+
 # ------------------------------------------------------------- KG -----------
 def kg_build_for(sf_dir: str):
     """Deterministic KG build over a synthetic pages corpus sized from the
@@ -784,6 +800,7 @@ def registry():
         "lang_id": lang_id_docs,
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
         "kg_triples": kg_triples,
         "kg_delta_log": kg_delta_log,
         "kg_state_at_mid": kg_state_at_mid,
