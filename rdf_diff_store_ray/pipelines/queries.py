@@ -781,6 +781,8 @@ def registry():
         "region_nation_names": rel.region_nation_names,
         "customer_running_totals": rel.customer_running_totals,
         "events_top_users_per_type": rel.events_top_users_per_type,
+        "events_quantiles": rel.events_value_quantiles,
+        "events_range_join": rel.events_range_join,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -791,6 +793,7 @@ def registry():
         "ann_topk": ann_topk,
         "label_dist": label_dist,
         # rows-only (non-SQL-expressible; correctness via pytest oracles)
+        "approx_distinct_users": rel.approx_distinct_users,
         "minhash_dedup": minhash_dedup,
         "doc_rolling_fingerprints": doc_rolling_fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_q,
@@ -842,6 +845,8 @@ def oracles():
         "region_nation_names": rel.REGION_NATION_NAMES_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "events_top_users_per_type": rel.EVENTS_TOP_USERS_SQL,
+        "events_quantiles": rel.EVENTS_QUANTILES_SQL,
+        "events_range_join": rel.EVENTS_RANGE_JOIN_SQL,
         "doc_stats": DOC_STATS_SQL,
         "quality_score": QUALITY_SCORE_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

@@ -939,3 +939,176 @@ def events_version_times(sf_dir: str):
 EVENTS_VERSION_TIMES_SQL = """
 SELECT DISTINCT date_trunc('day', ts) AS day FROM events ORDER BY day
 """
+
+
+# ------------------------------------------------- grouped quantiles --------
+def events_value_quantiles(sf_dir: str):
+    """Exact discrete p50/p90 of value (cents) per event_type.
+
+    ``event_type`` is a BOUNDED low-cardinality key, so per-group
+    ``map_groups`` with a vectorized in-group sort is the right shape
+    (the unbounded-key ban applies to corpus-scale keys). DuckDB's
+    ``quantile_disc`` picks ``sorted[ceil(n·p) − 1]`` — reproduced
+    exactly so the hash-compare is deterministic."""
+    import math
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"], "value_cents": _cents(b["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def quantiles(group):
+        import numpy as np
+        import pandas as pd
+
+        v = np.sort(group["value_cents"].to_numpy())
+        n = len(v)
+
+        def qd(p):
+            return int(v[max(0, math.ceil(n * p) - 1)])
+
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "p50_cents": [qd(0.5)],
+                "p90_cents": [qd(0.9)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------- range join ---------
+VALUE_BUCKETS = (  # (name, lo_cents, hi_cents) — inclusive bounds
+    ("low", 0, 999),
+    ("mid", 1000, 4999),
+    ("high", 5000, 10_000_000),
+)
+
+
+def events_range_join(sf_dir: str):
+    """Range join of the events stream against a small interval table
+    (the brief's range-join operator): bucket bounds are broadcast and
+    each batch assigns rows via a vectorized ``searchsorted`` on the
+    interval starts — a shuffle-free broadcast range join. At scale the
+    small side stays a handful of intervals; only the grouped aggregate
+    shuffles (bounded by bucket count)."""
+    import numpy as np
+
+    los = np.array([b[1] for b in VALUE_BUCKETS], dtype=np.int64)
+    his = np.array([b[2] for b in VALUE_BUCKETS], dtype=np.int64)
+    names = np.array([b[0] for b in VALUE_BUCKETS], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"]).to_numpy()
+        idx = np.searchsorted(los, cents, side="right") - 1
+        idx = np.clip(idx, 0, len(los) - 1)
+        inside = (cents >= los[idx]) & (cents <= his[idx])
+        return pa.table(
+            {
+                "bucket": pa.array(names[idx][inside], pa.string()),
+                "value_cents": pa.array(cents[inside], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT b.bucket AS bucket, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN (VALUES ('low', 0, 999), ('mid', 1000, 4999),
+             ('high', 5000, 10000000)) AS b(bucket, lo, hi)
+  ON CAST(round(e.value * 100) AS BIGINT) BETWEEN b.lo AND b.hi
+GROUP BY b.bucket
+"""
+
+
+# ----------------------------------------------- HyperLogLog sketch ---------
+def _hll_registers(hashes, m: int = 4096):
+    """Register array for one batch of 64-bit hashes (numpy)."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    reg_idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(12)  # log2(m) = 12
+    # rank = leading-zero position of the remaining 52 bits + 1; count
+    # via bit_length: rank = 53 - bit_length(rest)
+    bl = np.zeros(len(h), dtype=np.int64)
+    nz = rest > 0
+    bl[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64) + 1
+    rank = 53 - bl
+    regs = np.zeros(m, dtype=np.int8)
+    np.maximum.at(regs, reg_idx, rank.astype(np.int8))
+    return regs
+
+
+def approx_distinct_users(sf_dir: str, m: int = 4096):
+    """Approximate distinct ``user_id`` count via a HyperLogLog sketch
+    (the brief's "novel sketch" operator): each batch folds its hashes
+    into an ``m``-register array (a few KB), partial registers merge by
+    elementwise max — a tree-reduce, never a shuffle of user ids. The
+    relative error is ~1.04/√m ≈ 1.6 % at m=4096; the pytest gate
+    asserts the bound against the exact count. Rows-only entry (an
+    approximate result can't hash-match an exact SQL oracle)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib as hl
+
+        ids = batch["user_id"].to_numpy()
+        hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hl.blake2b(int(u).to_bytes(8, "little"), digest_size=8).digest(),
+                    "big",
+                )
+                for u in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        regs = _hll_registers(hashes, m)
+        return pa.table({"registers": pa.array([regs.tolist()], pa.list_(pa.int8()))})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    import numpy as np
+
+    regs = np.zeros(m, dtype=np.int8)
+    for row in parts.iter_rows():  # num_batches tiny rows, 4 KB each
+        regs = np.maximum(regs, np.asarray(row["registers"], dtype=np.int8))
+    # standard HLL estimator with small-range correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return pa.table(
+        {
+            "approx_distinct_users": pa.array([int(round(est))], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+        }
+    )

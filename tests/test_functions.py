@@ -358,3 +358,18 @@ def test_multimodal_video_codec_stubbed():
 
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_video_payload("mp4", b"\x00\x00")
+
+
+def test_approx_distinct_users_error_bound(ray_session):
+    """HLL sketch estimate within ~3σ of the exact distinct count
+    (σ ≈ 1.04/√m)."""
+    import duckdb
+
+    from rdf_diff_store_ray.pipelines.relational import approx_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    est = approx_distinct_users(sf)["approx_distinct_users"][0].as_py()
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 3 * 1.04 / (4096 ** 0.5), (est, exact)
