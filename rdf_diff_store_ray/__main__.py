@@ -101,6 +101,15 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ensure_ray()
+    from .state.append import compact_log
+
+    n = compact_log(args.store, min_segments=args.min_segments)
+    print(json.dumps({"compacted_partitions": n}))
+    return 0
+
+
 def cmd_graphs_at(args) -> int:
     from .query.bgp import DiffStoreReader
 
@@ -164,6 +173,11 @@ def main(argv=None) -> int:
     d.add_argument("--graph", required=True)
     d.add_argument("--ts", type=int, required=True)
     d.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact", help="merge append segments into base files (git-gc analog)")
+    cp.add_argument("--store", required=True)
+    cp.add_argument("--min-segments", type=int, default=1, dest="min_segments")
+    cp.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("graphs-at", help="merged canonical N-Triples at ts")
     g.add_argument("--store", required=True)

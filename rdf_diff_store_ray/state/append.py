@@ -272,6 +272,60 @@ def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     return _apply(delta_dir, rows, ts)
 
 
+def compact_log(delta_dir: str, min_segments: int = 1) -> int:
+    """Merge each partition's append segments back into its base file
+    (the git-gc analog for the log-structured store): partitions with
+    ≥ ``min_segments`` segments are rewritten as one sorted base file
+    (atomic rename; the full write invalidates the merged segments),
+    restoring point-read locality after many incremental writes without
+    changing any observable state. Untouched partitions are skipped.
+    Returns the number of partitions compacted.
+
+    Rows are sorted by ``(graph_id, warc_ts)`` stably, preserving
+    segment replay order for same-second ties — reconstruction before
+    and after compaction is byte-identical."""
+    import time
+
+    import ray.data as rd
+
+    num_partitions = _log_num_partitions(delta_dir)
+    todo = []
+    for pid in range(num_partitions):
+        n_seg = sum(
+            1 for f in deltas_mod.segment_files(delta_dir, pid)
+            if os.path.basename(f) != "deltas.parquet"
+        )
+        if n_seg >= min_segments:
+            todo.append(pid)
+    if not todo:
+        return 0
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = []
+        for pid in batch["pid"].to_pylist():
+            t0 = time.monotonic()
+            merged = _partition_table(delta_dir, pid)
+            idx = pc.sort_indices(
+                merged,
+                sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")],
+            )
+            deltas_mod.write_partition(
+                delta_dir, pid, merged.take(idx),
+                wall_s=time.monotonic() - t0,
+            )
+            out.append(pid)
+        return pa.table({"pid": pa.array(out, pa.int64())})
+
+    done = (
+        rd.from_arrow(pa.table({"pid": pa.array(todo, pa.int64())}))
+        .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
+        .count()
+    )
+    return int(done)
+
+
 def delete_graphs(delta_dir: str, graph_ids, ts: int) -> int:
     """Tombstone each currently-live graph at ``ts``; absent graphs are
     no-ops. Returns the number of tombstones written."""

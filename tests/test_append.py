@@ -194,3 +194,33 @@ x:b x:p 2 ."""
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported graph format"):
         append_graphs(store, {"g": Graph("g", ttl, "application/rdf+xml")}, T3)
+
+
+def test_compaction_preserves_state_and_removes_segments(store, ray_session):
+    """compact_log merges segments into the base file; every observable
+    reconstruction is byte-identical before and after."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.state.append import (
+        append_graphs,
+        compact_log,
+        delete_graphs,
+    )
+
+    append_graphs(store, {"g1": G_A, "g2": G_B}, T1)
+    append_graphs(store, {"g1": G_A2, "g3": G_B}, T2)
+    delete_graphs(store, ["g2"], T3)
+    before = {
+        ts: DiffStoreReader(_delta_table(store)).graphs_at(ts)
+        for ts in (T1, T2, T3, T3 + 1)
+    }
+    assert glob.glob(os.path.join(store, "partition=*", "*.seg-*.parquet"))
+    n = compact_log(store)
+    assert n >= 1
+    assert not glob.glob(os.path.join(store, "partition=*", "*.seg-*.parquet"))
+    reader = DiffStoreReader(_delta_table(store))
+    for ts, text in before.items():
+        assert reader.graphs_at(ts) == text
+    # appends keep working after compaction
+    assert append_graphs(store, {"g4": G_A}, T3 + 60) == 1
+    # nothing to do on an already-compact partition set beyond g4's
+    assert compact_log(store, min_segments=2) == 0
