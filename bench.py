@@ -147,6 +147,7 @@ def run_bench() -> dict:
             "events_sessionize", "events_change_log", "customer_order_counts",
             "exact_dedup", "minhash_dedup", "simhash_pairs", "ann_topk",
             "ivf_topk", "doc_stats", "quality_score",
+            "events_quantiles", "events_range_join", "approx_distinct_users",
         ):
             timed(name, q.registry()[name])
 
