@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 from collections import OrderedDict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -303,7 +304,8 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     variables are ``None`` (omitted in the SPARQL-JSON form).
 
     A variable binds an RDF *term*, not a lexical form: bindings are
-    carried internally as ``(value, is_literal)`` tuples so that a
+    carried internally as tag-prefixed strings (see
+    :func:`eval_one_pattern`) so that a
     literal ``"x"`` never joins the IRI ``<x>`` — across patterns AND for
     a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
     """
@@ -373,11 +375,11 @@ def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
 
 
 def finalize_bindings(result: pd.DataFrame) -> pd.DataFrame:
-    """Unwrap tagged tuples to lexical forms; unbound → None; distinct +
+    """Strip tag prefixes from tagged strings; unbound → None; distinct +
     deterministic sort."""
     out = pd.DataFrame(
         {
-            c: [t[0] if isinstance(t, tuple) else None for t in result[c]]
+            c: [t[1:] if isinstance(t, str) else None for t in result[c]]
             for c in result.columns
         },
         index=result.index,
@@ -410,8 +412,14 @@ def format_pattern(pattern) -> str:
 
 def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
     """One triple pattern against a triple frame → frame of TAGGED
-    ``(value, is_literal)`` bindings, one column per variable (a
-    zero-column frame with 0/1 rows for a variable-free pattern)."""
+    bindings, one column per variable (a zero-column frame with 0/1
+    rows for a variable-free pattern).
+
+    A tagged binding is a plain string ``"I" + value`` (IRI) or
+    ``"L" + value`` (literal; decorated token for typed/lang) — a
+    vectorizable representation (string concat / equality / dedup are
+    columnar) that also ships compactly between partition actors, while
+    still making a literal ``"x"`` never join the IRI ``<x>``."""
     s, p, o = pattern
     cur = df
     var_positions: dict = {}  # var -> [position, ...]
@@ -425,11 +433,16 @@ def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
                 cur = cur[~cur["obj_is_literal"]]
         else:  # literal — only matches the object position
             cur = cur[(cur[pos] == val) & cur["obj_is_literal"]]
-    # tagged term per position (subj/pred are always IRIs)
+    # tagged term per position, fully vectorized (subj/pred always IRIs)
     tagged = pd.DataFrame(index=cur.index)
-    for pos in ("subj", "pred", "obj"):
-        lit = cur["obj_is_literal"] if pos == "obj" else False
-        tagged[pos] = list(zip(cur[pos], lit if pos == "obj" else [False] * len(cur)))
+    needed = {p for ps in var_positions.values() for p in ps}
+    for pos in needed:
+        if pos == "obj":
+            tagged[pos] = np.where(
+                cur["obj_is_literal"], "L" + cur["obj"], "I" + cur["obj"]
+            )
+        else:
+            tagged[pos] = "I" + cur[pos]
     # a variable repeated WITHIN the pattern must bind one term
     mask = pd.Series(True, index=cur.index)
     for var, positions in var_positions.items():
@@ -453,26 +466,24 @@ _XSD_NUMERIC = frozenset(
 )
 
 
-def _term_lexical(tagged):
+def _term_lexical(tagged: str) -> str:
     """Lexical form of a tagged binding (decorated literals unwrapped)."""
     from ..ntriples import literal_parts
 
-    value, is_lit = tagged
-    if is_lit:
-        return literal_parts(value)[0]
-    return value
+    if tagged.startswith("L"):
+        return literal_parts(tagged[1:])[0]
+    return tagged[1:]
 
 
-def _term_numeric(tagged):
+def _term_numeric(tagged: str):
     """Numeric value of a tagged binding, or None. Plain literals are
     coerced when they look numeric (the corpus stores numbers as plain
     literals); typed literals only for XSD numeric datatypes."""
     from ..ntriples import literal_parts
 
-    value, is_lit = tagged
-    if not is_lit:
+    if not tagged.startswith("L"):
         return None
-    lex, suffix = literal_parts(value)
+    lex, suffix = literal_parts(tagged[1:])
     if suffix.startswith("^^<"):
         if suffix[3:-1] not in _XSD_NUMERIC:
             return None
@@ -485,16 +496,16 @@ def _term_numeric(tagged):
 
 
 def _operand_value(operand, row):
-    """Resolve a filter operand against one result row → tagged term,
-    ("num", x) constant, or None (unbound)."""
+    """Resolve a filter operand against one result row → tagged term
+    string, ("num", x) constant, or None (unbound)."""
     kind, val = operand
     if kind == "var":
         t = row.get(val)
-        return t if isinstance(t, tuple) else None
+        return t if isinstance(t, str) else None
     if kind == "iri":
-        return (val, False)
+        return "I" + val
     if kind == "lit":
-        return (val, True)
+        return "L" + val
     return ("__num__", val)  # sentinel handled in _filter_true
 
 
@@ -505,7 +516,7 @@ def _filter_true(lhs, op: str, rhs) -> bool:
         return False
 
     def num(x):
-        if isinstance(x, tuple) and x[0] == "__num__":
+        if isinstance(x, tuple):
             return x[1]
         return _term_numeric(x)
 
@@ -513,16 +524,12 @@ def _filter_true(lhs, op: str, rhs) -> bool:
     if ln is not None and rn is not None:
         a, b = ln, rn
     elif op in ("=", "!="):
-        if isinstance(lhs, tuple) and lhs[0] == "__num__":
+        if isinstance(lhs, tuple) or isinstance(rhs, tuple):
             return False  # numeric const vs non-numeric term
-        if isinstance(rhs, tuple) and rhs[0] == "__num__":
-            return False
-        a, b = lhs, rhs  # term equality (value, is_literal)
+        a, b = lhs, rhs  # term equality on tagged strings
     else:
         # ordering on lexical forms (codepoint order), literals/IRIs alike
-        if isinstance(lhs, tuple) and lhs[0] == "__num__":
-            return False
-        if isinstance(rhs, tuple) and rhs[0] == "__num__":
+        if isinstance(lhs, tuple) or isinstance(rhs, tuple):
             return False
         a, b = _term_lexical(lhs), _term_lexical(rhs)
     if op == "=":
