@@ -510,10 +510,26 @@ def kg_turtle_ingest(sf_dir: str):
     """Turtle ingestion interop: export the end-state KG as Turtle-style
     documents WITH ``@prefix`` headers and abbreviations, read them back
     through :func:`read_turtle`, and verify the canonical digest per
-    graph matches the store's (prefix expansion is lossless)."""
+    graph matches the store's (prefix expansion is lossless).
+
+    Fully distributed in both directions: Turtle files are written by
+    bounded-partition tasks (the ``write_ntriples`` ownership pattern),
+    expected digests travel as rows, and the got-vs-want comparison is a
+    co-partitioned group pass — the driver only ever sees three
+    counters."""
     import tempfile
 
-    from ..ntriples import graph_filename, parse, serialize, sha256_text
+    import ray.data as rd
+
+    from ..ntriples import (
+        escape_literal,
+        graph_filename,
+        is_decorated_literal,
+        parse,
+        serialize,
+        sha256_text,
+    )
+    from ..shuffle_utils import add_partition_id
     from ..sources import read_turtle
     from ..state.reconstruct import metadata_table, state_at_table
 
@@ -530,24 +546,37 @@ def kg_turtle_ingest(sf_dir: str):
             return "prop:" + local
         return f"<{iri}>"
 
-    from ..ntriples import escape_literal, is_decorated_literal
+    def write_turtle_partition(df):
+        import pandas as pdd
 
-    want = {}
-    for gid, text in zip(live["graph_id"].to_pylist(),
-                         live["delta_text"].to_pylist()):
-        want[gid] = sha256_text(text).hex()
-        lines = [f"@prefix prop: <{prefix}> ."]
-        for s, p, o, lit in parse(text):
-            if lit:
-                obj = o if is_decorated_literal(o) else f'"{escape_literal(o)}"'
-            else:
-                obj = term(o)
-            lines.append(f"{term(s)} {term(p)} {obj} .")
-        with open(f"{out_dir}/{graph_filename(gid)}", "w", encoding="utf-8") as f:
-            f.write("\n".join(lines) + "\n")
+        out_g, out_d = [], []
+        for gid, text in zip(df["graph_id"], df["delta_text"]):
+            out_g.append(gid)
+            out_d.append(sha256_text(text).hex())
+            lines = [f"@prefix prop: <{prefix}> ."]
+            for s_, p_, o_, lit in parse(text):
+                if lit:
+                    obj = o_ if is_decorated_literal(o_) else f'"{escape_literal(o_)}"'
+                else:
+                    obj = term(o_)
+                lines.append(f"{term(s_)} {term(p_)} {obj} .")
+            with open(f"{out_dir}/{graph_filename(gid)}", "w",
+                      encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+        return pdd.DataFrame({"graph_id": out_g, "want_hex": out_d})
+
+    want_ds = (
+        rd.from_arrow(live.select(["graph_id", "delta_text"]))
+        .map_batches(
+            lambda b: add_partition_id(b, key="graph_id", num_partitions=16,
+                                       col="tp_pid"),
+            batch_format="pyarrow",
+        )
+        .groupby("tp_pid")
+        .map_groups(write_turtle_partition, batch_format="pandas")
+        .materialize()  # files on disk before read_turtle lists them
+    )
     back = read_turtle(out_dir)
-
-    from ..shuffle_utils import add_partition_id
 
     def digest_partition(df):
         import pandas as pdd
@@ -559,9 +588,9 @@ def kg_turtle_ingest(sf_dir: str):
             )
             out_g.append(gid)
             out_d.append(sha256_text(text).hex())
-        return pdd.DataFrame({"graph_id": out_g, "digest_hex": out_d})
+        return pdd.DataFrame({"graph_id": out_g, "got_hex": out_d})
 
-    got = (
+    got_ds = (
         back.map_batches(
             lambda b: add_partition_id(b, key="graph_id", num_partitions=16,
                                        col="tp_pid"),
@@ -569,14 +598,55 @@ def kg_turtle_ingest(sf_dir: str):
         )
         .groupby("tp_pid")
         .map_groups(digest_partition, batch_format="pandas")
+    )
+
+    # co-partitioned compare: (graph_id, want) ∪ (graph_id, got) →
+    # per-partition match counts; only counters reach the driver
+    def tag(col):
+        def fn(b: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    "graph_id": b["graph_id"],
+                    "hex": b[col],
+                    "side": pa.array([col] * b.num_rows, pa.string()),
+                }
+            )
+            return add_partition_id(out, key="graph_id", num_partitions=16,
+                                    col="cmp_pid")
+
+        fn.__name__ = f"tag_{col}"
+        return fn
+
+    def compare(df):
+        import pandas as pdd
+
+        w = df[df["side"] == "want_hex"].set_index("graph_id")["hex"]
+        g = df[df["side"] == "got_hex"].set_index("graph_id")["hex"]
+        joined = w.to_frame("w").join(g.to_frame("g"), how="outer")
+        return pdd.DataFrame(
+            {
+                "graphs": [int(joined["w"].notna().sum())],
+                "roundtripped": [int(joined["g"].notna().sum())],
+                "digest_matches": [int((joined["w"] == joined["g"]).sum())],
+            }
+        )
+
+    parts = (
+        want_ds.map_batches(tag("want_hex"), batch_format="pyarrow")
+        .union(got_ds.map_batches(tag("got_hex"), batch_format="pyarrow"))
+        .groupby("cmp_pid")
+        .map_groups(compare, batch_format="pandas")
         .take_all()
     )
-    n_match = sum(1 for r in got if want.get(r["graph_id"]) == r["digest_hex"])
     return pa.table(
         {
-            "graphs": pa.array([len(want)], pa.int64()),
-            "roundtripped": pa.array([len(got)], pa.int64()),
-            "digest_matches": pa.array([n_match], pa.int64()),
+            "graphs": pa.array([sum(r["graphs"] for r in parts)], pa.int64()),
+            "roundtripped": pa.array(
+                [sum(r["roundtripped"] for r in parts)], pa.int64()
+            ),
+            "digest_matches": pa.array(
+                [sum(r["digest_matches"] for r in parts)], pa.int64()
+            ),
         }
     )
 

@@ -943,33 +943,48 @@ SELECT DISTINCT date_trunc('day', ts) AS day FROM events ORDER BY day
 
 # ------------------------------------------------- grouped quantiles --------
 def events_value_quantiles(sf_dir: str):
-    """Exact discrete p50/p90 of value (cents) per event_type.
-
-    ``event_type`` is a BOUNDED low-cardinality key, so per-group
-    ``map_groups`` with a vectorized in-group sort is the right shape
-    (the unbounded-key ban applies to corpus-scale keys). DuckDB's
-    ``quantile_disc`` picks ``sorted[ceil(n·p) − 1]`` — reproduced
-    exactly so the hash-compare is deterministic."""
+    """Exact discrete p50/p90 of value (cents) per event_type, computed
+    from per-value COUNTS so nothing row-scale ever co-locates: the
+    shuffle carries ``(event_type, value_cents) → n`` partials (bounded
+    by the distinct-value domain, ≪ rows at scale), and the final
+    per-type pass walks the sorted value histogram to the target rank.
+    DuckDB's ``quantile_disc`` picks ``sorted[ceil(n·p) − 1]`` —
+    reproduced exactly so the hash-compare is deterministic."""
     import math
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
-    ).map_batches(
-        lambda b: pa.table(
-            {"event_type": b["event_type"], "value_cents": _cents(b["value"])}
-        ),
-        batch_format="pyarrow",
     )
 
-    def quantiles(group):
-        import numpy as np
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": batch["event_type"], "value_cents": _cents(batch["value"])}
+        ).to_pandas()
+        g = (
+            df.groupby(["event_type", "value_cents"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles_from_histogram(group):
         import pandas as pd
 
-        v = np.sort(group["value_cents"].to_numpy())
-        n = len(v)
+        g = group.sort_values("value_cents", ignore_index=True)
+        v = g["value_cents"].to_numpy()
+        c = g["n"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
 
         def qd(p):
-            return int(v[max(0, math.ceil(n * p) - 1)])
+            rank = max(1, math.ceil(n * p))  # 1-based target rank
+            return int(v[np.searchsorted(cum, rank)])
 
         return pd.DataFrame(
             {
@@ -979,7 +994,9 @@ def events_value_quantiles(sf_dir: str):
             }
         )
 
-    return ds.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+    return counts.groupby("event_type").map_groups(
+        quantiles_from_histogram, batch_format="pandas"
+    )
 
 
 EVENTS_QUANTILES_SQL = """
