@@ -569,6 +569,78 @@ def minhash_dedup_clusters(docs_ds, *, threshold: float = 0.7,
     )
 
 
+def dedup_documents(docs_ds, *, threshold: float = 0.7, **kw):
+    """The end-user dedup surface: the documents Dataset with near-dup
+    rows REMOVED, keeping each cluster's min-id representative. Streams:
+    the cluster map from :func:`minhash_dedup_clusters` flows into a
+    co-partitioned semi-join against the docs — the docs table is never
+    collected anywhere."""
+    import pyarrow.compute as pc
+
+    clusters = minhash_dedup_clusters(docs_ds, threshold=threshold, **kw)
+    keep = clusters.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].filter(
+                pc.equal(b["doc_id"], b["cluster_id"]))}
+        ),
+        batch_format="pyarrow",
+    )
+    # broadcast-free keep-set join: keep ids and docs co-partition on
+    # doc_id; each partition emits its docs whose id is in its keep set
+    import pandas as pd
+
+    num_partitions = 32
+
+    def mod_pid(batch: pa.Table, col: str) -> pa.Table:
+        key = batch[col]
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("dd_pid", pid)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array([None] * n, pa.string()),
+                "is_keep": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "is_keep": pa.array([False] * n, pa.bool_()),
+            }
+        )
+
+    def semi_join(group: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = set(group.loc[group["is_keep"], "doc_id"])
+        docs = group[~group["is_keep"]]
+        out = docs[docs["doc_id"].isin(keep_ids)]
+        return out[["doc_id", "text"]]
+
+    return (
+        keep.map_batches(keep_rows, batch_format="pyarrow")
+        .union(
+            docs_ds.select_columns(["doc_id", "text"]).map_batches(
+                doc_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(mod_pid, fn_kwargs={"col": "doc_id"}, batch_format="pyarrow")
+        .groupby("dd_pid")
+        .map_groups(semi_join, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------------- simhash -----
 
 

@@ -224,6 +224,15 @@ def minhash_dedup(sf_dir: str):
     return minhash_dedup_clusters(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def minhash_dedup_keep(sf_dir: str):
+    """Deduplicated documents themselves (one kept per near-dup
+    cluster) — the operator a training-data pipeline actually consumes."""
+    from ..functions.dedup import dedup_documents
+
+    out = dedup_documents(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    return out.select_columns(["doc_id"])
+
+
 def simhash_pairs(sf_dir: str):
     from ..functions.dedup import simhash_near_pairs
 
@@ -865,6 +874,7 @@ def registry():
         # rows-only (non-SQL-expressible; correctness via pytest oracles)
         "approx_distinct_users": rel.approx_distinct_users,
         "minhash_dedup": minhash_dedup,
+        "minhash_dedup_keep": minhash_dedup_keep,
         "doc_rolling_fingerprints": doc_rolling_fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "ivf_topk": ivf_topk_q,

@@ -373,3 +373,19 @@ def test_approx_distinct_users_error_bound(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 3 * 1.04 / (4096 ** 0.5), (est, exact)
+
+
+def test_dedup_documents_removes_planted_dupes(docs_ds):
+    """End-user dedup surface: planted near-dups collapse to one kept
+    representative (the cluster min id); non-dup docs survive."""
+    from rdf_diff_store_ray.functions.dedup import (
+        dedup_documents,
+        minhash_dedup_clusters,
+    )
+
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in minhash_dedup_clusters(docs_ds, threshold=0.5).take_all()}
+    kept = sorted(r["doc_id"] for r in dedup_documents(docs_ds, threshold=0.5).take_all())
+    want = sorted({cid for cid in clusters.values()})
+    assert kept == want
+    assert len(kept) < len(clusters)  # the fixture plants dupes
