@@ -967,10 +967,32 @@ def events_value_quantiles(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # merge partial counts in BOUNDED partitions (hash of the composite
+    # key), one vectorized pandas sum per partition — a groupby/aggregate
+    # keyed by (type, value) directly would pay Ray's per-group overhead
+    # once per distinct value (measured 5.7 s vs 1.3 s at sf0.1)
+    def add_vq_pid(batch: pa.Table) -> pa.Table:
+        key = batch["value_cents"]
+        pid = pc.subtract(
+            key,
+            pc.multiply(pc.divide(key, pa.scalar(64, pa.int64())),
+                        pa.scalar(64, pa.int64())),
+        ).cast(pa.int32())
+        return batch.append_column("vq_pid", pid)
+
+    def merge_counts(group):
+        g = (
+            group.groupby(["event_type", "value_cents"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return g
+
     counts = (
         ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "value_cents"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(add_vq_pid, batch_format="pyarrow")
+        .groupby("vq_pid")
+        .map_groups(merge_counts, batch_format="pandas")
     )
 
     def quantiles_from_histogram(group):
