@@ -24,7 +24,7 @@ from . import relational as rel
 KG_CACHE_ROOT = "/tmp/ray_kg_cache"
 # bump when build outputs change shape/content — /tmp persists across
 # rounds and a stale cached build must never mask current-code behavior
-KG_CACHE_VERSION = 2
+KG_CACHE_VERSION = 3  # v3: DELTAS grew the seq replay-order column
 
 
 # ---------------------------------------------------------- documents -------

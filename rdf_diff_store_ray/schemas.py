@@ -83,11 +83,31 @@ DELTAS = pa.schema(
         ("delta_text", pa.large_string()),
         ("digest", pa.binary()),
         ("partition_id", pa.int32()),
+        # explicit replay order within a partition: unique, monotone in
+        # write order (base file rows, then each append segment continues
+        # from max+1). Same-second ties resolve by (warc_ts, seq) — an
+        # explicit total order, never sort stability (pyarrow's
+        # sort_indices is NOT stable).
+        ("seq", pa.int64()),
     ]
 )
 
 OP_UPDATE = "update"
 OP_DELETE = "delete"
+
+
+def ensure_seq(table: pa.Table, start: int = 0) -> pa.Table:
+    """Guarantee a ``seq`` replay-order column: tables written by the
+    current code carry it; a legacy table (pre-seq parquet) gets
+    ``start + arange`` in its CURRENT row order, which for a file read in
+    segment order is the replay order it was written in."""
+    if "seq" in table.column_names:
+        return table
+    import numpy as np
+
+    return table.append_column(
+        "seq", pa.array(start + np.arange(table.num_rows, dtype=np.int64))
+    )
 
 
 def ensure_schema(table: pa.Table, schema: pa.Schema, where: str = "") -> pa.Table:

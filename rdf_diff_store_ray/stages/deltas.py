@@ -148,6 +148,10 @@ class DeltaPartitionWriter:
         deltas = derive_partition_deltas(group, self.snapshot_times)
         if len(deltas):
             deltas["partition_id"] = np.int32(pid)
+            # replay-order column: derive emits (graph, ts-ascending) rows
+            # with at most one row per (graph, second), so arange is a
+            # valid (and the only) replay order for the base segment
+            deltas["seq"] = np.arange(len(deltas), dtype=np.int64)
             table = pa.Table.from_pandas(deltas, preserve_index=False).cast(DELTAS)
         else:
             table = DELTAS.empty_table()

@@ -96,23 +96,41 @@ def _log_num_partitions(delta_dir: str) -> int:
 
 
 def _partition_table(delta_dir: str, pid: int) -> pa.Table:
-    """Merged view of one partition: base file + append segments, in
-    replay order (segment order is the same-second tie-break)."""
+    """Merged view of one partition: base file + append segments. Replay
+    order is the explicit ``seq`` column (legacy seq-less files get it
+    synthesized in file order, which equals their write order)."""
     import pyarrow.parquet as pq
+
+    from ..schemas import ensure_seq
 
     files = deltas_mod.segment_files(delta_dir, pid)
     if not files:
         return DELTAS.empty_table()
-    # parquet round-trips large_string as string; re-cast to contract
-    return pa.concat_tables([pq.read_table(f).cast(DELTAS) for f in files])
+    parts, offset = [], 0
+    for f in files:
+        t = ensure_seq(pq.read_table(f), start=offset)
+        offset = max(offset, _max_seq(t) + 1)
+        # parquet round-trips large_string as string; re-cast to contract
+        parts.append(t.select(DELTAS.names).cast(DELTAS))
+    return pa.concat_tables(parts)
+
+
+def _max_seq(table: pa.Table) -> int:
+    if table.num_rows == 0:
+        return -1
+    return int(pc.max(table["seq"]).as_py())
 
 
 def _latest_by_graph(table: pa.Table) -> dict:
-    """graph_id → (latest_ts_seconds, op, digest) — stable keep-last."""
+    """graph_id → (latest_ts_seconds, op, digest). "Latest" = max
+    ``(warc_ts, seq)`` — an explicit total order per graph, independent of
+    sort stability (``pc.sort_indices`` is not stable)."""
     if table.num_rows == 0:
         return {}
     idx = pc.sort_indices(
-        table, sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")]
+        table,
+        sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending"),
+                   ("seq", "ascending")],
     )
     srt = table.take(idx)
     gids = srt["graph_id"].to_pylist()
@@ -167,6 +185,7 @@ class _PartitionAppender:
                 new_rows.append((r.graph_id, self.ts, OP_DELETE, "", b""))
             applied += 1
         if new_rows:
+            seq_start = _max_seq(current) + 1  # replay order continues
             add = pa.table(
                 {
                     "graph_id": pa.array([r[0] for r in new_rows], pa.string()),
@@ -181,6 +200,9 @@ class _PartitionAppender:
                     "digest": pa.array([r[4] for r in new_rows], pa.binary()),
                     "partition_id": pa.array(
                         np.full(len(new_rows), pid, dtype=np.int32), pa.int32()
+                    ),
+                    "seq": pa.array(
+                        seq_start + np.arange(len(new_rows), dtype=np.int64)
                     ),
                 }
             ).cast(DELTAS)
@@ -281,9 +303,10 @@ def compact_log(delta_dir: str, min_segments: int = 1) -> int:
     changing any observable state. Untouched partitions are skipped.
     Returns the number of partitions compacted.
 
-    Rows are sorted by ``(graph_id, warc_ts)`` stably, preserving
-    segment replay order for same-second ties — reconstruction before
-    and after compaction is byte-identical."""
+    Rows are sorted by ``(graph_id, warc_ts, seq)`` — ``seq`` (the
+    explicit replay-order column) makes the sort a total order, so
+    same-second ties resolve identically before and after compaction
+    without relying on sort stability; reconstruction is byte-identical."""
     import time
 
     import ray.data as rd
@@ -309,7 +332,8 @@ def compact_log(delta_dir: str, min_segments: int = 1) -> int:
             merged = _partition_table(delta_dir, pid)
             idx = pc.sort_indices(
                 merged,
-                sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")],
+                sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending"),
+                           ("seq", "ascending")],
             )
             deltas_mod.write_partition(
                 delta_dir, pid, merged.take(idx),

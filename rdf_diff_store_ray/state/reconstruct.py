@@ -45,14 +45,20 @@ def _ts_scalar(ts) -> pa.Scalar:
 # ---------------------------------------------------------------- table path
 def state_at_table(deltas: pa.Table, ts) -> pa.Table:
     """Live (graph_id, warc_ts, delta_text, digest) rows at ``ts``."""
+    from ..schemas import ensure_seq
+
     t = _ts_scalar(ts)
+    deltas = ensure_seq(deltas)  # legacy seq-less tables: row order
     flt = deltas.filter(pc.less_equal(deltas["warc_ts"].cast(pa.timestamp("s")), t))
     if flt.num_rows == 0:
         return flt
-    # vectorized per-graph arg-max over warc_ts: stable sort then take the
-    # last row of each graph_id run (last wins ties = stable input order)
+    # vectorized per-graph arg-max over (warc_ts, seq): the explicit seq
+    # replay column makes the sort a TOTAL order — same-second ties
+    # resolve by write order, never by sort stability (pc.sort_indices is
+    # not stable)
     idx = pc.sort_indices(
-        flt, sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending")]
+        flt, sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending"),
+                        ("seq", "ascending")]
     )
     srt = flt.take(idx)
     gids = srt["graph_id"].to_numpy(zero_copy_only=False)
@@ -116,7 +122,12 @@ def state_at(deltas_ds, ts, num_partitions: int = 64):
                                 col="state_pid")
 
     def latest_per_graph(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["graph_id", "warc_ts"], kind="stable")
+        # (warc_ts, seq) is a total order per graph — post-shuffle arrival
+        # order is arbitrary, so an explicit tie-break column is required
+        keys = ["graph_id", "warc_ts"] + (
+            ["seq"] if "seq" in group.columns else []
+        )
+        g = group.sort_values(keys, kind="stable")
         last = g.drop_duplicates(subset=["graph_id"], keep="last")
         return last[last["op"] != OP_DELETE].drop(columns=["state_pid"])
 

@@ -224,3 +224,49 @@ def test_compaction_preserves_state_and_removes_segments(store, ray_session):
     assert append_graphs(store, {"g4": G_A}, T3 + 60) == 1
     # nothing to do on an already-compact partition set beyond g4's
     assert compact_log(store, min_segments=2) == 0
+
+
+def test_same_second_appends_are_deterministic(store, ray_session):
+    """Two appends to one graph in the SAME second: the later append wins
+    (last-write-wins at one commit instant, src/git.rs:151-161 analog),
+    identically across the table path, the Dataset path, the service
+    path, and before/after compaction — the explicit seq replay column,
+    never sort stability, decides the tie."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.query.service import QueryService
+    from rdf_diff_store_ray.state.append import append_graphs, compact_log
+    from rdf_diff_store_ray.state.reconstruct import state_at, state_at_table
+
+    assert append_graphs(store, {"g": G_A}, T1) == 1
+    assert append_graphs(store, {"g": G_A2}, T1) == 1  # same second, new text
+
+    def winner_table():
+        live = state_at_table(_delta_table(store), T1 + 1)
+        assert live.num_rows == 1
+        return live["delta_text"][0].as_py()
+
+    def winner_dataset():
+        import ray.data as rd
+
+        files = sorted(
+            glob.glob(os.path.join(store, "partition=*", "*.parquet"))
+        )
+        rows = state_at(rd.read_parquet(files), T1 + 1).take_all()
+        assert len(rows) == 1
+        return rows[0]["delta_text"]
+
+    def winner_service():
+        svc = QueryService(store)
+        try:
+            return svc.graph_at("g", T1 + 1)
+        finally:
+            svc.shutdown()
+
+    assert winner_table() == G_A2  # replay order: the later append won
+    assert winner_dataset() == G_A2
+    assert winner_service() == G_A2
+    before = DiffStoreReader(_delta_table(store)).graphs_at(T1 + 1)
+    assert compact_log(store) >= 1
+    assert winner_table() == G_A2
+    assert winner_dataset() == G_A2
+    assert DiffStoreReader(_delta_table(store)).graphs_at(T1 + 1) == before
