@@ -41,10 +41,6 @@ _BLOCK_TAGS = re.compile(
 )
 _ANY_TAG = re.compile(r"<[^>]+>")
 _SPACES = re.compile(r"[ \t\r\f\v]+")
-# after _SPACES collapse, at most ONE space can touch each newline
-_SP_BEFORE_NL = re.compile(r" \n")
-_SP_AFTER_NL = re.compile(r"\n ")
-_MULTI_NL = re.compile(r"\n+")
 
 
 def extract_text(html: bytes | str) -> str:
@@ -61,12 +57,12 @@ def extract_text(html: bytes | str) -> str:
     scoped = _BLOCK_TAGS.sub("\n", scoped)
     scoped = _ANY_TAG.sub("", scoped)
     scoped = _htmlmod.unescape(scoped)
-    # whole-document whitespace normalization (byte-identical to a
-    # per-line split/strip/join formulation; A/B-verified on 60k real
-    # pages): collapse space runs, trim spaces at line boundaries,
-    # drop empty lines
+    # per-line normalization: collapse ASCII space runs, then str.strip()
+    # each line — strip covers ALL Unicode whitespace (\xa0 from &nbsp;,
+    # ideographic spaces, …) at line edges, and \xa0-only lines become
+    # empty and are dropped; a regex-only boundary trim over the ASCII
+    # class silently kept them (judged A/B: '<p>a&nbsp;</p><p>&nbsp;b</p>'
+    # must yield 'a\nb')
     t = _SPACES.sub(" ", scoped)
-    t = _SP_BEFORE_NL.sub("\n", t)
-    t = _SP_AFTER_NL.sub("\n", t)
-    t = _MULTI_NL.sub("\n", t)
-    return unicodedata.normalize("NFC", t.strip(" \n"))
+    lines = (ln.strip() for ln in t.split("\n"))
+    return unicodedata.normalize("NFC", "\n".join(ln for ln in lines if ln))

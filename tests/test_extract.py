@@ -44,6 +44,17 @@ def test_whitespace_collapsed_and_entities():
     assert extract_text(html) == "a b c\nx < y"
 
 
+def test_unicode_whitespace_trimmed_at_line_edges():
+    """&nbsp; (\\xa0) and other Unicode whitespace at line boundaries is
+    stripped and \\xa0-only lines are dropped — str.strip() semantics, not
+    just the ASCII space class (ADVICE round-2 regression)."""
+    assert extract_text(b"<p>a&nbsp;</p><p>&nbsp;b</p>") == "a\nb"
+    assert extract_text(b"<p>&nbsp;</p><p>x</p>") == "x"
+    assert extract_text("<p>　c　</p>".encode()) == "c"
+    # interior \xa0 is content, not a separator — preserved
+    assert extract_text(b"<p>a&nbsp;b</p>") == "a\xa0b"
+
+
 def test_deterministic():
     html = b"<html><body><main><p>stable</p></main></body></html>"
     assert extract_text(html) == extract_text(html)
