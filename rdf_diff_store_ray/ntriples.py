@@ -8,7 +8,9 @@ digest-based delta log work.
 
 Canonical form:
 - every triple on one line: ``<subj> <pred> <obj> .`` or
-  ``<subj> <pred> "literal" .``
+  ``<subj> <pred> "literal" .``; blank nodes appear as ``_:label``
+  terms in subject/object position with content-addressed canonical
+  labels (:func:`canonicalize_bnodes`)
 - strings NFC-normalized; literals escaped per N-Triples rules
   (``\\`` ``"`` ``\\n`` ``\\r`` ``\\t``)
 - lines sorted lexicographically (bytewise) and deduplicated — the set-union
@@ -89,27 +91,163 @@ def literal_parts(obj: str):
     return obj, ""
 
 
+def is_blank(term: str) -> bool:
+    """``_:label`` terms are blank nodes. Unambiguous vs IRIs: an IRI
+    scheme must start with a letter (RFC 3986), so no IRI begins ``_:``."""
+    return term.startswith("_:")
+
+
 def format_line(subj: str, pred: str, obj: str, obj_is_literal: bool) -> str:
-    """One canonical N-Triples line (without trailing newline)."""
+    """One canonical N-Triples line (without trailing newline).
+
+    NOTE (reserved shape): a PLAIN literal whose raw value is itself a
+    well-formed decorated token (e.g. the 8-char string ``"5"^^<d>``)
+    is emitted as that typed literal — the 4-tuple form cannot
+    distinguish the two readings. Parser-produced objects are always
+    safe; callers constructing tuples programmatically must not pass
+    plain-literal values matching ``_DECORATED_RE`` (documented at the
+    ``append_graphs`` surface)."""
     if obj_is_literal:
         if is_decorated_literal(obj):
             o = unicodedata.normalize("NFC", obj)
         else:
             o = f'"{escape_literal(obj)}"'
+    elif is_blank(obj):
+        o = unicodedata.normalize("NFC", obj)
     else:
         o = f"<{unicodedata.normalize('NFC', obj)}>"
     s = unicodedata.normalize("NFC", subj)
+    if not is_blank(subj):
+        s = f"<{s}>"
     p = unicodedata.normalize("NFC", pred)
-    return f"<{s}> <{p}> {o} ."
+    return f"{s} <{p}> {o} ."
 
 
-def serialize(triples) -> str:
+def serialize(triples, canonical_bnode_labels: bool = True) -> str:
     """Canonical N-Triples document from an iterable of
-    ``(subj, pred, obj, obj_is_literal)``. Sorted + deduped; '' if empty."""
-    lines = sorted({format_line(s, p, o, lit) for (s, p, o, lit) in triples})
+    ``(subj, pred, obj, obj_is_literal)``. Sorted + deduped; '' if empty.
+
+    Blank-node labels are rewritten to content-addressed canonical labels
+    (see :func:`canonicalize_bnodes`) so two label-renamings of one graph
+    serialize byte-identically — required for digest-based no-op
+    suppression. Idempotent: canonical labels re-canonicalize to
+    themselves. Graphs without blank nodes pay one O(n) scan."""
+    tl = [(s, p, o, bool(lit)) for (s, p, o, lit) in triples]
+    if canonical_bnode_labels and any(
+        is_blank(s) or (not lit and is_blank(o)) for (s, p, o, lit) in tl
+    ):
+        tl = canonicalize_bnodes(tl)
+    lines = sorted({format_line(s, p, o, lit) for (s, p, o, lit) in tl})
     if not lines:
         return ""
     return "\n".join(lines) + "\n"
+
+
+def canonicalize_bnodes(triples: list) -> list:
+    """Deterministically relabel blank nodes by graph STRUCTURE, not by
+    their input labels — a light Weisfeiler-Leman refinement (the idea
+    behind RDF dataset canonicalization / URDNA2015, simplified):
+
+    1. each blank node starts from the hash of its concrete edge
+       signatures (direction, predicate, concrete-or-B placeholder);
+    2. iterate: re-hash each node over its neighbors' current hashes
+       until the hash partition stops refining (≤ #bnodes rounds);
+    3. labels are assigned from the final hash (``_:c<hash16>``), with a
+       context-signature tie-break; nodes still tied after that are
+       structurally interchangeable under this refinement, so either
+       assignment yields the same canonical line set for all but
+       adversarial automorphic graphs (regular cycles), which is
+       documented as out of scope.
+
+    Tree-shaped anonymous nodes — the DCAT-catalog shape the reference
+    stores (``/root/reference/src/query.rs:117-145`` accepts arbitrary
+    Turtle) — are always fully distinguished.
+
+    An RDF graph is a SET of triples, and canonical serialization dedups
+    lines — so signatures must be computed over the deduped set or a
+    repeated input triple would perturb labels and break the
+    serialize→parse→serialize fixpoint. Dedup preserves first-occurrence
+    order."""
+    triples = list(dict.fromkeys(
+        (s, p, o, bool(lit)) for (s, p, o, lit) in triples
+    ))
+    bnodes: dict[str, list] = {}
+    for i, (s, p, o, lit) in enumerate(triples):
+        if is_blank(s):
+            bnodes.setdefault(s, []).append((i, "out"))
+        if not lit and is_blank(o):
+            bnodes.setdefault(o, []).append((i, "in"))
+    if not bnodes:
+        return triples
+
+    def h(parts) -> str:
+        return hashlib.sha256("\x1f".join(parts).encode("utf-8")).hexdigest()
+
+    def signature(node: str, cur: dict) -> str:
+        sigs = []
+        for i, direction in bnodes[node]:
+            s, p, o, lit = triples[i]
+            if direction == "out":
+                other = o
+                other_blank = not lit and is_blank(o)
+                kind = "L" if lit else "I"
+            else:
+                other, other_blank, kind = s, is_blank(s), "I"
+            rep = cur[other] if other_blank and other != node else (
+                "SELF" if other == node else kind + other
+            )
+            sigs.append(f"{direction}|{p}|{rep}")
+        return h(sorted(sigs))
+
+    cur = {b: "B" for b in bnodes}
+    n_classes = 1
+    for _ in range(len(bnodes)):
+        nxt = {b: signature(b, cur) for b in bnodes}
+        n_nxt = len(set(nxt.values()))
+        cur = nxt
+        if n_nxt == n_classes:
+            break
+        n_classes = n_nxt
+    # tie-break equal hashes by each node's full context (its lines with
+    # SELF marked and other bnodes as their final hashes) — idempotent
+    # because the context depends only on structure and final hashes
+    order = sorted(
+        bnodes,
+        key=lambda b: (
+            cur[b],
+            tuple(sorted(
+                f"{d}|{triples[i][1]}|{_ctx_rep(triples[i], d, b, cur)}"
+                for i, d in bnodes[b]
+            )),
+        ),
+    )
+    mapping = {b: f"_:c{cur[b][:16]}" for b in order}
+    seen: dict[str, int] = {}
+    for b in order:  # disambiguate residual ties with a stable counter
+        lbl = mapping[b]
+        k = seen.get(lbl, 0)
+        seen[lbl] = k + 1
+        if k:
+            mapping[b] = f"{lbl}x{k}"
+    return [
+        (
+            mapping.get(s, s),
+            p,
+            mapping.get(o, o) if not lit else o,
+            lit,
+        )
+        for (s, p, o, lit) in triples
+    ]
+
+
+def _ctx_rep(triple, direction: str, node: str, cur: dict) -> str:
+    s, p, o, lit = triple
+    other = o if direction == "out" else s
+    if other == node:
+        return "SELF"
+    if (direction == "in" or not lit) and is_blank(other):
+        return cur[other]
+    return ("L" if (direction == "out" and lit) else "I") + other
 
 
 def parse(text: str):
@@ -124,11 +262,18 @@ def parse(text: str):
         if not line.endswith(" ."):
             raise ValueError(f"not a canonical N-Triples line: {line!r}")
         body = line[:-2]
-        if not body.startswith("<"):
+        if body.startswith("_:"):
+            sp = body.find(" ")
+            if sp < 0:
+                raise ValueError(f"bad blank subject in: {line!r}")
+            subj = body[:sp]
+            rest = body[sp + 1 :].lstrip()
+        elif body.startswith("<"):
+            si = body.index(">")
+            subj = body[1:si]
+            rest = body[si + 1 :].lstrip()
+        else:
             raise ValueError(f"bad subject in: {line!r}")
-        si = body.index(">")
-        subj = body[1:si]
-        rest = body[si + 1 :].lstrip()
         if not rest.startswith("<"):
             raise ValueError(f"bad predicate in: {line!r}")
         pi = rest.index(">")
@@ -159,6 +304,10 @@ def parse(text: str):
                 out.append((subj, pred, orest, True))
             else:
                 raise ValueError(f"bad literal suffix in: {line!r}")
+        elif orest.startswith("_:"):
+            if " " in orest:
+                raise ValueError(f"bad blank object in: {line!r}")
+            out.append((subj, pred, orest, False))
         else:
             raise ValueError(f"bad object in: {line!r}")
     return out

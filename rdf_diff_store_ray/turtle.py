@@ -20,10 +20,12 @@ library exists in the sandbox):
   numeric / boolean shorthands (``5`` → xsd:integer, ``5.0`` →
   xsd:decimal, ``5e0`` → xsd:double, ``true``/``false`` → xsd:boolean)
 - comments, arbitrary whitespace, ``\\uXXXX`` / ``\\UXXXXXXXX`` escapes
-
-Blank nodes and collections raise ``ValueError`` (the reference's graphs
-are subject-IRI documents; silently mangling anonymous nodes would break
-the byte-identity invariant).
+- blank nodes: ``_:label`` terms, anonymous ``[ ... ]`` property lists
+  (nested) and ``( ... )`` collections (desugared to
+  ``rdf:first``/``rdf:rest`` chains). All labels — written and
+  generated — are rewritten to deterministic content-addressed
+  canonical labels (``ntriples.canonicalize_bnodes``) so the canonical
+  bytes don't depend on input label spelling or statement order.
 """
 
 from __future__ import annotations
@@ -33,10 +35,18 @@ import unicodedata
 
 from .ntriples import escape_literal
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = _RDF_NS + "type"
+RDF_FIRST = _RDF_NS + "first"
+RDF_REST = _RDF_NS + "rest"
+RDF_NIL = _RDF_NS + "nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _PNAME_RE = re.compile(r"^([A-Za-z_][\w.\-]*)?:([\w.\-]*)$")
+# absolute IRI = has a scheme (RFC 3986: ALPHA *( ALPHA / DIGIT / + / - / . ) ':')
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+# BCP-47-shaped language tags, same grammar as ntriples._DECORATED_RE
+_LANG_RE = re.compile(r"^[A-Za-z]+(-[A-Za-z0-9]+)*$")
 _NUM_INT_RE = re.compile(r"^[+-]?\d+$")
 _NUM_DEC_RE = re.compile(r"^[+-]?\d*\.\d+$")
 _NUM_DBL_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
@@ -142,6 +152,11 @@ class _Tokenizer:
             while j < n and (s[j].isalnum() or s[j] == "-"):
                 j += 1
             lang = s[self.i + 1 : j]
+            # must satisfy the same grammar ntriples._DECORATED_RE
+            # enforces, or the decorated token would silently degrade to
+            # a re-escaped plain literal downstream (data corruption)
+            if not _LANG_RE.match(lang):
+                raise ValueError(f"bad language tag: @{lang!r}")
             self.i = j
         elif s[self.i : self.i + 2] == "^^":
             self.i += 2
@@ -165,6 +180,15 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.out: list = []
+        self._bnode_n = 0
+
+    def _new_bnode(self) -> str:
+        """Fresh anonymous node. Generated labels (``_:g<n>``) and mapped
+        written labels (``_:u<label>``) live in disjoint namespaces, so a
+        document writing ``_:g1`` cannot collide; all labels are replaced
+        by canonical content-addressed ones at the end of :meth:`parse`."""
+        self._bnode_n += 1
+        return f"_:g{self._bnode_n}"
 
     def _peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -177,9 +201,13 @@ class TurtleParser:
         return t
 
     def _resolve_iri(self, raw: str) -> str:
-        if self.base and "://" not in raw and not raw.startswith("urn:"):
-            return self.base + raw
-        return raw
+        # absoluteness = a real scheme (mailto:, did:, tel:, urn: … are
+        # absolute without '://'); relative refs resolve per RFC 3986
+        if _SCHEME_RE.match(raw) or not self.base:
+            return raw
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, raw)
 
     def _resolve_pname(self, word: str) -> str:
         m = _PNAME_RE.match(word)
@@ -207,6 +235,12 @@ class TurtleParser:
                 self._directive_base()
             else:
                 self._statement()
+        if self._bnode_n or any(
+            s.startswith("_:") for (s, _, _, _) in self.out
+        ):
+            from .ntriples import canonicalize_bnodes
+
+            self.out = canonicalize_bnodes(self.out)
         return self.out
 
     def _expect_dot(self):
@@ -236,11 +270,26 @@ class TurtleParser:
             self._expect_dot()
 
     def _statement(self):
+        if self._peek() == ("punct", "["):
+            self._next()
+            subj = self._bnode_property_list()
+            # a bare blankNodePropertyList statement: `[ p o ] .`
+            if self._peek() == ("punct", "."):
+                self._next()
+                return
+            self._predicate_object_list(subj, ("punct", "."))
+            return
         subj_tok = self._next()
-        if subj_tok == ("punct", "["):
-            raise ValueError("blank nodes are not supported")
-        subj = self._resolve_term_iri(subj_tok)
-        while True:  # predicate list
+        if subj_tok[0] == "word" and subj_tok[1].startswith("_:"):
+            subj = "_:u" + subj_tok[1][2:]
+        else:
+            subj = self._resolve_term_iri(subj_tok)
+        self._predicate_object_list(subj, ("punct", "."))
+
+    def _predicate_object_list(self, subj: str, end_tok):
+        """``pred obj (, obj)* (; pred obj ...)* end`` — shared by
+        statements (end ``.``) and ``[ ... ]`` property lists (end ``]``)."""
+        while True:
             pred_tok = self._next()
             if pred_tok == ("word", "a"):
                 pred = RDF_TYPE
@@ -253,48 +302,73 @@ class TurtleParser:
                     continue
                 break
             if t == ("punct", ";"):
-                # ';' may be followed directly by '.' (trailing semicolon)
-                if self._peek() == ("punct", "."):
+                # trailing semicolons before the terminator are legal
+                while self._peek() == ("punct", ";"):
+                    self._next()
+                if self._peek() == end_tok:
                     t = self._next()
                     break
                 continue
             break
-        if t != ("punct", "."):
-            raise ValueError(f"expected '.', got {t!r}")
+        if t != end_tok:
+            raise ValueError(f"expected {end_tok[1]!r}, got {t!r}")
+
+    def _bnode_property_list(self) -> str:
+        """``[ predicateObjectList? ]`` (the ``[`` already consumed) →
+        fresh blank node carrying the inner triples."""
+        b = self._new_bnode()
+        if self._peek() == ("punct", "]"):
+            self._next()
+            return b
+        self._predicate_object_list(b, ("punct", "]"))
+        return b
+
+    def _collection(self) -> str:
+        """``( obj ... )`` (the ``(`` already consumed) → rdf:first /
+        rdf:rest chain; ``()`` is rdf:nil."""
+        items = []
+        while self._peek() != ("punct", ")"):
+            items.append(self._object_term())
+        self._next()  # consume ')'
+        if not items:
+            return RDF_NIL
+        nodes = [self._new_bnode() for _ in items]
+        for i, (b, (val, lit)) in enumerate(zip(nodes, items)):
+            self.out.append((b, RDF_FIRST, val, lit))
+            rest = nodes[i + 1] if i + 1 < len(nodes) else RDF_NIL
+            self.out.append((b, RDF_REST, rest, False))
+        return nodes[0]
 
     def _object(self, subj: str, pred: str):
+        val, lit = self._object_term()
+        self.out.append((subj, pred, val, lit))
+
+    def _object_term(self):
+        """One object → ``(canonical_value, is_literal)``; nested blank
+        nodes / collections emit their own triples as a side effect."""
         tok = self._next()
         kind, val = tok
-        if kind == "punct" and val in "[(":
-            raise ValueError("blank nodes / collections are not supported")
+        if kind == "punct" and val == "[":
+            return (self._bnode_property_list(), False)
+        if kind == "punct" and val == "(":
+            return (self._collection(), False)
         if kind == "iri":
-            self.out.append((subj, pred, self._resolve_iri(val), False))
-            return
+            return (self._resolve_iri(val), False)
         if kind == "literal":
             lex, lang, dtype = val
-            self.out.append((subj, pred, _decorate(lex, lang, dtype, self), True))
-            return
-        # word: pname, number, or boolean shorthand
+            return (_decorate(lex, lang, dtype, self), True)
+        # word: bnode label, pname, number, or boolean shorthand
+        if val.startswith("_:"):
+            return ("_:u" + val[2:], False)
         if val in ("true", "false"):
-            self.out.append(
-                (subj, pred, _decorated_token(val, f"{XSD}boolean"), True)
-            )
-        elif _NUM_INT_RE.match(val):
-            self.out.append(
-                (subj, pred, _decorated_token(val, f"{XSD}integer"), True)
-            )
-        elif _NUM_DEC_RE.match(val):
-            self.out.append(
-                (subj, pred, _decorated_token(val, f"{XSD}decimal"), True)
-            )
-        elif _NUM_DBL_RE.match(val):
-            self.out.append(
-                (subj, pred, _decorated_token(val, f"{XSD}double"), True)
-            )
-        elif val.startswith("_:"):
-            raise ValueError("blank nodes are not supported")
-        else:
-            self.out.append((subj, pred, self._resolve_pname(val), False))
+            return (_decorated_token(val, f"{XSD}boolean"), True)
+        if _NUM_INT_RE.match(val):
+            return (_decorated_token(val, f"{XSD}integer"), True)
+        if _NUM_DEC_RE.match(val):
+            return (_decorated_token(val, f"{XSD}decimal"), True)
+        if _NUM_DBL_RE.match(val):
+            return (_decorated_token(val, f"{XSD}double"), True)
+        return (self._resolve_pname(val), False)
 
 
 def _decorated_token(lex: str, dtype_iri: str) -> str:

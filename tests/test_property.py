@@ -19,7 +19,7 @@ _iri = st.text(
     ),
     min_size=1,
     max_size=30,
-)
+).filter(lambda s: not s.startswith("_:"))  # '_:' is the blank-node space
 # literal lexical forms are arbitrary text (escaping must handle all of it)
 _lit = st.text(max_size=40)
 # object: IRI-safe when lit=False, arbitrary text when lit=True
@@ -54,6 +54,41 @@ def test_serialize_parse_roundtrip(triples):
     assert sorted(back) == want
     # re-serialization is byte-identical (canonical form is a fixpoint)
     assert serialize(back) == text
+
+
+# graphs over a small pool of blank nodes + IRIs exercise the structural
+# canonicalizer: label spelling and triple order must not affect bytes
+_bnode_pool = [f"_:n{i}" for i in range(6)]
+_term = st.one_of(st.sampled_from(_bnode_pool), st.sampled_from(["https://x/a", "https://x/b"]))
+_btriple = st.one_of(
+    st.tuples(_term, st.sampled_from(["https://p/1", "https://p/2"]), _term, st.just(False)),
+    st.tuples(_term, st.sampled_from(["https://p/1", "https://p/2"]),
+              st.sampled_from(["v1", "v2"]), st.just(True)),
+)
+
+
+@given(st.lists(_btriple, min_size=1, max_size=12), st.randoms(use_true_random=False))
+@settings(max_examples=150, deadline=None)
+def test_bnode_canonicalization_invariant(triples, rng):
+    """Serialization with blank nodes is invariant under (a) consistent
+    label renaming and (b) triple reordering, and is a byte fixpoint
+    through parse → re-serialize."""
+    from rdf_diff_store_ray.ntriples import is_blank, parse, serialize
+
+    text = serialize(triples)
+    # (a) rename every blank label consistently
+    labels = sorted({t for (s, _, o, lit) in triples for t in (s, o)
+                     if is_blank(t) and (t is s or not lit)})
+    ren = {b: f"_:ren{i}x" for i, b in enumerate(rng.sample(labels, len(labels)))}
+    renamed = [(ren.get(s, s), p, ren.get(o, o) if not lit else o, lit)
+               for (s, p, o, lit) in triples]
+    assert serialize(renamed) == text
+    # (b) reorder
+    shuffled = list(triples)
+    rng.shuffle(shuffled)
+    assert serialize(shuffled) == text
+    # fixpoint
+    assert serialize(parse(text)) == text
 
 
 @given(st.text(max_size=60))

@@ -74,11 +74,78 @@ def test_sparql_style_prefix_and_base():
     ]
 
 
-def test_blank_nodes_rejected():
-    with pytest.raises(ValueError, match="blank"):
-        parse_turtle("<https://s> <https://p> [ <https://q> <https://o> ] .")
-    with pytest.raises(ValueError, match="blank"):
-        parse_turtle("<https://s> <https://p> _:b0 .")
+def test_blank_node_labels_parse_and_canonicalize():
+    """``_:label`` terms parse; labels are rewritten to content-addressed
+    canonical names, so renaming every label yields identical triples."""
+    a = parse_turtle('_:x <https://p> "v" . <https://s> <https://q> _:x .')
+    b = parse_turtle('_:zz <https://p> "v" . <https://s> <https://q> _:zz .')
+    assert a == b
+    (s0, _, o0, lit0), (s1, _, o1, _) = sorted(a)
+    blanks = [t for t in (s0, o0, s1, o1) if t.startswith("_:")]
+    assert blanks and all(t.startswith("_:c") for t in blanks)
+
+
+def test_anonymous_property_lists_nested():
+    """``[ ... ]`` nodes — the DCAT-catalog shape — desugar to fresh
+    blank nodes; nesting works; statement-order renaming is invariant."""
+    doc = """
+    @prefix d: <https://d/> .
+    d:cat d:contact [ d:name "Ann" ; d:addr [ d:city "Oslo" ] ] .
+    """
+    t = parse_turtle(doc)
+    assert len(t) == 4
+    contact = [o for (_, p, o, _) in t if p == "https://d/contact"][0]
+    assert contact.startswith("_:c")
+    names = {(p, o) for (s, p, o, _) in t if s == contact}
+    assert ("https://d/name", "Ann") in names
+    city = [o for (s, p, o, _) in t if p == "https://d/city"]
+    assert city == ["Oslo"]
+    # subject-position bare property list
+    t2 = parse_turtle('[ <https://p> "v" ] .')
+    assert t2 == [(t2[0][0], "https://p", "v", True)]
+    assert t2[0][0].startswith("_:c")
+
+
+def test_collections_desugar_to_first_rest():
+    from rdf_diff_store_ray.turtle import RDF_FIRST, RDF_NIL, RDF_REST
+
+    t = parse_turtle("<https://s> <https://p> (1 2) .")
+    firsts = [(s, o) for (s, p, o, _) in t if p == RDF_FIRST]
+    rests = [(s, o) for (s, p, o, _) in t if p == RDF_REST]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert any(o == RDF_NIL for (_, o) in rests)
+    assert parse_turtle("<https://s> <https://p> () .") == [
+        ("https://s", "https://p", RDF_NIL, False)
+    ]
+
+
+def test_blank_node_ntriples_roundtrip_digest_stable():
+    """Turtle with nested anonymous nodes → canonical NT → parse →
+    re-serialize is a byte-level fixpoint (the VERDICT r2 'done' bar)."""
+    doc = """
+    @prefix d: <https://d/> .
+    d:cat d:dist [ d:format "csv" ; d:of [ d:title "t" ] ], [ d:format "json" ] .
+    """
+    canon = turtle_to_canonical(doc)
+    assert "_:c" in canon
+    assert serialize(parse(canon)) == canon
+    assert turtle_to_canonical(canon) == canon
+
+
+def test_bad_language_tags_raise():
+    for bad in ('"x"@e1', '"x"@', '"x"@-en', '"x"@en-'):
+        with pytest.raises(ValueError, match="language tag"):
+            parse_turtle(f"<https://s> <https://p> {bad} .")
+
+
+def test_scheme_only_iris_not_base_prefixed():
+    doc = """
+    BASE <https://base.example/dir/>
+    <mailto:a@b> <tel:+1-555> <rel> .
+    """
+    assert parse_turtle(doc) == [
+        ("mailto:a@b", "tel:+1-555", "https://base.example/dir/rel", False)
+    ]
 
 
 def test_undefined_prefix_raises():
