@@ -65,9 +65,16 @@ def parse_bgp(query: str):
     return parse_query(query)["patterns"]
 
 
+_NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
+                 "limit": None, "offset": 0}
+
+
 def parse_query(query: str) -> dict:
     """Parse the SPARQL-subset grammar into a group dict::
 
+        query   := group
+                 | SELECT [DISTINCT] (?var... | *) WHERE { group }
+                   [ORDER BY ?var...] [LIMIT n] [OFFSET n]
         group   := clause ( " . " clause )*
         clause  := pattern | FILTER( expr ) | OPTIONAL { group }
         pattern := term term term
@@ -75,15 +82,83 @@ def parse_query(query: str) -> dict:
         operand := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt> | number
 
     Returns ``{"patterns": [...], "filters": [...], "optionals":
-    [group, ...], "unions": [[branch, ...], ...]}``. OPTIONAL groups may
-    carry their own filters but not nested OPTIONALs (one level, like
-    the reference tests exercise); UNION clauses are
-    ``{ group } UNION { group } (UNION { group })*`` — branches may use
-    FILTER/OPTIONAL but not nest further UNIONs. Evaluation order is
-    patterns → unions → optionals → filters. Grows the oxigraph-subset
-    surface of ``src/query.rs:102-114``."""
+    [group, ...], "unions": [[branch, ...], ...]}`` plus the solution
+    modifiers ``select`` (var list or None = all), ``distinct``,
+    ``order_by``, ``limit``, ``offset`` (defaults for a bare group).
+    OPTIONAL groups may carry their own filters but not nested
+    OPTIONALs (one level, like the reference tests exercise); UNION
+    clauses are ``{ group } UNION { group } (UNION { group })*`` —
+    branches may use FILTER/OPTIONAL but not nest further UNIONs.
+    Evaluation order is patterns → unions → optionals → filters →
+    modifiers. Grows the oxigraph-subset surface of
+    ``src/query.rs:102-114`` toward the full SELECT form it accepts."""
+    q = query.strip()
+    import re as _re
+
+    if _re.match(r"^SELECT\b", q, _re.IGNORECASE):
+        return _parse_select(q)
+    group = _parse_group_body(q)
+    group.update(_NO_MODIFIERS)
+    return group
+
+
+def _take_vars(s: str):
+    """Leading ``?var`` tokens → (names, rest)."""
+    names = []
+    while s.startswith("?"):
+        j = 1
+        while j < len(s) and not s[j].isspace():
+            j += 1
+        names.append(s[1:j])
+        s = s[j:].lstrip()
+    return names, s
+
+
+def _parse_select(q: str) -> dict:
+    import re as _re
+
+    rest = q[len("SELECT"):].lstrip()
+    distinct = False
+    if _re.match(r"^DISTINCT\b", rest, _re.IGNORECASE):
+        distinct = True
+        rest = rest[len("DISTINCT"):].lstrip()
+    if rest.startswith("*"):
+        select = None
+        rest = rest[1:].lstrip()
+    else:
+        select, rest = _take_vars(rest)
+        if not select:
+            raise ValueError("SELECT needs ?vars or *")
+    if not _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
+        raise ValueError(f"expected WHERE in SELECT query: {rest!r}")
+    rest = rest[len("WHERE"):].lstrip()
+    if not rest.startswith("{"):
+        raise ValueError("WHERE needs a braced group")
+    j = _match_brace(rest, 0)
+    group = _parse_group_body(rest[1:j].strip())
+    tail = rest[j + 1:].strip()
+    order_by, limit, offset = None, None, 0
+    while tail:
+        if m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
+            order_by, tail = _take_vars(tail[m.end():].lstrip())
+            if not order_by:
+                raise ValueError("ORDER BY needs ?vars")
+        elif m := _re.match(r"^LIMIT\s+(\d+)", tail, _re.IGNORECASE):
+            limit = int(m.group(1))
+            tail = tail[m.end():].strip()
+        elif m := _re.match(r"^OFFSET\s+(\d+)", tail, _re.IGNORECASE):
+            offset = int(m.group(1))
+            tail = tail[m.end():].strip()
+        else:
+            raise ValueError(f"bad solution modifier: {tail!r}")
+    group.update(select=select, distinct=distinct, order_by=order_by,
+                 limit=limit, offset=offset)
+    return group
+
+
+def _parse_group_body(body: str) -> dict:
     group = {"patterns": [], "filters": [], "optionals": [], "unions": []}
-    for clause in _split_clauses(query.strip()):
+    for clause in _split_clauses(body):
         up = clause.upper()
         if clause.startswith("{"):
             group["unions"].append(_parse_union(clause))
@@ -312,7 +387,7 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     df = triples.to_pandas()
     group = parse_query(query)
     result = eval_group(group, lambda pat: eval_one_pattern(df, pat))
-    return finalize_bindings(result)
+    return finalize_bindings(result, group)
 
 
 def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
@@ -356,9 +431,50 @@ def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
 
 def _merge_bindings(result: pd.DataFrame, cur: pd.DataFrame) -> pd.DataFrame:
     shared = [c for c in result.columns if c in cur.columns]
-    if shared:
+    if not shared:
+        return result.merge(cur, how="cross")
+    if result[shared].notna().all().all() and cur[shared].notna().all().all():
         return result.merge(cur, on=shared, how="inner")
-    return result.merge(cur, how="cross")
+    return _compat_join(result, cur, shared)
+
+
+def _compat_join(left: pd.DataFrame, right: pd.DataFrame,
+                 shared: list) -> pd.DataFrame:
+    """SPARQL-compatible join when shared variables may be UNBOUND
+    (None/NaN) on either side — after OPTIONAL or UNION branches that
+    bind only some variables. Two rows are compatible when they agree on
+    every shared var bound on BOTH sides; the bound side's value
+    survives (a plain ``merge`` drops every NaN-keyed row, silently
+    losing branch solutions). Each side is split by its distinct
+    null-mask over the shared columns (a handful of masks in practice,
+    one per branch shape) and each mask pair joins on the columns bound
+    in both."""
+    lmask = left[shared].isna()
+    rmask = right[shared].isna()
+    parts = []
+    for lkey, lg in left.groupby([lmask[c] for c in shared], sort=False):
+        lnull = dict(zip(shared, lkey if isinstance(lkey, tuple) else (lkey,)))
+        for rkey, rg in right.groupby([rmask[c] for c in shared], sort=False):
+            rnull = dict(
+                zip(shared, rkey if isinstance(rkey, tuple) else (rkey,))
+            )
+            on = [c for c in shared if not lnull[c] and not rnull[c]]
+            if on:
+                m = lg.merge(rg, on=on, how="inner", suffixes=("", "__r"))
+            else:
+                m = lg.merge(rg, how="cross", suffixes=("", "__r"))
+            for c in shared:
+                rc = c + "__r"
+                if rc in m.columns:
+                    m[c] = m[c].where(m[c].notna(), m[rc])
+                    m = m.drop(columns=[rc])
+            parts.append(m)
+    if not parts:
+        cols = list(left.columns) + [
+            c for c in right.columns if c not in left.columns
+        ]
+        return pd.DataFrame(columns=cols)
+    return pd.concat(parts, ignore_index=True)
 
 
 def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
@@ -367,16 +483,35 @@ def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
     if len(ores) == 0:
         for c in new_cols:
             result[c] = None
-    elif shared:
-        result = result.merge(ores, on=shared, how="left")
-    else:
-        result = result.merge(ores, how="cross")
-    return result.drop_duplicates(ignore_index=True)
+        return result.drop_duplicates(ignore_index=True)
+    if not shared:
+        return result.merge(ores, how="cross").drop_duplicates(
+            ignore_index=True
+        )
+    if result[shared].notna().all().all() and ores[shared].notna().all().all():
+        return result.merge(ores, on=shared, how="left").drop_duplicates(
+            ignore_index=True
+        )
+    # unbound-compatible LEFT join: compat-inner join plus the left rows
+    # that matched nothing (kept once, optional vars unbound)
+    left = result.reset_index(drop=True)
+    left = left.assign(__lid__=np.arange(len(left)))
+    matched = _compat_join(left, ores, shared)
+    unmatched = left[~left["__lid__"].isin(matched["__lid__"])].copy()
+    for c in new_cols:
+        unmatched[c] = None
+    out = pd.concat(
+        [matched, unmatched.reindex(columns=matched.columns)],
+        ignore_index=True,
+    )
+    return out.drop(columns="__lid__").drop_duplicates(ignore_index=True)
 
 
-def finalize_bindings(result: pd.DataFrame) -> pd.DataFrame:
+def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
+                      ) -> pd.DataFrame:
     """Strip tag prefixes from tagged strings; unbound → None; distinct +
-    deterministic sort."""
+    deterministic sort; then the SELECT solution modifiers from ``spec``
+    (projection / DISTINCT / ORDER BY / LIMIT / OFFSET), if any."""
     out = pd.DataFrame(
         {
             c: [t[1:] if isinstance(t, str) else None for t in result[c]]
@@ -386,10 +521,45 @@ def finalize_bindings(result: pd.DataFrame) -> pd.DataFrame:
     )
     if len(out.columns):
         out = out.drop_duplicates(ignore_index=True)
-        return out.sort_values(
+        out = out.sort_values(
             list(out.columns), ignore_index=True, na_position="last"
         )
-    return out.reset_index(drop=True)
+    else:
+        out = out.reset_index(drop=True)
+    if spec is not None:
+        out = apply_result_modifiers(out, spec)
+    return out
+
+
+def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    """SELECT solution modifiers over a finalized (untagged) binding
+    frame, in SPARQL order: project → DISTINCT → ORDER BY → OFFSET →
+    LIMIT. Bindings are already set-semantics upstream, so projection
+    without DISTINCT keeps the remaining multiplicities as-is."""
+    select = spec.get("select")
+    if select is not None:
+        df = df.reindex(columns=select)
+        for c in select:  # vars never bound anywhere → None, not float NaN
+            if df[c].isna().all():
+                df[c] = None
+    if spec.get("distinct"):
+        df = df.drop_duplicates(ignore_index=True)
+    cols = list(df.columns)
+    order = spec.get("order_by")
+    if order:
+        keys = [c for c in order if c in cols]
+        keys += [c for c in cols if c not in keys]
+    else:
+        keys = cols
+    if keys and len(df):
+        df = df.sort_values(keys, ignore_index=True, na_position="last")
+    offset = spec.get("offset") or 0
+    if offset:
+        df = df.iloc[offset:].reset_index(drop=True)
+    limit = spec.get("limit")
+    if limit is not None:
+        df = df.head(limit).reset_index(drop=True)
+    return df
 
 
 def format_term(term) -> str:
@@ -466,72 +636,43 @@ _XSD_NUMERIC = frozenset(
 )
 
 
-def _term_lexical(tagged: str) -> str:
-    """Lexical form of a tagged binding (decorated literals unwrapped)."""
-    from ..ntriples import literal_parts
-
-    if tagged.startswith("L"):
-        return literal_parts(tagged[1:])[0]
-    return tagged[1:]
+_DEC_EXTRACT = None  # lazy: (lex)(dtype)(lang) groups of a decorated token
 
 
-def _term_numeric(tagged: str):
-    """Numeric value of a tagged binding, or None. Plain literals are
-    coerced when they look numeric (the corpus stores numbers as plain
-    literals); typed literals only for XSD numeric datatypes."""
-    from ..ntriples import literal_parts
+def _series_parts(s: pd.Series):
+    """Columnar decomposition of a Series of tagged binding strings
+    (``None`` = unbound) → ``(lex, num)``: the lexical form (``<NA>``
+    when unbound) and the SPARQL-numeric value (``<NA>`` when not
+    numeric). The only per-row work is unescaping the (rare) decorated
+    lexical forms; everything else is pandas string kernels."""
+    global _DEC_EXTRACT
+    if _DEC_EXTRACT is None:
+        import re
 
-    if not tagged.startswith("L"):
-        return None
-    lex, suffix = literal_parts(tagged[1:])
-    if suffix.startswith("^^<"):
-        if suffix[3:-1] not in _XSD_NUMERIC:
-            return None
-    elif suffix:  # language-tagged — never numeric
-        return None
-    try:
-        return float(lex)
-    except ValueError:
-        return None
+        _DEC_EXTRACT = re.compile(
+            r'^"((?:[^"\\\n\r\t]|\\["\\nrt])*)"'
+            r'(?:\^\^<([^<>"\s{}|^`\\]+)>|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))$'
+        )
+    from ..ntriples import unescape_literal
+
+    st = s.astype("string")
+    body = st.str.slice(1)
+    is_lit = st.str.startswith("L").fillna(False).astype(bool)
+    dec = body.str.extract(_DEC_EXTRACT)
+    dec.columns = ["lex", "dtype", "lang"]
+    dec_mask = (dec["lex"].notna() & is_lit).astype(bool)
+    lex = body.copy()
+    if dec_mask.any():
+        lex[dec_mask] = dec.loc[dec_mask, "lex"].map(unescape_literal)
+    num = pd.to_numeric(lex, errors="coerce")
+    numeric_ok = is_lit & (
+        ~dec_mask | dec["dtype"].isin(_XSD_NUMERIC).astype(bool)
+    )
+    num = num.where(numeric_ok)
+    return lex, num
 
 
-def _operand_value(operand, row):
-    """Resolve a filter operand against one result row → tagged term
-    string, ("num", x) constant, or None (unbound)."""
-    kind, val = operand
-    if kind == "var":
-        t = row.get(val)
-        return t if isinstance(t, str) else None
-    if kind == "iri":
-        return "I" + val
-    if kind == "lit":
-        return "L" + val
-    return ("__num__", val)  # sentinel handled in _filter_true
-
-
-def _filter_true(lhs, op: str, rhs) -> bool:
-    """SPARQL-style comparison; unbound/incomparable → False (a filter
-    error removes the row)."""
-    if lhs is None or rhs is None:
-        return False
-
-    def num(x):
-        if isinstance(x, tuple):
-            return x[1]
-        return _term_numeric(x)
-
-    ln, rn = num(lhs), num(rhs)
-    if ln is not None and rn is not None:
-        a, b = ln, rn
-    elif op in ("=", "!="):
-        if isinstance(lhs, tuple) or isinstance(rhs, tuple):
-            return False  # numeric const vs non-numeric term
-        a, b = lhs, rhs  # term equality on tagged strings
-    else:
-        # ordering on lexical forms (codepoint order), literals/IRIs alike
-        if isinstance(lhs, tuple) or isinstance(rhs, tuple):
-            return False
-        a, b = _term_lexical(lhs), _term_lexical(rhs)
+def _cmp(a, b, op: str):
     if op == "=":
         return a == b
     if op == "!=":
@@ -545,15 +686,60 @@ def _filter_true(lhs, op: str, rhs) -> bool:
     return a >= b
 
 
+def _filter_mask(result: pd.DataFrame, lhs, op: str, rhs) -> pd.Series:
+    """Vectorized SPARQL-style comparison over the binding frame;
+    unbound/incomparable rows → False (a filter error removes the row).
+    Per-row rule (same as the reference naive evaluator): numeric
+    comparison when BOTH sides are numeric for that row; else term
+    equality on tagged strings for ``=``/``!=``; else codepoint order on
+    lexical forms — numeric constants never compare non-numerically."""
+    idx = result.index
+    n = len(result)
+
+    def operand(o):
+        kind, val = o
+        if kind == "var":
+            if val in result.columns:
+                return result[val], None
+            return pd.Series([None] * n, index=idx, dtype=object), None
+        if kind == "iri":
+            return pd.Series(["I" + val] * n, index=idx, dtype=object), None
+        if kind == "lit":
+            return pd.Series(["L" + val] * n, index=idx, dtype=object), None
+        return None, float(val)
+
+    ls, lconst = operand(lhs)
+    rs, rconst = operand(rhs)
+    if ls is None:
+        ln = pd.Series(lconst, index=idx, dtype="Float64")
+        llex = None
+    else:
+        llex, ln = _series_parts(ls)
+    if rs is None:
+        rn = pd.Series(rconst, index=idx, dtype="Float64")
+        rlex = None
+    else:
+        rlex, rn = _series_parts(rs)
+    both_num = (ln.notna() & rn.notna()).astype(bool)
+    num_cmp = _cmp(ln.astype("Float64"), rn.astype("Float64"), op)
+    if ls is None or rs is None:
+        fallback = pd.Series(False, index=idx)
+    elif op in ("=", "!="):
+        bound = ls.notna() & rs.notna()
+        eq = ls == rs  # term equality on tagged strings
+        fallback = (eq if op == "=" else ~eq) & bound
+    else:
+        bound = (llex.notna() & rlex.notna()).astype(bool)
+        fallback = _cmp(llex.fillna(""), rlex.fillna(""), op) & bound
+    mask = num_cmp.where(both_num, pd.Series(fallback, index=idx))
+    return pd.Series(mask, index=idx).fillna(False).astype(bool)
+
+
 def _apply_filters(result: pd.DataFrame, filters) -> pd.DataFrame:
     for lhs, op, rhs in filters:
         if len(result) == 0:
             break
-        mask = [
-            _filter_true(_operand_value(lhs, row), op, _operand_value(rhs, row))
-            for _, row in result.iterrows()
-        ]
-        result = result[pd.Series(mask, index=result.index)]
+        result = result[_filter_mask(result, lhs, op, rhs)]
     return result
 
 

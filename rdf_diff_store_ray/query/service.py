@@ -126,10 +126,18 @@ class QueryService:
         # over the union) is evaluated per partition and unioned; joins
         # and OPTIONAL push each pattern down and join BINDINGS on the
         # router — the router never holds live triples, only per-pattern
-        # binding sets (bounded by each pattern's selectivity)
+        # binding sets (bounded by each pattern's selectivity). SELECT
+        # solution modifiers (projection/LIMIT/OFFSET) must apply AFTER
+        # the merge, so any modifier routes through the distributed path
+        # where finalize runs once on the router.
         simple = (len(g["patterns"]) == 1 and not g["optionals"]
                   and not g["unions"])
-        if not simple and len(self.actors) > 1:
+        has_mods = (g.get("select") is not None or g.get("distinct")
+                    or g.get("order_by") or g.get("limit") is not None
+                    or g.get("offset"))
+        if len(self.actors) == 1:
+            return ray.get(self.actors[0].query_at.remote(ts, query))
+        if not simple or has_mods:
             return self._query_at_distributed(ts, g)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
         merged = pd.concat(parts, ignore_index=True).drop_duplicates(
@@ -160,7 +168,7 @@ class QueryService:
                 return cur.drop_duplicates(ignore_index=True)
             return cur.head(1)  # boolean pattern: any partition matched
 
-        return finalize_bindings(eval_group(group, pattern_bindings))
+        return finalize_bindings(eval_group(group, pattern_bindings), group)
 
     def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:
         """Opt-in fallback: gather per-partition live triples and run the

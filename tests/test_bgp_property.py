@@ -278,3 +278,55 @@ def test_eval_extended_matches_naive(triples, pats, opt, filters):
         tuple(r[c] for c in cols) for _, r in got_df.iterrows()
     }
     assert got == want, (query, rows, got, want)
+
+
+@given(
+    triples=st.lists(_triple_ext, min_size=0, max_size=8),
+    pats=st.lists(_pattern_ext, min_size=1, max_size=2),
+    filters=st.lists(_filter, min_size=0, max_size=1),
+    proj=st.lists(st.sampled_from(["s", "o", "m"]), min_size=1, max_size=3,
+                  unique=True),
+    distinct=st.booleans(),
+    limit=st.integers(0, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_select_wrapper_matches_postprocessed_group(
+    triples, pats, filters, proj, distinct, limit
+):
+    """SELECT projection/DISTINCT/ORDER BY/LIMIT over a random group must
+    equal the bare group's bindings post-processed the same way."""
+    import pandas as pd
+
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    body = " . ".join(
+        [" ".join(p) for p in pats]
+        + [f"FILTER({l} {op} {r})" for (l, op, r) in filters]
+    )
+    if not any(t.startswith("?") for p in pats for t in p):
+        return  # zero-column boolean frames have no projection surface
+    kw = "SELECT DISTINCT" if distinct else "SELECT"
+    sel = " ".join("?" + v for v in proj)
+    got = eval_bgp(
+        table, f"{kw} {sel} WHERE {{ {body} }} ORDER BY {sel} LIMIT {limit}"
+    )
+    base = eval_bgp(table, body)
+    want = base.reindex(columns=proj)
+    for c in proj:
+        if want[c].isna().all():
+            want[c] = None
+    if distinct:
+        want = want.drop_duplicates(ignore_index=True)
+    if len(want):
+        want = want.sort_values(proj, ignore_index=True, na_position="last")
+    want = want.head(limit).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -263,3 +263,104 @@ def test_union_distributed_matches_single_reader(ray_session):
     want = reader.query_at(ts, query)
     pd.testing.assert_frame_equal(got, want)
     assert len(want) > 0
+
+
+# ---------------------------------------------------------------- SELECT ----
+def _select_table():
+    return pa.table(
+        {
+            "subj": ["e1", "e2", "e3", "e1", "e2"],
+            "pred": ["p1", "p1", "p1", "p2", "p2"],
+            "obj": ["10", "5", "x", "a", "b"],
+            "obj_is_literal": [True, True, True, False, False],
+        }
+    )
+
+
+def test_select_projection_and_limit():
+    t = _select_table()
+    out = eval_bgp(t, "SELECT ?s WHERE { ?s <p1> ?v } ORDER BY ?s LIMIT 2")
+    assert list(out.columns) == ["s"]
+    assert out["s"].tolist() == ["e1", "e2"]
+
+
+def test_select_distinct_collapses_projection():
+    t = _select_table()
+    # without DISTINCT both (e1,10) and (e1,a-object) rows project to e1
+    q = "SELECT ?s WHERE { ?s <p1> ?v . OPTIONAL { ?s <p2> ?w } }"
+    plain = eval_bgp(t, q)
+    distinct = eval_bgp(t, q.replace("SELECT", "SELECT DISTINCT"))
+    assert distinct["s"].tolist() == ["e1", "e2", "e3"]
+    assert len(plain) >= len(distinct)
+
+
+def test_select_star_offset():
+    t = _select_table()
+    out = eval_bgp(t, "SELECT * WHERE { ?s <p1> ?v } OFFSET 1 LIMIT 2")
+    assert list(out.columns) == ["s", "v"]
+    assert len(out) == 2 and out["s"].tolist() == ["e2", "e3"]
+
+
+def test_select_unbound_projected_var_is_none():
+    t = _select_table()
+    out = eval_bgp(t, "SELECT ?s ?nope WHERE { ?s <p2> ?o } LIMIT 3")
+    assert list(out.columns) == ["s", "nope"]
+    assert out["nope"].isna().all()
+
+
+def test_select_matches_bare_group():
+    t = _select_table()
+    bare = eval_bgp(t, "?s <p1> ?v . FILTER(?v >= 1)")
+    sel = eval_bgp(t, "SELECT * WHERE { ?s <p1> ?v . FILTER(?v >= 1) }")
+    pd.testing.assert_frame_equal(bare, sel)
+
+
+def test_select_bad_grammar_raises():
+    t = _select_table()
+    for bad in (
+        "SELECT WHERE { ?s <p1> ?v }",
+        "SELECT ?s { ?s <p1> ?v }",
+        "SELECT ?s WHERE { ?s <p1> ?v } BOGUS 3",
+    ):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)
+
+
+def test_union_unbound_shared_var_kept():
+    """A branch that does not bind a shared variable stays compatible
+    (the NaN-key merge used to drop its solutions entirely)."""
+    t = pa.table(
+        {
+            "subj": ["e1", "e1", "e2"],
+            "pred": ["p1", "p2", "p1"],
+            "obj": ["o1", "o1", "o2"],
+            "obj_is_literal": [False, False, False],
+        }
+    )
+    out = eval_bgp(t, "?s <p1> ?o . { ?s <p2> ?o } UNION { ?s <p1> ?x }")
+    rows = {tuple(r) for r in out.itertuples(index=False)}
+    # branch 1 joins (e1, o1); branch 2 contributes every p1 edge with ?x
+    assert ("e1", "o1", None) in rows or ("e1", "o1", "o1") in rows
+    assert any(r[0] == "e2" for r in rows)
+
+
+def test_select_distributed_matches_single_reader(ray_session):
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.query.service import QueryService
+
+    res = q.kg_build_for(SF_DIR)
+    ts = q._store_end_ts(res)
+    reader = DiffStoreReader(res.delta_table())
+    query = (
+        "SELECT DISTINCT ?s WHERE { "
+        f"?s <{P_ACQUIRED}> ?o . ?s <{P_FOUNDED}> ?y . FILTER(?y >= 1990)"
+        " } ORDER BY ?s LIMIT 25"
+    )
+    svc = QueryService(res.delta_dir)
+    try:
+        got = svc.query_at(ts, query)
+    finally:
+        svc.shutdown()
+    want = reader.query_at(ts, query)
+    pd.testing.assert_frame_equal(got, want)
+    assert list(want.columns) == ["s"] and 0 < len(want) <= 25
