@@ -850,27 +850,53 @@ class HyperplaneLSH:
 
 
 def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
-                         dim: int = 64):
+                         dim: int = 64, bucket_cap: int = 2048):
     """Cosine near-dup pairs within hyperplane-LSH buckets (numpy matmul
     per bucket — vectorized; bucket sizes bounded by the plane count).
-    Group format is pyarrow so the output schema survives empty buckets."""
+    Group format is pyarrow so the output schema survives empty buckets.
+
+    Degenerate-corpus guard: a near-identical corpus collapses into ONE
+    bucket, making the all-pairs matmul O(B²) in time and memory. Buckets
+    larger than ``bucket_cap`` are processed as consecutive id-sorted
+    chunks — all pairs WITHIN each chunk (exact), chunks linked by a
+    one-row overlap — the same hot-bucket chaining
+    :func:`_bucket_pairs_in_partition` uses: cross-chunk pairs are
+    dropped, and dup-cluster transitivity is restored by the downstream
+    components pass. Work becomes O(B·cap), peak memory O(cap²)."""
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        V = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        ids_all = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids_all)
+        ids_all = ids_all[order]
+        V_all = np.asarray(group["embedding"].to_pylist(),
+                           dtype=np.float64)[order]
+        norms = np.linalg.norm(V_all, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        V = V / norms
-        sim = V @ V.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sim[ii, jj] >= threshold
+        V_all = V_all / norms
+        a_parts, b_parts, c_parts = [], [], []
+        n = len(ids_all)
+        step = max(2, bucket_cap - 1)  # one-row overlap chains the chunks
+        for start in range(0, max(n - 1, 1), step):
+            ids = ids_all[start:start + bucket_cap]
+            V = V_all[start:start + bucket_cap]
+            sim = V @ V.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sim[ii, jj] >= threshold
+            a_parts.append(ids[ii[keep]])
+            b_parts.append(ids[jj[keep]])
+            c_parts.append(np.round(sim[ii, jj][keep], 6))
+        a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
+        c = np.concatenate(c_parts) if c_parts else np.empty(0, np.float64)
+        if len(a_parts) > 1:  # overlap row duplicates its pairs; dedupe
+            _, uniq = np.unique(np.column_stack([a, b]), axis=0,
+                                return_index=True)
+            a, b, c = a[uniq], b[uniq], c[uniq]
         return pa.table(
             {
-                "a": pa.array(ids[ii[keep]], pa.int64()),
-                "b": pa.array(ids[jj[keep]], pa.int64()),
-                "cosine": pa.array(np.round(sim[ii, jj][keep], 6), pa.float64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "cosine": pa.array(c, pa.float64()),
             }
         )
 

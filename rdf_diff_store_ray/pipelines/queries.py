@@ -602,28 +602,17 @@ def kg_turtle_ingest(sf_dir: str):
 
     import ray.data as rd
 
-    from ..ntriples import (
-        escape_literal,
-        graph_filename,
-        is_decorated_literal,
-        parse,
-        serialize,
-        sha256_text,
-    )
+    from ..ntriples import graph_filename, parse, serialize, sha256_text
     from ..shuffle_utils import add_partition_id
     from ..sources import read_turtle
     from ..state.reconstruct import state_at
 
+    from ..turtle import serialize_turtle
+
     res = kg_build_for(sf_dir)
     live = state_at(res.delta_dataset(), _store_end_ts(res))
     out_dir = tempfile.mkdtemp(prefix="ttl_ingest_", dir="/tmp")
-    prefix = "https://kg.example/prop/"
-
-    def term(iri: str) -> str:
-        local = iri[len(prefix):] if iri.startswith(prefix) else None
-        if local and "/" not in local and local.isidentifier():
-            return "prop:" + local
-        return f"<{iri}>"
+    prefixes = {"prop": "https://kg.example/prop/"}
 
     def write_turtle_partition(df):
         import pandas as pdd
@@ -632,16 +621,9 @@ def kg_turtle_ingest(sf_dir: str):
         for gid, text in zip(df["graph_id"], df["delta_text"]):
             out_g.append(gid)
             out_d.append(sha256_text(text).hex())
-            lines = [f"@prefix prop: <{prefix}> ."]
-            for s_, p_, o_, lit in parse(text):
-                if lit:
-                    obj = o_ if is_decorated_literal(o_) else f'"{escape_literal(o_)}"'
-                else:
-                    obj = term(o_)
-                lines.append(f"{term(s_)} {term(p_)} {obj} .")
             with open(f"{out_dir}/{graph_filename(gid)}", "w",
                       encoding="utf-8") as f:
-                f.write("\n".join(lines) + "\n")
+                f.write(serialize_turtle(parse(text), prefixes))
         return pdd.DataFrame({"graph_id": out_g, "want_hex": out_d})
 
     want_ds = (

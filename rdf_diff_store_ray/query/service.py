@@ -91,6 +91,16 @@ class PartitionReaderActor:
     def graphs_at(self, ts) -> str:
         return self.reader.graphs_at(ts)
 
+    def graphs_at_to(self, ts, path: str) -> int:
+        """Write this partition's canonical text to ``path`` (spill file
+        for the router's streaming k-way merge); returns line count."""
+        text = self.reader.graphs_at(ts)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return text.count("\n")
+
     def metadata(self):
         return self.reader.metadata()
 
@@ -200,6 +210,55 @@ class QueryService:
         texts = ray.get([a.graphs_at.remote(ts) for a in self.actors])
         lines = sorted({ln for t in texts for ln in t.splitlines() if ln})
         return "\n".join(lines) + "\n" if lines else ""
+
+    def graphs_at_to(self, ts, out_path: str, work_dir: str | None = None
+                     ) -> int:
+        """Streamed form of :meth:`graphs_at` for stores whose merged
+        document exceeds router memory: every partition actor writes its
+        own (already sorted, deduped) canonical text to a spill file,
+        and the router k-way-merges the files line-by-line (one line per
+        partition in memory) into ``out_path``, deduplicating across
+        partitions. Byte-identical to ``graphs_at`` (parity-tested).
+        Returns the merged line count.
+
+        Spill files live under ``work_dir`` (a temp dir next to
+        ``out_path`` by default) — on a multi-node cluster this must be
+        shared storage reachable by actors and router alike, the same
+        assumption the delta log itself makes."""
+        import heapq
+        import shutil
+        import tempfile
+
+        work = work_dir or tempfile.mkdtemp(
+            prefix=".graphs_at_", dir=os.path.dirname(out_path) or "."
+        )
+        os.makedirs(work, exist_ok=True)
+        part_paths = [
+            os.path.join(work, f"part-{i:05d}.nt")
+            for i in range(len(self.actors))
+        ]
+        ray.get([
+            a.graphs_at_to.remote(ts, p)
+            for a, p in zip(self.actors, part_paths)
+        ])
+        n = 0
+        tmp_out = out_path + ".tmp"
+        files = [open(p, "r", encoding="utf-8") for p in part_paths]
+        try:
+            with open(tmp_out, "w", encoding="utf-8") as out:
+                prev = None
+                for line in heapq.merge(*files):
+                    if line != prev:
+                        out.write(line)
+                        n += 1
+                    prev = line
+        finally:
+            for f in files:
+                f.close()
+            if work_dir is None:
+                shutil.rmtree(work, ignore_errors=True)
+        os.replace(tmp_out, out_path)
+        return n
 
     def metadata(self):
         metas = [m for m in ray.get([a.metadata.remote() for a in self.actors])

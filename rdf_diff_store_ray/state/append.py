@@ -23,8 +23,14 @@ per touched partition writes ONLY its new rows as the next log segment
 (``deltas.seg-NNNNNN.parquet``; existing data files are never
 rewritten — O(delta) like the reference's git commit) and refreshes the
 partition manifest. Untouched partitions are never opened.
-Single-writer-per-partition replaces the reference's global write lock
-(repo pool of size 1).
+
+**Concurrency contract**: writes are single-writer per STORE, enforced
+by :class:`StoreWriteLock` (an atomic lock file under the log root) —
+the explicit form of the reference's serialized writes (repo pool of
+size 1, ``src/bin/rdf-diff-writer.rs:25-31``). A second concurrent
+appender/compactor fails fast with :class:`LogLockedError` instead of
+interleaving validation and segment writes. Readers never take the
+lock.
 """
 
 from __future__ import annotations
@@ -213,7 +219,102 @@ class _PartitionAppender:
         return pd.DataFrame({"partition_id": [pid], "applied": [applied]})
 
 
+class LogLockedError(RuntimeError):
+    """Another writer holds the store's write lock."""
+
+
+class StoreWriteLock:
+    """Advisory single-writer lock for a delta log — the enforcement of
+    the reference's serialized writes (repo pool of size 1,
+    ``src/bin/rdf-diff-writer.rs:25-31``). Without it, two concurrent
+    appenders could BOTH pass the read-only monotonicity validation and
+    interleave segment writes.
+
+    Acquisition is an atomic ``O_CREAT|O_EXCL`` create of
+    ``<delta_dir>/.write.lock`` (atomic on POSIX local and NFS v3+
+    filesystems — the delta log already assumes shared storage on a
+    cluster). A held lock fails FAST with :class:`LogLockedError`
+    rather than queueing: callers own retry policy. A stale lock left by
+    a dead process on the same host is broken automatically; cross-host
+    staleness can't be probed, so those require manual removal (the
+    lock file records holder pid/host/time for the operator)."""
+
+    def __init__(self, delta_dir: str):
+        self.path = os.path.join(delta_dir, ".write.lock")
+        self._fd = None
+
+    def _try_acquire(self) -> bool:
+        try:
+            self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        import socket
+        import time
+
+        os.write(self._fd, json.dumps({
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "acquired_unix": int(time.time()),
+        }).encode())
+        os.close(self._fd)
+        return True
+
+    def _holder(self) -> dict:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _stale(self, holder: dict) -> bool:
+        import socket
+
+        if holder.get("host") != socket.gethostname():
+            return False  # can't probe liveness across hosts
+        pid = holder.get("pid")
+        if not isinstance(pid, int):
+            return True  # unreadable/corrupt lock on this host
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False
+
+    def __enter__(self):
+        if self._try_acquire():
+            return self
+        holder = self._holder()
+        if self._stale(holder) :
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            if self._try_acquire():
+                return self
+            holder = self._holder()
+        raise LogLockedError(
+            f"delta log {os.path.dirname(self.path)!r} is locked by "
+            f"another writer ({holder or 'unknown holder'}); retry after "
+            "it finishes, or remove the .write.lock file if its process "
+            "is known dead"
+        )
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def _apply(delta_dir: str, rows: pa.Table, ts: int) -> int:
+    with StoreWriteLock(delta_dir):
+        return _apply_locked(delta_dir, rows, ts)
+
+
+def _apply_locked(delta_dir: str, rows: pa.Table, ts: int) -> int:
     import ray.data as rd
 
     num_partitions = _log_num_partitions(delta_dir)
@@ -274,7 +375,15 @@ def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     its equality check (``src/graphs.rs:35-61``), so a
     reordered-but-equal document must still be a suppressed no-op.
     Returns the number of deltas actually written (no-op posts write
-    nothing)."""
+    nothing).
+
+    Reserved shape for TUPLE input: a PLAIN literal object
+    (``obj_is_literal=True``) whose raw value is itself a well-formed
+    decorated token (e.g. the 8-character string ``"5"^^<d>``) is
+    indistinguishable from the typed literal it spells and will be
+    stored as that typed literal (see ``ntriples.format_line``). Pass
+    such values through document text (where they arrive escaped) if the
+    plain reading is intended."""
     ids, texts = [], []
     for gid, g in sorted(graphs.items()):
         ids.append(gid)
@@ -307,6 +416,11 @@ def compact_log(delta_dir: str, min_segments: int = 1) -> int:
     explicit replay-order column) makes the sort a total order, so
     same-second ties resolve identically before and after compaction
     without relying on sort stability; reconstruction is byte-identical."""
+    with StoreWriteLock(delta_dir):
+        return _compact_locked(delta_dir, min_segments)
+
+
+def _compact_locked(delta_dir: str, min_segments: int) -> int:
     import time
 
     import ray.data as rd

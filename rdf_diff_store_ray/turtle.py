@@ -402,3 +402,67 @@ def turtle_to_canonical(text: str) -> str:
     from .ntriples import serialize
 
     return serialize(parse_turtle(text))
+
+
+def serialize_turtle(triples, prefixes: dict | None = None) -> str:
+    """Inverse of :func:`parse_turtle`: prettified Turtle with sorted
+    ``@prefix`` headers, ``a`` for rdf:type, pname compaction
+    (longest-namespace match, conservative locals) and ``;``-grouped
+    predicate lists per subject — the reference serves prettified Turtle
+    (``src/query.rs:148-169``, ``src/rdf.rs:87-92``).
+
+    Deterministic: blank labels are canonicalized and statements emitted
+    in canonical N-Triples line order, so
+    ``turtle_to_canonical(serialize_turtle(t)) == ntriples.serialize(t)``
+    (prefix compaction is lossless)."""
+    from .ntriples import (
+        canonicalize_bnodes,
+        escape_literal as esc,
+        format_line,
+        is_blank,
+        is_decorated_literal,
+    )
+
+    prefixes = dict(prefixes or {})
+    tl = [(s, p, o, bool(lit)) for (s, p, o, lit) in triples]
+    if any(is_blank(s) or (not lit and is_blank(o)) for (s, p, o, lit) in tl):
+        tl = canonicalize_bnodes(tl)
+    uniq = {format_line(s, p, o, lit): (s, p, o, lit)
+            for (s, p, o, lit) in tl}
+    items = [uniq[k] for k in sorted(uniq)]
+    inv = sorted(prefixes.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+
+    def nfc(x: str) -> str:
+        return unicodedata.normalize("NFC", x)
+
+    def term_iri(iri: str) -> str:
+        for label, ns in inv:
+            if iri.startswith(ns):
+                local = iri[len(ns):]
+                if local == "" or local.isidentifier():
+                    return f"{label}:{local}"
+        return f"<{nfc(iri)}>"
+
+    def fmt_subj(s: str) -> str:
+        return nfc(s) if is_blank(s) else term_iri(s)
+
+    def fmt_pred(p: str) -> str:
+        return "a" if p == RDF_TYPE else term_iri(p)
+
+    def fmt_obj(o: str, lit: bool) -> str:
+        if lit:
+            return nfc(o) if is_decorated_literal(o) else f'"{esc(o)}"'
+        return nfc(o) if is_blank(o) else term_iri(o)
+
+    lines = [f"@prefix {label}: <{nfc(ns)}> ."
+             for label, ns in sorted(prefixes.items())]
+    i = 0
+    while i < len(items):
+        s = items[i][0]
+        po = []
+        while i < len(items) and items[i][0] == s:
+            _, p, o, lit = items[i]
+            po.append(f"{fmt_pred(p)} {fmt_obj(o, lit)}")
+            i += 1
+        lines.append(f"{fmt_subj(s)} " + " ;\n  ".join(po) + " .")
+    return "\n".join(lines) + "\n" if lines else ""

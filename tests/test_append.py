@@ -270,3 +270,85 @@ def test_same_second_appends_are_deterministic(store, ray_session):
     assert winner_table() == G_A2
     assert winner_dataset() == G_A2
     assert DiffStoreReader(_delta_table(store)).graphs_at(T1 + 1) == before
+
+
+def test_concurrent_writer_fails_fast(store, ray_session):
+    """Single-writer contract: while one appender holds the store lock,
+    a second append/compact raises LogLockedError and writes NOTHING;
+    after release the same append succeeds."""
+    from rdf_diff_store_ray.state.append import (
+        LogLockedError,
+        StoreWriteLock,
+        append_graphs,
+        compact_log,
+    )
+
+    doc = '<https://x/a> <https://x/p> "v" .\n'
+    before = _delta_table(store).num_rows
+    with StoreWriteLock(store):
+        with pytest.raises(LogLockedError, match="locked by another writer"):
+            append_graphs(store, {"g1": doc}, 1_700_000_000)
+        with pytest.raises(LogLockedError):
+            compact_log(store)
+    assert _delta_table(store).num_rows == before  # loser wrote nothing
+    assert append_graphs(store, {"g1": doc}, 1_700_000_000) == 1
+
+
+def test_stale_lock_from_dead_process_is_broken(store, ray_session):
+    """A lock file left by a dead pid on this host must not wedge the
+    store; a foreign-host lock must (liveness can't be probed)."""
+    import json as _json
+    import os as _os
+    import socket
+
+    from rdf_diff_store_ray.state.append import LogLockedError, append_graphs
+
+    lock = _os.path.join(store, ".write.lock")
+    doc = '<https://x/a> <https://x/p> "v" .\n'
+    with open(lock, "w") as f:  # pid 2**22+5 is never a live pid here
+        _json.dump({"pid": 2**22 + 5, "host": socket.gethostname(),
+                    "acquired_unix": 0}, f)
+    assert append_graphs(store, {"g1": doc}, 1_700_000_000) == 1
+    assert not _os.path.exists(lock)
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "host": "some-other-host",
+                    "acquired_unix": 0}, f)
+    with pytest.raises(LogLockedError):
+        append_graphs(store, {"g2": doc}, 1_700_000_001)
+    _os.unlink(lock)
+
+
+def test_interleaved_appenders_one_loses(store, ray_session):
+    """Two threads race the same store; every append either fully applies
+    or fails with LogLockedError, and the final log equals the serial
+    replay of exactly the successful appends."""
+    import threading
+
+    from rdf_diff_store_ray.state.append import LogLockedError, append_graphs
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def writer(name, gid, ts):
+        doc = f'<https://x/{name}> <https://x/p> "v" .\n'
+        barrier.wait()
+        try:
+            results[name] = ("ok", append_graphs(store, {gid: doc}, ts))
+        except LogLockedError:
+            results[name] = ("locked", None)
+
+    ts = 1_700_000_000
+    threads = [
+        threading.Thread(target=writer, args=(n, f"g-{n}", ts))
+        for n in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    outcomes = sorted(v[0] for v in results.values())
+    n_ok = outcomes.count("ok")
+    assert n_ok >= 1  # at least one writer made progress
+    live = state_at_table(_delta_table(store), ts + 1)
+    assert live.num_rows == n_ok  # exactly the winners' graphs are live

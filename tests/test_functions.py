@@ -389,3 +389,45 @@ def test_dedup_documents_removes_planted_dupes(docs_ds):
     want = sorted({cid for cid in clusters.values()})
     assert kept == want
     assert len(kept) < len(clusters)  # the fixture plants dupes
+
+
+def test_embedding_near_pairs_degenerate_bucket_bounded(ray_session):
+    """A near-identical corpus collapses into one LSH bucket; the chunked
+    hot-bucket guard must keep work O(B*cap) and still connect every
+    vector into one dup component via chunk overlap."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    V = base + rng.standard_normal((600, 64)) * 1e-4  # all near-identical
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(600), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in V],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = embedding_near_pairs(emb, threshold=0.99, bucket_cap=128).take_all()
+    # bounded: chained chunks emit ~ (B/cap)*cap^2/2 pairs, never B^2/2
+    assert 0 < len(rows) < 600 * 599 // 2
+    # connectivity: union-find over emitted pairs yields ONE component
+    parent = list(range(600))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(int(r["a"]))] = find(int(r["b"]))
+    assert len({find(i) for i in range(600)}) == 1
+    # no duplicate pairs from the overlap row
+    pairs = [(r["a"], r["b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))

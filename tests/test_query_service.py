@@ -102,3 +102,29 @@ def test_distributed_filter_optional_match_single_reader(service, single_reader)
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_graphs_at_to_streams_identical_bytes(service, single_reader, tmp_path):
+    """The streamed sink (per-partition spill + k-way merge) must produce
+    byte-identical output to the in-memory merged string, at an in-history
+    instant and at an empty pre-history instant."""
+    ts = _end_ts(single_reader)
+    out = tmp_path / "merged.nt"
+    n = service.graphs_at_to(ts, str(out))
+    text = out.read_text(encoding="utf-8")
+    assert text == service.graphs_at(ts)
+    assert n == text.count("\n") > 0
+    n0 = service.graphs_at_to(0, str(out))
+    assert n0 == 0 and out.read_text(encoding="utf-8") == ""
+
+
+def test_select_modifiers_routed_through_distributed(service, single_reader):
+    """SELECT modifiers must apply after the cross-partition merge."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    q = f"SELECT DISTINCT ?s WHERE {{ ?s <{P_ACQUIRED}> ?o }} ORDER BY ?s LIMIT 4"
+    got = service.query_at(ts, q)
+    want = single_reader.query_at(ts, q)
+    pd.testing.assert_frame_equal(got, want)
+    assert list(got.columns) == ["s"] and len(got) <= 4

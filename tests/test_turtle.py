@@ -240,3 +240,55 @@ def test_kg_turtle_ingest_digests_match(ray_session):
     row = kg_turtle_ingest("/root/testdata/sf0.001").to_pydict()
     assert row["graphs"] == row["roundtripped"] == row["digest_matches"]
     assert row["graphs"][0] > 0
+
+
+def test_serialize_turtle_roundtrip_fixed():
+    """serialize_turtle is the inverse of parse_turtle: prettified output
+    (prefix headers, 'a', ';' grouping) parses back to the same canonical
+    bytes, including blank nodes and typed/lang literals."""
+    from rdf_diff_store_ray.turtle import RDF_TYPE, serialize_turtle
+
+    triples = [
+        ("https://d/cat", RDF_TYPE, "https://d/Catalog", False),
+        ("https://d/cat", "https://d/title", "Tittel æøå", True),
+        ("https://d/cat", "https://d/size", '"5"^^<http://www.w3.org/2001/XMLSchema#integer>', True),
+        ("https://d/cat", "https://d/label", '"x"@en', True),
+        ("https://d/cat", "https://d/contact", "_:c1", False),
+        ("_:c1", "https://d/name", 'quote " and \\ slash', True),
+        ("https://other/x", "https://d/rel", "https://d/cat", False),
+    ]
+    ttl = serialize_turtle(triples, {"d": "https://d/"})
+    assert "@prefix d: <https://d/> ." in ttl
+    assert " a d:Catalog" in ttl and ";" in ttl
+    assert turtle_to_canonical(ttl) == serialize(triples)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.sampled_from(["https://d/a", "https://d/b", "_:n1", "_:n2"]),
+                st.sampled_from(["https://d/p", "https://d/q",
+                                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]),
+                st.sampled_from(["https://d/a", "https://other/z x", "_:n1", "_:n2"]),
+                st.just(False),
+            ),
+            st.tuples(
+                st.sampled_from(["https://d/a", "_:n1"]),
+                st.sampled_from(["https://d/p", "https://d/q"]),
+                st.sampled_from(["v", "tab\there", 'q"uote', '"5"^^<https://dt>',
+                                 '"x"@en-GB', "5", "true"]),
+                st.just(True),
+            ),
+        ),
+        max_size=10,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_serialize_turtle_roundtrip_property(triples):
+    """serialize → parse → canonical NT equals the direct canonical NT
+    for arbitrary mixes of IRIs, blank nodes and hostile literals."""
+    from rdf_diff_store_ray.turtle import serialize_turtle
+
+    ttl = serialize_turtle(triples, {"d": "https://d/"})
+    assert turtle_to_canonical(ttl) == serialize(triples)
