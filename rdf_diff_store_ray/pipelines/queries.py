@@ -557,6 +557,24 @@ def kg_bgp_select(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_functions(sf_dir: str):
+    """SPARQL builtin accessors over the KG: ``regex`` on entity IRIs
+    via ``str()``, at the end timestamp — subjects headquartered in a
+    city whose id ends in an even digit, projected and capped."""
+    from ..corpus import P_HQ
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        "SELECT DISTINCT ?s ?city WHERE { "
+        f'?s <{P_HQ}> ?city . FILTER(regex(str(?city), "C\\d*[02468]$"))'
+        " } ORDER BY ?s LIMIT 40",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_ntriples_roundtrip(sf_dir: str):
     """Export the end-state KG to one canonical ``.ttl`` file per graph
     (the reference's store layout) and read it back through the N-Triples
@@ -1093,6 +1111,7 @@ def registry():
         "kg_bgp_union": kg_bgp_union,
         "kg_bgp_typed": kg_bgp_typed,
         "kg_bgp_select": kg_bgp_select,
+        "kg_bgp_functions": kg_bgp_functions,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,

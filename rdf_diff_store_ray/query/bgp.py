@@ -85,12 +85,10 @@ def parse_query(query: str) -> dict:
     [group, ...], "unions": [[branch, ...], ...]}`` plus the solution
     modifiers ``select`` (var list or None = all), ``distinct``,
     ``order_by``, ``limit``, ``offset`` (defaults for a bare group).
-    OPTIONAL groups may carry their own filters but not nested
-    OPTIONALs (one level, like the reference tests exercise); UNION
-    clauses are ``{ group } UNION { group } (UNION { group })*`` —
-    branches may use FILTER/OPTIONAL but not nest further UNIONs.
-    Evaluation order is patterns → unions → optionals → filters →
-    modifiers. Grows the oxigraph-subset surface of
+    OPTIONAL and UNION groups nest arbitrarily (each braced group is a
+    full recursive group with its own FILTER/OPTIONAL/UNION scope).
+    Evaluation order within a group is patterns → unions → optionals →
+    filters → modifiers. Grows the oxigraph-subset surface of
     ``src/query.rs:102-114`` toward the full SELECT form it accepts."""
     q = query.strip()
     import re as _re
@@ -171,10 +169,7 @@ def _parse_group_body(body: str) -> dict:
             inner = clause[len("OPTIONAL"):].strip()
             if not (inner.startswith("{") and inner.endswith("}")):
                 raise ValueError(f"OPTIONAL needs braces: {clause!r}")
-            sub = parse_query(inner[1:-1].strip())
-            if sub["optionals"]:
-                raise ValueError("nested OPTIONAL is not supported")
-            group["optionals"].append(sub)
+            group["optionals"].append(parse_query(inner[1:-1].strip()))
         else:
             terms = _split_terms(clause)
             if len(terms) != 3:
@@ -222,10 +217,7 @@ def _parse_union(clause: str) -> list:
         if not rest.startswith("{"):
             raise ValueError(f"expected '{{' in UNION clause: {rest!r}")
         j = _match_brace(rest, 0)
-        sub = parse_query(rest[1:j].strip())
-        if sub["unions"]:
-            raise ValueError("nested UNION is not supported")
-        branches.append(sub)
+        branches.append(parse_query(rest[1:j].strip()))
         rest = rest[j + 1 :].strip()
         if not rest:
             break
@@ -284,13 +276,49 @@ def _split_clauses(s: str):
 
 
 _FILTER_OPS = ("<=", ">=", "!=", "=", "<", ">")
+_FUNC_CALL_RE = None
+_REGEX_CALL_RE = None
 
 
 def _parse_filter(s: str):
+    """``expr`` → a comparison triple ``(lhs, op, rhs)`` or a regex test
+    ``("regex", operand, pattern, flags)``. Operands may be the SPARQL
+    accessor functions ``str(?v)`` / ``lang(?v)`` / ``datatype(?v)``
+    (written without internal spaces), matching the oxigraph builtin
+    subset (``src/query.rs:102-114`` accepts full SPARQL)."""
+    global _FUNC_CALL_RE, _REGEX_CALL_RE
+    import re
+
+    if _REGEX_CALL_RE is None:
+        _FUNC_CALL_RE = re.compile(
+            r"^(str|lang|datatype)\(\?([A-Za-z_]\w*)\)$", re.IGNORECASE
+        )
+        _REGEX_CALL_RE = re.compile(
+            r'^regex\(\s*(\S+)\s*,\s*"((?:[^"\\]|\\.)*)"'
+            r'\s*(?:,\s*"([a-z]*)"\s*)?\)$',
+            re.IGNORECASE,
+        )
+    if m := _REGEX_CALL_RE.match(s.strip()):
+        arg = _parse_filter_operand(m.group(1))
+        flags = m.group(3) or ""
+        if set(flags) - {"i", "s", "m"}:
+            raise ValueError(f"unsupported regex flags: {flags!r}")
+        try:
+            re.compile(m.group(2))  # fail fast on a bad pattern
+        except re.error as e:
+            raise ValueError(f"bad regex pattern {m.group(2)!r}: {e}") from e
+        return ("regex", arg, m.group(2), flags)
     toks = _split_terms(s)
     if len(toks) != 3 or toks[1] not in _FILTER_OPS:
         raise ValueError(f"bad FILTER expression: {s!r}")
-    return (_parse_operand(toks[0]), toks[1], _parse_operand(toks[2]))
+    return (_parse_filter_operand(toks[0]), toks[1],
+            _parse_filter_operand(toks[2]))
+
+
+def _parse_filter_operand(t: str):
+    if m := _FUNC_CALL_RE.match(t):
+        return ("func", m.group(1).lower(), ("var", m.group(2)))
+    return _parse_operand(t)
 
 
 _NUM_RE = None
@@ -410,9 +438,9 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
         udf = udf.drop_duplicates(ignore_index=True)
         result = _merge_bindings(result, udf).drop_duplicates(ignore_index=True)
     for opt in group["optionals"]:
-        ores = _conjoin(opt["patterns"], pattern_bindings)
-        ores = _apply_filters(ores, opt["filters"])
-        result = _merge_optional(result, ores)
+        # full recursive evaluation: OPTIONAL groups may carry their own
+        # FILTERs, UNIONs and nested OPTIONALs (scoped inside the group)
+        result = _merge_optional(result, eval_group(opt, pattern_bindings))
     return _apply_filters(result, group["filters"])
 
 
@@ -641,10 +669,12 @@ _DEC_EXTRACT = None  # lazy: (lex)(dtype)(lang) groups of a decorated token
 
 def _series_parts(s: pd.Series):
     """Columnar decomposition of a Series of tagged binding strings
-    (``None`` = unbound) → ``(lex, num)``: the lexical form (``<NA>``
-    when unbound) and the SPARQL-numeric value (``<NA>`` when not
-    numeric). The only per-row work is unescaping the (rare) decorated
-    lexical forms; everything else is pandas string kernels."""
+    (``None`` = unbound) → ``(lex, num, dtype, lang, is_lit)``: lexical
+    form (``<NA>`` when unbound), SPARQL-numeric value (``<NA>`` when
+    not numeric), datatype IRI / language tag of decorated literals
+    (``<NA>`` otherwise), and the literal mask. The only per-row work is
+    unescaping the (rare) decorated lexical forms; everything else is
+    pandas string kernels."""
     global _DEC_EXTRACT
     if _DEC_EXTRACT is None:
         import re
@@ -669,7 +699,8 @@ def _series_parts(s: pd.Series):
         ~dec_mask | dec["dtype"].isin(_XSD_NUMERIC).astype(bool)
     )
     num = num.where(numeric_ok)
-    return lex, num
+    return lex, num, dec["dtype"].where(is_lit), dec["lang"].where(is_lit), \
+        is_lit
 
 
 def _cmp(a, b, op: str):
@@ -686,40 +717,86 @@ def _cmp(a, b, op: str):
     return a >= b
 
 
-def _filter_mask(result: pd.DataFrame, lhs, op: str, rhs) -> pd.Series:
-    """Vectorized SPARQL-style comparison over the binding frame;
-    unbound/incomparable rows → False (a filter error removes the row).
-    Per-row rule (same as the reference naive evaluator): numeric
-    comparison when BOTH sides are numeric for that row; else term
-    equality on tagged strings for ``=``/``!=``; else codepoint order on
-    lexical forms — numeric constants never compare non-numerically."""
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _operand_series(o, result: pd.DataFrame):
+    """Filter operand → (tagged Series | None, numeric constant | None).
+    Accessor functions are evaluated columnar: ``str`` → the term's
+    lexical form as a simple literal; ``lang`` → the language tag (or
+    ``""``) of a literal; ``datatype`` → the datatype IRI (plain →
+    xsd:string, lang-tagged → rdf:langString); each is an error
+    (unbound → row removed) on non-matching terms, per SPARQL."""
     idx = result.index
     n = len(result)
+    kind, *rest = o
+    if kind == "func":
+        name, arg = rest
+        inner, _ = _operand_series(arg, result)
+        lex, _num, dtype, lang, is_lit = _series_parts(inner)
+        if name == "str":
+            out = ("L" + lex.fillna("")).where(lex.notna())
+        elif name == "lang":
+            out = ("L" + lang.fillna("")).where(is_lit & lex.notna())
+        else:  # datatype
+            dt = dtype.copy()
+            dt[lang.notna()] = _RDF_LANGSTRING
+            dt = dt.fillna(_XSD_STRING)
+            out = ("I" + dt).where(is_lit & lex.notna())
+        return out.astype(object).where(out.notna(), None), None
+    val = rest[0]
+    if kind == "var":
+        if val in result.columns:
+            return result[val], None
+        return pd.Series([None] * n, index=idx, dtype=object), None
+    if kind == "iri":
+        return pd.Series(["I" + val] * n, index=idx, dtype=object), None
+    if kind == "lit":
+        return pd.Series(["L" + val] * n, index=idx, dtype=object), None
+    return None, float(val)
 
-    def operand(o):
-        kind, val = o
-        if kind == "var":
-            if val in result.columns:
-                return result[val], None
-            return pd.Series([None] * n, index=idx, dtype=object), None
-        if kind == "iri":
-            return pd.Series(["I" + val] * n, index=idx, dtype=object), None
-        if kind == "lit":
-            return pd.Series(["L" + val] * n, index=idx, dtype=object), None
-        return None, float(val)
 
-    ls, lconst = operand(lhs)
-    rs, rconst = operand(rhs)
+def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
+    """Vectorized SPARQL-style filter over the binding frame;
+    unbound/incomparable rows → False (a filter error removes the row).
+    Comparison rule per row (same as the reference naive evaluator):
+    numeric when BOTH sides are numeric; else term equality on tagged
+    strings for ``=``/``!=``; else codepoint order on lexical forms —
+    numeric constants never compare non-numerically. ``regex`` tests the
+    lexical form of literal bindings (compiled once, applied with the
+    pandas regex kernel)."""
+    idx = result.index
+    if flt[0] == "regex":
+        _, arg, pattern, flags = flt
+        s, _ = _operand_series(arg, result)
+        lex, _n, _d, _l, is_lit = _series_parts(s)
+        import re
+
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "s" in flags:
+            f |= re.DOTALL
+        if "m" in flags:
+            f |= re.MULTILINE
+        hit = lex.str.contains(pattern, regex=True, flags=f)
+        return (
+            pd.Series(hit & is_lit, index=idx).fillna(False).astype(bool)
+        )
+    lhs, op, rhs = flt
+    ls, lconst = _operand_series(lhs, result)
+    rs, rconst = _operand_series(rhs, result)
     if ls is None:
         ln = pd.Series(lconst, index=idx, dtype="Float64")
         llex = None
     else:
-        llex, ln = _series_parts(ls)
+        llex, ln = _series_parts(ls)[:2]
     if rs is None:
         rn = pd.Series(rconst, index=idx, dtype="Float64")
         rlex = None
     else:
-        rlex, rn = _series_parts(rs)
+        rlex, rn = _series_parts(rs)[:2]
     both_num = (ln.notna() & rn.notna()).astype(bool)
     num_cmp = _cmp(ln.astype("Float64"), rn.astype("Float64"), op)
     if ls is None or rs is None:
@@ -736,10 +813,10 @@ def _filter_mask(result: pd.DataFrame, lhs, op: str, rhs) -> pd.Series:
 
 
 def _apply_filters(result: pd.DataFrame, filters) -> pd.DataFrame:
-    for lhs, op, rhs in filters:
+    for flt in filters:
         if len(result) == 0:
             break
-        result = result[_filter_mask(result, lhs, op, rhs)]
+        result = result[_filter_mask(result, flt)]
     return result
 
 

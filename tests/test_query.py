@@ -237,9 +237,26 @@ def test_union_disjoint_vars_unbound():
     assert any(r["x"] is None for r in rows) and any(r["y"] is None for r in rows)
 
 
-def test_union_nested_rejected():
-    with pytest.raises(ValueError, match="nested UNION"):
-        parse_bgp("{ { ?a <p> ?b } UNION { ?a <q> ?b } } UNION { ?a <r> ?b }")
+def test_union_and_optional_nest():
+    """Braced groups recurse: nested UNION flattens to the union of all
+    branches; OPTIONAL inside OPTIONAL scopes correctly."""
+    t = pa.table(
+        {
+            "subj": ["e1", "e2", "e3", "e1", "e2"],
+            "pred": ["p", "q", "r", "x", "y"],
+            "obj": ["o", "o", "o", "xo", "yo"],
+            "obj_is_literal": [False] * 5,
+        }
+    )
+    out = eval_bgp(t, "{ { ?a <p> ?b } UNION { ?a <q> ?b } } UNION { ?a <r> ?b }")
+    assert out["a"].tolist() == ["e1", "e2", "e3"]
+    out2 = eval_bgp(
+        t, "?a ?pp <o> . OPTIONAL { ?a <x> ?v . OPTIONAL { ?a <y> ?w } }"
+    )
+    by_a = {r.a: (r.v, r.w) for r in out2.itertuples(index=False)}
+    assert by_a["e1"] == ("xo", None)   # outer OPTIONAL bound, inner not
+    assert by_a["e2"] == (None, None)   # outer OPTIONAL unbound
+    assert by_a["e3"] == (None, None)
 
 
 def test_union_distributed_matches_single_reader(ray_session):
@@ -364,3 +381,70 @@ def test_select_distributed_matches_single_reader(ray_session):
     want = reader.query_at(ts, query)
     pd.testing.assert_frame_equal(got, want)
     assert list(want.columns) == ["s"] and 0 < len(want) <= 25
+
+
+# ------------------------------------------------------- FILTER functions ---
+def _func_table():
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    return pa.table(
+        {
+            "subj": ["e1", "e2", "e3", "e4", "e5"],
+            "pred": ["p"] * 5,
+            "obj": ["hello world", '"bonjour"@fr', f'"5"^^<{xsd_int}>',
+                    "https://x/iri", "HELLO"],
+            "obj_is_literal": [True, True, True, False, True],
+        }
+    )
+
+
+def test_filter_regex_and_flags():
+    t = _func_table()
+    assert eval_bgp(t, '?s <p> ?o . FILTER(regex(?o, "hello"))')["s"].tolist() == ["e1"]
+    got = eval_bgp(t, '?s <p> ?o . FILTER(regex(?o, "^hello", "i"))')["s"].tolist()
+    assert got == ["e1", "e5"]
+    # regex never matches IRIs (type error removes the row)
+    assert eval_bgp(t, '?s <p> ?o . FILTER(regex(?o, "iri"))').empty
+
+
+def test_filter_lang_and_datatype():
+    t = _func_table()
+    assert eval_bgp(t, '?s <p> ?o . FILTER(lang(?o) = "fr")')["s"].tolist() == ["e2"]
+    # plain literals have the empty language tag
+    got = eval_bgp(t, '?s <p> ?o . FILTER(lang(?o) = "")')["s"].tolist()
+    assert got == ["e1", "e3", "e5"] or got == ["e1", "e5"]
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert eval_bgp(
+        t, f'?s <p> ?o . FILTER(datatype(?o) = <{xsd}integer>)'
+    )["s"].tolist() == ["e3"]
+    assert eval_bgp(
+        t, f'?s <p> ?o . FILTER(datatype(?o) = <{xsd}string>)'
+    )["s"].tolist() == ["e1", "e5"]
+    # datatype() of an IRI is an error -> row removed
+    rdf_ls = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    assert eval_bgp(
+        t, f'?s <p> ?o . FILTER(datatype(?o) = <{rdf_ls}>)'
+    )["s"].tolist() == ["e2"]
+
+
+def test_filter_str_accessor():
+    t = _func_table()
+    # str() of an IRI is its string form (SPARQL semantics)
+    assert eval_bgp(
+        t, '?s <p> ?o . FILTER(str(?o) = "https://x/iri")'
+    )["s"].tolist() == ["e4"]
+    # str() unwraps decorated literals to the lexical form
+    assert eval_bgp(t, '?s <p> ?o . FILTER(str(?o) = "bonjour")')["s"].tolist() == ["e2"]
+    # lexical (codepoint) ordering through str(): every lexical form >= "5"
+    got = set(eval_bgp(t, '?s <p> ?o . FILTER(str(?o) >= "5")')["s"])
+    assert got == {"e1", "e2", "e3", "e4", "e5"}
+    # numeric coercion still applies through str()
+    assert eval_bgp(t, '?s <p> ?o . FILTER(str(?o) = 5)')["s"].tolist() == ["e3"]
+
+
+def test_filter_bad_function_grammar_raises():
+    t = _func_table()
+    for bad in ('?s <p> ?o . FILTER(regex(?o, "a", "x"))',
+                '?s <p> ?o . FILTER(regex(?o, "[unclosed"))',
+                '?s <p> ?o . FILTER(nope(?o) = "a")'):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)
