@@ -111,10 +111,30 @@ def cmd_compact(args) -> int:
 
 
 def cmd_graphs_at(args) -> int:
+    if args.out:
+        # streamed sink: per-partition spill + k-way merge, never holds
+        # the merged document in memory (GET /api/graphs/{ts} at scale)
+        _ensure_ray()
+        from .query.service import QueryService
+
+        svc = QueryService(args.store)
+        try:
+            n = svc.graphs_at_to(args.ts, args.out)
+        finally:
+            svc.shutdown()
+        print(json.dumps({"out": args.out, "lines": n}))
+        return 0
     from .query.bgp import DiffStoreReader
 
     reader = DiffStoreReader(_delta_table(args.store))
-    sys.stdout.write(reader.graphs_at(args.ts))
+    text = reader.graphs_at(args.ts)
+    if args.turtle:
+        from .ntriples import parse
+        from .turtle import serialize_turtle
+
+        prefixes = dict(kv.split("=", 1) for kv in (args.prefix or []))
+        text = serialize_turtle(parse(text), prefixes)
+    sys.stdout.write(text)
     return 0
 
 
@@ -182,6 +202,12 @@ def main(argv=None) -> int:
     g = sub.add_parser("graphs-at", help="merged canonical N-Triples at ts")
     g.add_argument("--store", required=True)
     g.add_argument("--ts", type=int, required=True)
+    g.add_argument("--out", help="stream the merged doc to this path "
+                                 "(k-way merge; never held in memory)")
+    g.add_argument("--turtle", action="store_true",
+                   help="emit prettified Turtle instead of N-Triples")
+    g.add_argument("--prefix", action="append", metavar="LABEL=NS",
+                   help="prefix mapping for --turtle (repeatable)")
     g.set_defaults(fn=cmd_graphs_at)
 
     q = sub.add_parser("query", help="BGP query at ts (SPARQL-JSON output)")

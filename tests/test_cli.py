@@ -35,3 +35,32 @@ def test_cli_roundtrip(ray_session, tmp_path, capsys):
     assert json.loads(lines[5]) == {"applied": 1}
     # graphs-at after delete prints the empty document (no trailing line)
     assert lines[5] == lines[-1]
+
+
+def test_cli_graphs_at_out_and_turtle(ray_session, tmp_path, capsys):
+    from rdf_diff_store_ray.__main__ import main
+
+    store = str(tmp_path / "deltas")
+    text = ('<https://d/a> <https://d/p> "1" .\n'
+            '<https://d/b> <https://d/q> <https://d/a> .\n')
+    assert main(["init", "--store", store, "--partitions", "4"]) == 0
+    assert main(["append", "--store", store, "--graph", "g",
+                 "--text", text, "--ts", "1700000000"]) == 0
+    capsys.readouterr()
+
+    # prettified Turtle export with a prefix mapping
+    assert main(["graphs-at", "--store", store, "--ts", "1700000100",
+                 "--turtle", "--prefix", "d=https://d/"]) == 0
+    ttl = capsys.readouterr().out
+    assert "@prefix d: <https://d/> ." in ttl and "d:a d:p" in ttl
+    from rdf_diff_store_ray.turtle import turtle_to_canonical
+
+    assert turtle_to_canonical(ttl) == text
+
+    # streamed --out path equals the in-memory document
+    out = tmp_path / "merged.nt"
+    assert main(["graphs-at", "--store", store, "--ts", "1700000100",
+                 "--out", str(out)]) == 0
+    info = __import__("json").loads(capsys.readouterr().out)
+    assert info["lines"] == 2
+    assert out.read_text() == text
