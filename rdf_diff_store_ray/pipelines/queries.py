@@ -1082,6 +1082,7 @@ def registry():
         "events_version_times": rel.events_version_times,
         "revenue_q6": rel.revenue_q6,
         "distinct_priorities": rel.distinct_priorities,
+        "customers_without_orders": rel.customers_without_orders,
         "customer_order_counts": rel.customer_order_counts,
         "events_sessionize": rel.events_sessionize,
         "events_user_counts_salted": rel.events_user_counts_salted,
@@ -1154,6 +1155,7 @@ def oracles():
         "events_version_times": rel.EVENTS_VERSION_TIMES_SQL,
         "revenue_q6": rel.REVENUE_Q6_SQL,
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
+        "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,

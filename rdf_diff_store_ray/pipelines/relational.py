@@ -556,6 +556,80 @@ SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
 """
 
 
+# ----------------------------------------------------------- anti join ------
+def customers_without_orders(sf_dir: str, year: int = 1995):
+    """Anti join (large ⟕̸ large, §2.4): customers that placed no order
+    in ``year``. Neither side is broadcast: both are projected (and the
+    order side row-filtered) AT THE READ, the order side pre-deduped per
+    batch (the shuffle carries distinct keys, not order rows), tagged,
+    and hash-co-partitioned on the customer key; each partition
+    subtracts its order-key set from its customer rows in one vectorized
+    ``isin`` pass. Flip the mask for a semi join."""
+    import pyarrow.dataset as pads
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+
+    def tag_customers(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "key": batch["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "side": pa.array(["cust"] * batch.num_rows, pa.string()),
+            }
+        )
+        return _add_key_partition(out, "key")
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].cast(pa.int64()).unique()
+        out = pa.table(
+            {
+                "key": keys,
+                "c_mktsegment": pa.nulls(len(keys), pa.string()),
+                "side": pa.array(["ord"] * len(keys), pa.string()),
+            }
+        )
+        return _add_key_partition(out, "key")
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["side"] == "cust"]
+        have = group.loc[group["side"] == "ord", "key"].to_numpy()
+        keep = c[~c["key"].isin(have)]
+        return pd.DataFrame(
+            {
+                "c_custkey": keep["key"].astype("int64"),
+                "c_mktsegment": keep["c_mktsegment"],
+            }
+        )
+
+    return (
+        cust.map_batches(tag_customers, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("partition_id")
+        .map_groups(anti, batch_format="pandas")
+        .sort("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1996-01-01')
+ORDER BY c_custkey
+"""
+
+
 # ------------------------------------------------------ left outer join -----
 def customer_order_counts(sf_dir: str, method: str = "broadcast"):
     """Left-outer join: every customer with their order count (0 when no
