@@ -730,6 +730,23 @@ def kg_turtle_ingest(sf_dir: str):
     )
 
 
+def kg_bgp_path(sf_dir: str):
+    """Property path over the KG: the transitive acquisition closure
+    (``<acquired>+``) at the end timestamp — corporate-ownership chains
+    the single-hop pattern can't express."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT DISTINCT ?s ?o WHERE {{ ?s <{P_ACQUIRED}>+ ?o }} "
+        "ORDER BY ?s ?o LIMIT 200",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_blank_nodes(sf_dir: str):
     """Blank-node Turtle ingestion (DCAT-catalog shape): deterministic
     docs full of nested anonymous ``[ ... ]`` nodes, ``_:labels`` and
@@ -1113,6 +1130,7 @@ def registry():
         "kg_bgp_typed": kg_bgp_typed,
         "kg_bgp_select": kg_bgp_select,
         "kg_bgp_functions": kg_bgp_functions,
+        "kg_bgp_path": kg_bgp_path,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,

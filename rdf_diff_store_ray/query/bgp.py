@@ -174,7 +174,13 @@ def _parse_group_body(body: str) -> dict:
             terms = _split_terms(clause)
             if len(terms) != 3:
                 raise ValueError(f"bad triple pattern: {clause!r}")
-            group["patterns"].append(tuple(_parse_term(t) for t in terms))
+            pat = tuple(_parse_term(t) for t in terms)
+            if pat[0][0] == "path" or pat[2][0] == "path":
+                raise ValueError(
+                    f"property paths are only valid in predicate position: "
+                    f"{clause!r}"
+                )
+            group["patterns"].append(pat)
     return group
 
 
@@ -355,8 +361,16 @@ def _split_terms(s: str):
         if c.isspace():
             i += 1
         elif c == "<" and (j := _iri_end(s, i)) is not None:
-            out.append(s[i : j + 1])
-            i = j + 1
+            # a property path keeps going past the IRI without whitespace
+            # (<a>/<b>, <p>+, ^<p>|<q>) — consume the whole run, IRI-aware
+            k = j + 1
+            while k < n and not s[k].isspace():
+                if s[k] == "<" and (j2 := _iri_end(s, k)) is not None:
+                    k = j2 + 1
+                else:
+                    k += 1
+            out.append(s[i:k])
+            i = k
         elif c == '"':
             j = i + 1
             while j < n:
@@ -390,14 +404,87 @@ def _parse_term(t: str):
 
     if t.startswith("?"):
         return ("var", t[1:])
-    if t.startswith("<") and t.endswith(">"):
+    if (t.startswith("<") and t.endswith(">")
+            and "<" not in t[1:-1] and ">" not in t[1:-1]):
         return ("iri", t[1:-1])
     if t.startswith('"') and t.endswith('"'):
         return ("lit", unescape_literal(t[1:-1]))
     if is_decorated_literal(t):
         # typed / lang-tagged literal term == the decorated object form
         return ("lit", t)
+    if "<" in t and any(ch in t for ch in "/|+^(*?"):
+        # plain IRIs (even ones containing ?query or *) matched above;
+        # anything else with path operators parses as a property path
+        return ("path", _parse_path_token(t))
     raise ValueError(f"bad term: {t!r}")
+
+
+def _parse_path_token(t: str):
+    """SPARQL property-path subset →  AST::
+
+        alt  := seq ('|' seq)*          →  ('alt', [node, ...])
+        seq  := post ('/' post)*        →  ('seq', [node, ...])
+        post := atom '+'?               →  ('plus', node)
+        atom := '^' post | <iri> | '(' alt ')'   — '^' → ('inv', node)
+
+    ``*`` and ``?`` (zero-length paths) are rejected explicitly: a
+    zero-length path binds every term in the graph to itself, which the
+    per-pattern evaluation model doesn't represent."""
+    pos = [0]
+    n = len(t)
+
+    def peek() -> str:
+        return t[pos[0]] if pos[0] < n else ""
+
+    def alt():
+        nodes = [seq()]
+        while peek() == "|":
+            pos[0] += 1
+            nodes.append(seq())
+        return nodes[0] if len(nodes) == 1 else ("alt", nodes)
+
+    def seq():
+        nodes = [post()]
+        while peek() == "/":
+            pos[0] += 1
+            nodes.append(post())
+        return nodes[0] if len(nodes) == 1 else ("seq", nodes)
+
+    def post():
+        node = atom()
+        if peek() == "+":
+            pos[0] += 1
+            node = ("plus", node)
+        if peek() in ("*", "?"):
+            raise ValueError(
+                f"zero-length path operator {peek()!r} is not supported "
+                f"in {t!r} (use '+' for one-or-more)"
+            )
+        return node
+
+    def atom():
+        c = peek()
+        if c == "^":
+            pos[0] += 1
+            return ("inv", post())
+        if c == "(":
+            pos[0] += 1
+            node = alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parentheses in path: {t!r}")
+            pos[0] += 1
+            return node
+        if c == "<":
+            j = t.index(">", pos[0])
+            iri = t[pos[0] + 1 : j]
+            pos[0] = j + 1
+            return ("pred", iri)
+        raise ValueError(f"bad property path at {t[pos[0]:]!r} in {t!r}")
+
+    node = alt()
+    if pos[0] != n:
+        raise ValueError(f"trailing characters in path: {t[pos[0]:]!r}")
+    return node
 
 
 def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
@@ -599,13 +686,129 @@ def format_term(term) -> str:
         return "?" + val
     if kind == "iri":
         return f"<{val}>"
+    if kind == "path":
+        return format_path(val)
     if is_decorated_literal(val):
         return val
     return f'"{escape_literal(val)}"'
 
 
+def format_path(ast) -> str:
+    """Inverse of :func:`_parse_path_token`."""
+    kind = ast[0]
+    if kind == "pred":
+        return f"<{ast[1]}>"
+    if kind == "inv":
+        return "^" + format_path(ast[1])
+    if kind == "plus":
+        inner = format_path(ast[1])
+        if ast[1][0] in ("seq", "alt"):
+            inner = f"({inner})"
+        return inner + "+"
+    sep = "/" if kind == "seq" else "|"
+    return f"({sep.join(format_path(b) for b in ast[1])})"
+
+
+def group_has_path(group: dict) -> bool:
+    """True when any pattern anywhere in the group tree uses a property
+    path (such queries cannot be evaluated per-partition)."""
+    if any(p[1][0] == "path" for p in group["patterns"]):
+        return True
+    return any(group_has_path(o) for o in group["optionals"]) or any(
+        group_has_path(b) for branches in group["unions"] for b in branches
+    )
+
+
 def format_pattern(pattern) -> str:
     return " ".join(format_term(t) for t in pattern)
+
+
+# ------------------------------------------------------ property paths -----
+def path_edges_from_frame(df: pd.DataFrame, iri: str) -> pd.DataFrame:
+    """(start, end) TAGGED pairs for one predicate in a triple frame."""
+    sub = df[df["pred"] == iri]
+    return pd.DataFrame(
+        {
+            "__s": ("I" + sub["subj"]).to_numpy(),
+            "__o": np.where(
+                sub["obj_is_literal"], "L" + sub["obj"], "I" + sub["obj"]
+            ),
+        }
+    ).drop_duplicates()
+
+
+def eval_path_pairs(ast, edges_of) -> pd.DataFrame:
+    """Evaluate a path AST over ``edges_of(iri) → (__s, __o) pairs``.
+    The edge source is pluggable for the same reason as
+    :func:`eval_group`'s pattern source: locally it reads one triple
+    frame; the distributed router feeds it unioned per-partition edge
+    bindings, because a transitive path may cross partitions and cannot
+    be evaluated per-partition."""
+    kind = ast[0]
+    if kind == "pred":
+        return edges_of(ast[1])
+    if kind == "inv":
+        e = eval_path_pairs(ast[1], edges_of)
+        return e.rename(columns={"__s": "__o", "__o": "__s"})[["__s", "__o"]]
+    if kind == "seq":
+        cur = eval_path_pairs(ast[1][0], edges_of)
+        for step in ast[1][1:]:
+            if not len(cur):
+                break
+            nxt = eval_path_pairs(step, edges_of)
+            m = cur.merge(nxt, left_on="__o", right_on="__s",
+                          suffixes=("_l", "_r"))
+            cur = pd.DataFrame(
+                {"__s": m["__s_l"], "__o": m["__o_r"]}
+            ).drop_duplicates()
+        return cur
+    if kind == "alt":
+        return pd.concat(
+            [eval_path_pairs(b, edges_of) for b in ast[1]], ignore_index=True
+        ).drop_duplicates()
+    # plus: transitive closure by frontier expansion (terminates: the
+    # pair set is bounded by nodes²; each round adds only unseen pairs)
+    base = eval_path_pairs(ast[1], edges_of).drop_duplicates()
+    total = base
+    frontier = base
+    while len(frontier):
+        m = frontier.merge(base, left_on="__o", right_on="__s",
+                           suffixes=("_l", "_r"))
+        step = pd.DataFrame(
+            {"__s": m["__s_l"], "__o": m["__o_r"]}
+        ).drop_duplicates()
+        new = step.merge(total, on=["__s", "__o"], how="left", indicator=True)
+        new = new[new["_merge"] == "left_only"][["__s", "__o"]]
+        if not len(new):
+            break
+        total = pd.concat([total, new], ignore_index=True)
+        frontier = new
+    return total
+
+
+def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
+    """Path (start, end) pairs + subject/object terms → tagged binding
+    frame (same contract as :func:`eval_one_pattern`)."""
+    cur = pairs
+    var_positions: dict = {}
+    for pos, term in (("__s", s_term), ("__o", o_term)):
+        kind, val = term
+        if kind == "var":
+            var_positions.setdefault(val, []).append(pos)
+        elif kind == "iri":
+            cur = cur[cur[pos] == "I" + val]
+        else:
+            cur = cur[cur[pos] == "L" + val]
+    mask = pd.Series(True, index=cur.index)
+    for var, positions in var_positions.items():
+        for extra in positions[1:]:
+            mask &= cur[positions[0]] == cur[extra]
+    proj = pd.DataFrame(index=cur.index)
+    for var, positions in var_positions.items():
+        proj[var] = cur[positions[0]]
+    if var_positions:
+        return proj[mask].drop_duplicates()
+    return proj.head(1) if len(cur) else proj
 
 
 def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
@@ -619,6 +822,11 @@ def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
     columnar) that also ships compactly between partition actors, while
     still making a literal ``"x"`` never join the IRI ``<x>``."""
     s, p, o = pattern
+    if p[0] == "path":
+        pairs = eval_path_pairs(
+            p[1], lambda iri: path_edges_from_frame(df, iri)
+        )
+        return bindings_from_pairs(pairs, s, o)
     cur = df
     var_positions: dict = {}  # var -> [position, ...]
     for pos, term, is_obj in (("subj", s, False), ("pred", p, False), ("obj", o, True)):

@@ -140,6 +140,8 @@ class QueryService:
         # solution modifiers (projection/LIMIT/OFFSET) must apply AFTER
         # the merge, so any modifier routes through the distributed path
         # where finalize runs once on the router.
+        from .bgp import group_has_path
+
         simple = (len(g["patterns"]) == 1 and not g["optionals"]
                   and not g["unions"])
         has_mods = (g.get("select") is not None or g.get("distinct")
@@ -147,7 +149,10 @@ class QueryService:
                     or g.get("offset"))
         if len(self.actors) == 1:
             return ray.get(self.actors[0].query_at.remote(ts, query))
-        if not simple or has_mods:
+        # property paths are never per-partition evaluable (a transitive
+        # chain may cross partitions) — route to the push-down path,
+        # which gathers the path's base EDGES and closes on the router
+        if not simple or has_mods or group_has_path(g):
             return self._query_at_distributed(ts, g)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
         merged = pd.concat(parts, ignore_index=True).drop_duplicates(
@@ -166,9 +171,15 @@ class QueryService:
         bounded by pattern selectivity, not live-state size — a
         ``?s ?p ?o`` pattern still transfers everything, exactly as the
         reference's full-store load does (``src/query.rs:117-145``)."""
-        from .bgp import eval_group, finalize_bindings, format_pattern
+        from .bgp import (
+            bindings_from_pairs,
+            eval_group,
+            eval_path_pairs,
+            finalize_bindings,
+            format_pattern,
+        )
 
-        def pattern_bindings(pat):
+        def gather_pattern(pat):
             ps = format_pattern(pat)
             parts = ray.get(
                 [a.pattern_bindings.remote(ts, ps) for a in self.actors]
@@ -177,6 +188,25 @@ class QueryService:
             if len(cur.columns):
                 return cur.drop_duplicates(ignore_index=True)
             return cur.head(1)  # boolean pattern: any partition matched
+
+        def pattern_bindings(pat):
+            s, p, o = pat
+            if p[0] != "path":
+                return gather_pattern(pat)
+            # property path: gather each atomic predicate's EDGES from
+            # all partitions (a transitive chain may cross partitions),
+            # close over the union on the router, then bind s/o —
+            # router memory is bounded by the path predicates' edge
+            # counts, the same bound a ?s <p> ?o pattern already has
+            def edges_of(iri: str) -> pd.DataFrame:
+                e = gather_pattern(
+                    (("var", "__ps"), ("iri", iri), ("var", "__po"))
+                )
+                if not len(e.columns):
+                    return pd.DataFrame(columns=["__s", "__o"])
+                return e.rename(columns={"__ps": "__s", "__po": "__o"})
+
+            return bindings_from_pairs(eval_path_pairs(p[1], edges_of), s, o)
 
         return finalize_bindings(eval_group(group, pattern_bindings), group)
 

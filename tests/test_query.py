@@ -448,3 +448,89 @@ def test_filter_bad_function_grammar_raises():
                 '?s <p> ?o . FILTER(nope(?o) = "a")'):
         with pytest.raises(ValueError):
             eval_bgp(t, bad)
+
+
+# ------------------------------------------------------- property paths -----
+def _path_table():
+    return pa.table(
+        {
+            "subj": ["a", "b", "c", "a", "x", "d"],
+            "pred": ["knows", "knows", "knows", "name", "near", "name"],
+            "obj": ["b", "c", "d", "Ann", "a", "Dee"],
+            "obj_is_literal": [False, False, False, True, False, True],
+        }
+    )
+
+
+def test_path_transitive_plus():
+    out = eval_bgp(_path_table(), "<a> <knows>+ ?o")
+    assert out["o"].tolist() == ["b", "c", "d"]
+    # cycles terminate: add d->a
+    t = pa.table(
+        {
+            "subj": ["a", "b", "d"],
+            "pred": ["k", "k", "k"],
+            "obj": ["b", "d", "a"],
+            "obj_is_literal": [False] * 3,
+        }
+    )
+    out = eval_bgp(t, "?s <k>+ ?o")
+    assert len(out) == 9  # full 3-cycle closure
+
+
+def test_path_sequence_inverse_alternative():
+    t = _path_table()
+    # sequence ending at a literal
+    out = eval_bgp(t, "?s <knows>/<name> ?n")
+    assert [(r.s, r.n) for r in out.itertuples(index=False)] == [("c", "Dee")]
+    # inverse
+    assert eval_bgp(t, "?s ^<near> ?o").values.tolist() == [["a", "x"]]
+    # alternative under closure, joined with FILTER
+    out = eval_bgp(t, "?s (<near>|<knows>)+ ?o . FILTER(?o = <d>)")
+    assert set(out["s"]) == {"a", "b", "c", "x"}
+    # sequence of closures: who is two-or-more hops via knows then named
+    out = eval_bgp(t, "<a> <knows>+/<name> ?n")
+    assert out["n"].tolist() == ["Dee"]
+
+
+def test_path_grammar_errors():
+    t = _path_table()
+    for bad in ("?s <knows>* ?o", "?s <knows>? ?o", "?s (<a>/<b> ?o",
+                "<a>/<b> <p> ?o", "?s <p> <a>/<b>"):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)
+    # IRIs containing '?' or '*' are still plain IRIs
+    t2 = pa.table(
+        {
+            "subj": ["s"], "pred": ["http://x?q=1*"], "obj": ["o"],
+            "obj_is_literal": [False],
+        }
+    )
+    assert len(eval_bgp(t2, "?a <http://x?q=1*> ?b")) == 1
+
+
+def test_path_distributed_matches_single_reader(ray_session):
+    """Transitive paths cross partitions: the router gathers base edges
+    and closes over the union — must equal the single-reader result."""
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.query.service import QueryService
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_PARTNERS
+
+    res = q.kg_build_for(SF_DIR)
+    ts = q._store_end_ts(res)
+    reader = DiffStoreReader(res.delta_table())
+    svc = QueryService(res.delta_dir)
+    try:
+        for query in (
+            f"?s <{P_ACQUIRED}>+ ?o",
+            f"?s (<{P_ACQUIRED}>|<{P_PARTNERS}>)+ ?o",
+            f"SELECT DISTINCT ?s WHERE {{ ?s <{P_ACQUIRED}>+/<{P_PARTNERS}> ?o }} LIMIT 10",
+        ):
+            got = svc.query_at(ts, query)
+            want = reader.query_at(ts, query)
+            pd.testing.assert_frame_equal(got, want)
+    finally:
+        svc.shutdown()
+    assert len(reader.query_at(ts, f"?s <{P_ACQUIRED}>+ ?o")) >= len(
+        reader.query_at(ts, f"?s <{P_ACQUIRED}> ?o")
+    )
