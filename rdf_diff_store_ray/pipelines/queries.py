@@ -747,6 +747,23 @@ def kg_bgp_path(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_construct(sf_dir: str):
+    """CONSTRUCT over the KG: materialize the inverse acquisition edge
+    (``?o acquiredBy ?s``) as a new triple frame — the graph-building
+    query form (oxigraph serves CONSTRUCT, ``src/query.rs:102-114``)."""
+    from ..corpus import P_ACQUIRED, PROP_NS
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"CONSTRUCT {{ ?o <{PROP_NS}acquiredBy> ?s }} "
+        f"WHERE {{ ?s <{P_ACQUIRED}> ?o }}",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_blank_nodes(sf_dir: str):
     """Blank-node Turtle ingestion (DCAT-catalog shape): deterministic
     docs full of nested anonymous ``[ ... ]`` nodes, ``_:labels`` and
@@ -1131,6 +1148,7 @@ def registry():
         "kg_bgp_select": kg_bgp_select,
         "kg_bgp_functions": kg_bgp_functions,
         "kg_bgp_path": kg_bgp_path,
+        "kg_bgp_construct": kg_bgp_construct,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,

@@ -66,7 +66,7 @@ def parse_bgp(query: str):
 
 
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
-                 "limit": None, "offset": 0}
+                 "limit": None, "offset": 0, "ask": False, "construct": None}
 
 
 def parse_query(query: str) -> dict:
@@ -95,8 +95,62 @@ def parse_query(query: str) -> dict:
 
     if _re.match(r"^SELECT\b", q, _re.IGNORECASE):
         return _parse_select(q)
+    if _re.match(r"^ASK\b", q, _re.IGNORECASE):
+        return _parse_ask(q)
+    if _re.match(r"^CONSTRUCT\b", q, _re.IGNORECASE):
+        return _parse_construct(q)
     group = _parse_group_body(q)
     group.update(_NO_MODIFIERS)
+    return group
+
+
+def _parse_ask(q: str) -> dict:
+    """``ASK [WHERE] { group }`` → boolean query form."""
+    import re as _re
+
+    rest = q[len("ASK"):].lstrip()
+    if m := _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
+        rest = rest[m.end():].lstrip()
+    if not rest.startswith("{"):
+        raise ValueError("ASK needs a braced group")
+    j = _match_brace(rest, 0)
+    if rest[j + 1:].strip():
+        raise ValueError(f"trailing text after ASK group: {rest[j+1:]!r}")
+    group = _parse_group_body(rest[1:j].strip())
+    group.update(_NO_MODIFIERS)
+    group["ask"] = True
+    return group
+
+
+def _parse_construct(q: str) -> dict:
+    """``CONSTRUCT { template } WHERE { group }`` → graph-building form.
+    The template is a plain pattern list (no FILTER/OPTIONAL/paths)."""
+    import re as _re
+
+    rest = q[len("CONSTRUCT"):].lstrip()
+    if not rest.startswith("{"):
+        raise ValueError("CONSTRUCT needs a braced template")
+    j = _match_brace(rest, 0)
+    tgroup = _parse_group_body(rest[1:j].strip())
+    if tgroup["filters"] or tgroup["optionals"] or tgroup["unions"]:
+        raise ValueError("CONSTRUCT templates may contain only triple patterns")
+    if not tgroup["patterns"]:
+        raise ValueError("empty CONSTRUCT template")
+    for s, p, o in tgroup["patterns"]:
+        if s[0] == "lit" or p[0] == "lit":
+            raise ValueError("literals are only valid in template object position")
+    rest = rest[j + 1:].strip()
+    if not _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
+        raise ValueError("CONSTRUCT needs WHERE { group }")
+    rest = rest[len("WHERE"):].lstrip()
+    if not rest.startswith("{"):
+        raise ValueError("WHERE needs a braced group")
+    j = _match_brace(rest, 0)
+    if rest[j + 1:].strip():
+        raise ValueError(f"trailing text after CONSTRUCT group: {rest[j+1:]!r}")
+    group = _parse_group_body(rest[1:j].strip())
+    group.update(_NO_MODIFIERS)
+    group["construct"] = tgroup["patterns"]
     return group
 
 
@@ -502,7 +556,60 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     df = triples.to_pandas()
     group = parse_query(query)
     result = eval_group(group, lambda pat: eval_one_pattern(df, pat))
+    return finish_query(result, group)
+
+
+def finish_query(result: pd.DataFrame, group: dict) -> pd.DataFrame:
+    """Tagged group bindings → the query form's final frame: ASK boolean,
+    CONSTRUCT triple frame, or SELECT/bare bindings (shared by the local
+    evaluator and the distributed router)."""
+    if group.get("ask"):
+        return pd.DataFrame({"ask": [bool(len(result))]})
+    if group.get("construct") is not None:
+        return construct_triples(result, group["construct"])
     return finalize_bindings(result, group)
+
+
+def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
+    """Instantiate a CONSTRUCT template against tagged bindings → a
+    distinct, sorted triple frame ``(subj, pred, obj, obj_is_literal)``.
+    Per SPARQL: rows where a template variable is unbound, or binds a
+    literal in subject/predicate position, produce no triple."""
+    frames = []
+    for s, p, o in template:
+        n = len(result)
+        ok = pd.Series(True, index=result.index)
+        cols: dict = {}
+        for pos, term in (("subj", s), ("pred", p), ("obj", o)):
+            kind, val = term
+            if kind == "var":
+                series = (result[val] if val in result.columns
+                          else pd.Series([None] * n, index=result.index,
+                                         dtype=object)).astype("string")
+                ok &= series.notna().astype(bool)
+                if pos == "obj":
+                    cols["obj_is_literal"] = series.str.startswith(
+                        "L").fillna(False).astype(bool)
+                else:
+                    ok &= series.str.startswith("I").fillna(False).astype(bool)
+                cols[pos] = series.str.slice(1)
+            elif kind == "iri":
+                cols[pos] = pd.Series([val] * n, index=result.index)
+                if pos == "obj":
+                    cols["obj_is_literal"] = pd.Series(
+                        False, index=result.index
+                    )
+            else:  # literal constant (validated: object position only)
+                cols[pos] = pd.Series([val] * n, index=result.index)
+                cols["obj_is_literal"] = pd.Series(True, index=result.index)
+        frames.append(pd.DataFrame(cols)[ok])
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("subj", "pred", "obj"):
+        out[c] = out[c].astype(object)
+    out = out[["subj", "pred", "obj", "obj_is_literal"]].drop_duplicates(
+        ignore_index=True
+    )
+    return out.sort_values(list(out.columns), ignore_index=True)
 
 
 def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:

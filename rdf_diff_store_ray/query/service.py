@@ -146,7 +146,8 @@ class QueryService:
                   and not g["unions"])
         has_mods = (g.get("select") is not None or g.get("distinct")
                     or g.get("order_by") or g.get("limit") is not None
-                    or g.get("offset"))
+                    or g.get("offset") or g.get("ask")
+                    or g.get("construct") is not None)
         if len(self.actors) == 1:
             return ray.get(self.actors[0].query_at.remote(ts, query))
         # property paths are never per-partition evaluable (a transitive
@@ -175,7 +176,7 @@ class QueryService:
             bindings_from_pairs,
             eval_group,
             eval_path_pairs,
-            finalize_bindings,
+            finish_query,
             format_pattern,
         )
 
@@ -208,7 +209,7 @@ class QueryService:
 
             return bindings_from_pairs(eval_path_pairs(p[1], edges_of), s, o)
 
-        return finalize_bindings(eval_group(group, pattern_bindings), group)
+        return finish_query(eval_group(group, pattern_bindings), group)
 
     def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:
         """Opt-in fallback: gather per-partition live triples and run the

@@ -534,3 +534,68 @@ def test_path_distributed_matches_single_reader(ray_session):
     assert len(reader.query_at(ts, f"?s <{P_ACQUIRED}>+ ?o")) >= len(
         reader.query_at(ts, f"?s <{P_ACQUIRED}> ?o")
     )
+
+
+# ------------------------------------------------------- ASK / CONSTRUCT ----
+def test_ask_form():
+    t = _path_table()
+    assert eval_bgp(t, "ASK { ?s <knows> ?o }")["ask"].tolist() == [True]
+    assert eval_bgp(t, "ASK WHERE { <a> <knows>+ <d> }")["ask"].tolist() == [True]
+    assert eval_bgp(t, "ASK { ?s <nope> ?o }")["ask"].tolist() == [False]
+    assert eval_bgp(
+        t, '?s <knows> ?o'
+    ).shape[0] > 0  # bare groups unaffected
+
+
+def test_construct_inverse_edges():
+    t = _path_table()
+    out = eval_bgp(
+        t, "CONSTRUCT { ?o <knownBy> ?s } WHERE { ?s <knows> ?o }"
+    )
+    assert list(out.columns) == ["subj", "pred", "obj", "obj_is_literal"]
+    assert out.values.tolist() == [
+        ["b", "knownBy", "a", False],
+        ["c", "knownBy", "b", False],
+        ["d", "knownBy", "c", False],
+    ]
+
+
+def test_construct_multi_pattern_template_and_literals():
+    t = _path_table()
+    out = eval_bgp(
+        t,
+        'CONSTRUCT { ?s <hasName> ?n . ?s <type> "person" } '
+        "WHERE { ?s <name> ?n }",
+    )
+    rows = {tuple(r) for r in out.itertuples(index=False)}
+    assert ("a", "hasName", "Ann", True) in rows
+    assert ("a", "type", "person", True) in rows
+    assert len(rows) == 4
+    # literal binding in subject position produces no triple
+    out2 = eval_bgp(t, "CONSTRUCT { ?n <x> ?s } WHERE { ?s <name> ?n }")
+    assert len(out2) == 0
+
+
+def test_construct_feeds_canonical_serialization():
+    """CONSTRUCT output is a valid triple frame: serialize it."""
+    from rdf_diff_store_ray.ntriples import serialize
+
+    t = _path_table()
+    out = eval_bgp(
+        t, "CONSTRUCT { ?s <k2> ?o } WHERE { ?s <knows>+ ?o }"
+    )
+    text = serialize(out.itertuples(index=False, name=None))
+    assert text.count("\n") == 6  # closure of the 3-chain
+
+
+def test_ask_construct_grammar_errors():
+    t = _path_table()
+    for bad in (
+        "ASK ?s <p> ?o",
+        "CONSTRUCT { ?s <p> ?o }",  # no WHERE
+        'CONSTRUCT { "lit" <p> ?o } WHERE { ?s <p> ?o }',
+        "CONSTRUCT { ?s <p> ?o . FILTER(?s = <a>) } WHERE { ?s <p> ?o }",
+        "CONSTRUCT { } WHERE { ?s <p> ?o }",
+    ):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)

@@ -128,3 +128,20 @@ def test_select_modifiers_routed_through_distributed(service, single_reader):
     want = single_reader.query_at(ts, q)
     pd.testing.assert_frame_equal(got, want)
     assert list(got.columns) == ["s"] and len(got) <= 4
+
+
+def test_ask_construct_paths_distributed_match(service, single_reader):
+    """ASK/CONSTRUCT/path query forms route through the router and match
+    the single-reader evaluator."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, PROP_NS
+
+    ts = _end_ts(single_reader)
+    for q in (
+        f"ASK {{ ?s <{P_ACQUIRED}> ?o }}",
+        "ASK { ?s <https://nope> ?o }",
+        f"CONSTRUCT {{ ?o <{PROP_NS}acquiredBy> ?s }} "
+        f"WHERE {{ ?s <{P_ACQUIRED}>+ ?o }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
