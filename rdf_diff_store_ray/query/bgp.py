@@ -809,7 +809,7 @@ def format_path(ast) -> str:
         return "^" + format_path(ast[1])
     if kind == "plus":
         inner = format_path(ast[1])
-        if ast[1][0] in ("seq", "alt"):
+        if ast[1][0] in ("seq", "alt", "plus"):
             inner = f"({inner})"
         return inner + "+"
     sep = "/" if kind == "seq" else "|"

@@ -330,3 +330,71 @@ def test_select_wrapper_matches_postprocessed_group(
         want = want.sort_values(proj, ignore_index=True, na_position="last")
     want = want.head(limit).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Property paths: random path ASTs vs a naive set-semantics evaluator
+# ---------------------------------------------------------------------------
+
+_path_atom = st.sampled_from(
+    [("pred", "p1"), ("pred", "p2"), ("inv", ("pred", "p1"))]
+)
+_path_ast = st.recursive(
+    _path_atom,
+    lambda children: st.one_of(
+        st.tuples(st.just("seq"), st.lists(children, min_size=2, max_size=3)).map(tuple),
+        st.tuples(st.just("alt"), st.lists(children, min_size=2, max_size=3)).map(tuple),
+        st.tuples(st.just("plus"), children).map(tuple),
+    ),
+    max_leaves=4,
+)
+
+
+def _nv_path_pairs(ast, rows):
+    """Naive path semantics over term pairs ((val, lit), (val, lit))."""
+    kind = ast[0]
+    if kind == "pred":
+        return {((s, False), (o, lit)) for (s, p, o, lit) in rows if p == ast[1]}
+    if kind == "inv":
+        return {(b, a) for (a, b) in _nv_path_pairs(ast[1], rows)}
+    if kind == "seq":
+        cur = _nv_path_pairs(ast[1][0], rows)
+        for step in ast[1][1:]:
+            nxt = _nv_path_pairs(step, rows)
+            cur = {(a, d) for (a, b) in cur for (c, d) in nxt if b == c}
+        return cur
+    if kind == "alt":
+        out = set()
+        for b in ast[1]:
+            out |= _nv_path_pairs(b, rows)
+        return out
+    base = _nv_path_pairs(ast[1], rows)
+    total = set(base)
+    while True:
+        step = {(a, d) for (a, b) in total for (c, d) in base if b == c}
+        if step <= total:
+            return total
+        total |= step
+
+
+@given(
+    triples=st.lists(_triple, min_size=0, max_size=8),
+    ast=_path_ast,
+)
+@settings(max_examples=250, deadline=None)
+def test_path_eval_matches_naive(triples, ast):
+    from rdf_diff_store_ray.query.bgp import eval_bgp, format_path
+
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    got_df = eval_bgp(table, f"?s {format_path(ast)} ?o")
+    got = set(zip(got_df["s"], got_df["o"]))
+    want = {(a[0], b[0]) for (a, b) in _nv_path_pairs(ast, rows)}
+    assert got == want, (format_path(ast), rows)
