@@ -764,6 +764,22 @@ def kg_bgp_construct(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_aggregate(sf_dir: str):
+    """SPARQL aggregates over the KG: acquisition count per acquirer
+    (``SELECT ?s (COUNT(?o) AS ?n_acquired) … GROUP BY ?s``)."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?s (COUNT(?o) AS ?n_acquired) WHERE "
+        f"{{ ?s <{P_ACQUIRED}> ?o }} GROUP BY ?s ORDER BY ?s",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_blank_nodes(sf_dir: str):
     """Blank-node Turtle ingestion (DCAT-catalog shape): deterministic
     docs full of nested anonymous ``[ ... ]`` nodes, ``_:labels`` and
@@ -1149,6 +1165,7 @@ def registry():
         "kg_bgp_functions": kg_bgp_functions,
         "kg_bgp_path": kg_bgp_path,
         "kg_bgp_construct": kg_bgp_construct,
+        "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,

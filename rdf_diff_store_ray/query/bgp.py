@@ -66,7 +66,8 @@ def parse_bgp(query: str):
 
 
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
-                 "limit": None, "offset": 0, "ask": False, "construct": None}
+                 "limit": None, "offset": 0, "ask": False, "construct": None,
+                 "group_by": None, "aggregates": None}
 
 
 def parse_query(query: str) -> dict:
@@ -166,21 +167,51 @@ def _take_vars(s: str):
     return names, s
 
 
+_AGG_RE = None
+
+
 def _parse_select(q: str) -> dict:
+    global _AGG_RE
     import re as _re
 
+    if _AGG_RE is None:
+        _AGG_RE = _re.compile(
+            r"^\(\s*(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
+            r"(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+            _re.IGNORECASE,
+        )
     rest = q[len("SELECT"):].lstrip()
     distinct = False
     if _re.match(r"^DISTINCT\b", rest, _re.IGNORECASE):
         distinct = True
         rest = rest[len("DISTINCT"):].lstrip()
+    select: list | None
+    aggregates: list = []
     if rest.startswith("*"):
         select = None
         rest = rest[1:].lstrip()
     else:
-        select, rest = _take_vars(rest)
+        select = []
+        while True:
+            if rest.startswith("?"):
+                names, rest = _take_vars(rest)
+                select.extend(names)
+                continue
+            if m := _AGG_RE.match(rest):
+                func = m.group(1).upper()
+                arg = m.group(3)
+                if arg == "*" and func != "COUNT":
+                    raise ValueError(f"{func}(*) is not valid SPARQL")
+                aggregates.append(
+                    (func, None if arg == "*" else arg[1:],
+                     bool(m.group(2)), m.group(4))
+                )
+                select.append(m.group(4))
+                rest = rest[m.end():].lstrip()
+                continue
+            break
         if not select:
-            raise ValueError("SELECT needs ?vars or *")
+            raise ValueError("SELECT needs ?vars, aggregates, or *")
     if not _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
         raise ValueError(f"expected WHERE in SELECT query: {rest!r}")
     rest = rest[len("WHERE"):].lstrip()
@@ -189,9 +220,13 @@ def _parse_select(q: str) -> dict:
     j = _match_brace(rest, 0)
     group = _parse_group_body(rest[1:j].strip())
     tail = rest[j + 1:].strip()
-    order_by, limit, offset = None, None, 0
+    group_by, order_by, limit, offset = None, None, None, 0
     while tail:
-        if m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
+        if m := _re.match(r"^GROUP\s+BY\b", tail, _re.IGNORECASE):
+            group_by, tail = _take_vars(tail[m.end():].lstrip())
+            if not group_by:
+                raise ValueError("GROUP BY needs ?vars")
+        elif m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
             order_by, tail = _take_vars(tail[m.end():].lstrip())
             if not order_by:
                 raise ValueError("ORDER BY needs ?vars")
@@ -203,8 +238,18 @@ def _parse_select(q: str) -> dict:
             tail = tail[m.end():].strip()
         else:
             raise ValueError(f"bad solution modifier: {tail!r}")
+    if aggregates:
+        aliases = {a[3] for a in aggregates}
+        plain = [v for v in (select or []) if v not in aliases]
+        if set(plain) - set(group_by or []):
+            raise ValueError(
+                "projected variables outside aggregates must be in GROUP BY"
+            )
+    elif group_by:
+        raise ValueError("GROUP BY requires at least one aggregate")
     group.update(select=select, distinct=distinct, order_by=order_by,
-                 limit=limit, offset=offset)
+                 limit=limit, offset=offset, group_by=group_by,
+                 aggregates=aggregates or None)
     return group
 
 
@@ -567,7 +612,66 @@ def finish_query(result: pd.DataFrame, group: dict) -> pd.DataFrame:
         return pd.DataFrame({"ask": [bool(len(result))]})
     if group.get("construct") is not None:
         return construct_triples(result, group["construct"])
+    if group.get("aggregates"):
+        result = aggregate_bindings(result, group)
     return finalize_bindings(result, group)
+
+
+def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
+    """GROUP BY + aggregates over tagged bindings → one row per group.
+    COUNT counts bound terms (``*`` counts rows, DISTINCT dedups);
+    SUM/AVG/MIN/MAX apply to the SPARQL-numeric values of the variable
+    (non-numeric terms are ignored, SPARQL's error-skipping). Aggregate
+    columns are NATIVE numbers (finalize passes numbers through), so
+    downstream sorting is numeric, not lexical."""
+    by = group.get("group_by") or []
+    for v in by:
+        if v not in result.columns:
+            result = result.assign(**{v: None})
+    aggs = group["aggregates"]
+
+    def one_group(sub: pd.DataFrame) -> dict:
+        out = {}
+        for func, var, distinct, alias in aggs:
+            if func == "COUNT":
+                if var is None:
+                    out[alias] = int(len(sub))
+                else:
+                    col = sub[var] if var in sub.columns else pd.Series(
+                        dtype=object
+                    )
+                    bound = col.dropna()
+                    out[alias] = int(
+                        bound.nunique() if distinct else len(bound)
+                    )
+                continue
+            col = sub[var] if var in sub.columns else pd.Series(dtype=object)
+            nums = _series_parts(col)[1].dropna() if len(col) else col
+            if distinct and len(nums):
+                nums = nums.drop_duplicates()
+            if not len(nums):
+                out[alias] = None
+            elif func == "SUM":
+                out[alias] = float(nums.sum())
+            elif func == "AVG":
+                out[alias] = float(nums.mean())
+            elif func == "MIN":
+                out[alias] = float(nums.min())
+            else:
+                out[alias] = float(nums.max())
+        return out
+
+    if not by:
+        return pd.DataFrame([one_group(result)])
+    rows = []
+    for key, sub in result.groupby(by, dropna=False, sort=False):
+        key = key if isinstance(key, tuple) else (key,)
+        row = {v: (None if pd.isna(k) else k) for v, k in zip(by, key)}
+        row.update(one_group(sub))
+        rows.append(row)
+    if not rows:
+        return pd.DataFrame(columns=by + [a[3] for a in aggs])
+    return pd.DataFrame(rows)
 
 
 def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
@@ -734,11 +838,17 @@ def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
     """Strip tag prefixes from tagged strings; unbound → None; distinct +
     deterministic sort; then the SELECT solution modifiers from ``spec``
     (projection / DISTINCT / ORDER BY / LIMIT / OFFSET), if any."""
+    def untag(t):
+        if isinstance(t, str):
+            return t[1:]
+        if isinstance(t, (int, np.integer)):
+            return int(t)  # native aggregate values pass through
+        if isinstance(t, (float, np.floating)) and not np.isnan(t):
+            return float(t)
+        return None
+
     out = pd.DataFrame(
-        {
-            c: [t[1:] if isinstance(t, str) else None for t in result[c]]
-            for c in result.columns
-        },
+        {c: [untag(t) for t in result[c]] for c in result.columns},
         index=result.index,
     )
     if len(out.columns):

@@ -599,3 +599,91 @@ def test_ask_construct_grammar_errors():
     ):
         with pytest.raises(ValueError):
             eval_bgp(t, bad)
+
+
+# ----------------------------------------------------------- aggregates -----
+def _agg_table():
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    return pa.table(
+        {
+            "subj": ["a", "a", "b", "b", "b", "c"],
+            "pred": ["p", "p", "p", "p", "q", "p"],
+            "obj": ["1", "2", "3", f'"4"^^<{xsd}>', "x", "y"],
+            "obj_is_literal": [True] * 6,
+        }
+    )
+
+
+def test_count_group_by():
+    out = eval_bgp(
+        _agg_table(),
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } GROUP BY ?s ORDER BY ?s",
+    )
+    assert list(out.columns) == ["s", "n"]
+    assert out.values.tolist() == [["a", 2], ["b", 2], ["c", 1]]
+    total = eval_bgp(_agg_table(), "SELECT (COUNT(*) AS ?n) WHERE { ?s <p> ?o }")
+    assert total["n"].tolist() == [5]
+
+
+def test_sum_avg_skip_non_numeric():
+    out = eval_bgp(
+        _agg_table(),
+        "SELECT ?s (SUM(?o) AS ?total) (AVG(?o) AS ?mean) "
+        "WHERE { ?s <p> ?o } GROUP BY ?s ORDER BY ?s",
+    )
+    # typed "4"^^xsd:integer counts; plain "y" (non-numeric) is skipped
+    assert out[["total", "mean"]].iloc[0].tolist() == [3.0, 1.5]
+    assert out[["total", "mean"]].iloc[1].tolist() == [7.0, 3.5]
+    assert pd.isna(out["total"].iloc[2])  # group with no numeric values
+
+
+def test_count_distinct_and_numeric_order():
+    t = _agg_table()
+    out = eval_bgp(t, "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?pp ?o }")
+    assert out["n"].tolist() == [3]
+    # ORDER BY an aggregate alias sorts numerically, not lexically
+    t2 = pa.table(
+        {
+            "subj": ["a"] * 10 + ["b"] * 2,
+            "pred": ["p"] * 12,
+            "obj": [str(i) for i in range(10)] + ["x", "y"],
+            "obj_is_literal": [True] * 12,
+        }
+    )
+    out2 = eval_bgp(
+        t2,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } GROUP BY ?s ORDER BY ?n",
+    )
+    assert out2["n"].tolist() == [2, 10]  # 10 after 2 (numeric order)
+
+
+def test_aggregate_grammar_errors():
+    t = _agg_table()
+    for bad in (
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }",
+        "SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s",
+        "SELECT (SUM(*) AS ?x) WHERE { ?s <p> ?o }",
+    ):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)
+
+
+def test_aggregate_distributed_matches_single_reader(ray_session):
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.query.service import QueryService
+
+    res = q.kg_build_for(SF_DIR)
+    ts = q._store_end_ts(res)
+    reader = DiffStoreReader(res.delta_table())
+    query = (
+        f"SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{P_ACQUIRED}> ?o }} "
+        "GROUP BY ?s ORDER BY ?s"
+    )
+    svc = QueryService(res.delta_dir)
+    try:
+        got = svc.query_at(ts, query)
+    finally:
+        svc.shutdown()
+    want = reader.query_at(ts, query)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0 and want["n"].sum() > 0
