@@ -151,6 +151,47 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def token_frequencies(sf_dir: str, k: int = 100):
+    """Corpus vocabulary statistics: top-k whitespace tokens by
+    frequency. Two-phase over a LARGE-cardinality key: per-batch partial
+    counts inside ``map_batches`` (the shuffle carries one row per token
+    per batch, never raw token streams), then a keyed sum and a bounded
+    top-k — the word-count shape every text pipeline needs, at corpus
+    scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # RE2 \s+, matching the DuckDB oracle's \S+ token definition
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([("n"), ("token")], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOKEN_FREQUENCIES_SQL = r"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
 # --------------------------------------------------------- embeddings -------
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
@@ -1149,6 +1190,7 @@ def registry():
         "exact_dedup": exact_dedup_docs,
         "lang_dist": lang_dist,
         "top_docs_by_len": top_docs_by_len,
+        "token_frequencies": token_frequencies,
         "ann_topk": ann_topk,
         "label_dist": label_dist,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
@@ -1209,6 +1251,7 @@ def oracles():
         "revenue_q6": rel.REVENUE_Q6_SQL,
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "token_frequencies": TOKEN_FREQUENCIES_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,
