@@ -67,7 +67,7 @@ def parse_bgp(query: str):
 
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "limit": None, "offset": 0, "ask": False, "construct": None,
-                 "group_by": None, "aggregates": None}
+                 "group_by": None, "aggregates": None, "having": None}
 
 
 def parse_query(query: str) -> dict:
@@ -221,11 +221,17 @@ def _parse_select(q: str) -> dict:
     group = _parse_group_body(rest[1:j].strip())
     tail = rest[j + 1:].strip()
     group_by, order_by, limit, offset = None, None, None, 0
+    having: list = []
     while tail:
         if m := _re.match(r"^GROUP\s+BY\b", tail, _re.IGNORECASE):
             group_by, tail = _take_vars(tail[m.end():].lstrip())
             if not group_by:
                 raise ValueError("GROUP BY needs ?vars")
+        elif m := _re.match(r"^HAVING\s*\(", tail, _re.IGNORECASE):
+            start = m.end() - 1
+            j = _match_paren(tail, start)
+            having.append(_parse_filter(tail[start + 1:j].strip()))
+            tail = tail[j + 1:].strip()
         elif m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
             order_by, tail = _take_vars(tail[m.end():].lstrip())
             if not order_by:
@@ -247,10 +253,44 @@ def _parse_select(q: str) -> dict:
             )
     elif group_by:
         raise ValueError("GROUP BY requires at least one aggregate")
+    if having and not aggregates:
+        raise ValueError("HAVING requires aggregates")
     group.update(select=select, distinct=distinct, order_by=order_by,
                  limit=limit, offset=offset, group_by=group_by,
-                 aggregates=aggregates or None)
+                 aggregates=aggregates or None, having=having or None)
     return group
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ``)`` matching ``s[i] == '('`` (quote/IRI aware —
+    IRIs may legally contain parentheses)."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            i = j + 1
+        elif c == '"':
+            i += 1
+            while i < n:
+                if s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == '"':
+                    break
+                i += 1
+            i += 1
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+            i += 1
+        else:
+            i += 1
+    raise ValueError("unbalanced parentheses in HAVING")
 
 
 def _parse_group_body(body: str) -> dict:
@@ -614,7 +654,77 @@ def finish_query(result: pd.DataFrame, group: dict) -> pd.DataFrame:
         return construct_triples(result, group["construct"])
     if group.get("aggregates"):
         result = aggregate_bindings(result, group)
+        for flt in group.get("having") or []:
+            result = result[[_having_true(row, flt)
+                             for row in result.to_dict("records")]]
     return finalize_bindings(result, group)
+
+
+def _having_true(row: dict, flt) -> bool:
+    """HAVING comparison over one AGGREGATED row (mixed native numbers
+    for aliases + tagged strings for group keys). Row-wise is fine here:
+    the aggregated frame has one row per GROUP, not per binding."""
+    if flt[0] == "regex":
+        raise ValueError("regex is not supported in HAVING")
+    lhs, op, rhs = flt
+
+    def val(o):
+        kind, *rest = o
+        if kind == "var":
+            return row.get(rest[0])
+        if kind == "iri":
+            return "I" + rest[0]
+        if kind == "lit":
+            return "L" + rest[0]
+        if kind == "num":
+            return float(rest[0])
+        raise ValueError("accessor functions are not supported in HAVING")
+
+    def num(x):
+        if isinstance(x, (int, np.integer)):
+            return float(x)
+        if isinstance(x, (float, np.floating)):
+            return None if np.isnan(x) else float(x)
+        if isinstance(x, str) and x.startswith("L"):
+            from ..ntriples import literal_parts
+
+            lex, suffix = literal_parts(x[1:])
+            if suffix.startswith("^^<") and suffix[3:-1] not in _XSD_NUMERIC:
+                return None
+            if suffix.startswith("@"):
+                return None
+            try:
+                return float(lex)
+            except ValueError:
+                return None
+        return None
+
+    a, b = val(lhs), val(rhs)
+    if a is None or b is None or (isinstance(a, float) and np.isnan(a)) \
+            or (isinstance(b, float) and np.isnan(b)):
+        return False
+    an, bn = num(a), num(b)
+    if an is not None and bn is not None:
+        a, b = an, bn
+    elif op not in ("=", "!="):
+        return False
+    elif type(a) is not type(b):
+        return op == "!="
+    return _cmp_scalar(a, b, op)
+
+
+def _cmp_scalar(a, b, op: str) -> bool:
+    if op == "=":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    return a >= b
 
 
 def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:

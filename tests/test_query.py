@@ -687,3 +687,29 @@ def test_aggregate_distributed_matches_single_reader(ray_session):
     want = reader.query_at(ts, query)
     pd.testing.assert_frame_equal(got, want)
     assert len(want) > 0 and want["n"].sum() > 0
+
+
+def test_having_filters_groups():
+    t = pa.table(
+        {
+            "subj": ["a"] * 3 + ["b"] * 2 + ["c"],
+            "pred": ["p"] * 6,
+            "obj": [str(i) for i in range(6)],
+            "obj_is_literal": [True] * 6,
+        }
+    )
+    out = eval_bgp(
+        t,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s HAVING(?n >= 2) ORDER BY ?s",
+    )
+    assert out.values.tolist() == [["a", 3], ["b", 2]]
+    # multiple HAVING clauses AND together; group keys compare as terms
+    out2 = eval_bgp(
+        t,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s HAVING(?n >= 2) HAVING(?s = <a>)",
+    )
+    assert out2.values.tolist() == [["a", 3]]
+    with pytest.raises(ValueError, match="HAVING requires aggregates"):
+        eval_bgp(t, "SELECT ?s WHERE { ?s <p> ?o } HAVING(?s = <a>)")
