@@ -111,6 +111,12 @@ def cmd_compact(args) -> int:
 
 
 def cmd_graphs_at(args) -> int:
+    if args.out and (args.turtle or args.prefix):
+        raise SystemExit(
+            "--out streams canonical N-Triples; it cannot be combined "
+            "with --turtle/--prefix (run the Turtle conversion on the "
+            "written file instead)"
+        )
     if args.out:
         # streamed sink: per-partition spill + k-way merge, never holds
         # the merged document in memory (GET /api/graphs/{ts} at scale)

@@ -863,6 +863,8 @@ def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
     :func:`_bucket_pairs_in_partition` uses: cross-chunk pairs are
     dropped, and dup-cluster transitivity is restored by the downstream
     components pass. Work becomes O(B·cap), peak memory O(cap²)."""
+    if bucket_cap < 2:
+        raise ValueError("bucket_cap must be >= 2 (a chunk needs a pair)")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids_all = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
@@ -875,7 +877,10 @@ def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
         V_all = V_all / norms
         a_parts, b_parts, c_parts = [], [], []
         n = len(ids_all)
-        step = max(2, bucket_cap - 1)  # one-row overlap chains the chunks
+        # one-row overlap chains consecutive chunks; a pair needs BOTH
+        # endpoints in a chunk, so a 1-row overlap can never emit the
+        # same pair twice — no dedup pass is needed
+        step = max(1, bucket_cap - 1)
         for start in range(0, max(n - 1, 1), step):
             ids = ids_all[start:start + bucket_cap]
             V = V_all[start:start + bucket_cap]
@@ -888,10 +893,6 @@ def embedding_near_pairs(emb_ds, *, threshold: float = 0.45, n_planes: int = 10,
         a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
         b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
         c = np.concatenate(c_parts) if c_parts else np.empty(0, np.float64)
-        if len(a_parts) > 1:  # overlap row duplicates its pairs; dedupe
-            _, uniq = np.unique(np.column_stack([a, b]), axis=0,
-                                return_index=True)
-            a, b, c = a[uniq], b[uniq], c[uniq]
         return pa.table(
             {
                 "a": pa.array(a, pa.int64()),

@@ -152,12 +152,15 @@ def canonicalize_bnodes(triples: list) -> list:
        signatures (direction, predicate, concrete-or-B placeholder);
     2. iterate: re-hash each node over its neighbors' current hashes
        until the hash partition stops refining (≤ #bnodes rounds);
-    3. labels are assigned from the final hash (``_:c<hash16>``), with a
-       context-signature tie-break; nodes still tied after that are
-       structurally interchangeable under this refinement, so either
-       assignment yields the same canonical line set for all but
-       adversarial automorphic graphs (regular cycles), which is
-       documented as out of scope.
+    3. while hash classes still contain >1 node (automorphic-looking
+       groups, e.g. a label cycle), INDIVIDUALIZE one member of the
+       smallest tied class and re-refine — for genuinely automorphic
+       ties the choice is immaterial (any member yields the identical
+       canonical line set), so the result is invariant under input
+       statement reordering; for the rare WL-undistinguishable but
+       non-automorphic structures (strongly-regular-like graphs) the
+       output is still deterministic for a given statement SET;
+    4. labels come from the final (now unique) hashes (``_:c<hash16>``).
 
     Tree-shaped anonymous nodes — the DCAT-catalog shape the reference
     stores (``/root/reference/src/query.rs:117-145`` accepts arbitrary
@@ -197,38 +200,43 @@ def canonicalize_bnodes(triples: list) -> list:
                 "SELF" if other == node else kind + other
             )
             sigs.append(f"{direction}|{p}|{rep}")
-        return h(sorted(sigs))
+        # a node's refined hash must fold in its OWN current hash (proper
+        # WL) — otherwise an individualization mark would vanish on the
+        # next round and tied classes could never be split
+        return h([cur[node]] + sorted(sigs))
 
-    cur = {b: "B" for b in bnodes}
-    n_classes = 1
-    for _ in range(len(bnodes)):
-        nxt = {b: signature(b, cur) for b in bnodes}
-        n_nxt = len(set(nxt.values()))
-        cur = nxt
-        if n_nxt == n_classes:
+    def refine(cur: dict) -> dict:
+        n_classes = len(set(cur.values()))
+        for _ in range(len(bnodes)):
+            nxt = {b: signature(b, cur) for b in bnodes}
+            n_nxt = len(set(nxt.values()))
+            cur = nxt
+            if n_nxt == n_classes:
+                return cur
+            n_classes = n_nxt
+        return cur
+
+    cur = refine({b: "B" for b in bnodes})
+    # individualization-refinement until the partition is discrete: pick
+    # the lexicographically-smallest tied hash class (deterministic) and
+    # individualize one member — automorphic members are interchangeable,
+    # so which one is picked cannot change the resulting line set
+    for round_no in range(len(bnodes)):
+        classes: dict[str, list] = {}
+        for b in bnodes:
+            classes.setdefault(cur[b], []).append(b)
+        tied = sorted(h_ for h_, ms in classes.items() if len(ms) > 1)
+        if not tied:
             break
-        n_classes = n_nxt
-    # tie-break equal hashes by each node's full context (its lines with
-    # SELF marked and other bnodes as their final hashes) — idempotent
-    # because the context depends only on structure and final hashes
-    order = sorted(
-        bnodes,
-        key=lambda b: (
-            cur[b],
-            tuple(sorted(
-                f"{d}|{triples[i][1]}|{_ctx_rep(triples[i], d, b, cur)}"
-                for i, d in bnodes[b]
-            )),
-        ),
-    )
-    mapping = {b: f"_:c{cur[b][:16]}" for b in order}
-    seen: dict[str, int] = {}
-    for b in order:  # disambiguate residual ties with a stable counter
-        lbl = mapping[b]
-        k = seen.get(lbl, 0)
-        seen[lbl] = k + 1
-        if k:
-            mapping[b] = f"{lbl}x{k}"
+        pick = classes[tied[0]][0]
+        cur = dict(cur)
+        cur[pick] = h([cur[pick], f"IND{round_no}"])
+        cur = refine(cur)
+    # hashes are unique now (the loop bound guarantees ≤ #bnodes rounds);
+    # fall back to full hashes on a 64-bit prefix collision
+    mapping = {b: f"_:c{cur[b][:16]}" for b in bnodes}
+    if len(set(mapping.values())) < len(mapping):
+        mapping = {b: f"_:c{cur[b]}" for b in bnodes}
     return [
         (
             mapping.get(s, s),
@@ -238,16 +246,6 @@ def canonicalize_bnodes(triples: list) -> list:
         )
         for (s, p, o, lit) in triples
     ]
-
-
-def _ctx_rep(triple, direction: str, node: str, cur: dict) -> str:
-    s, p, o, lit = triple
-    other = o if direction == "out" else s
-    if other == node:
-        return "SELF"
-    if (direction == "in" or not lit) and is_blank(other):
-        return cur[other]
-    return ("L" if (direction == "out" and lit) else "I") + other
 
 
 def parse(text: str):

@@ -1072,17 +1072,23 @@ def kg_incremental_append(sf_dir: str):
     shutil.copytree(res.delta_dir, delta_dir)
     hi_s = _store_end_ts(res)
     # the sample graph to upsert/delete comes from ONE partition's table
-    # (bounded driver read); live-state counts use the distributed path
-    part0 = sorted(_glob.glob(os.path.join(delta_dir, "partition=*")))[0]
-    live_p0 = state_at_table(
-        pads.dataset(sorted(_glob.glob(os.path.join(part0, "*.parquet"))))
-        .to_table(),
-        hi_s,
-    )
-    existing_gid = sorted(live_p0["graph_id"].to_pylist())[0]
-    existing_text = live_p0.filter(
-        pc.equal(live_p0["graph_id"], existing_gid)
-    )["delta_text"][0].as_py()
+    # (bounded driver read; scan partitions until one has a live graph);
+    # live-state counts use the distributed path
+    existing_gid = existing_text = None
+    for part in sorted(_glob.glob(os.path.join(delta_dir, "partition=*"))):
+        live_p = state_at_table(
+            pads.dataset(sorted(_glob.glob(os.path.join(part, "*.parquet"))))
+            .to_table(),
+            hi_s,
+        )
+        if live_p.num_rows:
+            existing_gid = sorted(live_p["graph_id"].to_pylist())[0]
+            existing_text = live_p.filter(
+                pc.equal(live_p["graph_id"], existing_gid)
+            )["delta_text"][0].as_py()
+            break
+    if existing_gid is None:
+        raise ValueError(f"no live graphs at ts={hi_s} under {delta_dir!r}")
 
     def log_ds():
         return rd.read_parquet(sorted(_glob.glob(

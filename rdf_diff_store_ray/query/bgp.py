@@ -140,6 +140,8 @@ def _parse_construct(q: str) -> dict:
     for s, p, o in tgroup["patterns"]:
         if s[0] == "lit" or p[0] == "lit":
             raise ValueError("literals are only valid in template object position")
+        if p[0] == "path":
+            raise ValueError("property paths are not valid in CONSTRUCT templates")
     rest = rest[j + 1:].strip()
     if not _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
         raise ValueError("CONSTRUCT needs WHERE { group }")
@@ -308,7 +310,9 @@ def _parse_group_body(body: str) -> dict:
             inner = clause[len("OPTIONAL"):].strip()
             if not (inner.startswith("{") and inner.endswith("}")):
                 raise ValueError(f"OPTIONAL needs braces: {clause!r}")
-            group["optionals"].append(parse_query(inner[1:-1].strip()))
+            group["optionals"].append(
+                _plain_group(parse_query(inner[1:-1].strip()), "OPTIONAL")
+            )
         else:
             terms = _split_terms(clause)
             if len(terms) != 3:
@@ -321,6 +325,18 @@ def _parse_group_body(body: str) -> dict:
                 )
             group["patterns"].append(pat)
     return group
+
+
+def _plain_group(sub: dict, ctx: str) -> dict:
+    """Inner braced groups must be plain pattern groups — a SELECT/ASK/
+    CONSTRUCT body would parse but its modifiers would be SILENTLY
+    ignored by eval_group, so reject subqueries explicitly."""
+    if (sub.get("select") is not None or sub.get("aggregates")
+            or sub.get("ask") or sub.get("construct") is not None
+            or sub.get("distinct") or sub.get("order_by")
+            or sub.get("limit") is not None or sub.get("offset")):
+        raise ValueError(f"subqueries are not supported inside {ctx}")
+    return sub
 
 
 def _match_brace(s: str, i: int) -> int:
@@ -362,7 +378,7 @@ def _parse_union(clause: str) -> list:
         if not rest.startswith("{"):
             raise ValueError(f"expected '{{' in UNION clause: {rest!r}")
         j = _match_brace(rest, 0)
-        branches.append(parse_query(rest[1:j].strip()))
+        branches.append(_plain_group(parse_query(rest[1:j].strip()), "UNION"))
         rest = rest[j + 1 :].strip()
         if not rest:
             break
@@ -975,9 +991,19 @@ def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
 
 def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     """SELECT solution modifiers over a finalized (untagged) binding
-    frame, in SPARQL order: project → DISTINCT → ORDER BY → OFFSET →
-    LIMIT. Bindings are already set-semantics upstream, so projection
-    without DISTINCT keeps the remaining multiplicities as-is."""
+    frame, in SPARQL order: ORDER BY (over the FULL solution, so a
+    non-projected sort var still orders the rows) → projection →
+    DISTINCT → OFFSET → LIMIT. Bindings are already set-semantics
+    upstream, so projection without DISTINCT keeps the remaining
+    multiplicities as-is."""
+    order = spec.get("order_by")
+    if order and len(df):
+        # sort pre-projection; remaining columns are the deterministic
+        # tie-break (projection below preserves this row order)
+        keys = [c for c in order if c in df.columns]
+        keys += [c for c in df.columns if c not in keys]
+        if keys:
+            df = df.sort_values(keys, ignore_index=True, na_position="last")
     select = spec.get("select")
     if select is not None:
         df = df.reindex(columns=select)
@@ -986,15 +1012,9 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
                 df[c] = None
     if spec.get("distinct"):
         df = df.drop_duplicates(ignore_index=True)
-    cols = list(df.columns)
-    order = spec.get("order_by")
-    if order:
-        keys = [c for c in order if c in cols]
-        keys += [c for c in cols if c not in keys]
-    else:
-        keys = cols
-    if keys and len(df):
-        df = df.sort_values(keys, ignore_index=True, na_position="last")
+    if not order and len(df.columns) and len(df):
+        df = df.sort_values(list(df.columns), ignore_index=True,
+                            na_position="last")
     offset = spec.get("offset") or 0
     if offset:
         df = df.iloc[offset:].reset_index(drop=True)

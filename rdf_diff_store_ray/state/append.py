@@ -282,18 +282,47 @@ class StoreWriteLock:
         except PermissionError:
             return False
 
+    def _break_stale(self, observed: dict) -> bool:
+        """Remove a lock we observed as stale, safely against racing
+        breakers: the lock is atomically RENAMED to a private claim path
+        (only one racer's rename succeeds; the loser sees
+        FileNotFoundError instead of unlinking a fresh lock) and its
+        content re-verified — if a LIVE lock slipped in between observe
+        and rename, it is restored with an atomic ``link``."""
+        import time
+
+        claim = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(self.path, claim)
+        except FileNotFoundError:
+            return True  # another breaker got it first; path is free(ish)
+        try:
+            with open(claim) as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            cur = None
+        if cur == observed:
+            os.unlink(claim)
+            return True
+        # the observe→rename window let a FRESH lock in: restore it
+        try:
+            os.link(claim, self.path)  # atomic, fails if yet another lock
+            os.unlink(claim)
+            return False
+        except FileExistsError:
+            raise LogLockedError(
+                "lock contention while breaking a stale lock; a displaced "
+                f"live lock was left at {claim!r} — manual cleanup needed"
+            ) from None
+
     def __enter__(self):
         if self._try_acquire():
             return self
         holder = self._holder()
-        if self._stale(holder) :
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
-            if self._try_acquire():
+        if holder and self._stale(holder):
+            if self._break_stale(holder) and self._try_acquire():
                 return self
-            holder = self._holder()
+            holder = self._holder() or holder
         raise LogLockedError(
             f"delta log {os.path.dirname(self.path)!r} is locked by "
             f"another writer ({holder or 'unknown holder'}); retry after "

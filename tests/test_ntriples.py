@@ -58,3 +58,23 @@ def test_filename_encoding_hostile_id():
 def test_parse_rejects_garbage():
     with pytest.raises(ValueError):
         ntriples.parse("this is not ntriples\n")
+
+
+def test_bnode_cycle_canonicalization_order_invariant():
+    """Automorphic blank-node cycles (all nodes WL-tied) must serialize
+    byte-identically under every statement reordering and renaming —
+    individualization-refinement, not an input-order counter."""
+    import itertools
+
+    from rdf_diff_store_ray.ntriples import parse, serialize
+
+    cyc = [("_:a", "p", "_:b", False), ("_:b", "p", "_:c", False),
+           ("_:c", "p", "_:d", False), ("_:d", "p", "_:a", False)]
+    texts = {serialize(list(perm)) for perm in itertools.permutations(cyc)}
+    assert len(texts) == 1
+    t = texts.pop()
+    assert serialize(parse(t)) == t
+    ren = {"_:a": "_:z", "_:b": "_:q", "_:c": "_:m", "_:d": "_:k"}
+    assert serialize(
+        [(ren[s], p, ren[o], lit) for (s, p, o, lit) in cyc]
+    ) == t

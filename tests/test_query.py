@@ -713,3 +713,35 @@ def test_having_filters_groups():
     assert out2.values.tolist() == [["a", 3]]
     with pytest.raises(ValueError, match="HAVING requires aggregates"):
         eval_bgp(t, "SELECT ?s WHERE { ?s <p> ?o } HAVING(?s = <a>)")
+
+
+# ----------------------------------------------- review-finding regressions -
+def test_order_by_non_projected_var():
+    """SPARQL orders BEFORE projecting: a sort var outside the
+    projection must still order the rows."""
+    t = pa.table(
+        {
+            "subj": ["s1", "s2"],
+            "pred": ["p", "p"],
+            "obj": ["9", "1"],
+            "obj_is_literal": [True, True],
+        }
+    )
+    out = eval_bgp(t, "SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?o LIMIT 1")
+    assert out["s"].tolist() == ["s2"]  # smallest ?o, not smallest ?s
+
+
+def test_subqueries_rejected_not_silently_ignored():
+    t = _path_table()
+    for bad in (
+        "?s <knows> ?o . OPTIONAL { SELECT ?x WHERE { ?s <knows> ?x } LIMIT 1 }",
+        "{ SELECT ?s WHERE { ?s <knows> ?o } } UNION { ?s <name> ?o }",
+    ):
+        with pytest.raises(ValueError, match="subquer"):
+            eval_bgp(t, bad)
+
+
+def test_construct_template_rejects_paths():
+    t = _path_table()
+    with pytest.raises(ValueError, match="paths are not valid"):
+        eval_bgp(t, "CONSTRUCT { ?s <x>/<y> ?o } WHERE { ?s <knows> ?o }")
