@@ -441,12 +441,76 @@ _FUNC_CALL_RE = None
 _REGEX_CALL_RE = None
 
 
+def _split_logical(s: str, op: str):
+    """Split on a top-level ``&&`` / ``||``, protecting quotes, IRIs and
+    parentheses. Returns the parts (one element = no top-level op)."""
+    out, buf = [], []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            buf.append(s[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+            i += 1
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+            i += 1
+        elif depth == 0 and s[i : i + 2] == op:
+            out.append("".join(buf).strip())
+            buf = []
+            i += 2
+        else:
+            buf.append(c)
+            i += 1
+    out.append("".join(buf).strip())
+    return out
+
+
 def _parse_filter(s: str):
-    """``expr`` → a comparison triple ``(lhs, op, rhs)`` or a regex test
-    ``("regex", operand, pattern, flags)``. Operands may be the SPARQL
-    accessor functions ``str(?v)`` / ``lang(?v)`` / ``datatype(?v)``
-    (written without internal spaces), matching the oxigraph builtin
-    subset (``src/query.rs:102-114`` accepts full SPARQL)."""
+    """``expr`` → a filter tree::
+
+        expr := disj ( '||' disj )*          → ("or", [node, ...])
+        disj := atom ( '&&' atom )*          → ("and", [node, ...])
+        atom := '!' atom | '(' expr ')'      → ("not", node)
+              | bound(?v)                    → ("bound", ("var", v))
+              | regex(expr, "pat"[, flags])  → ("regex", operand, p, f)
+              | operand op operand           → (lhs, op, rhs)
+
+    Operands may be the SPARQL accessor functions ``str(?v)`` /
+    ``lang(?v)`` / ``datatype(?v)`` (written without internal spaces),
+    matching the oxigraph builtin subset (``src/query.rs:102-114``
+    accepts full SPARQL)."""
+    s = s.strip()
+    disjuncts = _split_logical(s, "||")
+    if len(disjuncts) > 1:
+        return ("or", [_parse_filter(d) for d in disjuncts])
+    conjuncts = _split_logical(s, "&&")
+    if len(conjuncts) > 1:
+        return ("and", [_parse_filter(c) for c in conjuncts])
+    if s.startswith("!") and not s.startswith("!="):
+        return ("not", _parse_filter(s[1:].strip()))
+    if s.startswith("(") and _match_paren(s, 0) == len(s) - 1:
+        return _parse_filter(s[1:-1].strip())
+    return _parse_filter_atom(s)
+
+
+def _parse_filter_atom(s: str):
     global _FUNC_CALL_RE, _REGEX_CALL_RE
     import re
 
@@ -459,6 +523,9 @@ def _parse_filter(s: str):
             r'\s*(?:,\s*"([a-z]*)"\s*)?\)$',
             re.IGNORECASE,
         )
+    if m := re.match(r"^bound\(\s*\?([A-Za-z_]\w*)\s*\)$", s.strip(),
+                     re.IGNORECASE):
+        return ("bound", ("var", m.group(1)))
     if m := _REGEX_CALL_RE.match(s.strip()):
         arg = _parse_filter_operand(m.group(1))
         flags = m.group(3) or ""
@@ -680,6 +747,15 @@ def _having_true(row: dict, flt) -> bool:
     """HAVING comparison over one AGGREGATED row (mixed native numbers
     for aliases + tagged strings for group keys). Row-wise is fine here:
     the aggregated frame has one row per GROUP, not per binding."""
+    if flt[0] == "or":
+        return any(_having_true(row, sub) for sub in flt[1])
+    if flt[0] == "and":
+        return all(_having_true(row, sub) for sub in flt[1])
+    if flt[0] == "not":
+        return not _having_true(row, flt[1])
+    if flt[0] == "bound":
+        v = row.get(flt[1][1])
+        return v is not None and not (isinstance(v, float) and np.isnan(v))
     if flt[0] == "regex":
         raise ValueError("regex is not supported in HAVING")
     lhs, op, rhs = flt
@@ -1322,6 +1398,27 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
     lexical form of literal bindings (compiled once, applied with the
     pandas regex kernel)."""
     idx = result.index
+    if flt[0] == "or":
+        mask = pd.Series(False, index=idx)
+        for sub in flt[1]:
+            mask |= _filter_mask(result, sub)
+        return mask
+    if flt[0] == "and":
+        mask = pd.Series(True, index=idx)
+        for sub in flt[1]:
+            mask &= _filter_mask(result, sub)
+        return mask
+    if flt[0] == "not":
+        # SPARQL !: errors stay errors (row removed), so negate only the
+        # boolean outcome of the inner test — which _filter_mask already
+        # collapses to False; this matches !bound/!regex semantics and
+        # approximates !(<) as (>=) only when both sides are comparable
+        return ~_filter_mask(result, flt[1])
+    if flt[0] == "bound":
+        var = flt[1][1]
+        if var not in result.columns:
+            return pd.Series(False, index=idx)
+        return result[var].notna()
     if flt[0] == "regex":
         _, arg, pattern, flags = flt
         s, _ = _operand_series(arg, result)

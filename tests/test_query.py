@@ -745,3 +745,27 @@ def test_construct_template_rejects_paths():
     t = _path_table()
     with pytest.raises(ValueError, match="paths are not valid"):
         eval_bgp(t, "CONSTRUCT { ?s <x>/<y> ?o } WHERE { ?s <knows> ?o }")
+
+
+def test_filter_bound_and_logical_operators():
+    t = pa.table(
+        {
+            "subj": ["a", "b", "c", "a"],
+            "pred": ["p", "p", "p", "q"],
+            "obj": ["1", "5", "x", "extra"],
+            "obj_is_literal": [True] * 4,
+        }
+    )
+    got = eval_bgp(t, "?s <p> ?o . OPTIONAL { ?s <q> ?e } . FILTER(bound(?e))")
+    assert got["s"].tolist() == ["a"]
+    got = eval_bgp(t, "?s <p> ?o . OPTIONAL { ?s <q> ?e } . FILTER(!bound(?e))")
+    assert got["s"].tolist() == ["b", "c"]
+    got = eval_bgp(t, '?s <p> ?o . FILTER(?o = "1" || ?o = "x")')
+    assert got["s"].tolist() == ["a", "c"]
+    got = eval_bgp(t, "?s <p> ?o . FILTER(?o >= 1 && ?o <= 4)")
+    assert got["s"].tolist() == ["a"]
+    got = eval_bgp(t, '?s <p> ?o . FILTER((?o = "1" || ?o = "5") && ?s != <b>)')
+    assert got["s"].tolist() == ["a"]
+    assert eval_bgp(t, '?s <p> ?o . FILTER(!regex(?o, "[0-9]"))')["s"].tolist() == ["c"]
+    with pytest.raises(ValueError):
+        eval_bgp(t, "?s <p> ?o . FILTER(bound(?o) ||)")
