@@ -616,6 +616,28 @@ def kg_bgp_functions(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_minus(sf_dir: str):
+    """The r3 group-algebra additions over the KG in one query: MINUS
+    (acquirers with no headquarters triple), FILTER EXISTS (that also
+    partner with someone), and BIND (subject lexical form projected as
+    ``?name``) — evaluated once on the single reader, parity with the
+    distributed router covered in ``test_query_service``."""
+    from ..corpus import P_ACQUIRED, P_HQ, P_PARTNERS
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        "SELECT DISTINCT ?name WHERE { "
+        f"?s <{P_ACQUIRED}> ?o . MINUS {{ ?s <{P_HQ}> ?h }} . "
+        f"FILTER EXISTS {{ ?s <{P_PARTNERS}> ?p }} . "
+        "BIND(str(?s) AS ?name)"
+        " } ORDER BY ?name LIMIT 30",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_ntriples_roundtrip(sf_dir: str):
     """Export the end-state KG to one canonical ``.ttl`` file per graph
     (the reference's store layout) and read it back through the N-Triples
@@ -1214,6 +1236,7 @@ def registry():
         "kg_bgp_path": kg_bgp_path,
         "kg_bgp_construct": kg_bgp_construct,
         "kg_bgp_aggregate": kg_bgp_aggregate,
+        "kg_bgp_minus": kg_bgp_minus,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,

@@ -77,7 +77,11 @@ def parse_query(query: str) -> dict:
                  | SELECT [DISTINCT] (?var... | *) WHERE { group }
                    [ORDER BY ?var...] [LIMIT n] [OFFSET n]
         group   := clause ( " . " clause )*
-        clause  := pattern | FILTER( expr ) | OPTIONAL { group }
+        clause  := pattern | FILTER( expr ) | FILTER [NOT] EXISTS { group }
+                 | OPTIONAL { group } | MINUS { group }
+                 | { group } UNION { group }
+                 | VALUES ?v { data... } | VALUES (?v...) { (data...)... }
+                 | BIND( operand AS ?v )
         pattern := term term term
         expr    := operand (= | != | < | <= | > | >=) operand
         operand := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt> | number
@@ -86,10 +90,11 @@ def parse_query(query: str) -> dict:
     [group, ...], "unions": [[branch, ...], ...]}`` plus the solution
     modifiers ``select`` (var list or None = all), ``distinct``,
     ``order_by``, ``limit``, ``offset`` (defaults for a bare group).
-    OPTIONAL and UNION groups nest arbitrarily (each braced group is a
-    full recursive group with its own FILTER/OPTIONAL/UNION scope).
-    Evaluation order within a group is patterns → unions → optionals →
-    filters → modifiers. Grows the oxigraph-subset surface of
+    OPTIONAL, UNION, MINUS and EXISTS groups nest arbitrarily (each
+    braced group is a full recursive group with its own scope).
+    Evaluation order within a group is patterns → VALUES → unions →
+    optionals → BINDs → MINUS → EXISTS → filters → modifiers (a fixed
+    normal form of the spec's position-sensitive ordering). Grows the oxigraph-subset surface of
     ``src/query.rs:102-114`` toward the full SELECT form it accepts."""
     q = query.strip()
     import re as _re
@@ -133,7 +138,9 @@ def _parse_construct(q: str) -> dict:
         raise ValueError("CONSTRUCT needs a braced template")
     j = _match_brace(rest, 0)
     tgroup = _parse_group_body(rest[1:j].strip())
-    if tgroup["filters"] or tgroup["optionals"] or tgroup["unions"]:
+    if (tgroup["filters"] or tgroup["optionals"] or tgroup["unions"]
+            or tgroup["values"] or tgroup["binds"] or tgroup["minus"]
+            or tgroup["exists"]):
         raise ValueError("CONSTRUCT templates may contain only triple patterns")
     if not tgroup["patterns"]:
         raise ValueError("empty CONSTRUCT template")
@@ -296,13 +303,26 @@ def _match_paren(s: str, i: int) -> int:
 
 
 def _parse_group_body(body: str) -> dict:
-    group = {"patterns": [], "filters": [], "optionals": [], "unions": []}
+    import re as _re
+
+    group = {"patterns": [], "filters": [], "optionals": [], "unions": [],
+             "values": [], "binds": [], "minus": [], "exists": []}
     for clause in _split_clauses(body):
         up = clause.upper()
         if clause.startswith("{"):
             group["unions"].append(_parse_union(clause))
         elif up.startswith("FILTER"):
             inner = clause[len("FILTER"):].strip()
+            if m := _re.match(r"^(NOT\s+)?EXISTS\b", inner, _re.IGNORECASE):
+                sub = inner[m.end():].strip()
+                if not (sub.startswith("{") and sub.endswith("}")
+                        and _match_brace(sub, 0) == len(sub) - 1):
+                    raise ValueError(f"EXISTS needs braces: {clause!r}")
+                group["exists"].append((
+                    m.group(1) is None,
+                    _plain_group(parse_query(sub[1:-1].strip()), "EXISTS"),
+                ))
+                continue
             if not (inner.startswith("(") and inner.endswith(")")):
                 raise ValueError(f"FILTER needs parentheses: {clause!r}")
             group["filters"].append(_parse_filter(inner[1:-1].strip()))
@@ -313,6 +333,17 @@ def _parse_group_body(body: str) -> dict:
             group["optionals"].append(
                 _plain_group(parse_query(inner[1:-1].strip()), "OPTIONAL")
             )
+        elif up.startswith("MINUS"):
+            inner = clause[len("MINUS"):].strip()
+            if not (inner.startswith("{") and inner.endswith("}")):
+                raise ValueError(f"MINUS needs braces: {clause!r}")
+            group["minus"].append(
+                _plain_group(parse_query(inner[1:-1].strip()), "MINUS")
+            )
+        elif up.startswith("VALUES"):
+            group["values"].append(_parse_values(clause[len("VALUES"):]))
+        elif up.startswith("BIND"):
+            group["binds"].append(_parse_bind(clause[len("BIND"):]))
         else:
             terms = _split_terms(clause)
             if len(terms) != 3:
@@ -388,6 +419,94 @@ def _parse_union(clause: str) -> list:
     if len(branches) < 2:
         raise ValueError("UNION needs at least two groups")
     return branches
+
+
+def _parse_values(rest: str):
+    """``VALUES ?v { data... }`` / ``VALUES (?a ?b) { (d d) ... }`` →
+    ``(varnames, rows)`` where each row is a tuple of tagged binding
+    strings (``None`` = UNDEF). Inline data joins into the group like
+    any other binding set, so UNDEF composes with the existing
+    unbound-compatible join."""
+    rest = rest.strip()
+    if rest.startswith("("):
+        j = _match_paren(rest, 0)
+        names, extra = _take_vars(rest[1:j].strip())
+        if extra or not names:
+            raise ValueError(f"bad VALUES variable list: {rest!r}")
+        rest = rest[j + 1:].strip()
+        multi = True
+    else:
+        names, rest = _take_vars(rest)
+        if len(names) != 1:
+            raise ValueError(
+                f"VALUES needs one variable or a parenthesized list: {rest!r}"
+            )
+        multi = False
+    if not rest.startswith("{") or _match_brace(rest, 0) != len(rest) - 1:
+        raise ValueError(f"VALUES needs a braced data block: {rest!r}")
+    inner = rest[1:-1].strip()
+    rows = []
+    if multi:
+        i = 0
+        while i < len(inner):
+            if inner[i].isspace():
+                i += 1
+                continue
+            if inner[i] != "(":
+                raise ValueError(
+                    f"VALUES rows must be parenthesized tuples: {inner[i:]!r}"
+                )
+            k = _match_paren(inner, i)
+            terms = _split_terms(inner[i + 1:k])
+            if len(terms) != len(names):
+                raise ValueError(
+                    f"VALUES row arity {len(terms)} != {len(names)} vars"
+                )
+            rows.append(tuple(_values_term(t) for t in terms))
+            i = k + 1
+    else:
+        rows = [(_values_term(t),) for t in _split_terms(inner)]
+    if not rows:
+        raise ValueError("empty VALUES data block")
+    return (names, rows)
+
+
+def _values_term(t: str):
+    """One VALUES datum → tagged binding string (or None for UNDEF)."""
+    if t.upper() == "UNDEF":
+        return None
+    o = _parse_operand(t)
+    if o[0] == "iri":
+        return "I" + o[1]
+    if o[0] == "lit":
+        return "L" + o[1]
+    raise ValueError(
+        f"VALUES data must be an IRI, a (typed/lang) literal, or UNDEF "
+        f"(bare numbers are ambiguous — write a typed literal): {t!r}"
+    )
+
+
+def _parse_bind(rest: str):
+    """``BIND( expr AS ?v )`` → ``(varname, operand)``. The expression
+    subset is the FILTER operand grammar: a variable, an IRI/literal
+    constant, or an accessor call ``str()/lang()/datatype()``."""
+    import re as _re
+
+    rest = rest.strip()
+    if not rest.startswith("(") or _match_paren(rest, 0) != len(rest) - 1:
+        raise ValueError(f"BIND needs parentheses: {rest!r}")
+    body = rest[1:-1].strip()
+    # the target anchors at the end, so an " AS ?x" inside a quoted
+    # literal can never match
+    m = _re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", body, _re.IGNORECASE)
+    if not m:
+        raise ValueError(f"BIND needs 'expr AS ?var': {body!r}")
+    o = _parse_filter_operand(body[:m.start()].strip())
+    if o[0] == "num":
+        raise ValueError(
+            "bare numbers are not supported in BIND — write a typed literal"
+        )
+    return (m.group(1), o)
 
 
 def _split_clauses(s: str):
@@ -510,7 +629,7 @@ def _parse_filter(s: str):
     return _parse_filter_atom(s)
 
 
-def _parse_filter_atom(s: str):
+def _ensure_filter_res():
     global _FUNC_CALL_RE, _REGEX_CALL_RE
     import re
 
@@ -523,6 +642,12 @@ def _parse_filter_atom(s: str):
             r'\s*(?:,\s*"([a-z]*)"\s*)?\)$',
             re.IGNORECASE,
         )
+
+
+def _parse_filter_atom(s: str):
+    import re
+
+    _ensure_filter_res()
     if m := re.match(r"^bound\(\s*\?([A-Za-z_]\w*)\s*\)$", s.strip(),
                      re.IGNORECASE):
         return ("bound", ("var", m.group(1)))
@@ -544,6 +669,7 @@ def _parse_filter_atom(s: str):
 
 
 def _parse_filter_operand(t: str):
+    _ensure_filter_res()
     if m := _FUNC_CALL_RE.match(t):
         return ("func", m.group(1).lower(), ("var", m.group(2)))
     return _parse_operand(t)
@@ -925,6 +1051,14 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
     per-partition pattern evaluations) — the join/OPTIONAL/FILTER
     algebra is identical."""
     result = _conjoin(group["patterns"], pattern_bindings)
+    for varnames, rows in group.get("values") or []:
+        vdf = pd.DataFrame(rows, columns=varnames, dtype=object)
+        vdf = vdf.drop_duplicates(ignore_index=True)
+        # inline data is just another binding set; UNDEF rows route
+        # through the unbound-compatible join automatically
+        result = _merge_bindings(result, vdf).drop_duplicates(
+            ignore_index=True
+        )
     for branches in group["unions"]:
         parts = [eval_group(b, pattern_bindings) for b in branches]
         cols: list = []
@@ -941,7 +1075,74 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
         # full recursive evaluation: OPTIONAL groups may carry their own
         # FILTERs, UNIONs and nested OPTIONALs (scoped inside the group)
         result = _merge_optional(result, eval_group(opt, pattern_bindings))
+    for vname, o in group.get("binds") or []:
+        if vname in result.columns:
+            raise ValueError(f"BIND would rebind already-bound ?{vname}")
+        s, _const = _operand_series(o, result)
+        # expression errors (e.g. lang() of an IRI) leave the var unbound
+        result = result.assign(
+            **{vname: s.astype(object).where(s.notna(), None)}
+        )
+    for mg in group.get("minus") or []:
+        result = _apply_minus(result, eval_group(mg, pattern_bindings))
+    for positive, eg in group.get("exists") or []:
+        result = _apply_exists(
+            result, eval_group(eg, pattern_bindings), positive
+        )
     return _apply_filters(result, group["filters"])
+
+
+def _apply_minus(result: pd.DataFrame, mres: pd.DataFrame) -> pd.DataFrame:
+    """SPARQL MINUS: drop result rows compatible with ANY minus-group
+    row they share at least one mutually-bound variable with (rows with
+    disjoint bound domains are kept — the spec's ``dom`` condition,
+    which is also why a MINUS group with no shared variables removes
+    nothing). Same null-mask pair decomposition as :func:`_compat_join`,
+    but pairs whose mutual bound set is empty are skipped instead of
+    cross-joined."""
+    shared = [c for c in result.columns if c in mres.columns]
+    if not shared or not len(mres) or not len(result):
+        return result
+    left = result.reset_index(drop=True)
+    left = left.assign(__lid__=np.arange(len(left)))
+    lmask = left[shared].isna()
+    rmask = mres[shared].isna()
+    drop: set = set()
+    for lkey, lg in left.groupby([lmask[c] for c in shared], sort=False):
+        lnull = dict(zip(shared, lkey if isinstance(lkey, tuple) else (lkey,)))
+        for rkey, rg in mres.groupby([rmask[c] for c in shared], sort=False):
+            rnull = dict(
+                zip(shared, rkey if isinstance(rkey, tuple) else (rkey,))
+            )
+            on = [c for c in shared if not lnull[c] and not rnull[c]]
+            if not on:
+                continue
+            m = lg.merge(rg[on].drop_duplicates(), on=on, how="inner")
+            drop.update(m["__lid__"].tolist())
+    out = left[~left["__lid__"].isin(drop)]
+    return out.drop(columns="__lid__").reset_index(drop=True)
+
+
+def _apply_exists(result: pd.DataFrame, eres: pd.DataFrame,
+                  positive: bool) -> pd.DataFrame:
+    """``FILTER [NOT] EXISTS { group }`` as an unbound-compatible
+    semi-join: a row passes EXISTS when at least one group solution is
+    compatible with it (shares no contradicting bound variable). Exact
+    for the common case where the inner group's cross-references to the
+    outer query are via shared variables; inner FILTERs see only inner
+    bindings (the same scoping simplification UNION branches make)."""
+    if not len(result):
+        return result
+    shared = [c for c in result.columns if c in eres.columns]
+    if not shared:
+        has = len(eres) > 0
+        return result if has == positive else result.iloc[0:0]
+    left = result.reset_index(drop=True)
+    left = left.assign(__lid__=np.arange(len(left)))
+    matched = _compat_join(left, eres[shared].drop_duplicates(), shared)
+    ok = left["__lid__"].isin(set(matched["__lid__"]))
+    out = left[ok] if positive else left[~ok]
+    return out.drop(columns="__lid__").reset_index(drop=True)
 
 
 def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
@@ -1137,9 +1338,11 @@ def group_has_path(group: dict) -> bool:
     path (such queries cannot be evaluated per-partition)."""
     if any(p[1][0] == "path" for p in group["patterns"]):
         return True
-    return any(group_has_path(o) for o in group["optionals"]) or any(
-        group_has_path(b) for branches in group["unions"] for b in branches
-    )
+    subgroups = list(group["optionals"])
+    subgroups.extend(b for branches in group["unions"] for b in branches)
+    subgroups.extend(group.get("minus") or [])
+    subgroups.extend(g for _pos, g in group.get("exists") or [])
+    return any(group_has_path(g) for g in subgroups)
 
 
 def format_pattern(pattern) -> str:

@@ -398,3 +398,78 @@ def test_path_eval_matches_naive(triples, ast):
     got = set(zip(got_df["s"], got_df["o"]))
     want = {(a[0], b[0]) for (a, b) in _nv_path_pairs(ast, rows)}
     assert got == want, (format_path(ast), rows)
+
+
+# ---------------------------------------------------------------------------
+# MINUS / EXISTS / VALUES vs a naive set evaluator
+# ---------------------------------------------------------------------------
+
+
+def _nv_compatible(a: dict, b: dict) -> bool:
+    return all(a[k] == b[k] for k in a.keys() & b.keys())
+
+
+def _nv_minus(A, B):
+    """SPARQL MINUS: drop a when some b is compatible AND shares ≥1 var."""
+    return [
+        a for a in A
+        if not any((a.keys() & b.keys()) and _nv_compatible(a, b) for b in B)
+    ]
+
+
+def _nv_exists(A, B, positive):
+    return [a for a in A
+            if any(_nv_compatible(a, b) for b in B) == positive]
+
+
+@given(
+    triples=st.lists(_triple, min_size=0, max_size=8),
+    pats=st.lists(_pattern, min_size=1, max_size=2),
+    sub=st.lists(_pattern, min_size=1, max_size=2),
+    mode=st.sampled_from(["minus", "exists", "notexists", "values"]),
+    vals=st.lists(st.sampled_from(_ENTS), min_size=1, max_size=3,
+                  unique=True),
+    vvar=st.sampled_from(["s", "o", "m"]),
+)
+@settings(max_examples=250, deadline=None)
+def test_minus_exists_values_match_naive(triples, pats, sub, mode, vals,
+                                         vvar):
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    if not any(t.startswith("?") for p in pats for t in p):
+        return  # zero-column boolean frames covered by the base fuzz test
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    base = " . ".join(" ".join(p) for p in pats)
+    subq = " . ".join(" ".join(p) for p in sub)
+    A = _nv_extensions(rows, pats, {})
+    B = _nv_extensions(rows, sub, {})
+    if mode == "minus":
+        query = f"{base} . MINUS {{ {subq} }}"
+        want_solutions = _nv_minus(A, B)
+    elif mode in ("exists", "notexists"):
+        kw = "EXISTS" if mode == "exists" else "NOT EXISTS"
+        query = f"{base} . FILTER {kw} {{ {subq} }}"
+        want_solutions = _nv_exists(A, B, mode == "exists")
+    else:  # values
+        query = (f"{base} . VALUES ?{vvar} {{ "
+                 + " ".join(f"<{e}>" for e in vals) + " }")
+        V = [{vvar: (e, False)} for e in vals]
+        want_solutions = [
+            {**a, **v} for a in A for v in V if _nv_compatible(a, v)
+        ]
+    got_df = eval_bgp(table, query)
+    cols = sorted(got_df.columns)
+    got = {tuple(r[c] for c in cols) for _, r in got_df.iterrows()}
+    want = {
+        tuple(c[v][0] if v in c else None for v in cols)
+        for c in want_solutions
+    }
+    assert got == want, (query, rows, got, want)

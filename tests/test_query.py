@@ -769,3 +769,95 @@ def test_filter_bound_and_logical_operators():
     assert eval_bgp(t, '?s <p> ?o . FILTER(!regex(?o, "[0-9]"))')["s"].tolist() == ["c"]
     with pytest.raises(ValueError):
         eval_bgp(t, "?s <p> ?o . FILTER(bound(?o) ||)")
+
+
+def test_values_undef_and_multi_var():
+    t = pa.table(
+        {
+            "subj": ["a", "b", "c"],
+            "pred": ["p", "p", "p"],
+            "obj": ["1", "2", "3"],
+            "obj_is_literal": [True] * 3,
+        }
+    )
+    got = eval_bgp(t, "?s <p> ?o . VALUES ?s { <a> <c> }")
+    assert got["s"].tolist() == ["a", "c"]
+    # UNDEF leaves the var unconstrained in that row
+    got = eval_bgp(t, '?s <p> ?o . VALUES (?s ?o) { (<a> "1") (UNDEF "3") }')
+    assert sorted(zip(got["s"], got["o"])) == [("a", "1"), ("c", "3")]
+    # VALUES over a fresh var cross-joins
+    got = eval_bgp(t, "?s <p> ?o . VALUES ?tag { <t1> <t2> }")
+    assert len(got) == 6 and sorted(set(got["tag"])) == ["t1", "t2"]
+    with pytest.raises(ValueError, match="bare numbers"):
+        eval_bgp(t, "?s <p> ?o . VALUES ?s { 5 }")
+    with pytest.raises(ValueError, match="arity"):
+        eval_bgp(t, "?s <p> ?o . VALUES (?s ?o) { (<a>) }")
+
+
+def test_bind_accessors_and_errors():
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    t = pa.table(
+        {
+            "subj": ["a", "b"],
+            "pred": ["p", "p"],
+            "obj": [f'"5"^^<{xsd_int}>', "plain"],
+            "obj_is_literal": [True, True],
+        }
+    )
+    got = eval_bgp(t, "?s <p> ?o . BIND(datatype(?o) AS ?dt)")
+    assert sorted(got["dt"]) == [
+        xsd_int, "http://www.w3.org/2001/XMLSchema#string"
+    ]
+    got = eval_bgp(t, "?s <p> ?o . BIND(str(?s) AS ?n) . FILTER(?n = \"a\")")
+    assert got["s"].tolist() == ["a"]
+    # lang() of an IRI is a SPARQL error -> var stays unbound, row kept
+    got = eval_bgp(t, "?s <p> ?o . BIND(lang(?s) AS ?l)")
+    assert len(got) == 2 and got["l"].isna().all()
+    with pytest.raises(ValueError, match="rebind"):
+        eval_bgp(t, "?s <p> ?o . BIND(str(?s) AS ?o)")
+    with pytest.raises(ValueError, match="AS"):
+        eval_bgp(t, "?s <p> ?o . BIND(str(?s))")
+
+
+def test_minus_semantics():
+    t = pa.table(
+        {
+            "subj": ["a", "b", "c", "a"],
+            "pred": ["p", "p", "p", "q"],
+            "obj": ["1", "2", "3", "x"],
+            "obj_is_literal": [True] * 4,
+        }
+    )
+    got = eval_bgp(t, '?s <p> ?o . MINUS { ?s <q> "x" }')
+    assert got["s"].tolist() == ["b", "c"]
+    # disjoint domains remove nothing (the spec's dom() condition)
+    got = eval_bgp(t, '?s <p> ?o . MINUS { ?z <q> "x" }')
+    assert len(got) == 3
+    # empty minus group removes nothing
+    got = eval_bgp(t, "?s <p> ?o . MINUS { ?s <nope> ?w }")
+    assert len(got) == 3
+
+
+def test_filter_exists_and_not_exists():
+    t = pa.table(
+        {
+            "subj": ["a", "b", "c", "a", "b"],
+            "pred": ["p", "p", "p", "q", "q"],
+            "obj": ["1", "2", "3", "x", "y"],
+            "obj_is_literal": [True] * 5,
+        }
+    )
+    got = eval_bgp(t, "?s <p> ?o . FILTER EXISTS { ?s <q> ?w }")
+    assert got["s"].tolist() == ["a", "b"]
+    got = eval_bgp(t, "?s <p> ?o . FILTER NOT EXISTS { ?s <q> ?w }")
+    assert got["s"].tolist() == ["c"]
+    # inner constants narrow the semi-join
+    got = eval_bgp(t, '?s <p> ?o . FILTER EXISTS { ?s <q> "x" }')
+    assert got["s"].tolist() == ["a"]
+    # no shared vars: existential gate over the whole result
+    got = eval_bgp(t, "?s <p> ?o . FILTER EXISTS { ?z <q> ?w }")
+    assert len(got) == 3
+    got = eval_bgp(t, "?s <p> ?o . FILTER NOT EXISTS { ?z <q> ?w }")
+    assert len(got) == 0
+    with pytest.raises(ValueError, match="EXISTS needs braces"):
+        eval_bgp(t, "?s <p> ?o . FILTER EXISTS ?s")

@@ -145,3 +145,26 @@ def test_ask_construct_paths_distributed_match(service, single_reader):
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_minus_values_bind_exists_distributed_match(service, single_reader):
+    """The r3 group algebra additions (MINUS / VALUES / BIND / EXISTS)
+    evaluate once on the router and must match the single reader."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_HQ
+
+    ts = _end_ts(single_reader)
+    acq = single_reader.query_at(ts, f"?s <{P_ACQUIRED}> ?o")
+    subjects = sorted(set(acq["s"]))[:2]
+    vals = " ".join(f"<{s}>" for s in subjects)
+    for q in (
+        f"?s <{P_ACQUIRED}> ?o . MINUS {{ ?s <{P_HQ}> ?h }}",
+        f"?s <{P_ACQUIRED}> ?o . VALUES ?s {{ {vals} }}",
+        f"?s <{P_ACQUIRED}> ?o . BIND(str(?s) AS ?name)",
+        f"?s <{P_ACQUIRED}> ?o . FILTER EXISTS {{ ?s <{P_HQ}> ?h }}",
+        f"?s <{P_ACQUIRED}> ?o . FILTER NOT EXISTS {{ ?s <{P_HQ}> ?h }}",
+        f"SELECT ?s WHERE {{ ?s <{P_ACQUIRED}> ?o . "
+        f"MINUS {{ ?s <{P_HQ}> ?h }} }} ORDER BY ?s LIMIT 5",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
