@@ -146,7 +146,7 @@ def run_bench() -> dict:
             "q1_pricing_summary", "events_hourly", "events_sliding_window",
             "events_sessionize", "events_change_log", "customer_order_counts",
             "exact_dedup", "minhash_dedup", "simhash_pairs", "ann_topk",
-            "ivf_topk", "doc_stats", "quality_score",
+            "ivf_topk", "doc_stats", "quality_score", "repetition_stats",
             "events_quantiles", "events_range_join", "approx_distinct_users",
         ):
             timed(name, q.registry()[name])

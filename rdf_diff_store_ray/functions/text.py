@@ -191,3 +191,61 @@ def lang_id(docs_ds, concurrency=None):
     return docs_ds.map_batches(
         lang_id_batch, batch_format="pyarrow", batch_size=4096
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-document repetition signals (the filters the
+    Gopher/MassiveText and RefinedWeb cleaning recipes apply before
+    training): token totals and distincts plus the most frequent token
+    and adjacent-token bigram per document. All outputs are integers or
+    strings so the DuckDB oracle comparison is exact; ties break
+    deterministically (highest count, then lexicographically smallest).
+    Fully per-document, so the stage is an embarrassingly parallel
+    ``map_batches`` — no shuffle at any scale. The explode/groupby work
+    is pandas C kernels; the only Python-level step is the initial
+    regex split (RE2, matching the oracle's ``\\S+``)."""
+    import pandas as pd
+
+    toks_list = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+    flat = pc.list_flatten(toks_list)
+    parent = pc.list_parent_indices(toks_list)
+    df = pd.DataFrame(
+        {"i": parent.to_numpy(zero_copy_only=False),
+         "tok": flat.to_pandas()}
+    )
+    df = df[df["tok"] != ""].reset_index(drop=True)
+    # adjacent-token bigrams: shift(-1) within each document
+    df["nxt"] = df.groupby("i")["tok"].shift(-1)
+
+    base = df.groupby("i").agg(
+        n_tokens=("tok", "size"), n_distinct_tokens=("tok", "nunique")
+    )
+
+    def _top(frame: pd.DataFrame, col: str) -> pd.DataFrame:
+        cnt = frame.groupby(["i", col]).size().reset_index(name="c")
+        # (i, col) pairs are unique, so the 3-column sort key is a total
+        # order — deterministic winner without relying on sort stability
+        cnt = cnt.sort_values(["i", "c", col], ascending=[True, False, True])
+        return cnt.drop_duplicates("i").set_index("i")
+
+    tt = _top(df, "tok")
+    bg = df.dropna(subset=["nxt"]).copy()
+    bg["bg"] = bg["tok"] + " " + bg["nxt"]
+    tb = _top(bg, "bg") if len(bg) else pd.DataFrame(
+        columns=["bg", "c"], index=pd.Index([], name="i")
+    )
+
+    out = pd.DataFrame({"doc_id": batch["doc_id"].to_pandas()})
+    out = out.join(base, how="left").join(
+        tt.rename(columns={"tok": "top_token", "c": "top_token_count"}),
+        how="left",
+    ).join(
+        tb.rename(columns={"bg": "top_bigram", "c": "top_bigram_count"}),
+        how="left",
+    )
+    for c in ("n_tokens", "n_distinct_tokens", "top_token_count",
+              "top_bigram_count"):
+        out[c] = out[c].fillna(0).astype("int64")
+    for c in ("top_token", "top_bigram"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -151,6 +151,61 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals (top-token and
+    top-bigram concentration) — per-document, shuffle-free."""
+    from ..functions.text import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM toks GROUP BY doc_id
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+top_tok AS (
+  SELECT doc_id, tok, c FROM (
+    SELECT doc_id, tok, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+    FROM tc) WHERE rn = 1
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top_bg AS (
+  SELECT doc_id, bg, c FROM (
+    SELECT doc_id, bg, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+    FROM bc) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.n_distinct_tokens, 0) AS n_distinct_tokens,
+       top_tok.tok AS top_token,
+       CAST(coalesce(top_tok.c, 0) AS BIGINT) AS top_token_count,
+       top_bg.bg AS top_bigram,
+       CAST(coalesce(top_bg.c, 0) AS BIGINT) AS top_bigram_count
+FROM documents d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN top_tok ON d.doc_id = top_tok.doc_id
+LEFT JOIN top_bg ON d.doc_id = top_bg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def token_frequencies(sf_dir: str, k: int = 100):
     """Corpus vocabulary statistics: top-k whitespace tokens by
     frequency. Two-phase over a LARGE-cardinality key: per-batch partial
@@ -1219,6 +1274,7 @@ def registry():
         "lang_dist": lang_dist,
         "top_docs_by_len": top_docs_by_len,
         "token_frequencies": token_frequencies,
+        "repetition_stats": repetition_stats,
         "ann_topk": ann_topk,
         "label_dist": label_dist,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
@@ -1281,6 +1337,7 @@ def oracles():
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_frequencies": TOKEN_FREQUENCIES_SQL,
+        "repetition_stats": REPETITION_STATS_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,

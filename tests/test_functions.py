@@ -431,3 +431,31 @@ def test_embedding_near_pairs_degenerate_bucket_bounded(ray_session):
     # no duplicate pairs from the overlap row
     pairs = [(r["a"], r["b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_repetition_stats_batch_edge_cases():
+    from rdf_diff_store_ray.functions.text import repetition_stats_batch
+
+    b = pa.table(
+        {
+            "doc_id": ["d1", "d2", "d3", "d4"],
+            # d1: bigram tie 'a b' vs 'b a' -> lexicographically smallest
+            # d2: single token, no bigram; d3: whitespace only; d4: token
+            # tie between 'x' and 'y' -> 'x'
+            "text": ["a b a b a", "solo", "   ", "x y x y"],
+        }
+    )
+    out = repetition_stats_batch(b).to_pandas().set_index("doc_id")
+    assert out.loc["d1", "n_tokens"] == 5
+    assert out.loc["d1", "top_token"] == "a"
+    assert out.loc["d1", "top_token_count"] == 3
+    assert out.loc["d1", "top_bigram"] == "a b"
+    assert out.loc["d1", "top_bigram_count"] == 2
+    assert out.loc["d2", "n_tokens"] == 1
+    assert out.loc["d2", "top_bigram"] is None
+    assert out.loc["d2", "top_bigram_count"] == 0
+    assert out.loc["d3", "n_tokens"] == 0
+    assert out.loc["d3", "top_token"] is None
+    assert out.loc["d4", "top_token"] == "x"
+    assert out.loc["d4", "top_bigram"] == "x y"  # 2 hits beat 'y x' (1)
+    assert out.loc["d4", "top_bigram_count"] == 2
