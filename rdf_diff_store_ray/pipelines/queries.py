@@ -248,6 +248,48 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 
 
 # --------------------------------------------------------- embeddings -------
+def kmeans_clusters(sf_dir: str, k: int = 10):
+    """Distributed k-means over the embeddings table (k = the planted
+    label count): per-cluster sizes + mean centroid distance. Iterative
+    algorithm → rows-only (no SQL oracle); recovery of planted structure
+    is pytest-gated on synthetic blobs
+    (``test_functions.py::test_kmeans_recovers_planted_blobs``).
+    Determinism note: bitwise-stable for a fixed block layout; across
+    different parallelism the partial-fold order changes and floats can
+    differ by ulps."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    from ..functions.cluster import kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(emb, k, seed=0)
+    return (
+        kmeans_assign(emb, cent)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"), Mean("dist", alias_name="mean_dist"))
+        .sort("cluster")
+    )
+
+
+def semdedup_docs(sf_dir: str):
+    """SemDeDup (cluster + within-cluster cosine dedup) over the
+    embeddings table — the kept/dropped verdict per vector. The
+    synthetic embeddings carry no planted semantic dupes (all 500 kept);
+    the drop path is pytest-gated on planted duplicates
+    (``test_functions.py::test_semantic_dedup_drops_planted_dupes``)."""
+    import ray.data as rd
+
+    from ..functions.cluster import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, k=10, threshold=0.95, seed=0).sort("vec_id")
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1294,6 +1336,8 @@ def registry():
         "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_bgp_minus": kg_bgp_minus,
         "kg_blank_nodes": kg_blank_nodes,
+        "kmeans_clusters": kmeans_clusters,
+        "semdedup_docs": semdedup_docs,
         "kg_entity_degree": kg_entity_degree,
         "kg_metadata": kg_metadata,
         "kg_triple_pr": kg_triple_pr,

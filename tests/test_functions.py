@@ -459,3 +459,112 @@ def test_repetition_stats_batch_edge_cases():
     assert out.loc["d4", "top_token"] == "x"
     assert out.loc["d4", "top_bigram"] == "x y"  # 2 hits beat 'y x' (1)
     assert out.loc["d4", "top_bigram_count"] == 2
+
+
+# ------------------------------------------------ k-means / SemDeDup --------
+def _blob_table(n_per=40, d=8, seed=7):
+    """Three well-separated Gaussian blobs; returns (table, true_label)."""
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10.0] + [0.0] * (d - 1),
+         [0.0] * (d - 1) + [10.0],
+         [-10.0] + [0.0] * (d - 1)]
+    )
+    vecs, labels = [], []
+    for li, c in enumerate(centers):
+        vecs.append(c[None, :] + rng.normal(0, 0.3, size=(n_per, d)))
+        labels.extend([li] * n_per)
+    V = np.concatenate(vecs)
+    t = pa.table(
+        {"vec_id": pa.array(range(len(V)), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in V],
+                               pa.list_(pa.float64()))}
+    )
+    return t, np.asarray(labels)
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.cluster import (kmeans_assign,
+                                                      kmeans_fit)
+
+    t, truth = _blob_table()
+    ds = rd.from_arrow(t)
+    cent = kmeans_fit(ds, 3, seed=0)
+    assert cent.shape == (3, 8)
+    rows = kmeans_assign(ds, cent).take_all()
+    assign = np.empty(len(truth), dtype=np.int64)
+    for r in rows:
+        assign[r["vec_id"]] = r["cluster"]
+    # each planted blob lands wholly in one distinct cluster
+    mapped = {li: set(assign[truth == li]) for li in range(3)}
+    assert all(len(s) == 1 for s in mapped.values())
+    assert len(set().union(*mapped.values())) == 3
+    # members sit close to their centroid
+    assert all(r["dist"] < 2.0 for r in rows)
+
+
+def test_kmeans_deterministic(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.cluster import kmeans_fit
+
+    t, _ = _blob_table()
+    c1 = kmeans_fit(rd.from_arrow(t), 3, seed=0)
+    c2 = kmeans_fit(rd.from_arrow(t), 3, seed=0)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_semantic_dedup_drops_planted_dupes(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.cluster import semantic_dedup
+
+    t, _ = _blob_table()
+    V = np.asarray([list(v) for v in t["embedding"].to_pylist()])
+    n = len(V)
+    # plant near-duplicates: ids n..n+4 are tiny perturbations of 0..4
+    dup_src = np.arange(5)
+    dups = V[dup_src] * 1.0001
+    allV = np.concatenate([V, dups])
+    ids = list(range(n + 5))
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in allV],
+                               pa.list_(pa.float64()))}
+    ))
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(ds, k=3, threshold=0.999, seed=0).take_all()}
+    assert len(out) == n + 5
+    for i, src in enumerate(dup_src):
+        r = out[n + i]
+        assert not r["keep"]
+        assert r["dup_of"] == src  # lowest-id representative
+        assert out[src]["keep"]  # originals survive
+
+
+def test_semantic_dedup_chunked_matches_unchunked(ray_session):
+    """cluster_cap chunking must not change verdicts on sorted-id data
+    where dup pairs are adjacent."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.cluster import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 6))
+    # consecutive pairs (2i, 2i+1) are near-dupes
+    V = np.repeat(base, 2, axis=0)
+    V[1::2] *= 1.0001
+    ds_t = pa.table(
+        {"vec_id": pa.array(range(len(V)), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in V],
+                               pa.list_(pa.float64()))}
+    )
+    big = semantic_dedup(rd.from_arrow(ds_t), k=1, threshold=0.999,
+                         seed=0).take_all()
+    small = semantic_dedup(rd.from_arrow(ds_t), k=1, threshold=0.999,
+                           seed=0, cluster_cap=8).take_all()
+    as_map = lambda rows: {r["vec_id"]: (r["keep"], r["dup_of"])
+                           for r in rows}
+    assert as_map(big) == as_map(small)
