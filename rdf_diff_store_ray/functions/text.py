@@ -249,3 +249,43 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     for c in ("top_token", "top_bigram"):
         out[c] = out[c].astype(object).where(out[c].notna(), None)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------ PII redaction -------
+# RE2-safe patterns (no backreferences/lookaround) so pyarrow and DuckDB
+# agree byte-for-byte. Order matters: EMAIL before PHONE so the digits of
+# an already-redacted token are never re-matched; each pattern is applied
+# with global non-overlapping left-to-right replacement in BOTH engines.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\+?\b[0-9][0-9()\s.-]{7,}[0-9]\b"),
+)
+
+
+def pii_redact_batch(batch: pa.Table,
+                     patterns=PII_PATTERNS) -> pa.Table:
+    """Redact PII spans in ``text``: each match of a pattern class is
+    replaced by its ``[CLASS]`` placeholder, and per-class match counts
+    are emitted alongside (vectorized ``replace_substring_regex`` /
+    ``count_substring_regex`` per class — bounded pattern count, no
+    Python row loop). Mirrors the scrubbing stage every training-data
+    pipeline runs before tokenization (C4/RefinedWeb-style)."""
+    text = batch["text"]
+    cols = {"doc_id": batch["doc_id"]}
+    counts = {}
+    for name, pat in patterns:
+        counts[f"n_{name.lower()}"] = pc.count_substring_regex(
+            text, pat
+        ).cast(pa.int64())
+        text = pc.replace_substring_regex(text, pat, f"[{name}]")
+    cols["clean_text"] = text
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def pii_redact(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        pii_redact_batch, batch_format="pyarrow"
+    )

@@ -247,6 +247,262 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 """
 
 
+def pii_redact_docs(sf_dir: str):
+    """PII scrubbing over the documents table: redacted text + per-class
+    match counts (email / IPv4 / SSN / phone), vectorized RE2 kernels.
+    The synthetic corpus plants no PII (all counts 0, text unchanged) —
+    redaction semantics are pytest-gated on planted PII
+    (``test_functions.py::test_pii_redact_*``); the SQL oracle still
+    checks the full replace/count pipeline end-to-end."""
+    from ..functions.text import pii_redact
+
+    return pii_redact(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _pii_sql() -> str:
+    """Build the DuckDB oracle from the SAME pattern list the engine
+    uses: each class counts matches on the text as already redacted by
+    the previous classes (exactly the engine's chaining), then replaces
+    them globally."""
+    from ..functions.text import PII_PATTERNS
+
+    text_expr = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT)"
+            f" AS n_{name.lower()}"
+        )
+        text_expr = f"regexp_replace({text_expr}, '{pat}', '[{name}]', 'g')"
+    return (
+        f"SELECT doc_id, {text_expr} AS clean_text, {', '.join(counts)} "
+        "FROM documents"
+    )
+
+
+def json_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column (vectorized RE2 ``extract_regex`` — the
+    standard scale trick for fixed-shape JSON; a real parser would be an
+    actor-pool stage) and aggregate per event_type. All-integer output
+    so the DuckDB ``json_extract`` oracle hash-matches exactly."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+        .sort("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def decontaminate(sf_dir: str, n_bench: int = 20, plen: int = 3):
+    """Benchmark decontamination: flag corpus documents whose text
+    contains any "benchmark" phrase (the first ``plen`` tokens of each
+    of the first ``n_bench`` docs — a stand-in for the eval-set n-grams
+    a real pipeline guards against). The phrase set is the BOUNDED small
+    side: built once on the driver from an ``n_bench``-row pruned read
+    and applied per batch as ``match_substring`` kernels — the corpus
+    side streams, no shuffle at all."""
+    import re as _re
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    bench = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text"],
+            filter=pads.field("doc_id") < n_bench,
+        )
+        .take_all()
+    )
+    phrases = sorted(
+        {
+            " ".join(_re.findall(r"\S+", row["text"])[:plen])
+            for row in bench
+        }
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in phrases:
+            hits += pc.match_substring(batch["text"], p).cast(
+                pa.int8()
+            ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") >= n_bench,
+    ).map_batches(scan, batch_format="pyarrow")
+
+
+DECONTAMINATE_SQL = r"""
+WITH bench AS (
+  SELECT DISTINCT array_to_string(
+           list_slice(regexp_extract_all(text, '\S+'), 1, 3), ' ') AS phrase
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       CAST((SELECT count(*) FROM bench b
+             WHERE contains(d.text, b.phrase)) AS BIGINT) AS n_hits,
+       (SELECT count(*) FROM bench b WHERE contains(d.text, b.phrase)) > 0
+         AS contaminated
+FROM documents d WHERE doc_id >= 20
+"""
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
+    """Per-document top-k TF-IDF terms — the classic two-shuffle text
+    pipeline. tf is exact per batch (a document never spans rows); df is
+    a second streaming pass aggregated per term; idf joins back into the
+    tf rows via an explicit co-partition union keyed by a stable term
+    hash (vocabulary is unbounded on web text — never broadcast), and
+    the per-doc top-k runs in bounded doc-hash partitions. Scores are
+    ``round(tf·ln(N/df), 6)`` half-away-from-zero to match DuckDB."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..shuffle_utils import add_partition_id
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())  # parquet metadata, no scan
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ex = (
+            df.assign(term=df["text"].str.findall(r"\S+"))
+            .loc[:, ["doc_id", "term"]]
+            .explode("term")
+            .dropna(subset=["term"])
+        )
+        tf = ex.groupby(["doc_id", "term"]).size().reset_index(name="val")
+        tf["is_df"] = np.int8(0)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ex = (
+            df.assign(term=df["text"].str.findall(r"\S+"))
+            .loc[:, ["doc_id", "term"]]
+            .explode("term")
+            .dropna(subset=["term"])
+            .drop_duplicates()
+        )
+        out = ex.groupby("term").size().reset_index(name="val")
+        out["doc_id"] = np.int64(-1)
+        out["is_df"] = np.int8(1)
+        return pa.Table.from_pandas(
+            out[["doc_id", "term", "val", "is_df"]], preserve_index=False
+        )
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
+    df_ds = (
+        docs.map_batches(df_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("val", alias_name="val"))
+        .map_batches(
+            lambda b: b.append_column(
+                "doc_id", pa.array([-1] * b.num_rows, pa.int64())
+            ).append_column(
+                "is_df", pa.array([1] * b.num_rows, pa.int8())
+            ).select(["doc_id", "term", "val", "is_df"]),
+            batch_format="pyarrow",
+        )
+    )
+    unioned = tf_ds.union(df_ds).map_batches(
+        lambda b: add_partition_id(b, "term", num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def score_partition(part: pd.DataFrame) -> pd.DataFrame:
+        tf = part[part["is_df"] == 0]
+        dfc = part[part["is_df"] == 1][["term", "val"]].rename(
+            columns={"val": "df"}
+        )
+        m = tf.merge(dfc, on="term", how="inner")
+        raw = m["val"].to_numpy(np.float64) * np.log(
+            n_docs / m["df"].to_numpy(np.float64)
+        )
+        # DuckDB round() is half away from zero; scores are >= 0
+        m["score"] = np.floor(raw * 1e6 + 0.5) / 1e6
+        return m[["doc_id", "term", "score"]]
+
+    scored = (
+        unioned.groupby("partition_id")
+        .map_groups(score_partition, batch_format="pandas")
+        .map_batches(
+            lambda b: add_partition_id(b, "doc_id", num_partitions),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        part["rk"] = part.groupby("doc_id").cumcount() + 1
+        out = part[part["rk"] <= k]
+        return out[["doc_id", "rk", "term", "score"]]
+
+    return (
+        scored.groupby("partition_id")
+        .map_groups(topk_partition, batch_format="pandas")
+        .sort(["doc_id", "rk"])
+    )
+
+
+TFIDF_SQL = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round(CAST(tf.tf AS DOUBLE)
+                        * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS score
+           FROM tf JOIN df USING (term), n),
+ranked AS (SELECT doc_id, term, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS BIGINT) AS rk
+           FROM scored)
+SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 # --------------------------------------------------------- embeddings -------
 def kmeans_clusters(sf_dir: str, k: int = 10):
     """Distributed k-means over the embeddings table (k = the planted
@@ -1316,6 +1572,10 @@ def registry():
         "lang_dist": lang_dist,
         "top_docs_by_len": top_docs_by_len,
         "token_frequencies": token_frequencies,
+        "pii_redact": pii_redact_docs,
+        "json_props_stats": json_props_stats,
+        "decontaminate": decontaminate,
+        "tfidf_top_terms": tfidf_top_terms,
         "repetition_stats": repetition_stats,
         "ann_topk": ann_topk,
         "label_dist": label_dist,
@@ -1381,6 +1641,10 @@ def oracles():
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_frequencies": TOKEN_FREQUENCIES_SQL,
+        "pii_redact": _pii_sql(),
+        "json_props_stats": JSON_PROPS_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
+        "tfidf_top_terms": TFIDF_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,

@@ -568,3 +568,64 @@ def test_semantic_dedup_chunked_matches_unchunked(ray_session):
     as_map = lambda rows: {r["vec_id"]: (r["keep"], r["dup_of"])
                            for r in rows}
     assert as_map(big) == as_map(small)
+
+
+# --------------------------------------------------- PII / decontam ---------
+def test_pii_redact_planted(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import pii_redact
+
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array([
+             "write to alice@example.com or +1 (555) 123-4567 today",
+             "host 192.168.0.1 holds ssn 123-45-6789",
+             "nothing sensitive here",
+         ])}
+    ))
+    out = pii_redact(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "write to [EMAIL] or [PHONE] today"
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 1
+    assert out.loc[1, "clean_text"] == "host [IP] holds ssn [SSN]"
+    assert out.loc[1, "n_ip"] == 1 and out.loc[1, "n_ssn"] == 1
+    assert out.loc[2, "clean_text"] == "nothing sensitive here"
+    assert int(out.loc[2, ["n_email", "n_ip", "n_ssn", "n_phone"]].sum()) == 0
+
+
+def test_pii_redact_ssn_not_double_counted_as_phone():
+    """Class order is part of the contract: SSN redacts before PHONE, so
+    an SSN is never ALSO counted as a phone number."""
+    from rdf_diff_store_ray.functions.text import pii_redact_batch
+
+    b = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["ssn 123-45-6789 only"])})
+    out = pii_redact_batch(b).to_pandas()
+    assert out.loc[0, "n_ssn"] == 1
+    assert out.loc[0, "n_phone"] == 0
+    assert out.loc[0, "clean_text"] == "ssn [SSN] only"
+
+
+def test_decontaminate_flags_planted_overlap(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.pipelines.queries import decontaminate
+
+    texts = (
+        ["alpha beta gamma delta"] * 2          # bench docs 0-1
+        + ["x y z alpha beta gamma tail",       # contains bench 3-gram
+           "totally clean document words"]      # clean
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 4),
+                  "source": pa.array(["s"] * 4),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet",
+    )
+    out = decontaminate(str(tmp_path), n_bench=2, plen=3).to_pandas()
+    out = out.set_index("doc_id")
+    assert bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 1
+    assert not bool(out.loc[3, "contaminated"]) and out.loc[3, "n_hits"] == 0
+    assert set(out.index) == {2, 3}  # bench docs excluded
