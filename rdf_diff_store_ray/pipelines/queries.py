@@ -1180,6 +1180,40 @@ def kg_bgp_construct(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_describe(sf_dir: str):
+    """DESCRIBE over the KG: the outbound triples of every acquirer —
+    the fourth SPARQL query form (oxigraph serves DESCRIBE,
+    ``src/query.rs:102-114``). Also exercises GROUP_CONCAT upstream by
+    describing resources found via a grouped query."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"DESCRIBE ?s WHERE {{ ?s <{P_ACQUIRED}> ?o }}",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_bgp_star_path(sf_dir: str):
+    """Zero-or-more property path over the KG: the reflexive transitive
+    acquisition closure (``<acquired>*``) — every company paired with
+    itself plus everything it transitively acquired."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT DISTINCT ?s ?o WHERE {{ ?s <{P_ACQUIRED}>* ?o }} "
+        "ORDER BY ?s ?o LIMIT 300",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_aggregate(sf_dir: str):
     """SPARQL aggregates over the KG: acquisition count per acquirer
     (``SELECT ?s (COUNT(?o) AS ?n_acquired) … GROUP BY ?s``)."""
@@ -1595,6 +1629,8 @@ def registry():
         "kg_bgp_construct": kg_bgp_construct,
         "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_bgp_minus": kg_bgp_minus,
+        "kg_bgp_describe": kg_bgp_describe,
+        "kg_bgp_star_path": kg_bgp_star_path,
         "kg_blank_nodes": kg_blank_nodes,
         "kmeans_clusters": kmeans_clusters,
         "semdedup_docs": semdedup_docs,

@@ -67,7 +67,8 @@ def parse_bgp(query: str):
 
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "limit": None, "offset": 0, "ask": False, "construct": None,
-                 "group_by": None, "aggregates": None, "having": None}
+                 "describe": None, "group_by": None, "aggregates": None,
+                 "having": None}
 
 
 def parse_query(query: str) -> dict:
@@ -105,6 +106,8 @@ def parse_query(query: str) -> dict:
         return _parse_ask(q)
     if _re.match(r"^CONSTRUCT\b", q, _re.IGNORECASE):
         return _parse_construct(q)
+    if _re.match(r"^DESCRIBE\b", q, _re.IGNORECASE):
+        return _parse_describe(q)
     group = _parse_group_body(q)
     group.update(_NO_MODIFIERS)
     return group
@@ -164,6 +167,51 @@ def _parse_construct(q: str) -> dict:
     return group
 
 
+def _parse_describe(q: str) -> dict:
+    """``DESCRIBE (<iri> | ?var)... [WHERE { group }]`` → resource
+    description form. The description we serve is the outbound concise
+    form: every triple whose SUBJECT is a described resource (the spec
+    leaves the shape to the implementation; oxigraph behind the
+    reference serves a CBD — blank-node closure is not applicable here
+    because stored graphs are skolemized at canonicalization)."""
+    import re as _re
+
+    rest = q[len("DESCRIBE"):].lstrip()
+    terms: list = []
+    while rest:
+        if rest.startswith("?"):
+            names, rest = _take_vars(rest)
+            terms.extend(("var", n) for n in names)
+            continue
+        if rest.startswith("<"):
+            j = rest.index(">")
+            terms.append(("iri", rest[1:j]))
+            rest = rest[j + 1:].lstrip()
+            continue
+        break
+    if not terms:
+        raise ValueError("DESCRIBE needs <iri> or ?var resources")
+    if rest:
+        if m := _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
+            rest = rest[m.end():].lstrip()
+        if not rest.startswith("{"):
+            raise ValueError(f"trailing text after DESCRIBE: {rest!r}")
+        j = _match_brace(rest, 0)
+        if rest[j + 1:].strip():
+            raise ValueError(
+                f"trailing text after DESCRIBE group: {rest[j+1:]!r}"
+            )
+        group = _parse_group_body(rest[1:j].strip())
+    else:
+        group = _parse_group_body("")
+    if any(k == "var" for k, _ in terms) and not group["patterns"] \
+            and not group["unions"] and not (group.get("values") or []):
+        raise ValueError("DESCRIBE ?var needs a WHERE group binding it")
+    group.update(_NO_MODIFIERS)
+    group["describe"] = terms
+    return group
+
+
 def _take_vars(s: str):
     """Leading ``?var`` tokens → (names, rest)."""
     names = []
@@ -185,8 +233,9 @@ def _parse_select(q: str) -> dict:
 
     if _AGG_RE is None:
         _AGG_RE = _re.compile(
-            r"^\(\s*(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
-            r"(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+            r"^\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+            r"(DISTINCT\s+)?(\*|\?\w+)\s*"
+            r'(?:;\s*SEPARATOR\s*=\s*"([^"]*)")?\s*\)\s+AS\s+\?(\w+)\s*\)',
             _re.IGNORECASE,
         )
     rest = q[len("SELECT"):].lstrip()
@@ -211,11 +260,16 @@ def _parse_select(q: str) -> dict:
                 arg = m.group(3)
                 if arg == "*" and func != "COUNT":
                     raise ValueError(f"{func}(*) is not valid SPARQL")
+                if m.group(4) is not None and func != "GROUP_CONCAT":
+                    raise ValueError(
+                        f"SEPARATOR is only valid in GROUP_CONCAT, not {func}"
+                    )
                 aggregates.append(
                     (func, None if arg == "*" else arg[1:],
-                     bool(m.group(2)), m.group(4))
+                     bool(m.group(2)), m.group(5),
+                     m.group(4) if m.group(4) is not None else " ")
                 )
-                select.append(m.group(4))
+                select.append(m.group(5))
                 rest = rest[m.end():].lstrip()
                 continue
             break
@@ -772,12 +826,13 @@ def _parse_path_token(t: str):
 
         alt  := seq ('|' seq)*          →  ('alt', [node, ...])
         seq  := post ('/' post)*        →  ('seq', [node, ...])
-        post := atom '+'?               →  ('plus', node)
+        post := atom ('+'|'*'|'?')?     →  ('plus'|'star'|'ques', node)
         atom := '^' post | <iri> | '(' alt ')'   — '^' → ('inv', node)
 
-    ``*`` and ``?`` (zero-length paths) are rejected explicitly: a
-    zero-length path binds every term in the graph to itself, which the
-    per-pattern evaluation model doesn't represent."""
+    ``*`` / ``?`` carry zero-length-path semantics (every graph term —
+    plus any constant endpoint of the enclosing pattern — matches
+    itself), so their evaluation needs a node universe; see
+    :func:`eval_path_pairs`."""
     pos = [0]
     n = len(t)
 
@@ -803,11 +858,12 @@ def _parse_path_token(t: str):
         if peek() == "+":
             pos[0] += 1
             node = ("plus", node)
-        if peek() in ("*", "?"):
-            raise ValueError(
-                f"zero-length path operator {peek()!r} is not supported "
-                f"in {t!r} (use '+' for one-or-more)"
-            )
+        elif peek() == "*":
+            pos[0] += 1
+            node = ("star", node)
+        elif peek() == "?":
+            pos[0] += 1
+            node = ("ques", node)
         return node
 
     def atom():
@@ -849,18 +905,25 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     """
     df = triples.to_pandas()
     group = parse_query(query)
-    result = eval_group(group, lambda pat: eval_one_pattern(df, pat))
-    return finish_query(result, group)
+    source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
+    return finish_query(eval_group(group, source), group, source)
 
 
-def finish_query(result: pd.DataFrame, group: dict) -> pd.DataFrame:
+def finish_query(result: pd.DataFrame, group: dict,
+                 pattern_bindings=None) -> pd.DataFrame:
     """Tagged group bindings → the query form's final frame: ASK boolean,
-    CONSTRUCT triple frame, or SELECT/bare bindings (shared by the local
-    evaluator and the distributed router)."""
+    CONSTRUCT / DESCRIBE triple frame, or SELECT/bare bindings (shared by
+    the local evaluator and the distributed router). DESCRIBE needs the
+    caller's ``pattern_bindings`` source to fetch each described
+    resource's triples (local frame scan or distributed push-down)."""
     if group.get("ask"):
         return pd.DataFrame({"ask": [bool(len(result))]})
     if group.get("construct") is not None:
         return construct_triples(result, group["construct"])
+    if group.get("describe") is not None:
+        if pattern_bindings is None:
+            raise ValueError("DESCRIBE needs a pattern_bindings source")
+        return describe_triples(result, group["describe"], pattern_bindings)
     if group.get("aggregates"):
         result = aggregate_bindings(result, group)
         for flt in group.get("having") or []:
@@ -960,7 +1023,27 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
 
     def one_group(sub: pd.DataFrame) -> dict:
         out = {}
-        for func, var, distinct, alias in aggs:
+        for func, var, distinct, alias, sep in aggs:
+            if func == "SAMPLE":
+                # SPARQL leaves the pick free; we pick the minimum tagged
+                # term so results are deterministic and replayable
+                col = sub[var].dropna() if var in sub.columns else \
+                    pd.Series(dtype=object)
+                out[alias] = col.min() if len(col) else None
+                continue
+            if func == "GROUP_CONCAT":
+                col = sub[var].dropna() if var in sub.columns else \
+                    pd.Series(dtype=object)
+                if distinct:
+                    col = col.drop_duplicates()
+                if not len(col):
+                    out[alias] = "L"  # empty simple literal per spec
+                    continue
+                lex = _series_parts(col)[0].fillna("")
+                # element order is implementation-defined in SPARQL —
+                # sorted lexical order keeps it deterministic here
+                out[alias] = "L" + sep.join(sorted(lex.tolist()))
+                continue
             if func == "COUNT":
                 if var is None:
                     out[alias] = int(len(sub))
@@ -1039,6 +1122,52 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
     for c in ("subj", "pred", "obj"):
         out[c] = out[c].astype(object)
     out = out[["subj", "pred", "obj", "obj_is_literal"]].drop_duplicates(
+        ignore_index=True
+    )
+    return out.sort_values(list(out.columns), ignore_index=True)
+
+
+def describe_triples(result: pd.DataFrame, describe,
+                     pattern_bindings) -> pd.DataFrame:
+    """DESCRIBE resources → their outbound triples as a distinct, sorted
+    ``(subj, pred, obj, obj_is_literal)`` frame (same shape as
+    CONSTRUCT). Resources = the form's IRI constants plus every IRI a
+    described variable binds in the group result; one selective
+    ``<r> ?p ?o`` pattern per resource, so the transfer is bounded by
+    the descriptions' size, never the store's."""
+    resources: set = set()
+    for kind, val in describe:
+        if kind == "iri":
+            resources.add(val)
+            continue
+        if val in result.columns:
+            col = result[val].dropna().astype("string")
+            resources.update(col[col.str.startswith("I")].str.slice(1))
+    frames = []
+    for r in sorted(resources):
+        b = pattern_bindings((("iri", r), ("var", "__dp"), ("var", "__do")))
+        if not len(b):
+            continue
+        dp = b["__dp"].astype("string")
+        do = b["__do"].astype("string")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "subj": pd.Series([r] * len(b), dtype=object),
+                    "pred": dp.str.slice(1).astype(object).to_numpy(),
+                    "obj": do.str.slice(1).astype(object).to_numpy(),
+                    "obj_is_literal": do.str.startswith("L")
+                    .fillna(False)
+                    .astype(bool)
+                    .to_numpy(),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            columns=["subj", "pred", "obj", "obj_is_literal"]
+        ).astype({"obj_is_literal": bool})
+    out = pd.concat(frames, ignore_index=True).drop_duplicates(
         ignore_index=True
     )
     return out.sort_values(list(out.columns), ignore_index=True)
@@ -1324,11 +1453,11 @@ def format_path(ast) -> str:
         return f"<{ast[1]}>"
     if kind == "inv":
         return "^" + format_path(ast[1])
-    if kind == "plus":
+    if kind in ("plus", "star", "ques"):
         inner = format_path(ast[1])
-        if ast[1][0] in ("seq", "alt", "plus"):
+        if ast[1][0] in ("seq", "alt", "plus", "star", "ques"):
             inner = f"({inner})"
-        return inner + "+"
+        return inner + {"plus": "+", "star": "*", "ques": "?"}[kind]
     sep = "/" if kind == "seq" else "|"
     return f"({sep.join(format_path(b) for b in ast[1])})"
 
@@ -1350,6 +1479,27 @@ def format_pattern(pattern) -> str:
 
 
 # ------------------------------------------------------ property paths -----
+def graph_node_terms(df: pd.DataFrame, endpoint_terms=()) -> pd.Series:
+    """Distinct TAGGED terms of a triple frame (subjects ∪ objects) plus
+    any constant endpoint terms — the zero-length-path universe for
+    ``*``/``?`` (the spec's ALP evaluation starts from a bound endpoint
+    even when it does not occur in the graph)."""
+    parts = [
+        ("I" + df["subj"]).drop_duplicates(),
+        pd.Series(
+            np.where(df["obj_is_literal"], "L" + df["obj"], "I" + df["obj"])
+        ).drop_duplicates(),
+    ]
+    extras = [
+        ("I" if kind == "iri" else "L") + val
+        for kind, val in endpoint_terms
+        if kind in ("iri", "lit")
+    ]
+    if extras:
+        parts.append(pd.Series(extras, dtype=object))
+    return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+
 def path_edges_from_frame(df: pd.DataFrame, iri: str) -> pd.DataFrame:
     """(start, end) TAGGED pairs for one predicate in a triple frame."""
     sub = df[df["pred"] == iri]
@@ -1363,38 +1513,10 @@ def path_edges_from_frame(df: pd.DataFrame, iri: str) -> pd.DataFrame:
     ).drop_duplicates()
 
 
-def eval_path_pairs(ast, edges_of) -> pd.DataFrame:
-    """Evaluate a path AST over ``edges_of(iri) → (__s, __o) pairs``.
-    The edge source is pluggable for the same reason as
-    :func:`eval_group`'s pattern source: locally it reads one triple
-    frame; the distributed router feeds it unioned per-partition edge
-    bindings, because a transitive path may cross partitions and cannot
-    be evaluated per-partition."""
-    kind = ast[0]
-    if kind == "pred":
-        return edges_of(ast[1])
-    if kind == "inv":
-        e = eval_path_pairs(ast[1], edges_of)
-        return e.rename(columns={"__s": "__o", "__o": "__s"})[["__s", "__o"]]
-    if kind == "seq":
-        cur = eval_path_pairs(ast[1][0], edges_of)
-        for step in ast[1][1:]:
-            if not len(cur):
-                break
-            nxt = eval_path_pairs(step, edges_of)
-            m = cur.merge(nxt, left_on="__o", right_on="__s",
-                          suffixes=("_l", "_r"))
-            cur = pd.DataFrame(
-                {"__s": m["__s_l"], "__o": m["__o_r"]}
-            ).drop_duplicates()
-        return cur
-    if kind == "alt":
-        return pd.concat(
-            [eval_path_pairs(b, edges_of) for b in ast[1]], ignore_index=True
-        ).drop_duplicates()
-    # plus: transitive closure by frontier expansion (terminates: the
-    # pair set is bounded by nodes²; each round adds only unseen pairs)
-    base = eval_path_pairs(ast[1], edges_of).drop_duplicates()
+def _plus_closure(base: pd.DataFrame) -> pd.DataFrame:
+    """Transitive closure of a (__s, __o) pair set by frontier expansion
+    (terminates: the pair set is bounded by nodes²; each round adds only
+    unseen pairs)."""
     total = base
     frontier = base
     while len(frontier):
@@ -1410,6 +1532,59 @@ def eval_path_pairs(ast, edges_of) -> pd.DataFrame:
         total = pd.concat([total, new], ignore_index=True)
         frontier = new
     return total
+
+
+def eval_path_pairs(ast, edges_of, nodes_of=None) -> pd.DataFrame:
+    """Evaluate a path AST over ``edges_of(iri) → (__s, __o) pairs``.
+    The edge source is pluggable for the same reason as
+    :func:`eval_group`'s pattern source: locally it reads one triple
+    frame; the distributed router feeds it unioned per-partition edge
+    bindings, because a transitive path may cross partitions and cannot
+    be evaluated per-partition.
+
+    ``nodes_of() → tagged term Series`` supplies the node universe for
+    the zero-length component of ``*`` / ``?`` (per spec a zero-length
+    path matches every graph term to itself; callers fold the pattern's
+    constant endpoints in, matching the spec's ALP evaluation from a
+    bound start). Only ``*`` / ``?`` pay that cost — ``+``/``/``/``|``
+    never touch the universe."""
+    kind = ast[0]
+    if kind == "pred":
+        return edges_of(ast[1])
+    if kind == "inv":
+        e = eval_path_pairs(ast[1], edges_of, nodes_of)
+        return e.rename(columns={"__s": "__o", "__o": "__s"})[["__s", "__o"]]
+    if kind == "seq":
+        cur = eval_path_pairs(ast[1][0], edges_of, nodes_of)
+        for step in ast[1][1:]:
+            if not len(cur):
+                break
+            nxt = eval_path_pairs(step, edges_of, nodes_of)
+            m = cur.merge(nxt, left_on="__o", right_on="__s",
+                          suffixes=("_l", "_r"))
+            cur = pd.DataFrame(
+                {"__s": m["__s_l"], "__o": m["__o_r"]}
+            ).drop_duplicates()
+        return cur
+    if kind == "alt":
+        return pd.concat(
+            [eval_path_pairs(b, edges_of, nodes_of) for b in ast[1]],
+            ignore_index=True,
+        ).drop_duplicates()
+    if kind in ("star", "ques"):
+        if nodes_of is None:
+            raise ValueError(
+                f"'{'*' if kind == 'star' else '?'}' needs a node universe"
+            )
+        nodes = pd.Series(nodes_of()).dropna().drop_duplicates()
+        zero = pd.DataFrame({"__s": nodes.to_numpy(),
+                             "__o": nodes.to_numpy()})
+        inner = eval_path_pairs(ast[1], edges_of, nodes_of).drop_duplicates()
+        step = _plus_closure(inner) if kind == "star" else inner
+        return pd.concat([zero, step], ignore_index=True).drop_duplicates()
+    # plus
+    base = eval_path_pairs(ast[1], edges_of, nodes_of).drop_duplicates()
+    return _plus_closure(base)
 
 
 def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
@@ -1450,7 +1625,9 @@ def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
     s, p, o = pattern
     if p[0] == "path":
         pairs = eval_path_pairs(
-            p[1], lambda iri: path_edges_from_frame(df, iri)
+            p[1],
+            lambda iri: path_edges_from_frame(df, iri),
+            lambda: graph_node_terms(df, (s, o)),
         )
         return bindings_from_pairs(pairs, s, o)
     cur = df

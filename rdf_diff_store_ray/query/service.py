@@ -88,6 +88,22 @@ class PartitionReaderActor:
         self.reader.query_cache.put(key, out)
         return out
 
+    def node_terms(self, ts) -> pd.DataFrame:
+        """Distinct tagged subject/object terms of this partition's live
+        triples — the partition's share of the zero-length-path node
+        universe (``*``/``?``). Cached per ts beside the query cache."""
+        from .bgp import graph_node_terms
+
+        k = self.reader._key(ts)
+        key = (k, "__node_terms__")
+        hit = self.reader.query_cache.get(key)
+        if hit is None:
+            hit = graph_node_terms(
+                self.reader._store_at(k).to_pandas()
+            ).to_frame(name="__node")
+            self.reader.query_cache.put(key, hit)
+        return hit
+
     def graphs_at(self, ts) -> str:
         return self.reader.graphs_at(ts)
 
@@ -149,7 +165,8 @@ class QueryService:
         has_mods = (g.get("select") is not None or g.get("distinct")
                     or g.get("order_by") or g.get("limit") is not None
                     or g.get("offset") or g.get("ask")
-                    or g.get("construct") is not None)
+                    or g.get("construct") is not None
+                    or g.get("describe") is not None)
         if len(self.actors) == 1:
             return ray.get(self.actors[0].query_at.remote(ts, query))
         # property paths are never per-partition evaluable (a transitive
@@ -209,9 +226,34 @@ class QueryService:
                     return pd.DataFrame(columns=["__s", "__o"])
                 return e.rename(columns={"__ps": "__s", "__po": "__o"})
 
-            return bindings_from_pairs(eval_path_pairs(p[1], edges_of), s, o)
+            def nodes_of() -> pd.Series:
+                # zero-length component of */?: union the partitions'
+                # distinct term vocabularies (store-vocabulary-sized —
+                # the same transfer bound as a ?s ?p ?o gather's terms),
+                # plus the pattern's constant endpoints per the spec
+                parts = ray.get(
+                    [a.node_terms.remote(ts) for a in self.actors]
+                )
+                nodes = pd.concat(parts, ignore_index=True)["__node"]
+                extras = [
+                    ("I" if kind == "iri" else "L") + val
+                    for kind, val in (s, o)
+                    if kind in ("iri", "lit")
+                ]
+                if extras:
+                    nodes = pd.concat(
+                        [nodes, pd.Series(extras, dtype=object)],
+                        ignore_index=True,
+                    )
+                return nodes.drop_duplicates()
 
-        return finish_query(eval_group(group, pattern_bindings), group)
+            return bindings_from_pairs(
+                eval_path_pairs(p[1], edges_of, nodes_of), s, o
+            )
+
+        return finish_query(
+            eval_group(group, pattern_bindings), group, pattern_bindings
+        )
 
     def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:
         """Opt-in fallback: gather per-partition live triples and run the

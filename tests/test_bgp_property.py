@@ -345,6 +345,8 @@ _path_ast = st.recursive(
         st.tuples(st.just("seq"), st.lists(children, min_size=2, max_size=3)).map(tuple),
         st.tuples(st.just("alt"), st.lists(children, min_size=2, max_size=3)).map(tuple),
         st.tuples(st.just("plus"), children).map(tuple),
+        st.tuples(st.just("star"), children).map(tuple),
+        st.tuples(st.just("ques"), children).map(tuple),
     ),
     max_leaves=4,
 )
@@ -368,6 +370,16 @@ def _nv_path_pairs(ast, rows):
         for b in ast[1]:
             out |= _nv_path_pairs(b, rows)
         return out
+    if kind in ("star", "ques"):
+        # zero-length: every graph term pairs with itself
+        terms = {(s, False) for (s, _p, _o, _l) in rows} | {
+            (o, lit) for (_s, _p, o, lit) in rows
+        }
+        zero = {(t, t) for t in terms}
+        inner = _nv_path_pairs(ast[1], rows)
+        if kind == "ques":
+            return zero | inner
+        return zero | _nv_path_pairs(("plus", ast[1]), rows)
     base = _nv_path_pairs(ast[1], rows)
     total = set(base)
     while True:

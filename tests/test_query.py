@@ -495,8 +495,7 @@ def test_path_sequence_inverse_alternative():
 
 def test_path_grammar_errors():
     t = _path_table()
-    for bad in ("?s <knows>* ?o", "?s <knows>? ?o", "?s (<a>/<b> ?o",
-                "<a>/<b> <p> ?o", "?s <p> <a>/<b>"):
+    for bad in ("?s (<a>/<b> ?o", "<a>/<b> <p> ?o", "?s <p> <a>/<b>"):
         with pytest.raises(ValueError):
             eval_bgp(t, bad)
     # IRIs containing '?' or '*' are still plain IRIs
@@ -861,3 +860,120 @@ def test_filter_exists_and_not_exists():
     assert len(got) == 0
     with pytest.raises(ValueError, match="EXISTS needs braces"):
         eval_bgp(t, "?s <p> ?o . FILTER EXISTS ?s")
+
+
+# ------------------------------------------- zero-length paths (* / ?) ------
+def test_path_star_includes_zero_length():
+    t = _path_table()
+    out = eval_bgp(t, "<a> <knows>* ?o")
+    # a itself (zero steps) + the + closure
+    assert out["o"].tolist() == ["a", "b", "c", "d"]
+
+
+def test_path_ques_zero_or_one():
+    t = _path_table()
+    out = eval_bgp(t, "<a> <knows>? ?o")
+    assert out["o"].tolist() == ["a", "b"]
+
+
+def test_path_star_bound_start_absent_from_graph():
+    """Per spec (ALP), a bound start matches itself even when it does
+    not occur in the graph."""
+    t = _path_table()
+    out = eval_bgp(t, "<ghost> <knows>* ?o")
+    assert out["o"].tolist() == ["ghost"]
+
+
+def test_path_star_both_vars_pairs_every_term():
+    t = pa.table(
+        {"subj": ["a"], "pred": ["k"], "obj": ["b"],
+         "obj_is_literal": [False]}
+    )
+    out = eval_bgp(t, "?s <k>* ?o")
+    assert set(map(tuple, out.values.tolist())) == {
+        ("a", "a"), ("b", "b"), ("a", "b")
+    }
+
+
+def test_path_star_in_sequence():
+    t = _path_table()
+    # zero-or-more knows then a name: includes a's OWN name (zero hops)
+    out = eval_bgp(t, "<a> (<knows>*)/<name> ?n")
+    assert sorted(out["n"]) == ["Ann", "Dee"]
+
+
+# ----------------------------------------------- GROUP_CONCAT / SAMPLE ------
+def test_group_concat_and_sample():
+    t = _path_table()
+    out = eval_bgp(
+        t,
+        'SELECT ?s (GROUP_CONCAT(?o ; SEPARATOR=", ") AS ?os) '
+        "(SAMPLE(?o) AS ?one) WHERE { ?s <knows> ?o } GROUP BY ?s",
+    )
+    got = {r.s: (r.os, r.one) for r in out.itertuples(index=False)}
+    assert got == {"a": ("b", "b"), "b": ("c", "c"), "c": ("d", "d")}
+    # multiplicity comes from distinct solutions (RDF graphs are SETS of
+    # triples — a repeated triple is one solution): two subjects share x
+    t2 = pa.table(
+        {"subj": ["g1", "g2", "g1"], "pred": ["p"] * 3,
+         "obj": ["x", "x", "z"], "obj_is_literal": [True] * 3}
+    )
+    out = eval_bgp(
+        t2,
+        'SELECT (GROUP_CONCAT(?o ; SEPARATOR="|") AS ?all) '
+        "(GROUP_CONCAT(DISTINCT ?o) AS ?uniq) WHERE { ?s <p> ?o }",
+    )
+    assert out["all"].tolist() == ["x|x|z"]
+    assert out["uniq"].tolist() == ["x z"]
+
+
+def test_group_concat_str_semantics_on_typed_literals():
+    t = pa.table(
+        {"subj": ["g", "g"], "pred": ["p"] * 2,
+         "obj": ['"5"^^<http://www.w3.org/2001/XMLSchema#integer>', "plain"],
+         "obj_is_literal": [True, True]}
+    )
+    out = eval_bgp(
+        t, "SELECT (GROUP_CONCAT(?o) AS ?all) WHERE { <g> <p> ?o }"
+    )
+    assert out["all"].tolist() == ["5 plain"]  # lexical forms, sorted
+
+
+def test_sample_separator_rejected_outside_group_concat():
+    with pytest.raises(ValueError):
+        eval_bgp(
+            _path_table(),
+            'SELECT (SAMPLE(?o ; SEPARATOR=",") AS ?x) WHERE { ?s <knows> ?o }',
+        )
+
+
+# ------------------------------------------------------------- DESCRIBE -----
+def test_describe_iri():
+    out = eval_bgp(_path_table(), "DESCRIBE <a>")
+    assert out.values.tolist() == [
+        ["a", "knows", "b", False],
+        ["a", "name", "Ann", True],
+    ]
+
+
+def test_describe_var_with_where():
+    out = eval_bgp(
+        _path_table(), "DESCRIBE ?s WHERE { ?s <name> ?n }"
+    )
+    assert sorted(set(out["subj"])) == ["a", "d"]
+    assert out[out["subj"] == "d"].values.tolist() == [
+        ["d", "name", "Dee", True]
+    ]
+
+
+def test_describe_multiple_and_absent():
+    out = eval_bgp(_path_table(), "DESCRIBE <a> <x> <missing>")
+    assert sorted(set(out["subj"])) == ["a", "x"]
+
+
+def test_describe_errors():
+    t = _path_table()
+    with pytest.raises(ValueError):
+        eval_bgp(t, "DESCRIBE")
+    with pytest.raises(ValueError):
+        eval_bgp(t, "DESCRIBE ?s")  # var without a binding group

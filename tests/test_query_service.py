@@ -168,3 +168,25 @@ def test_minus_values_bind_exists_distributed_match(service, single_reader):
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_star_ques_describe_concat_distributed_match(service, single_reader):
+    """r3 additions with router-specific machinery: zero-length paths
+    gather the partitions' node universes; DESCRIBE pushes one pattern
+    per resource; GROUP_CONCAT/SAMPLE aggregate once on the router."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    acq = single_reader.query_at(ts, f"?s <{P_ACQUIRED}> ?o")
+    subj = sorted(set(acq["s"]))[0]
+    for q in (
+        f"<{subj}> <{P_ACQUIRED}>* ?o",
+        f"<{subj}> <{P_ACQUIRED}>? ?o",
+        f"SELECT ?s (GROUP_CONCAT(?o) AS ?os) (SAMPLE(?o) AS ?one) "
+        f"WHERE {{ ?s <{P_ACQUIRED}> ?o }} GROUP BY ?s",
+        f"DESCRIBE <{subj}>",
+        f"DESCRIBE ?s WHERE {{ ?s <{P_ACQUIRED}> ?o }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
