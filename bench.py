@@ -148,6 +148,8 @@ def run_bench() -> dict:
             "exact_dedup", "minhash_dedup", "simhash_pairs", "ann_topk",
             "ivf_topk", "doc_stats", "quality_score", "repetition_stats",
             "events_quantiles", "events_range_join", "approx_distinct_users",
+            "tfidf_top_terms", "decontaminate", "pii_redact",
+            "json_props_stats", "kmeans_clusters", "semdedup_docs",
         ):
             timed(name, q.registry()[name])
 
