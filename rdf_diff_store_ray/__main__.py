@@ -152,6 +152,17 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Added/removed triples between two store versions (the diff-store's
+    namesake op) as JSON lines: {"graph_id", "change", "line"}."""
+    from .state.reconstruct import diff_table
+
+    out = diff_table(_delta_table(args.store), args.ts1, args.ts2)
+    for r in out.to_pylist():
+        print(json.dumps(r))
+    return 0
+
+
 def cmd_metadata(args) -> int:
     import pandas as pd
 
@@ -221,6 +232,12 @@ def main(argv=None) -> int:
     q.add_argument("--ts", type=int, required=True)
     q.add_argument("--bgp", required=True)
     q.set_defaults(fn=cmd_query)
+
+    df = sub.add_parser("diff", help="added/removed triples between two versions")
+    df.add_argument("--store", required=True)
+    df.add_argument("--ts1", required=True, type=int)
+    df.add_argument("--ts2", required=True, type=int)
+    df.set_defaults(fn=cmd_diff)
 
     m = sub.add_parser("metadata", help="(start_time, end_time) of the store")
     m.add_argument("--store", required=True)

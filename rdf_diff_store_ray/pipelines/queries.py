@@ -822,6 +822,22 @@ def kg_state_at_mid(sf_dir: str):
     )
 
 
+def kg_diff(sf_dir: str):
+    """Triples added/removed between mid- and end-of-history — the
+    diff-store's namesake operation (the reference stores one git commit
+    per graph change, ``src/git.rs:151-190``), via the DISTRIBUTED
+    ``diff_between`` path: one bounded-partition shuffle, both as-of
+    states resolved per partition, unchanged graphs skipped by digest."""
+    from ..corpus import EPOCH, SNAPSHOT_STEP
+    from ..state.reconstruct import diff_between
+
+    res = kg_build_for(sf_dir)
+    mid = EPOCH + 2 * SNAPSHOT_STEP + 1
+    return diff_between(res.delta_dataset(), mid, _store_end_ts(res)).sort(
+        ["graph_id", "change", "line"]
+    )
+
+
 def kg_bgp_acquired(sf_dir: str):
     from ..corpus import P_ACQUIRED
     from ..query.bgp import DiffStoreReader
@@ -1598,6 +1614,7 @@ def registry():
         "events_top_users_per_type": rel.events_top_users_per_type,
         "events_quantiles": rel.events_value_quantiles,
         "events_range_join": rel.events_range_join,
+        "events_state_diff": rel.events_state_diff,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -1632,6 +1649,7 @@ def registry():
         "kg_bgp_describe": kg_bgp_describe,
         "kg_bgp_star_path": kg_bgp_star_path,
         "kg_blank_nodes": kg_blank_nodes,
+        "kg_diff": kg_diff,
         "kmeans_clusters": kmeans_clusters,
         "semdedup_docs": semdedup_docs,
         "kg_entity_degree": kg_entity_degree,
@@ -1671,6 +1689,7 @@ def oracles():
         "events_sliding_window": rel.EVENTS_SLIDING_SQL,
         "events_asof_state": rel.EVENTS_ASOF_SQL,
         "events_change_log": rel.EVENTS_CHANGE_LOG_SQL,
+        "events_state_diff": rel.EVENTS_STATE_DIFF_SQL,
         "events_metadata": rel.EVENTS_METADATA_SQL,
         "events_version_times": rel.EVENTS_VERSION_TIMES_SQL,
         "revenue_q6": rel.REVENUE_Q6_SQL,

@@ -470,6 +470,81 @@ FROM (
 """
 
 
+# ------------------------------------------------- state diff ---------------
+DIFF_TS1 = "2024-01-02 00:00:00"
+DIFF_TS2 = "2024-01-04 00:00:00"
+
+
+def events_state_diff(sf_dir: str, ts1: str = DIFF_TS1, ts2: str = DIFF_TS2):
+    """Difference between two as-of states — the diff-store's namesake
+    operation (state(ts2) vs state(ts1), ``src/git.rs:151-190``) over an
+    event stream: users whose latest event_type changed between the
+    cutoffs ('changed') or who first appeared ('added'). ONE scan bounded
+    at ts2 and one keyed shuffle; both states resolve per partition in a
+    single vectorized pass."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    cut1 = pa.scalar(pd.Timestamp(ts1), pa.timestamp("us"))
+    cut2 = pa.scalar(pd.Timestamp(ts2), pa.timestamp("us"))
+    t1 = pd.Timestamp(ts1)
+
+    def upto2(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["ts"], cut2))
+
+    def diff_per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new = g.drop_duplicates(subset=["user_id"], keep="last")
+        old = g[g["ts"] <= t1].drop_duplicates(subset=["user_id"], keep="last")
+        m = new[["user_id", "event_type"]].merge(
+            old[["user_id", "event_type"]], on="user_id", how="left",
+            suffixes=("_new", "_old"),
+        )
+        appeared = m["event_type_old"].isna()
+        keep = m[appeared | m["event_type_old"].ne(m["event_type_new"])]
+        return pd.DataFrame(
+            {
+                "user_id": keep["user_id"].to_numpy(),
+                "old_event_type": keep["event_type_old"].fillna("").to_numpy(),
+                "new_event_type": keep["event_type_new"].to_numpy(),
+                "change": np.where(keep["event_type_old"].isna(),
+                                   "added", "changed"),
+            }
+        )
+
+    return (
+        ds.map_batches(upto2, batch_format="pyarrow")
+        .map_batches(
+            _add_key_partition, fn_kwargs={"key": "user_id"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(diff_per_user, batch_format="pandas")
+    )
+
+
+EVENTS_STATE_DIFF_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{DIFF_TS1}') WHERE rn = 1
+), s2 AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{DIFF_TS2}') WHERE rn = 1
+)
+SELECT s2.user_id,
+       coalesce(s1.event_type, '') AS old_event_type,
+       s2.event_type AS new_event_type,
+       CASE WHEN s1.user_id IS NULL THEN 'added' ELSE 'changed' END AS change
+FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s1.event_type <> s2.event_type
+"""
+
+
 # ------------------------------------------------- filter + global agg ------
 def revenue_q6(sf_dir: str):
     """Selective filter + global sum (TPC-H Q6 shape): predicate pushdown

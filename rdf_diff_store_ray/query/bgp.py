@@ -1955,5 +1955,14 @@ class DiffStoreReader:
     def query_at_json(self, ts, query: str) -> str:
         return bindings_json(self.query_at(ts, query))
 
+    def diff(self, ts1, ts2) -> pd.DataFrame:
+        """Triples added/removed between two store versions — the
+        diff-store's namesake operation (each reference version IS such a
+        diff, one git commit per change, ``src/git.rs:151-190``).
+        ``(graph_id, change, line)`` sorted, uncached (arbitrary ts
+        pairs would thrash an LRU keyed by single instants)."""
+        return reconstruct.diff_table(self.deltas, self._key(ts1),
+                                      self._key(ts2)).to_pandas()
+
     def metadata(self):
         return reconstruct.metadata_table(self.deltas)

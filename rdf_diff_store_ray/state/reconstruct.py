@@ -93,6 +93,118 @@ def triples_at_table(deltas: pa.Table, ts) -> pa.Table:
     )
 
 
+def _ts_pandas(ts) -> pd.Timestamp:
+    return pd.Timestamp(_ts_scalar(ts).as_py())
+
+
+def _lines_frame(live: pd.DataFrame) -> pd.DataFrame:
+    """One (graph_id, line) row per canonical N-Triples line of each live
+    graph. Canonical text is sorted + deduped, so LINE-level set algebra
+    equals triple-level set algebra — no parsing needed."""
+    if live.empty:
+        return pd.DataFrame({"graph_id": pd.Series(dtype=object),
+                             "line": pd.Series(dtype=object)})
+    s = live.set_index("graph_id")["delta_text"].str.split("\n").explode()
+    s = s[s.notna() & (s != "")]
+    return pd.DataFrame({"graph_id": s.index.to_numpy(),
+                         "line": s.to_numpy()})
+
+
+_DIFF_EMPTY = {"graph_id": object, "change": object, "line": object}
+
+
+def _diff_live_frames(live1: pd.DataFrame, live2: pd.DataFrame) -> pd.DataFrame:
+    """Added/removed canonical lines between two live-state frames
+    (columns ``graph_id, digest, delta_text``; one row per live graph).
+    Unchanged graphs are skipped up front via the stored content digest —
+    only changed graphs' texts are ever exploded."""
+    m = live1[["graph_id", "digest"]].merge(
+        live2[["graph_id", "digest"]], on="graph_id", how="outer",
+        suffixes=("_1", "_2"),
+    )
+    changed = m.loc[m["digest_1"].ne(m["digest_2"]), "graph_id"]
+    old = _lines_frame(live1[live1["graph_id"].isin(changed)])
+    new = _lines_frame(live2[live2["graph_id"].isin(changed)])
+    j = old.merge(new, on=["graph_id", "line"], how="outer", indicator=True)
+    out = pd.DataFrame(
+        {
+            "graph_id": j["graph_id"].to_numpy(),
+            "change": np.where(j["_merge"].to_numpy() == "left_only",
+                               "removed", "added"),
+            "line": j["line"].to_numpy(),
+        }
+    )
+    out = out[j["_merge"].to_numpy() != "both"]
+    return out.sort_values(["graph_id", "change", "line"], ignore_index=True)
+
+
+def diff_table(deltas: pa.Table, ts1, ts2) -> pa.Table:
+    """Triples added/removed between the store states at ``ts1`` and
+    ``ts2`` — the diff-store's namesake operation. The reference keeps
+    exactly this as its storage format (one git commit per graph change,
+    ``src/git.rs:151-190``); here it is recovered from the delta log by
+    resolving both as-of states and set-differencing canonical lines.
+    Returns ``(graph_id, change ∈ {added, removed}, line)`` sorted."""
+    cols = ["graph_id", "digest", "delta_text"]
+    live1 = state_at_table(deltas, ts1).select(cols).to_pandas()
+    live2 = state_at_table(deltas, ts2).select(cols).to_pandas()
+    out = _diff_live_frames(live1, live2)
+    return pa.table(
+        {
+            "graph_id": pa.array(out["graph_id"].tolist(), pa.string()),
+            "change": pa.array(out["change"].tolist(), pa.string()),
+            "line": pa.array(out["line"].tolist(), pa.string()),
+        }
+    )
+
+
+def diff_between(deltas_ds, ts1, ts2, num_partitions: int = 64):
+    """Distributed ``diff_table``: graphs are hashed into bounded
+    partitions (same key as every other state operation, so the log's
+    partitioning is reused) and each partition resolves BOTH as-of states
+    and emits its graphs' added/removed lines in one vectorized pass —
+    one keyed shuffle total, no driver-side state. Rows with
+    ``warc_ts > ts2`` never enter the shuffle."""
+    t1 = _ts_pandas(ts1)
+
+    def upto2(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less_equal(batch["warc_ts"].cast(pa.timestamp("s")),
+                          _ts_scalar(ts2))
+        )
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        from ..shuffle_utils import add_partition_id
+
+        return add_partition_id(batch, key="graph_id",
+                                num_partitions=num_partitions,
+                                col="state_pid")
+
+    def diff_partition(group: pd.DataFrame) -> pd.DataFrame:
+        keys = ["graph_id", "warc_ts"] + (
+            ["seq"] if "seq" in group.columns else []
+        )
+        g = group.sort_values(keys, kind="stable")
+        live2 = g.drop_duplicates(subset=["graph_id"], keep="last")
+        live2 = live2[live2["op"] != OP_DELETE]
+        g1 = g[g["warc_ts"].dt.floor("s") <= t1]
+        live1 = g1.drop_duplicates(subset=["graph_id"], keep="last")
+        live1 = live1[live1["op"] != OP_DELETE]
+        out = _diff_live_frames(live1, live2)
+        if out.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _DIFF_EMPTY.items()}
+            )
+        return out
+
+    return (
+        deltas_ds.map_batches(upto2, batch_format="pyarrow")
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("state_pid")
+        .map_groups(diff_partition, batch_format="pandas")
+    )
+
+
 def metadata_table(deltas: pa.Table):
     if deltas.num_rows == 0:
         return (None, None)

@@ -103,6 +103,54 @@ def test_state_at_dataset_path_agrees_with_table_path(ray_session, built):
     assert ds_state == table_state
 
 
+def test_diff_between_matches_naive_state_difference(ray_session, built):
+    """diff(ts1, ts2) == set(state(ts2)) - set(state(ts1)) per graph, on
+    both the table path and the distributed path — including graphs that
+    appear, change, and (via the corpus's churned urls) disappear."""
+    from rdf_diff_store_ray import ntriples
+
+    dt = built.delta_table()
+    times = sorted(
+        int(pd.Timestamp(t).timestamp())
+        for t in dt["warc_ts"].cast("timestamp[s]").to_pylist()
+    )
+    ts1, ts2 = times[len(times) // 3], times[-1]
+
+    def naive_state(ts):
+        out = {}
+        for r in reconstruct.state_at_table(dt, ts).to_pylist():
+            out[r["graph_id"]] = set(
+                line for line in r["delta_text"].split("\n") if line
+            )
+        return out
+
+    s1, s2 = naive_state(ts1), naive_state(ts2)
+    expected = set()
+    for gid in set(s1) | set(s2):
+        for line in s2.get(gid, set()) - s1.get(gid, set()):
+            expected.add((gid, "added", line))
+        for line in s1.get(gid, set()) - s2.get(gid, set()):
+            expected.add((gid, "removed", line))
+
+    table_diff = {
+        (r["graph_id"], r["change"], r["line"])
+        for r in reconstruct.diff_table(dt, ts1, ts2).to_pylist()
+    }
+    assert table_diff == expected
+    assert expected, "fixture must exercise a non-empty diff"
+
+    ds_diff = {
+        (r["graph_id"], r["change"], r["line"])
+        for r in reconstruct.diff_between(
+            built.delta_dataset(), ts1, ts2
+        ).take_all()
+    }
+    assert ds_diff == expected
+
+    # identical endpoints diff to nothing
+    assert reconstruct.diff_table(dt, ts2, ts2).num_rows == 0
+
+
 def test_version_times_dataset(ray_session, built, oracle_store):
     times = reconstruct.version_times(built.delta_dataset())
     got = sorted(int(pd.Timestamp(t).timestamp()) for t in times)

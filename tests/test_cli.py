@@ -37,6 +37,29 @@ def test_cli_roundtrip(ray_session, tmp_path, capsys):
     assert lines[5] == lines[-1]
 
 
+def test_cli_diff(ray_session, tmp_path, capsys):
+    from rdf_diff_store_ray.__main__ import main
+
+    store = str(tmp_path / "deltas")
+    v1 = '<https://x/a> <https://x/p> "1" .\n'
+    v2 = ('<https://x/a> <https://x/p> "2" .\n'
+          '<https://x/b> <https://x/p> "3" .\n')
+    assert main(["init", "--store", store, "--partitions", "2"]) == 0
+    assert main(["append", "--store", store, "--graph", "g",
+                 "--text", v1, "--ts", "1700000000"]) == 0
+    assert main(["append", "--store", store, "--graph", "g",
+                 "--text", v2, "--ts", "1700000100"]) == 0
+    capsys.readouterr()
+    assert main(["diff", "--store", store, "--ts1", "1700000050",
+                 "--ts2", "1700000200"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert {(r["change"], r["line"]) for r in rows} == {
+        ("added", '<https://x/a> <https://x/p> "2" .'),
+        ("added", '<https://x/b> <https://x/p> "3" .'),
+        ("removed", '<https://x/a> <https://x/p> "1" .'),
+    }
+
+
 def test_cli_graphs_at_out_and_turtle(ray_session, tmp_path, capsys):
     from rdf_diff_store_ray.__main__ import main
 
