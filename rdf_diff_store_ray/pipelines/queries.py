@@ -1213,6 +1213,26 @@ def kg_bgp_describe(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_graph(sf_dir: str):
+    """GRAPH clause over the KG: which named graph (source page) asserts
+    each acquisition edge at the end timestamp — SPARQL's dataset-scoped
+    matching over the store's one-graph-per-source-id model (the
+    reference keys graphs the same way, ``src/git.rs:110-120``; oxigraph
+    answers GRAPH natively, ``src/query.rs:102-114``)."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT DISTINCT ?g ?s ?o WHERE "
+        f"{{ GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }} }} "
+        "ORDER BY ?g ?s ?o LIMIT 200",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_star_path(sf_dir: str):
     """Zero-or-more property path over the KG: the reflexive transitive
     acquisition closure (``<acquired>*``) — every company paired with

@@ -360,11 +360,27 @@ def _parse_group_body(body: str) -> dict:
     import re as _re
 
     group = {"patterns": [], "filters": [], "optionals": [], "unions": [],
-             "values": [], "binds": [], "minus": [], "exists": []}
+             "values": [], "binds": [], "minus": [], "exists": [],
+             "graphs": []}
     for clause in _split_clauses(body):
         up = clause.upper()
         if clause.startswith("{"):
             group["unions"].append(_parse_union(clause))
+        elif up.startswith("GRAPH"):
+            rest = clause[len("GRAPH"):].strip()
+            b = rest.find("{")
+            if b < 0 or not rest.endswith("}") \
+                    or _match_brace(rest, b) != len(rest) - 1:
+                raise ValueError(f"GRAPH needs a term and braces: {clause!r}")
+            gterm = _parse_term(rest[:b].strip())
+            if gterm[0] not in ("var", "iri"):
+                raise ValueError(
+                    f"GRAPH term must be a variable or IRI: {clause!r}"
+                )
+            sub = _plain_group(parse_query(rest[b + 1 : -1].strip()), "GRAPH")
+            if sub.get("graphs"):
+                raise ValueError("GRAPH inside GRAPH is not supported")
+            group["graphs"].append((gterm, sub))
         elif up.startswith("FILTER"):
             inner = clause[len("FILTER"):].strip()
             if m := _re.match(r"^(NOT\s+)?EXISTS\b", inner, _re.IGNORECASE):
@@ -891,7 +907,8 @@ def _parse_path_token(t: str):
     return node
 
 
-def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
+def eval_bgp(triples: pa.Table, query: str,
+             quads: "pa.Table | None" = None) -> pd.DataFrame:
     """Evaluate a SPARQL-subset query against a triple table
     (``subj, pred, obj, obj_is_literal``); returns distinct bindings, one
     column per variable, sorted for determinism. Unbound OPTIONAL
@@ -906,7 +923,21 @@ def eval_bgp(triples: pa.Table, query: str) -> pd.DataFrame:
     df = triples.to_pandas()
     group = parse_query(query)
     source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
-    return finish_query(eval_group(group, source), group, source)
+    # lazy quad source: GRAPH clauses may sit anywhere in the group tree
+    # (OPTIONAL/UNION branches included), so the error and the one-time
+    # to_pandas both happen only when a GRAPH pattern is actually reached
+    qcache: list = []
+
+    def gsource(pat, gt):
+        if quads is None:
+            raise ValueError(
+                "query has a GRAPH clause but no quad table was supplied"
+            )
+        if not qcache:
+            qcache.append(quads.to_pandas())
+        return eval_pattern_in_graph(qcache[0], pat, gt)
+
+    return finish_query(eval_group(group, source, gsource), group, source)
 
 
 def finish_query(result: pd.DataFrame, group: dict,
@@ -1173,12 +1204,15 @@ def describe_triples(result: pd.DataFrame, describe,
     return out.sort_values(list(out.columns), ignore_index=True)
 
 
-def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
+def eval_group(group: dict, pattern_bindings,
+               graph_bindings=None) -> pd.DataFrame:
     """Evaluate a parsed group given ``pattern_bindings(pattern) →
     tagged df``. The bindings source is what varies between the local
     evaluator (one triple table) and the distributed service (union of
     per-partition pattern evaluations) — the join/OPTIONAL/FILTER
-    algebra is identical."""
+    algebra is identical. ``graph_bindings(pattern, gterm)`` is the
+    graph-scoped source for ``GRAPH`` clauses (quad-aware; binds the
+    graph variable when ``gterm`` is a var)."""
     result = _conjoin(group["patterns"], pattern_bindings)
     for varnames, rows in group.get("values") or []:
         vdf = pd.DataFrame(rows, columns=varnames, dtype=object)
@@ -1188,8 +1222,19 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
         result = _merge_bindings(result, vdf).drop_duplicates(
             ignore_index=True
         )
+    for gterm, sub in group.get("graphs") or []:
+        if graph_bindings is None:
+            raise ValueError(
+                "this pattern source does not support GRAPH clauses"
+            )
+        src = lambda pat, gt=gterm: graph_bindings(pat, gt)  # noqa: E731
+        gres = eval_group(sub, src)
+        result = _merge_bindings(result, gres).drop_duplicates(
+            ignore_index=True
+        )
     for branches in group["unions"]:
-        parts = [eval_group(b, pattern_bindings) for b in branches]
+        parts = [eval_group(b, pattern_bindings, graph_bindings)
+                 for b in branches]
         cols: list = []
         for p in parts:
             cols.extend(c for c in p.columns if c not in cols)
@@ -1203,7 +1248,9 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
     for opt in group["optionals"]:
         # full recursive evaluation: OPTIONAL groups may carry their own
         # FILTERs, UNIONs and nested OPTIONALs (scoped inside the group)
-        result = _merge_optional(result, eval_group(opt, pattern_bindings))
+        result = _merge_optional(
+            result, eval_group(opt, pattern_bindings, graph_bindings)
+        )
     for vname, o in group.get("binds") or []:
         if vname in result.columns:
             raise ValueError(f"BIND would rebind already-bound ?{vname}")
@@ -1213,10 +1260,12 @@ def eval_group(group: dict, pattern_bindings) -> pd.DataFrame:
             **{vname: s.astype(object).where(s.notna(), None)}
         )
     for mg in group.get("minus") or []:
-        result = _apply_minus(result, eval_group(mg, pattern_bindings))
+        result = _apply_minus(
+            result, eval_group(mg, pattern_bindings, graph_bindings)
+        )
     for positive, eg in group.get("exists") or []:
         result = _apply_exists(
-            result, eval_group(eg, pattern_bindings), positive
+            result, eval_group(eg, pattern_bindings, graph_bindings), positive
         )
     return _apply_filters(result, group["filters"])
 
@@ -1612,7 +1661,41 @@ def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
     return proj.head(1) if len(cur) else proj
 
 
-def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
+def group_has_graph(group: dict) -> bool:
+    """True when any group in the tree (OPTIONAL/UNION/MINUS/EXISTS
+    branches included) carries a GRAPH clause — callers use it to decide
+    whether the quad view must be built at all."""
+    if group.get("graphs"):
+        return True
+    subs = list(group.get("optionals") or [])
+    subs.extend(b for branches in group.get("unions") or [] for b in branches)
+    subs.extend(group.get("minus") or [])
+    subs.extend(eg for _, eg in group.get("exists") or [])
+    return any(group_has_graph(s) for s in subs)
+
+
+def eval_pattern_in_graph(qdf: pd.DataFrame, pattern, gterm) -> pd.DataFrame:
+    """One pattern against a QUAD frame (``graph_id`` + triple columns)
+    under a ``GRAPH`` term: a constant IRI restricts to that named graph
+    (the reference's graphs are keyed the same way, one per source url);
+    a variable binds the graph id as an IRI term alongside the pattern's
+    own variables — the shared graph column then keeps every pattern of
+    the GRAPH block in the same graph through the ordinary join algebra."""
+    kind, val = gterm
+    if kind == "iri":
+        return eval_one_pattern(qdf[qdf["graph_id"] == val], pattern)
+    if kind != "var":
+        raise ValueError("GRAPH term must be a variable or IRI")
+    if pattern[1][0] == "path":
+        raise ValueError(
+            "property paths under GRAPH ?var are not supported "
+            "(use a constant GRAPH <iri>)"
+        )
+    return eval_one_pattern(qdf, pattern, graph_var=val)
+
+
+def eval_one_pattern(df: pd.DataFrame, pattern,
+                     graph_var: str | None = None) -> pd.DataFrame:
     """One triple pattern against a triple frame → frame of TAGGED
     bindings, one column per variable (a zero-column frame with 0/1
     rows for a variable-free pattern).
@@ -1642,7 +1725,12 @@ def eval_one_pattern(df: pd.DataFrame, pattern) -> pd.DataFrame:
                 cur = cur[~cur["obj_is_literal"]]
         else:  # literal — only matches the object position
             cur = cur[(cur[pos] == val) & cur["obj_is_literal"]]
-    # tagged term per position, fully vectorized (subj/pred always IRIs)
+    if graph_var is not None:
+        # graph id rides along as a fourth bound position; sharing the
+        # variable with a triple position (GRAPH ?g { ?g ?p ?o }) falls
+        # out of the repeated-variable equality below
+        var_positions.setdefault(graph_var, []).append("graph_id")
+    # tagged term per position, fully vectorized (subj/pred/graph always IRIs)
     tagged = pd.DataFrame(index=cur.index)
     needed = {p for ps in var_positions.values() for p in ps}
     for pos in needed:
@@ -1878,6 +1966,7 @@ class DiffStoreReader:
 
         self.deltas = deltas
         self.store_cache = LRU(cache_capacity)  # ts -> triple table
+        self.quads_cache = LRU(cache_capacity)  # ts -> quad table (GRAPH)
         self.graphs_cache = LRU(cache_capacity)  # ts -> canonical text
         self.query_cache = LRU(cache_capacity)  # (ts, q) -> bindings df
         self.last_cache_level: str = "Nothing"
@@ -1911,6 +2000,15 @@ class DiffStoreReader:
         store = reconstruct.triples_at_table(self.deltas, k)
         self.store_cache.put(k, store)
         return store
+
+    def _quads_at(self, ts) -> pa.Table:
+        k = self._key(ts)
+        hit = self.quads_cache.get(k)
+        if hit is not None:
+            return hit
+        quads = reconstruct.quads_at_table(self.deltas, k)
+        self.quads_cache.put(k, quads)
+        return quads
 
     def graphs_at(self, ts) -> str:
         import time
@@ -1946,7 +2044,9 @@ class DiffStoreReader:
             self._record("sparql", "Query", time.monotonic() - t0)
             return hit
         had_store = self.store_cache.get(k) is not None
-        res = eval_bgp(self._store_at(k), query)
+        quads = (self._quads_at(k)
+                 if group_has_graph(parse_query(query)) else None)
+        res = eval_bgp(self._store_at(k), query, quads=quads)
         self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"
         self._record("sparql", self.last_cache_level, time.monotonic() - t0)

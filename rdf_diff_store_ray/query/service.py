@@ -88,6 +88,26 @@ class PartitionReaderActor:
         self.reader.query_cache.put(key, out)
         return out
 
+    def graph_pattern_bindings(self, ts, pattern_str: str,
+                               gterm_str: str) -> pd.DataFrame:
+        """TAGGED bindings of one GRAPH-scoped pattern against this
+        partition's live QUADS. Per-partition-local for the same reason
+        plain patterns are: a graph's whole history lives in exactly one
+        partition, so graph-scoped matches never cross partitions."""
+        from .bgp import _parse_term, eval_pattern_in_graph, parse_query
+
+        k = self.reader._key(ts)
+        key = (k, gterm_str, pattern_str, "graph")
+        hit = self.reader.query_cache.get(key)
+        if hit is not None:
+            return hit
+        pat = parse_query(pattern_str)["patterns"][0]
+        out = eval_pattern_in_graph(
+            self.reader._quads_at(k).to_pandas(), pat, _parse_term(gterm_str)
+        )
+        self.reader.query_cache.put(key, out)
+        return out
+
     def node_terms(self, ts) -> pd.DataFrame:
         """Distinct tagged subject/object terms of this partition's live
         triples — the partition's share of the zero-length-path node
@@ -161,7 +181,7 @@ class QueryService:
         simple = (len(g["patterns"]) == 1 and not g["optionals"]
                   and not g["unions"] and not g.get("minus")
                   and not g.get("values") and not g.get("binds")
-                  and not g.get("exists"))
+                  and not g.get("exists") and not g.get("graphs"))
         has_mods = (g.get("select") is not None or g.get("distinct")
                     or g.get("order_by") or g.get("limit") is not None
                     or g.get("offset") or g.get("ask")
@@ -197,6 +217,7 @@ class QueryService:
             eval_path_pairs,
             finish_query,
             format_pattern,
+            format_term,
         )
 
         def gather_pattern(pat):
@@ -251,8 +272,34 @@ class QueryService:
                 eval_path_pairs(p[1], edges_of, nodes_of), s, o
             )
 
+        def graph_bindings(pat, gterm):
+            if pat[1][0] == "path":
+                raise ValueError(
+                    "property paths under GRAPH are not supported by the "
+                    "distributed service (use DiffStoreReader)"
+                )
+            gs, ps = format_term(gterm), format_pattern(pat)
+            if gterm[0] == "iri":
+                # partition pruning: hash ownership puts the named graph
+                # in exactly one partition (same rule as graph_at)
+                from ..shuffle_utils import partition_ids
+
+                pid = int(partition_ids([gterm[1]], len(self.actors))[0])
+                return ray.get(
+                    self.actors[pid].graph_pattern_bindings.remote(ts, ps, gs)
+                )
+            parts = ray.get([
+                a.graph_pattern_bindings.remote(ts, ps, gs)
+                for a in self.actors
+            ])
+            cur = pd.concat(parts, ignore_index=True)
+            if len(cur.columns):
+                return cur.drop_duplicates(ignore_index=True)
+            return cur.head(1)
+
         return finish_query(
-            eval_group(group, pattern_bindings), group, pattern_bindings
+            eval_group(group, pattern_bindings, graph_bindings),
+            group, pattern_bindings
         )
 
     def _query_at_gathered(self, ts, query: str) -> pd.DataFrame:

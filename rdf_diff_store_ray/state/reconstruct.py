@@ -93,6 +93,34 @@ def triples_at_table(deltas: pa.Table, ts) -> pa.Table:
     )
 
 
+def quads_at_table(deltas: pa.Table, ts) -> pa.Table:
+    """Distinct (graph_id, subj, pred, obj, obj_is_literal) live at
+    ``ts`` — the quad view that scopes ``GRAPH`` clauses. The engine's
+    named graphs are the reference's one-graph-per-source-id model
+    (``src/git.rs:110-120``), so the graph term of a quad is the
+    graph id itself."""
+    live = state_at_table(deltas, ts)
+    gids, ss, ps, os_, lits = [], [], [], [], []
+    if live.num_rows:
+        for gid, text in zip(live["graph_id"].to_pylist(),
+                             live["delta_text"].to_pylist()):
+            for s, p, o, is_lit in ntriples.parse(text):
+                gids.append(gid)
+                ss.append(s)
+                ps.append(p)
+                os_.append(o)
+                lits.append(is_lit)
+    return pa.table(
+        {
+            "graph_id": pa.array(gids, pa.string()),
+            "subj": pa.array(ss, pa.string()),
+            "pred": pa.array(ps, pa.string()),
+            "obj": pa.array(os_, pa.string()),
+            "obj_is_literal": pa.array(lits, pa.bool_()),
+        }
+    )
+
+
 def _ts_pandas(ts) -> pd.Timestamp:
     return pd.Timestamp(_ts_scalar(ts).as_py())
 

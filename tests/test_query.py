@@ -977,3 +977,98 @@ def test_describe_errors():
         eval_bgp(t, "DESCRIBE")
     with pytest.raises(ValueError):
         eval_bgp(t, "DESCRIBE ?s")  # var without a binding group
+
+
+# ------------------------------------------------------------- GRAPH -------
+def _quads_table():
+    rows = [
+        ("https://g/1", "https://e/a", P_ACQUIRED, "https://e/b", False),
+        ("https://g/2", "https://e/b", P_ACQUIRED, "https://e/c", False),
+        ("https://g/1", "https://e/a", P_FOUNDED, "1999", True),
+        ("https://g/2", "https://e/c", P_FOUNDED, "1999", True),
+    ]
+    return pa.table(
+        {
+            "graph_id": pa.array([r[0] for r in rows], pa.string()),
+            "subj": pa.array([r[1] for r in rows], pa.string()),
+            "pred": pa.array([r[2] for r in rows], pa.string()),
+            "obj": pa.array([r[3] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def test_graph_constant_scopes_to_named_graph():
+    out = eval_bgp(BASE, f"GRAPH <https://g/1> {{ ?s <{P_ACQUIRED}> ?o }}",
+                   quads=_quads_table())
+    assert out.to_dict("records") == [
+        {"s": "https://e/a", "o": "https://e/b"}
+    ]
+
+
+def test_graph_variable_binds_graph_id():
+    out = eval_bgp(BASE, f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}",
+                   quads=_quads_table())
+    assert sorted(map(tuple, out[["g", "s"]].values.tolist())) == [
+        ("https://g/1", "https://e/a"),
+        ("https://g/2", "https://e/b"),
+    ]
+
+
+def test_graph_block_joins_within_one_graph():
+    # both patterns must match in the SAME graph: a acquired b AND
+    # founded-1999 only co-occur in g/1
+    q = (f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o . "
+         f'?s <{P_FOUNDED}> "1999" }}')
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    assert out.to_dict("records") == [
+        {"g": "https://g/1", "s": "https://e/a", "o": "https://e/b"}
+    ]
+
+
+def test_graph_joins_with_default_graph_pattern():
+    q = (f"?s <{P_FOUNDED}> ?y . "
+         f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}")
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    got = sorted(map(tuple, out[["g", "s"]].values.tolist()))
+    assert got == [("https://g/1", "https://e/a")]
+
+
+def test_graph_select_projection():
+    q = f"SELECT ?g WHERE {{ GRAPH ?g {{ ?s <{P_FOUNDED}> ?o }} }}"
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    assert sorted(out["g"]) == ["https://g/1", "https://g/2"]
+
+
+def test_graph_without_quads_raises():
+    with pytest.raises(ValueError, match="quad table"):
+        eval_bgp(BASE, "GRAPH ?g { ?s ?p ?o }")
+
+
+def test_graph_grammar_errors():
+    with pytest.raises(ValueError):
+        parse_bgp("GRAPH { ?s ?p ?o }")  # missing term
+    with pytest.raises(ValueError):
+        parse_bgp('GRAPH "lit" { ?s ?p ?o }')  # literal term
+    with pytest.raises(ValueError):
+        parse_bgp("GRAPH ?g ?s ?p ?o")  # missing braces
+    with pytest.raises(ValueError):
+        parse_bgp("GRAPH ?g { GRAPH ?h { ?s ?p ?o } }")  # nested GRAPH
+
+
+def test_reader_graph_query_matches_state(built):
+    """GRAPH <gid> { ?s ?p ?o } through the reader equals the parsed
+    triples of that graph's own live text."""
+    from rdf_diff_store_ray import ntriples as nt
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    reader = DiffStoreReader(built.delta_table())
+    _, hi = reader.metadata()
+    ts = int(pd.Timestamp(hi).timestamp())
+    live = state_at_table(built.delta_table(), ts)
+    gid = live["graph_id"][0].as_py()
+    text = live["delta_text"][0].as_py()
+    out = reader.query_at(ts, f"GRAPH <{gid}> {{ ?s ?p ?o }}")
+    want = sorted((s, p, o) for s, p, o, _ in nt.parse(text))
+    got = sorted(map(tuple, out[["s", "p", "o"]].values.tolist()))
+    assert got == want

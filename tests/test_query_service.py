@@ -190,3 +190,24 @@ def test_star_ques_describe_concat_distributed_match(service, single_reader):
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_graph_clause_distributed_matches_single_reader(service, single_reader, built):
+    """GRAPH queries (constant = partition-pruned, variable = fan-out)
+    must agree with the single-reader quad evaluation."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    ts = _end_ts(single_reader)
+    live = state_at_table(built.delta_table(), ts)
+    gid = live["graph_id"][0].as_py()
+    for q in (
+        f"GRAPH <{gid}> {{ ?s ?p ?o }}",
+        f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}",
+        f"SELECT ?g WHERE {{ GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }} }}",
+        f"?s <{P_ACQUIRED}> ?o . GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
+    assert len(service.query_at(ts, f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}")) > 0
