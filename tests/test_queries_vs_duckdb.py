@@ -78,3 +78,23 @@ def test_entry_smoke(ray_session):
     ds = entrymod.entry()
     assert ds.count() >= 0
     assert "graph_id" in ds.schema().names
+
+def test_bgp_features_covers_every_individual_entry():
+    """kg_bgp_features (the driver-cap consolidation slot) must name
+    exactly the kg_bgp_* entries registered individually — a new query
+    form added to one place but not the other fails here."""
+    import inspect
+
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    individual = {
+        name[len("kg_bgp_"):] for name in q.registry()
+        if name.startswith("kg_bgp_") and name != "kg_bgp_features"
+    }
+    src = inspect.getsource(q.kg_bgp_features)
+    consolidated = {
+        line.split('"')[1]
+        for line in src.splitlines()
+        if line.strip().startswith('"') and ": kg_bgp_" in line
+    }
+    assert consolidated == individual
