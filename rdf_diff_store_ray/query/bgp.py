@@ -224,6 +224,27 @@ def _take_vars(s: str):
     return names, s
 
 
+def _take_order_keys(s: str):
+    """Leading ``?var`` / ``ASC(?var)`` / ``DESC(?var)`` tokens →
+    ([(name, ascending), ...], rest)."""
+    import re as _re
+
+    keys = []
+    while True:
+        if s.startswith("?"):
+            j = 1
+            while j < len(s) and not s[j].isspace():
+                j += 1
+            keys.append((s[1:j], True))
+            s = s[j:].lstrip()
+        elif m := _re.match(r"^(ASC|DESC)\s*\(\s*\?([A-Za-z_]\w*)\s*\)",
+                            s, _re.IGNORECASE):
+            keys.append((m.group(2), m.group(1).upper() == "ASC"))
+            s = s[m.end():].lstrip()
+        else:
+            return keys, s
+
+
 _AGG_RE = None
 
 
@@ -296,9 +317,9 @@ def _parse_select(q: str) -> dict:
             having.append(_parse_filter(tail[start + 1:j].strip()))
             tail = tail[j + 1:].strip()
         elif m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
-            order_by, tail = _take_vars(tail[m.end():].lstrip())
+            order_by, tail = _take_order_keys(tail[m.end():].lstrip())
             if not order_by:
-                raise ValueError("ORDER BY needs ?vars")
+                raise ValueError("ORDER BY needs ?vars or ASC/DESC(?var)")
         elif m := _re.match(r"^LIMIT\s+(\d+)", tail, _re.IGNORECASE):
             limit = int(m.group(1))
             tail = tail[m.end():].strip()
@@ -705,7 +726,8 @@ def _ensure_filter_res():
 
     if _REGEX_CALL_RE is None:
         _FUNC_CALL_RE = re.compile(
-            r"^(str|lang|datatype)\(\?([A-Za-z_]\w*)\)$", re.IGNORECASE
+            r"^(str|lang|datatype|strlen|ucase|lcase)\(\?([A-Za-z_]\w*)\)$",
+            re.IGNORECASE,
         )
         _REGEX_CALL_RE = re.compile(
             r'^regex\(\s*(\S+)\s*,\s*"((?:[^"\\]|\\.)*)"'
@@ -714,14 +736,53 @@ def _ensure_filter_res():
         )
 
 
+def _split_args(s: str) -> list:
+    """Split a function-call argument list on top-level commas
+    (IRI/quote/paren aware — IRIs and literals may contain commas)."""
+    out, start, i, n = [], 0, 0, len(s)
+    depth = 0
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            i = j + 1
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+            i += 1
+        else:
+            i += 1
+    out.append(s[start:].strip())
+    return out
+
+
+_TYPE_TESTS = {"isiri": "iri", "isuri": "iri", "isliteral": "lit",
+               "isblank": "blank", "isnumeric": "num"}
+
+
 def _parse_filter_atom(s: str):
     import re
 
     _ensure_filter_res()
-    if m := re.match(r"^bound\(\s*\?([A-Za-z_]\w*)\s*\)$", s.strip(),
-                     re.IGNORECASE):
+    s = s.strip()
+    if m := re.match(r"^bound\(\s*\?([A-Za-z_]\w*)\s*\)$", s, re.IGNORECASE):
         return ("bound", ("var", m.group(1)))
-    if m := _REGEX_CALL_RE.match(s.strip()):
+    if m := _REGEX_CALL_RE.match(s):
         arg = _parse_filter_operand(m.group(1))
         flags = m.group(3) or ""
         if set(flags) - {"i", "s", "m"}:
@@ -731,6 +792,54 @@ def _parse_filter_atom(s: str):
         except re.error as e:
             raise ValueError(f"bad regex pattern {m.group(2)!r}: {e}") from e
         return ("regex", arg, m.group(2), flags)
+    if m := re.match(r"^(isIRI|isURI|isLiteral|isBlank|isNumeric)\s*\(", s,
+                     re.IGNORECASE):
+        j = _match_paren(s, m.end() - 1)
+        if j != len(s) - 1:
+            raise ValueError(f"bad type-test expression: {s!r}")
+        return ("typetest", _TYPE_TESTS[m.group(1).lower()],
+                _parse_filter_operand(s[m.end():j].strip()))
+    if m := re.match(r"^sameTerm\s*\(", s, re.IGNORECASE):
+        j = _match_paren(s, m.end() - 1)
+        args = _split_args(s[m.end():j])
+        if j != len(s) - 1 or len(args) != 2:
+            raise ValueError(f"sameTerm needs exactly two arguments: {s!r}")
+        return ("sameterm", _parse_filter_operand(args[0]),
+                _parse_filter_operand(args[1]))
+    if m := re.match(r"^LANGMATCHES\s*\(", s, re.IGNORECASE):
+        j = _match_paren(s, m.end() - 1)
+        args = _split_args(s[m.end():j])
+        if j != len(s) - 1 or len(args) != 2:
+            raise ValueError(f"LANGMATCHES needs two arguments: {s!r}")
+        rng = _parse_filter_operand(args[1])
+        if rng[0] != "lit":
+            raise ValueError("LANGMATCHES range must be a string literal")
+        return ("langmatches", _parse_filter_operand(args[0]), rng[1])
+    if m := re.match(r"^(STRSTARTS|STRENDS|CONTAINS)\s*\(", s, re.IGNORECASE):
+        j = _match_paren(s, m.end() - 1)
+        args = _split_args(s[m.end():j])
+        if j != len(s) - 1 or len(args) != 2:
+            raise ValueError(f"{m.group(1)} needs two arguments: {s!r}")
+        return ("strfn", m.group(1).lower(),
+                _parse_filter_operand(args[0]),
+                _parse_filter_operand(args[1]))
+    # operand [NOT] IN (t1, t2, ...) — sugar for an (in)equality chain,
+    # so it inherits the engine's `=` semantics exactly (SPARQL defines
+    # IN as `= || = || ...`)
+    if m := re.search(r"\s(NOT\s+)?IN\s*\(", s, re.IGNORECASE):
+        try:
+            j = _match_paren(s, m.end() - 1)
+            lhs = _parse_filter_operand(s[:m.start()].strip())
+            ok = j == len(s) - 1
+            terms = [t for t in _split_args(s[m.end():j]) if t] if ok else []
+        except ValueError:
+            ok = False  # "IN (" inside a literal/IRI — not an IN clause
+        if ok:
+            # empty list: ("or", []) is all-False, so IN () = false and
+            # NOT IN () = true, exactly per spec
+            node = ("or",
+                    [(lhs, "=", _parse_filter_operand(t)) for t in terms])
+            return ("not", node) if m.group(1) else node
     toks = _split_terms(s)
     if len(toks) != 3 or toks[1] not in _FILTER_OPS:
         raise ValueError(f"bad FILTER expression: {s!r}")
@@ -976,8 +1085,8 @@ def _having_true(row: dict, flt) -> bool:
     if flt[0] == "bound":
         v = row.get(flt[1][1])
         return v is not None and not (isinstance(v, float) and np.isnan(v))
-    if flt[0] == "regex":
-        raise ValueError("regex is not supported in HAVING")
+    if flt[0] in ("regex", "typetest", "sameterm", "langmatches", "strfn"):
+        raise ValueError(f"{flt[0]} is not supported in HAVING")
     lhs, op, rhs = flt
 
     def val(o):
@@ -1455,10 +1564,14 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     if order and len(df):
         # sort pre-projection; remaining columns are the deterministic
         # tie-break (projection below preserves this row order)
-        keys = [c for c in order if c in df.columns]
-        keys += [c for c in df.columns if c not in keys]
-        if keys:
-            df = df.sort_values(keys, ignore_index=True, na_position="last")
+        keys = [c for c, _ in order if c in df.columns]
+        asc = [a for c, a in order if c in df.columns]
+        rest = [c for c in df.columns if c not in keys]
+        if keys or rest:
+            df = df.sort_values(
+                keys + rest, ascending=asc + [True] * len(rest),
+                ignore_index=True, na_position="last",
+            )
     select = spec.get("select")
     if select is not None:
         df = df.reindex(columns=select)
@@ -1838,6 +1951,16 @@ def _operand_series(o, result: pd.DataFrame):
             out = ("L" + lex.fillna("")).where(lex.notna())
         elif name == "lang":
             out = ("L" + lang.fillna("")).where(is_lit & lex.notna())
+        elif name == "strlen":
+            # decorated integer literal, so the numeric comparison path
+            # sees a SPARQL number (is_lit guards: STRLEN is over strings)
+            n_ = lex.str.len()
+            out = ('L"' + n_.astype("Int64").astype(str)
+                   + '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                   ).where(is_lit & lex.notna())
+        elif name in ("ucase", "lcase"):
+            cased = lex.str.upper() if name == "ucase" else lex.str.lower()
+            out = ("L" + cased.fillna("")).where(is_lit & lex.notna())
         else:  # datatype
             dt = dtype.copy()
             dt[lang.notna()] = _RDF_LANGSTRING
@@ -1887,6 +2010,72 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
         if var not in result.columns:
             return pd.Series(False, index=idx)
         return result[var].notna()
+    if flt[0] == "typetest":
+        _, which, arg = flt
+        s, _ = _operand_series(arg, result)
+        if s is None:  # numeric constant
+            return pd.Series(which == "num", index=idx)
+        lex, num, _d, _l, is_lit = _series_parts(s)
+        bound = s.notna()
+        if which == "iri":
+            m = bound & ~is_lit & ~lex.fillna("").str.startswith("_:")
+        elif which == "lit":
+            m = bound & is_lit
+        elif which == "blank":
+            m = bound & ~is_lit & lex.fillna("").str.startswith("_:")
+        else:  # num
+            m = num.notna()
+        return pd.Series(m, index=idx).fillna(False).astype(bool)
+    if flt[0] == "sameterm":
+        _, a, b = flt
+        ls, _lc = _operand_series(a, result)
+        rs, _rc = _operand_series(b, result)
+        if ls is None or rs is None:
+            # numeric constants have no canonical term form to compare
+            raise ValueError("sameTerm needs RDF-term arguments")
+        m = (ls == rs) & ls.notna() & rs.notna()
+        return pd.Series(m, index=idx).fillna(False).astype(bool)
+    if flt[0] == "langmatches":
+        _, arg, rng = flt
+        s, _ = _operand_series(arg, result)
+        lex, _n, _d, _lang, is_lit = _series_parts(s)
+        # arg is usually lang(?v): a simple literal holding the tag
+        tags = lex.fillna("").str.lower()
+        ok = is_lit.fillna(False) & lex.notna()
+        if rng == "*":
+            m = ok & (tags != "")
+        else:
+            r = rng.lower()
+            m = ok & ((tags == r) | tags.str.startswith(r + "-"))
+        return pd.Series(m, index=idx).fillna(False).astype(bool)
+    if flt[0] == "strfn":
+        _, name, a, b = flt
+        ls, _ = _operand_series(a, result)
+        rs, _ = _operand_series(b, result)
+        if ls is None or rs is None:
+            raise ValueError(f"{name} needs string arguments")
+        llex, _n1, _d1, _l1, l_lit = _series_parts(ls)
+        rlex, _n2, _d2, _l2, r_lit = _series_parts(rs)
+        ok = (l_lit.fillna(False) & r_lit.fillna(False)
+              & llex.notna() & rlex.notna())
+        if b[0] == "lit":  # constant needle: pandas string kernel
+            pat = b[1]
+            if name == "strstarts":
+                m = llex.fillna("").str.startswith(pat)
+            elif name == "strends":
+                m = llex.fillna("").str.endswith(pat)
+            else:
+                m = llex.fillna("").str.contains(pat, regex=False)
+        else:  # var needle — rare; elementwise over the bound rows
+            fn = {"strstarts": str.startswith, "strends": str.endswith,
+                  "contains": str.__contains__}[name]
+            m = pd.Series(
+                [fn(x, y) if isinstance(x, str) and isinstance(y, str)
+                 else False
+                 for x, y in zip(llex.tolist(), rlex.tolist())],
+                index=idx,
+            )
+        return pd.Series(m & ok, index=idx).fillna(False).astype(bool)
     if flt[0] == "regex":
         _, arg, pattern, flags = flt
         s, _ = _operand_series(arg, result)

@@ -1072,3 +1072,109 @@ def test_reader_graph_query_matches_state(built):
     want = sorted((s, p, o) for s, p, o, _ in nt.parse(text))
     got = sorted(map(tuple, out[["s", "p", "o"]].values.tolist()))
     assert got == want
+
+
+# ------------------------------------------- FILTER builtins round 3b ------
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _builtin_table():
+    rows = [
+        ("http://e/a", "hello", True),
+        ("http://e/b", f'"5"^^<{_XSD_INT}>', True),
+        ("http://e/c", '"bonjour"@fr', True),
+        ("http://e/d", "http://e/x", False),
+        ("_:b1", "world", True),
+    ]
+    return _triples_table([(s, "http://e/p", o, lit) for s, o, lit in rows])
+
+
+def _q(flt):
+    return f"?s <http://e/p> ?o . FILTER({flt})"
+
+
+def test_filter_type_tests():
+    t = _builtin_table()
+    assert sorted(eval_bgp(t, _q("isIRI(?o)"))["s"]) == ["http://e/d"]
+    assert sorted(eval_bgp(t, _q("isBlank(?s)"))["s"]) == ["_:b1"]
+    assert sorted(eval_bgp(t, _q("isNumeric(?o)"))["s"]) == ["http://e/b"]
+    assert len(eval_bgp(t, _q("isLiteral(?o)"))) == 4
+    # blank nodes are not IRIs
+    assert "_:b1" not in set(eval_bgp(t, _q("isIRI(?s)"))["s"])
+
+
+def test_filter_in_and_not_in():
+    t = _builtin_table()
+    assert sorted(eval_bgp(t, _q('?o IN ("hello", "world")'))["s"]) == [
+        "_:b1", "http://e/a"
+    ]
+    assert len(eval_bgp(t, _q('?o NOT IN ("hello", "world")'))) == 3
+    # IRI + typed-literal members, and numeric promotion via `=`
+    assert sorted(eval_bgp(t, _q("?o IN (<http://e/x>, 5)"))["s"]) == [
+        "http://e/b", "http://e/d"
+    ]
+    assert len(eval_bgp(t, _q("?o IN ()"))) == 0
+    assert len(eval_bgp(t, _q("?o NOT IN ()"))) == 5
+    # literal containing " in (" is NOT an IN clause
+    assert len(eval_bgp(t, _q('?o = "log in (now)"'))) == 0
+
+
+def test_filter_sameterm_and_langmatches():
+    t = _builtin_table()
+    assert len(eval_bgp(t, _q("sameTerm(?s, ?s)"))) == 5
+    assert len(eval_bgp(t, _q("sameTerm(?s, ?o)"))) == 0
+    got = eval_bgp(t, _q('LANGMATCHES(lang(?o), "fr")'))
+    assert sorted(got["s"]) == ["http://e/c"]
+    got = eval_bgp(t, _q('LANGMATCHES(lang(?o), "*")'))
+    assert sorted(got["s"]) == ["http://e/c"]
+    # range "en" does not match fr; plain literals have no tag
+    assert len(eval_bgp(t, _q('LANGMATCHES(lang(?o), "en")'))) == 0
+
+
+def test_filter_string_tests_and_operand_funcs():
+    t = _builtin_table()
+    assert sorted(eval_bgp(t, _q('STRSTARTS(?o, "hel")'))["s"]) == [
+        "http://e/a"
+    ]
+    assert sorted(eval_bgp(t, _q('STRENDS(?o, "rld")'))["s"]) == ["_:b1"]
+    assert sorted(eval_bgp(t, _q('CONTAINS(?o, "onjou")'))["s"]) == [
+        "http://e/c"
+    ]
+    # strlen compares numerically; ucase/lcase yield simple literals
+    assert sorted(eval_bgp(t, _q("strlen(?o) = 5"))["s"]) == [
+        "_:b1", "http://e/a"
+    ]
+    assert sorted(eval_bgp(t, _q('ucase(?o) = "HELLO"'))["s"]) == [
+        "http://e/a"
+    ]
+    assert sorted(eval_bgp(t, _q('lcase(?o) = "hello"'))["s"]) == [
+        "http://e/a"
+    ]
+    # IRIs are not strings: string tests remove those rows
+    assert "http://e/d" not in set(eval_bgp(t, _q('CONTAINS(?o, "e")'))["s"])
+
+
+def test_filter_builtin_grammar_errors():
+    t = _builtin_table()
+    with pytest.raises(ValueError):
+        eval_bgp(t, _q("isIRI(?o) extra"))
+    with pytest.raises(ValueError):
+        eval_bgp(t, _q("sameTerm(?s)"))
+    with pytest.raises(ValueError):
+        eval_bgp(t, _q("LANGMATCHES(lang(?o), ?v)"))
+    with pytest.raises(ValueError):
+        eval_bgp(t, _q("STRSTARTS(?o)"))
+
+
+def test_order_by_desc_and_asc():
+    t = _builtin_table()
+    q = ("SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER(isIRI(?s)) } "
+         "ORDER BY DESC(?s)")
+    assert eval_bgp(t, q)["s"].tolist() == [
+        "http://e/d", "http://e/c", "http://e/b", "http://e/a"
+    ]
+    q = ("SELECT ?s WHERE { ?s <http://e/p> ?o . FILTER(isIRI(?s)) } "
+         "ORDER BY ASC(?s) LIMIT 2")
+    assert eval_bgp(t, q)["s"].tolist() == ["http://e/a", "http://e/b"]
+    with pytest.raises(ValueError):
+        eval_bgp(t, "SELECT ?s WHERE { ?s ?p ?o } ORDER BY DESC ?s")
