@@ -68,7 +68,7 @@ def parse_bgp(query: str):
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "limit": None, "offset": 0, "ask": False, "construct": None,
                  "describe": None, "group_by": None, "aggregates": None,
-                 "having": None}
+                 "having": None, "from_graphs": None, "from_named": None}
 
 
 def parse_query(query: str) -> dict:
@@ -296,6 +296,12 @@ def _parse_select(q: str) -> dict:
             break
         if not select:
             raise ValueError("SELECT needs ?vars, aggregates, or *")
+    from_graphs: list = []
+    from_named: list = []
+    while m := _re.match(r"^FROM\s+(NAMED\s+)?<([^<>\s]*)>", rest,
+                         _re.IGNORECASE):
+        (from_named if m.group(1) else from_graphs).append(m.group(2))
+        rest = rest[m.end():].lstrip()
     if not _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
         raise ValueError(f"expected WHERE in SELECT query: {rest!r}")
     rest = rest[len("WHERE"):].lstrip()
@@ -341,7 +347,9 @@ def _parse_select(q: str) -> dict:
         raise ValueError("HAVING requires aggregates")
     group.update(select=select, distinct=distinct, order_by=order_by,
                  limit=limit, offset=offset, group_by=group_by,
-                 aggregates=aggregates or None, having=having or None)
+                 aggregates=aggregates or None, having=having or None,
+                 from_graphs=from_graphs or None,
+                 from_named=from_named or None)
     return group
 
 
@@ -1029,8 +1037,28 @@ def eval_bgp(triples: pa.Table, query: str,
     literal ``"x"`` never joins the IRI ``<x>`` — across patterns AND for
     a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
     """
-    df = triples.to_pandas()
     group = parse_query(query)
+    fg, fn = group.get("from_graphs"), group.get("from_named")
+    if fg or fn:
+        # explicit dataset: default graph = set-union of the FROM graphs
+        # (the engine's merged-store semantics, same as graphs_at), named
+        # graphs = exactly the FROM NAMED list — a GRAPH clause no longer
+        # sees graphs outside it, and the default graph is empty when
+        # only FROM NAMED is given, per the SPARQL dataset rules
+        if quads is None:
+            raise ValueError(
+                "query has a FROM/FROM NAMED clause but no quad table "
+                "was supplied"
+            )
+        qdf = quads.to_pandas()
+        df = (qdf[qdf["graph_id"].isin(fg or [])]
+              .drop(columns=["graph_id"]).drop_duplicates())
+        named = qdf[qdf["graph_id"].isin(fn or [])]
+        source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
+        gsource = lambda pat, gt: eval_pattern_in_graph(named, pat, gt)  # noqa: E731
+        return finish_query(eval_group(group, source, gsource), group,
+                            source)
+    df = triples.to_pandas()
     source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
     # lazy quad source: GRAPH clauses may sit anywhere in the group tree
     # (OPTIONAL/UNION branches included), so the error and the one-time
@@ -2233,8 +2261,10 @@ class DiffStoreReader:
             self._record("sparql", "Query", time.monotonic() - t0)
             return hit
         had_store = self.store_cache.get(k) is not None
-        quads = (self._quads_at(k)
-                 if group_has_graph(parse_query(query)) else None)
+        g = parse_query(query)
+        need_quads = (group_has_graph(g) or g.get("from_graphs")
+                      or g.get("from_named"))
+        quads = self._quads_at(k) if need_quads else None
         res = eval_bgp(self._store_at(k), query, quads=quads)
         self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"

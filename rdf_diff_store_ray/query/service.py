@@ -272,7 +272,9 @@ class QueryService:
                 eval_path_pairs(p[1], edges_of, nodes_of), s, o
             )
 
-        def graph_bindings(pat, gterm):
+        def graph_pattern_in(pat, gterm):
+            """GRAPH-scoped pattern fan-out (constant IRI = pruned to the
+            owning partition, variable = all partitions)."""
             if pat[1][0] == "path":
                 raise ValueError(
                     "property paths under GRAPH are not supported by the "
@@ -296,6 +298,45 @@ class QueryService:
             if len(cur.columns):
                 return cur.drop_duplicates(ignore_index=True)
             return cur.head(1)
+
+        fg = group.get("from_graphs") or []
+        fn = group.get("from_named") or []
+        if fg or fn:
+            # explicit dataset: default-graph patterns range over the
+            # union of the FROM graphs (each fetched partition-pruned),
+            # GRAPH clauses only over the FROM NAMED list — mirrors
+            # eval_bgp's dataset rules on the distributed path
+            def _empty(pat):
+                cols = sorted({v for k, v in pat if k == "var"})
+                return pd.DataFrame(columns=cols, dtype=object)
+
+            def pattern_bindings(pat):  # noqa: F811
+                if pat[1][0] == "path":
+                    raise ValueError(
+                        "property paths with FROM are not supported by "
+                        "the distributed service (use DiffStoreReader)"
+                    )
+                if not fg:  # only FROM NAMED: the default graph is empty
+                    return _empty(pat)
+                parts = [graph_pattern_in(pat, ("iri", g)) for g in fg]
+                cur = pd.concat(parts, ignore_index=True)
+                if len(cur.columns):
+                    return cur.drop_duplicates(ignore_index=True)
+                return cur.head(1)
+
+            def graph_bindings(pat, gterm):
+                if gterm[0] == "iri":
+                    if gterm[1] not in fn:
+                        return _empty(pat)
+                    return graph_pattern_in(pat, gterm)
+                out = graph_pattern_in(pat, gterm)
+                gvar = gterm[1]
+                if gvar in out.columns:
+                    out = out[out[gvar].isin(["I" + g for g in fn])]
+                return out.reset_index(drop=True)
+
+        else:
+            graph_bindings = graph_pattern_in
 
         return finish_query(
             eval_group(group, pattern_bindings, graph_bindings),

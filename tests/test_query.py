@@ -1178,3 +1178,43 @@ def test_order_by_desc_and_asc():
     assert eval_bgp(t, q)["s"].tolist() == ["http://e/a", "http://e/b"]
     with pytest.raises(ValueError):
         eval_bgp(t, "SELECT ?s WHERE { ?s ?p ?o } ORDER BY DESC ?s")
+
+
+# --------------------------------------------------- FROM / FROM NAMED -----
+def test_from_restricts_default_graph():
+    q = (f"SELECT ?s ?o FROM <https://g/1> WHERE "
+         f"{{ ?s <{P_ACQUIRED}> ?o }}")
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    assert out.to_dict("records") == [
+        {"s": "https://e/a", "o": "https://e/b"}
+    ]
+
+
+def test_from_union_of_graphs_matches_unrestricted():
+    q = (f"SELECT ?s FROM <https://g/1> FROM <https://g/2> WHERE "
+         f"{{ ?s <{P_ACQUIRED}> ?o }}")
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    want = eval_bgp(BASE, f"SELECT ?s WHERE {{ ?s <{P_ACQUIRED}> ?o }}")
+    assert sorted(out["s"]) == sorted(want["s"])
+
+
+def test_from_named_only_empties_default_graph():
+    q = (f"SELECT ?s FROM NAMED <https://g/1> WHERE "
+         f"{{ ?s <{P_ACQUIRED}> ?o }}")
+    assert len(eval_bgp(BASE, q, quads=_quads_table())) == 0
+
+
+def test_from_named_scopes_graph_clauses():
+    q = (f"SELECT ?g ?s FROM NAMED <https://g/2> WHERE "
+         f"{{ GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }} }}")
+    out = eval_bgp(BASE, q, quads=_quads_table())
+    assert out.values.tolist() == [["https://g/2", "https://e/b"]]
+    # a constant GRAPH outside FROM NAMED matches nothing
+    q = (f"SELECT ?s FROM NAMED <https://g/2> WHERE "
+         f"{{ GRAPH <https://g/1> {{ ?s <{P_ACQUIRED}> ?o }} }}")
+    assert len(eval_bgp(BASE, q, quads=_quads_table())) == 0
+
+
+def test_from_without_quads_raises():
+    with pytest.raises(ValueError, match="quad table"):
+        eval_bgp(BASE, "SELECT ?s FROM <https://g/1> WHERE { ?s ?p ?o }")

@@ -211,3 +211,29 @@ def test_graph_clause_distributed_matches_single_reader(service, single_reader, 
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
     assert len(service.query_at(ts, f"GRAPH ?g {{ ?s <{P_ACQUIRED}> ?o }}")) > 0
+
+
+def test_from_clauses_distributed_match_single_reader(service, single_reader, built):
+    """FROM / FROM NAMED through the router (FROM graphs fetched
+    partition-pruned, GRAPH restricted to FROM NAMED) must agree with
+    the single-reader dataset evaluation."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    ts = _end_ts(single_reader)
+    live = state_at_table(built.delta_table(), ts)
+    gids = sorted(set(live["graph_id"].to_pylist()))[:3]
+    froms = " ".join(f"FROM <{g}>" for g in gids)
+    named = " ".join(f"FROM NAMED <{g}>" for g in gids[:2])
+    for q in (
+        f"SELECT ?s ?o {froms} WHERE {{ ?s ?p ?o }}",
+        f"SELECT ?s {froms} WHERE {{ ?s <{P_ACQUIRED}> ?o }}",
+        f"SELECT ?g ?s {named} WHERE {{ GRAPH ?g {{ ?s ?p ?o }} }}",
+        f"SELECT ?s FROM NAMED <{gids[0]}> WHERE "
+        f"{{ GRAPH <{gids[1]}> {{ ?s ?p ?o }} }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
+    # sanity: the first FROM query is non-empty
+    assert len(service.query_at(ts, f"SELECT ?s ?o {froms} WHERE {{ ?s ?p ?o }}")) > 0
