@@ -155,6 +155,67 @@ class LangId:
         )
 
 
+# composite keep/drop rules, FineWeb/CCNet-style, in priority order.
+# Every threshold is an integer cross-multiplication (never a float
+# ratio) so the verdicts hash-stably match the SQL oracle.
+NONSPACE_PATTERN = r"\S"
+FILTER_RULES = (
+    "too_short",      # n_tokens < 20
+    "too_long",       # n_tokens > 20000
+    "digit_heavy",    # n_digits/n_chars > 0.2   ⇔ 5*d > c
+    "punct_heavy",    # n_punct/n_chars > 0.3    ⇔ 10*p > 3*c
+    "low_alpha",      # n_alpha/n_chars < 0.5    ⇔ 2*a < c
+    "few_stopwords",  # n_stop/n_tokens < 0.02   ⇔ 50*s < t
+    "word_len_low",   # nonspace chars per token < 2  ⇔ ns < 2*t
+    "word_len_high",  # nonspace chars per token > 12 ⇔ ns > 12*t
+)
+
+
+def fineweb_filter_batch(batch: pa.Table) -> pa.Table:
+    """Composite quality filter: the keep/drop decision a FineWeb/CCNet
+    cleaning stage makes, with the FIRST failing rule as attribution
+    (deterministic priority order ``FILTER_RULES``). One vectorized pass
+    — every signal is a pyarrow regex-count kernel over the batch."""
+    text = batch["text"]
+    c = pc.utf8_length(text).cast(pa.int64())
+    t = pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64())
+    d = pc.count_substring_regex(text, DIGIT_PATTERN).cast(pa.int64())
+    p = pc.count_substring_regex(text, PUNCT_PATTERN).cast(pa.int64())
+    a = pc.count_substring_regex(text, ALPHA_PATTERN).cast(pa.int64())
+    s = pc.count_substring_regex(
+        pc.utf8_lower(text), STOPWORD_PATTERN
+    ).cast(pa.int64())
+    ns = pc.count_substring_regex(text, NONSPACE_PATTERN).cast(pa.int64())
+    two = pa.scalar(2, pa.int64())
+    conds = {
+        "too_short": pc.less(t, 20),
+        "too_long": pc.greater(t, 20000),
+        "digit_heavy": pc.greater(pc.multiply(d, 5), c),
+        "punct_heavy": pc.greater(pc.multiply(p, 10), pc.multiply(c, 3)),
+        "low_alpha": pc.less(pc.multiply(a, two), c),
+        "few_stopwords": pc.less(pc.multiply(s, 50), t),
+        "word_len_low": pc.less(ns, pc.multiply(t, two)),
+        "word_len_high": pc.greater(ns, pc.multiply(t, 12)),
+    }
+    # first failing rule wins: fold the chain back-to-front so earlier
+    # rules overwrite later ones
+    reason = pa.array([""] * batch.num_rows, pa.string())
+    for name in reversed(FILTER_RULES):
+        reason = pc.if_else(conds[name], pa.scalar(name), reason)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": t,
+            "keep": pc.equal(reason, ""),
+            "reason": reason,
+        }
+    )
+
+
+def fineweb_filter(docs_ds):
+    return docs_ds.map_batches(fineweb_filter_batch, batch_format="pyarrow")
+
+
 def doc_stats(docs_ds):
     return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 

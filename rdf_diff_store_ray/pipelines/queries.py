@@ -259,6 +259,58 @@ def pii_redact_docs(sf_dir: str):
     return pii_redact(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def fineweb_filter_docs(sf_dir: str):
+    """Composite FineWeb/CCNet-style keep/drop filter over documents:
+    eight prioritized rules (length, digit/punct/alpha ratios, stopword
+    density, mean word length) in ONE vectorized pyarrow pass, first
+    failing rule attributed. The decision stage every web-scale
+    training-data pipeline runs between extraction and dedup."""
+    from ..functions.text import fineweb_filter
+
+    return fineweb_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _fineweb_sql() -> str:
+    """DuckDB oracle built from the SAME patterns/thresholds the engine
+    kernel uses (integer cross-multiplications, no float ratios)."""
+    from ..functions.text import (
+        ALPHA_PATTERN,
+        DIGIT_PATTERN,
+        NONSPACE_PATTERN,
+        PUNCT_PATTERN,
+        STOPWORD_PATTERN,
+        TOKEN_PATTERN,
+    )
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS t,
+         CAST(len(regexp_extract_all(text, '{DIGIT_PATTERN}')) AS BIGINT) AS d,
+         CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS BIGINT) AS p,
+         CAST(len(regexp_extract_all(text, '{ALPHA_PATTERN}')) AS BIGINT) AS a,
+         CAST(len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '{NONSPACE_PATTERN}')) AS BIGINT) AS ns
+  FROM documents
+)
+SELECT doc_id, t AS n_tokens, (reason = '') AS keep, reason
+FROM (
+  SELECT doc_id, t,
+         CASE WHEN t < 20 THEN 'too_short'
+              WHEN t > 20000 THEN 'too_long'
+              WHEN 5*d > c THEN 'digit_heavy'
+              WHEN 10*p > 3*c THEN 'punct_heavy'
+              WHEN 2*a < c THEN 'low_alpha'
+              WHEN 50*s < t THEN 'few_stopwords'
+              WHEN ns < 2*t THEN 'word_len_low'
+              WHEN ns > 12*t THEN 'word_len_high'
+              ELSE '' END AS reason
+  FROM sig
+) r
+"""
+
+
 def _pii_sql() -> str:
     """Build the DuckDB oracle from the SAME pattern list the engine
     uses: each class counts matches on the text as already redacted by
@@ -1688,6 +1740,7 @@ def registry():
         "lang_dist": lang_dist,
         "top_docs_by_len": top_docs_by_len,
         "token_frequencies": token_frequencies,
+        "fineweb_filter": fineweb_filter_docs,
         "pii_redact": pii_redact_docs,
         "json_props_stats": json_props_stats,
         "decontaminate": decontaminate,
@@ -1716,8 +1769,8 @@ def registry():
         "kg_incremental_append": kg_incremental_append,
         "kg_state_at_mid": kg_state_at_mid,
         "kg_delta_log": kg_delta_log,
-        "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         # ---- driver-cap watermark (position 50) ----
+        "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_optional": kg_bgp_optional,
@@ -1768,6 +1821,7 @@ def oracles():
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_frequencies": TOKEN_FREQUENCIES_SQL,
+        "fineweb_filter": _fineweb_sql(),
         "pii_redact": _pii_sql(),
         "json_props_stats": JSON_PROPS_SQL,
         "decontaminate": DECONTAMINATE_SQL,

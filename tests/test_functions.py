@@ -629,3 +629,41 @@ def test_decontaminate_flags_planted_overlap(ray_session, tmp_path):
     assert bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 1
     assert not bool(out.loc[3, "contaminated"]) and out.loc[3, "n_hits"] == 0
     assert set(out.index) == {2, 3}  # bench docs excluded
+
+
+def test_fineweb_filter_rules_and_priority():
+    """Each rule fires on a planted doc; the FIRST failing rule wins."""
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.text import fineweb_filter_batch
+
+    good = ("the cat and the dog ran to the house in the park and it was "
+            "a fine day for all of them with sun and wind and more ") * 2
+    docs = {
+        "ok": good,
+        "too_short": "the cat sat",
+        "digit_heavy": ("the 123456 and 987654 of 55555 to 4444 in 333 "
+                        "was 22 for 11 with 99 " * 4),
+        "punct_heavy": ("the !!! and ??? of ;;; to ::: in ### was $$$ "
+                        "for %%% with @@@ " * 4),
+        "low_alpha": "the " + "1 2 3 4 5 6 7 8 9 0 " * 10,
+        "few_stopwords": "lorem ipsum dolor sit amet " * 10,
+        "word_len_high": ("the Pneumonoultramicroscopicsilicovolcanoconiosis"
+                          "word and " + "Supercalifragilisticexpialidocious"
+                          "antidisestablishmentarianism " * 20),
+    }
+    out = fineweb_filter_batch(
+        pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    ).to_pandas().set_index("doc_id")
+    assert bool(out.loc["ok", "keep"]) and out.loc["ok", "reason"] == ""
+    for name in docs:
+        if name != "ok":
+            assert not out.loc[name, "keep"], name
+    assert out.loc["too_short", "reason"] == "too_short"
+    assert out.loc["few_stopwords", "reason"] == "few_stopwords"
+    # digit_heavy doc is also stopword-poor at the margin, but
+    # digit_heavy has priority in FILTER_RULES
+    assert out.loc["digit_heavy", "reason"] == "digit_heavy"
+    assert out.loc["punct_heavy", "reason"] == "punct_heavy"
+    assert out.loc["low_alpha", "reason"] in ("digit_heavy", "low_alpha")
+    assert out.loc["word_len_high", "reason"] == "word_len_high"
