@@ -390,11 +390,30 @@ def _parse_group_body(body: str) -> dict:
 
     group = {"patterns": [], "filters": [], "optionals": [], "unions": [],
              "values": [], "binds": [], "minus": [], "exists": [],
-             "graphs": []}
+             "graphs": [], "subqueries": []}
     for clause in _split_clauses(body):
         up = clause.upper()
         if clause.startswith("{"):
-            group["unions"].append(_parse_union(clause))
+            j = _match_brace(clause, 0)
+            inner = clause[1:j].strip()
+            after = clause[j + 1:].strip()
+            if not after and _re.match(r"^SELECT\b", inner, _re.IGNORECASE):
+                # subquery: evaluated bottom-up, independent of outer
+                # bindings, then joined on its projected variables
+                sub = parse_query(inner)
+                if sub.get("from_graphs") or sub.get("from_named"):
+                    raise ValueError(
+                        "FROM is not supported inside subqueries"
+                    )
+                group["subqueries"].append(sub)
+            elif not after:
+                # lone braced group-graph-pattern: joins like a
+                # one-branch UNION (scoped filters/OPTIONALs inside)
+                group["unions"].append(
+                    [_plain_group(parse_query(inner), "nested group")]
+                )
+            else:
+                group["unions"].append(_parse_union(clause))
         elif up.startswith("GRAPH"):
             rest = clause[len("GRAPH"):].strip()
             b = rest.find("{")
@@ -1359,6 +1378,11 @@ def eval_group(group: dict, pattern_bindings,
         result = _merge_bindings(result, vdf).drop_duplicates(
             ignore_index=True
         )
+    for sub in group.get("subqueries") or []:
+        sres = eval_subquery(sub, pattern_bindings, graph_bindings)
+        result = _merge_bindings(result, sres).drop_duplicates(
+            ignore_index=True
+        )
     for gterm, sub in group.get("graphs") or []:
         if graph_bindings is None:
             raise ValueError(
@@ -1661,6 +1685,7 @@ def group_has_path(group: dict) -> bool:
     subgroups.extend(b for branches in group["unions"] for b in branches)
     subgroups.extend(group.get("minus") or [])
     subgroups.extend(g for _pos, g in group.get("exists") or [])
+    subgroups.extend(group.get("subqueries") or [])
     return any(group_has_path(g) for g in subgroups)
 
 
@@ -1802,6 +1827,45 @@ def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
     return proj.head(1) if len(cur) else proj
 
 
+def eval_subquery(sub: dict, pattern_bindings,
+                  graph_bindings=None) -> pd.DataFrame:
+    """A ``{ SELECT ... }`` subquery: evaluate the inner group bottom-up
+    (independent of outer bindings, per SPARQL), apply its aggregates and
+    solution modifiers IN TAGGED SPACE, and return only the projected
+    variables — the outer group then joins on them like any binding set.
+    ORDER BY / the deterministic pre-LIMIT sort compare tagged strings
+    (tag prefix included), which is deterministic though not identical to
+    the final untagged collation."""
+    res = eval_group(sub, pattern_bindings, graph_bindings)
+    if sub.get("aggregates"):
+        res = aggregate_bindings(res, sub)
+        for flt in sub.get("having") or []:
+            res = res[[_having_true(row, flt)
+                       for row in res.to_dict("records")]]
+    order = sub.get("order_by")
+    limit, offset = sub.get("limit"), sub.get("offset") or 0
+    if order and len(res):
+        keys = [c for c, _ in order if c in res.columns]
+        asc = [a for c, a in order if c in res.columns]
+        rest = [c for c in res.columns if c not in keys]
+        res = res.sort_values(keys + rest, ascending=asc + [True] * len(rest),
+                              ignore_index=True, na_position="last")
+    elif (limit is not None or offset) and len(res) and len(res.columns):
+        # LIMIT without ORDER BY: sort all columns so the pick is
+        # deterministic (SPARQL leaves it implementation-defined)
+        res = res.sort_values(list(res.columns), ignore_index=True,
+                              na_position="last")
+    if sub.get("select") is not None:
+        res = res.reindex(columns=sub["select"])
+    if sub.get("distinct"):
+        res = res.drop_duplicates(ignore_index=True)
+    if offset:
+        res = res.iloc[offset:]
+    if limit is not None:
+        res = res.iloc[:limit]
+    return res.reset_index(drop=True)
+
+
 def group_has_graph(group: dict) -> bool:
     """True when any group in the tree (OPTIONAL/UNION/MINUS/EXISTS
     branches included) carries a GRAPH clause — callers use it to decide
@@ -1812,6 +1876,7 @@ def group_has_graph(group: dict) -> bool:
     subs.extend(b for branches in group.get("unions") or [] for b in branches)
     subs.extend(group.get("minus") or [])
     subs.extend(eg for _, eg in group.get("exists") or [])
+    subs.extend(group.get("subqueries") or [])
     return any(group_has_graph(s) for s in subs)
 
 

@@ -181,7 +181,8 @@ class QueryService:
         simple = (len(g["patterns"]) == 1 and not g["optionals"]
                   and not g["unions"] and not g.get("minus")
                   and not g.get("values") and not g.get("binds")
-                  and not g.get("exists") and not g.get("graphs"))
+                  and not g.get("exists") and not g.get("graphs")
+                  and not g.get("subqueries"))
         has_mods = (g.get("select") is not None or g.get("distinct")
                     or g.get("order_by") or g.get("limit") is not None
                     or g.get("offset") or g.get("ask")

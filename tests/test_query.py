@@ -1218,3 +1218,62 @@ def test_from_named_scopes_graph_clauses():
 def test_from_without_quads_raises():
     with pytest.raises(ValueError, match="quad table"):
         eval_bgp(BASE, "SELECT ?s FROM <https://g/1> WHERE { ?s ?p ?o }")
+
+
+# ------------------------------------------------------- subqueries --------
+def _social_table():
+    rows = [
+        ("https://e/a", "https://e/knows", "https://e/b", False),
+        ("https://e/a", "https://e/knows", "https://e/c", False),
+        ("https://e/b", "https://e/knows", "https://e/c", False),
+        ("https://e/b", "https://e/knows", "https://e/a", False),
+        ("https://e/c", "https://e/knows", "https://e/a", False),
+        ("https://e/a", "https://e/name", "Ann", True),
+        ("https://e/b", "https://e/name", "Bob", True),
+        ("https://e/c", "https://e/name", "Cyd", True),
+    ]
+    return _triples_table(rows)
+
+
+def test_subquery_aggregate_top_k():
+    q = """SELECT ?s ?n WHERE {
+      ?s <https://e/name> ?n .
+      { SELECT ?s (COUNT(?o) AS ?deg) WHERE { ?s <https://e/knows> ?o }
+        GROUP BY ?s ORDER BY DESC(?deg) ?s LIMIT 2 }
+    }"""
+    out = eval_bgp(_social_table(), q)
+    assert out.to_dict("records") == [
+        {"s": "https://e/a", "n": "Ann"},
+        {"s": "https://e/b", "n": "Bob"},
+    ]
+
+
+def test_subquery_projection_hides_inner_vars():
+    q = ("?s <https://e/name> ?n . "
+         "{ SELECT ?s WHERE { ?s <https://e/knows> ?o } }")
+    out = eval_bgp(_social_table(), q)
+    assert "o" not in out.columns
+    assert len(out) == 3
+
+
+def test_subquery_distinct_limit_deterministic():
+    q = ("?s <https://e/name> ?n . "
+         "{ SELECT DISTINCT ?s WHERE { ?s <https://e/knows> ?o } LIMIT 2 }")
+    out = eval_bgp(_social_table(), q)
+    # LIMIT without ORDER BY picks after an all-column sort: a, b
+    assert sorted(out["s"]) == ["https://e/a", "https://e/b"]
+
+
+def test_nested_group_joins_with_scoped_filter():
+    q = ("?s <https://e/name> ?n . "
+         "{ ?s <https://e/knows> ?o . FILTER(?o = <https://e/a>) }")
+    out = eval_bgp(_social_table(), q)
+    assert sorted(out["s"]) == ["https://e/b", "https://e/c"]
+
+
+def test_subquery_from_rejected():
+    with pytest.raises(ValueError, match="FROM"):
+        eval_bgp(
+            _social_table(),
+            "?s ?p ?o . { SELECT ?s FROM <https://g/1> WHERE { ?s ?p2 ?o2 } }",
+        )

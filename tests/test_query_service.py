@@ -237,3 +237,21 @@ def test_from_clauses_distributed_match_single_reader(service, single_reader, bu
         pd.testing.assert_frame_equal(got, want)
     # sanity: the first FROM query is non-empty
     assert len(service.query_at(ts, f"SELECT ?s ?o {froms} WHERE {{ ?s ?p ?o }}")) > 0
+
+
+def test_subquery_distributed_matches_single_reader(service, single_reader):
+    """Subqueries evaluate on the router over pushed-down pattern
+    bindings; results must equal the single-reader evaluation."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    for q in (
+        f"SELECT ?s WHERE {{ ?s <{P_ACQUIRED}> ?o . "
+        f"{{ SELECT ?s (COUNT(?x) AS ?c) WHERE {{ ?s <{P_ACQUIRED}> ?x }} "
+        f"GROUP BY ?s ORDER BY DESC(?c) ?s LIMIT 5 }} }}",
+        f"?s <{P_ACQUIRED}> ?o . {{ SELECT DISTINCT ?s WHERE "
+        f"{{ ?s <{P_ACQUIRED}> ?x }} }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
