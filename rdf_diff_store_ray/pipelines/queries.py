@@ -259,6 +259,46 @@ def pii_redact_docs(sf_dir: str):
     return pii_redact(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def stratified_sample(sf_dir: str, k: int = 50):
+    """Deterministic stratified sample: the k lowest-hashed docs per
+    language — the data-mixing primitive (balance languages/domains
+    before training) done without a corpus shuffle. Each batch keeps
+    its local top-k per stratum (Knuth multiplicative hash of doc_id,
+    identical arithmetic in the SQL oracle), so the driver merge sees at
+    most batches x strata x k rows, never the corpus."""
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = (df["doc_id"].to_numpy(np.int64) * 2654435761) % (1 << 32)
+        df = (df.sort_values(["lang", "h", "doc_id"])
+              .groupby("lang", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["lang", "h", "doc_id"])
+           .groupby("lang", sort=False).head(k))
+    out["rank"] = (out.groupby("lang").cumcount() + 1).astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "lang", "rank"]], preserve_index=False
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
 def fineweb_filter_docs(sf_dir: str):
     """Composite FineWeb/CCNet-style keep/drop filter over documents:
     eight prioritized rules (length, digit/punct/alpha ratios, stopword
@@ -1741,6 +1781,7 @@ def registry():
         "top_docs_by_len": top_docs_by_len,
         "token_frequencies": token_frequencies,
         "fineweb_filter": fineweb_filter_docs,
+        "stratified_sample": stratified_sample,
         "pii_redact": pii_redact_docs,
         "json_props_stats": json_props_stats,
         "decontaminate": decontaminate,
@@ -1768,8 +1809,8 @@ def registry():
         "kg_turtle_ingest": kg_turtle_ingest,
         "kg_incremental_append": kg_incremental_append,
         "kg_state_at_mid": kg_state_at_mid,
-        "kg_delta_log": kg_delta_log,
         # ---- driver-cap watermark (position 50) ----
+        "kg_delta_log": kg_delta_log,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_bgp_filter": kg_bgp_filter,
@@ -1822,6 +1863,7 @@ def oracles():
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_frequencies": TOKEN_FREQUENCIES_SQL,
         "fineweb_filter": _fineweb_sql(),
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_redact": _pii_sql(),
         "json_props_stats": JSON_PROPS_SQL,
         "decontaminate": DECONTAMINATE_SQL,
