@@ -150,6 +150,7 @@ def run_bench() -> dict:
             "events_quantiles", "events_range_join", "approx_distinct_users",
             "tfidf_top_terms", "decontaminate", "pii_redact",
             "json_props_stats", "kmeans_clusters", "semdedup_docs",
+            "fineweb_filter", "stratified_sample",
         ):
             timed(name, q.registry()[name])
 

@@ -216,6 +216,91 @@ def fineweb_filter(docs_ds):
     return docs_ds.map_batches(fineweb_filter_batch, batch_format="pyarrow")
 
 
+def _line_hashes(lines: "pd.Series") -> "np.ndarray":
+    """Stable 64-bit content hash per line (pandas siphash with its
+    fixed default key — deterministic across processes, vectorized)."""
+    import pandas as pd
+
+    return pd.util.hash_pandas_object(lines, index=False).to_numpy("uint64")
+
+
+def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
+               text_col: str = "text", max_dup_lines: int = 2_000_000):
+    """Corpus-level duplicated-line removal — the CCNet/RefinedWeb
+    boilerplate scrub: every line occurring in >= ``min_dup`` documents'
+    worth of lines is dropped from EVERY document.
+
+    Two streaming passes: (1) per-batch partial line-hash counts, a
+    shuffle over DISTINCT line hashes only (never text), (2) the
+    duplicated-hash set — bounded by the boilerplate vocabulary, capped
+    at ``max_dup_lines`` with a hard error, broadcast once via
+    ``ray.put`` — filters each document's lines in place. Returns
+    (id, clean_text, n_lines, n_dropped) and never materializes the
+    corpus anywhere."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas()
+        lines = s.str.split("\n").explode()
+        lines = lines[lines.str.len() > 0]
+        h = pd.Series(_line_hashes(lines))
+        vc = h.value_counts()
+        return pa.table(
+            {
+                "h": pa.array(vc.index.to_numpy("uint64"), pa.uint64()),
+                "n": pa.array(vc.to_numpy("int64"), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h").sum("n")
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["sum(n)"], min_dup))
+
+    dup_tbl = agg.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    if len(dup_tbl) > max_dup_lines:
+        raise ValueError(
+            f"{len(dup_tbl)} duplicated lines exceed max_dup_lines="
+            f"{max_dup_lines}; raise the cap or min_dup"
+        )
+    dup_sorted = np.sort(dup_tbl["h"].to_numpy("uint64"))
+    dup_ref = ray.put(dup_sorted)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        df = batch.to_pandas()
+        lines = df[text_col].str.split("\n")
+        ex = df[[id_col]].assign(line=lines).explode("line")
+        ex = ex[ex["line"].str.len() > 0]
+        h = _line_hashes(ex["line"])
+        if len(dup):
+            pos = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
+            is_dup = dup[pos] == h
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        n_lines = ex.groupby(id_col, sort=False).size()
+        kept = ex[~is_dup]
+        clean = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
+        out = df[[id_col]].copy()
+        out["clean_text"] = out[id_col].map(clean).fillna("")
+        out["n_lines"] = (
+            out[id_col].map(n_lines).fillna(0).astype("int64")
+        )
+        n_kept = kept.groupby(id_col, sort=False).size()
+        out["n_dropped"] = (
+            out["n_lines"]
+            - out[id_col].map(n_kept).fillna(0).astype("int64")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def doc_stats(docs_ds):
     return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 

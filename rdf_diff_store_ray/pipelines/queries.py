@@ -1700,6 +1700,51 @@ def kg_metadata(sf_dir: str):
 
 
 # --------------------------------------------------------------- registry ---
+def line_dedup_corpus(sf_dir: str):
+    """Corpus-level duplicated-line scrub (CCNet/RefinedWeb boilerplate
+    removal) over the KG pages corpus — the synthetic web pages carry
+    genuine cross-page boilerplate lines. Returns per-page line counts,
+    drop counts and cleaned sizes; the text itself streams through the
+    two-pass pipeline and never lands on the driver."""
+    import ray.data as rd
+
+    from ..functions.text import line_dedup
+
+    res = kg_build_for(sf_dir)  # ensures the cached corpus exists
+    corpus_dir = os.path.join(os.path.dirname(res.out_dir), "corpus")
+    ds = rd.read_parquet(
+        os.path.join(corpus_dir, "pages.parquet"),
+        columns=["url", "warc_ts", "text"],
+    )
+
+    def add_page_id(batch: pa.Table) -> pa.Table:
+        pid = pc.binary_join_element_wise(
+            batch["url"],
+            pc.strftime(batch["warc_ts"], format="%Y-%m-%dT%H:%M:%S"),
+            "@",
+        )
+        return pa.table({"page_id": pid, "text": batch["text"]})
+
+    out = line_dedup(
+        ds.map_batches(add_page_id, batch_format="pyarrow"),
+        min_dup=2, id_col="page_id",
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "page_id": batch["page_id"],
+                "n_lines": batch["n_lines"],
+                "n_dropped": batch["n_dropped"],
+                "clean_chars": pc.utf8_length(batch["clean_text"]).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -1810,6 +1855,7 @@ def registry():
         "kg_incremental_append": kg_incremental_append,
         "kg_state_at_mid": kg_state_at_mid,
         # ---- driver-cap watermark (position 50) ----
+        "line_dedup": line_dedup_corpus,
         "kg_delta_log": kg_delta_log,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,

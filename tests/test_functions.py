@@ -667,3 +667,52 @@ def test_fineweb_filter_rules_and_priority():
     assert out.loc["punct_heavy", "reason"] == "punct_heavy"
     assert out.loc["low_alpha", "reason"] in ("digit_heavy", "low_alpha")
     assert out.loc["word_len_high", "reason"] == "word_len_high"
+
+
+def test_line_dedup_matches_naive_and_handles_empty(ray_session):
+    """Distributed two-pass line dedup == the naive in-memory scrub,
+    including a fully-empty doc and a doc that loses every line."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import line_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "unique one\nBOILER\nkeep me",
+                "BOILER\nother text\nFOOTER",
+                "FOOTER\nBOILER",  # loses everything
+                "",
+                "solo doc only line",
+            ],
+        }
+    )
+    out = (
+        line_dedup(rd.from_pandas(docs), min_dup=2)
+        .to_pandas().set_index("doc_id")
+    )
+    c = Counter(ln for t in docs["text"] for ln in t.split("\n") if ln)
+    dup = {ln for ln, n in c.items() if n >= 2}
+    for _, r in docs.iterrows():
+        want = "\n".join(
+            ln for ln in r["text"].split("\n") if ln and ln not in dup
+        )
+        assert out.loc[r["doc_id"], "clean_text"] == want
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_dropped"] == 2
+    assert out.loc[4, "n_lines"] == 0
+
+
+def test_line_dedup_corpus_finds_boilerplate(ray_session):
+    """The KG pages corpus carries genuine cross-page boilerplate — the
+    scrub must drop lines while keeping per-page accounting exact."""
+    from rdf_diff_store_ray.pipelines.queries import line_dedup_corpus
+
+    out = line_dedup_corpus("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 100
+    assert (out["n_dropped"] > 0).any()
+    assert (out["n_dropped"] <= out["n_lines"]).all()
+    assert (out.loc[out["n_dropped"] == out["n_lines"], "clean_chars"] == 0).all()
