@@ -1745,6 +1745,67 @@ def line_dedup_corpus(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def kg_bgp_subquery(sf_dir: str):
+    """Subquery over the KG: names of the top-5 most-acquisitive
+    companies via an inner aggregate SELECT with ORDER BY/LIMIT."""
+    from ..corpus import P_ACQUIRED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?s ?o WHERE {{ ?s <{P_ACQUIRED}> ?o . "
+        f"{{ SELECT ?s (COUNT(?x) AS ?deg) WHERE "
+        f"{{ ?s <{P_ACQUIRED}> ?x }} GROUP BY ?s "
+        f"ORDER BY DESC(?deg) ?s LIMIT 5 }} }}",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_bgp_dataset(sf_dir: str):
+    """FROM / FROM NAMED over the KG: triples of the two
+    lexicographically-first source graphs via an explicit dataset, plus
+    the GRAPH-scoped view restricted by FROM NAMED."""
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import state_at_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    end = _store_end_ts(res)
+    gids = sorted(set(state_at_table(dt, end)["graph_id"].to_pylist()))[:2]
+    reader = DiffStoreReader(dt)
+    froms = " ".join(f"FROM <{g}>" for g in gids)
+    out = reader.query_at(
+        end, f"SELECT ?s ?p ?o {froms} WHERE {{ ?s ?p ?o }}"
+    )
+    named = reader.query_at(
+        end,
+        f"SELECT ?g ?s FROM NAMED <{gids[0]}> WHERE "
+        f"{{ GRAPH ?g {{ ?s ?p ?o }} }}",
+    )
+    assert set(named["g"]) <= {gids[0]}
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_bgp_builtins(sf_dir: str):
+    """Second-wave FILTER builtins over the KG: IN lists, type tests and
+    string functions combined in one query."""
+    from ..corpus import P_FOUNDED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?s ?y WHERE {{ ?s <{P_FOUNDED}> ?y . "
+        f"FILTER(isLiteral(?y) && ?y NOT IN (2000, 2001) && "
+        f'STRSTARTS(str(?s), "https://") && strlen(?y) = 4) }} '
+        "ORDER BY DESC(?y) ?s",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -1760,7 +1821,9 @@ def kg_bgp_features(sf_dir: str):
     forms = {
         "acquired": kg_bgp_acquired,
         "aggregate": kg_bgp_aggregate,
+        "builtins": kg_bgp_builtins,
         "construct": kg_bgp_construct,
+        "dataset": kg_bgp_dataset,
         "describe": kg_bgp_describe,
         "filter": kg_bgp_filter,
         "functions": kg_bgp_functions,
@@ -1770,6 +1833,7 @@ def kg_bgp_features(sf_dir: str):
         "path": kg_bgp_path,
         "select": kg_bgp_select,
         "star_path": kg_bgp_star_path,
+        "subquery": kg_bgp_subquery,
         "typed": kg_bgp_typed,
         "union": kg_bgp_union,
     }
@@ -1872,6 +1936,9 @@ def registry():
         "kg_bgp_describe": kg_bgp_describe,
         "kg_bgp_star_path": kg_bgp_star_path,
         "kg_bgp_graph": kg_bgp_graph,
+        "kg_bgp_subquery": kg_bgp_subquery,
+        "kg_bgp_dataset": kg_bgp_dataset,
+        "kg_bgp_builtins": kg_bgp_builtins,
         "kg_triple_pr": kg_triple_pr,
         "kg_metrics_export": kg_metrics_export,
         "kg_triples": kg_triples,
