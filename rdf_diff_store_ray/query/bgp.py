@@ -607,7 +607,8 @@ def _values_term(t: str):
 def _parse_bind(rest: str):
     """``BIND( expr AS ?v )`` → ``(varname, operand)``. The expression
     subset is the FILTER operand grammar: a variable, an IRI/literal
-    constant, or an accessor call ``str()/lang()/datatype()``."""
+    constant, or an accessor call
+    ``str()/lang()/datatype()/strlen()/ucase()/lcase()``."""
     import re as _re
 
     rest = rest.strip()
@@ -966,7 +967,7 @@ def _parse_term(t: str):
     if is_decorated_literal(t):
         # typed / lang-tagged literal term == the decorated object form
         return ("lit", t)
-    if "<" in t and any(ch in t for ch in "/|+^(*?"):
+    if "<" in t and any(ch in t for ch in "/|+^(*?!"):
         # plain IRIs (even ones containing ?query or *) matched above;
         # anything else with path operators parses as a property path
         return ("path", _parse_path_token(t))
@@ -1020,6 +1021,37 @@ def _parse_path_token(t: str):
 
     def atom():
         c = peek()
+        if c == "!":
+            # negated property set: !<p> or !(<p>|<q>|...) — forward
+            # members only (inverse members ^<p> are out of scope)
+            pos[0] += 1
+            iris = []
+
+            def one_iri() -> str:
+                if peek() == "^":
+                    raise ValueError(
+                        "inverse members in negated property sets are "
+                        f"not supported: {t!r}"
+                    )
+                if peek() != "<":
+                    raise ValueError(f"negated set needs IRIs: {t!r}")
+                j = t.index(">", pos[0])
+                iri = t[pos[0] + 1 : j]
+                pos[0] = j + 1
+                return iri
+
+            if peek() == "(":
+                pos[0] += 1
+                iris.append(one_iri())
+                while peek() == "|":
+                    pos[0] += 1
+                    iris.append(one_iri())
+                if peek() != ")":
+                    raise ValueError(f"unbalanced negated set in {t!r}")
+                pos[0] += 1
+            else:
+                iris.append(one_iri())
+            return ("negset", iris)
         if c == "^":
             pos[0] += 1
             return ("inv", post())
@@ -1665,6 +1697,8 @@ def format_path(ast) -> str:
     kind = ast[0]
     if kind == "pred":
         return f"<{ast[1]}>"
+    if kind == "negset":
+        return "!(" + "|".join(f"<{i}>" for i in ast[1]) + ")"
     if kind == "inv":
         return "^" + format_path(ast[1])
     if kind in ("plus", "star", "ques"):
@@ -1715,9 +1749,14 @@ def graph_node_terms(df: pd.DataFrame, endpoint_terms=()) -> pd.Series:
     return pd.concat(parts, ignore_index=True).drop_duplicates()
 
 
-def path_edges_from_frame(df: pd.DataFrame, iri: str) -> pd.DataFrame:
-    """(start, end) TAGGED pairs for one predicate in a triple frame."""
-    sub = df[df["pred"] == iri]
+def path_edges_from_frame(df: pd.DataFrame, iri) -> pd.DataFrame:
+    """(start, end) TAGGED pairs for one predicate — or, given
+    ``("not", iris)``, for every predicate outside the set (negated
+    property sets) — in a triple frame."""
+    if isinstance(iri, tuple) and iri[0] == "not":
+        sub = df[~df["pred"].isin(iri[1])]
+    else:
+        sub = df[df["pred"] == iri]
     return pd.DataFrame(
         {
             "__s": ("I" + sub["subj"]).to_numpy(),
@@ -1766,6 +1805,11 @@ def eval_path_pairs(ast, edges_of, nodes_of=None) -> pd.DataFrame:
     kind = ast[0]
     if kind == "pred":
         return edges_of(ast[1])
+    if kind == "negset":
+        # all edges whose predicate is OUTSIDE the set — the edge source
+        # receives ("not", iris) and owns the store-bound scan (same
+        # transfer bound as an unrestricted ?s ?p ?o pattern)
+        return edges_of(("not", tuple(ast[1])))
     if kind == "inv":
         e = eval_path_pairs(ast[1], edges_of, nodes_of)
         return e.rename(columns={"__s": "__o", "__o": "__s"})[["__s", "__o"]]

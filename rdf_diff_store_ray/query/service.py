@@ -240,7 +240,20 @@ class QueryService:
             # close over the union on the router, then bind s/o —
             # router memory is bounded by the path predicates' edge
             # counts, the same bound a ?s <p> ?o pattern already has
-            def edges_of(iri: str) -> pd.DataFrame:
+            def edges_of(iri) -> pd.DataFrame:
+                if isinstance(iri, tuple) and iri[0] == "not":
+                    # negated property set: gather ALL edges (the same
+                    # store-bound transfer an unrestricted ?s ?p ?o
+                    # already has) and drop the named predicates
+                    e = gather_pattern(
+                        (("var", "__ps"), ("var", "__pp"), ("var", "__po"))
+                    )
+                    if not len(e.columns):
+                        return pd.DataFrame(columns=["__s", "__o"])
+                    e = e[~e["__pp"].isin(["I" + i for i in iri[1]])]
+                    return e.rename(
+                        columns={"__ps": "__s", "__po": "__o"}
+                    )[["__s", "__o"]].drop_duplicates()
                 e = gather_pattern(
                     (("var", "__ps"), ("iri", iri), ("var", "__po"))
                 )

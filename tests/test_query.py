@@ -1277,3 +1277,32 @@ def test_subquery_from_rejected():
             _social_table(),
             "?s ?p ?o . { SELECT ?s FROM <https://g/1> WHERE { ?s ?p2 ?o2 } }",
         )
+
+
+# ------------------------------------------- negated property sets ---------
+def test_negated_property_set_single_and_list():
+    t = _triples_table([
+        ("https://e/a", "https://e/p", "https://e/x", False),
+        ("https://e/a", "https://e/q", "https://e/y", False),
+        ("https://e/b", "https://e/p", "https://e/x", False),
+        ("https://e/b", "https://e/r", "https://e/z", False),
+    ])
+    out = eval_bgp(t, "?s !<https://e/p> ?o")
+    assert sorted(map(tuple, out.values.tolist())) == [
+        ("https://e/a", "https://e/y"), ("https://e/b", "https://e/z")
+    ]
+    out = eval_bgp(t, "?s !(<https://e/p>|<https://e/q>) ?o")
+    assert out.values.tolist() == [["https://e/b", "https://e/z"]]
+    # composes with sequence/inverse
+    out = eval_bgp(t, "?s !(<https://e/q>|<https://e/r>)/^<https://e/p> ?o")
+    assert len(out) == 4  # {a,b} x {a,b} through the shared x
+
+
+def test_negated_property_set_errors():
+    t = _path_table()
+    with pytest.raises(ValueError, match="inverse members"):
+        eval_bgp(t, "?s !^<p> ?o")
+    with pytest.raises(ValueError, match="inverse members"):
+        eval_bgp(t, "?s !(<p>|^<q>) ?o")
+    with pytest.raises(ValueError):
+        eval_bgp(t, "?s !() ?o")

@@ -255,3 +255,14 @@ def test_subquery_distributed_matches_single_reader(service, single_reader):
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_negated_property_set_distributed_matches(service, single_reader):
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    q = f"SELECT DISTINCT ?s ?o WHERE {{ ?s !<{P_ACQUIRED}> ?o }} LIMIT 50"
+    got = service.query_at(ts, q)
+    want = single_reader.query_at(ts, q)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
