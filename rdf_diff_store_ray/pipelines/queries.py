@@ -775,14 +775,25 @@ def multimodal_frames(sf_dir: str):
 
 
 # ------------------------------------------------------------- KG -----------
+_BUILD_MEMO: dict = {}
+
+
 def kg_build_for(sf_dir: str):
     """Deterministic KG build over a synthetic pages corpus sized from the
     sf's documents table; cached per sf under /tmp so the KG query entries
-    share one build."""
+    share one build. Memoized per process on top of the disk cache: the
+    warm ``build(resume=True)`` manifest re-validation costs ~1s of Ray
+    jobs per call, and the driver runs ~30 kg entries against the same
+    immutable store."""
     import pyarrow.parquet as pq
 
     from .. import corpus as corpus_mod
     from .build import build
+
+    memo_key = os.path.abspath(sf_dir)
+    hit = _BUILD_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_urls = int(min(400, max(40, n_docs // 12)))
@@ -805,6 +816,7 @@ def kg_build_for(sf_dir: str):
         num_partitions=8,
         resume=True,
     )
+    _BUILD_MEMO[memo_key] = res
     return res
 
 
