@@ -133,10 +133,22 @@ def _parse_ask(q: str) -> dict:
 
 def _parse_construct(q: str) -> dict:
     """``CONSTRUCT { template } WHERE { group }`` → graph-building form.
-    The template is a plain pattern list (no FILTER/OPTIONAL/paths)."""
+    The template is a plain pattern list (no FILTER/OPTIONAL/paths).
+    ``CONSTRUCT WHERE { patterns }`` is the SPARQL 1.1 shorthand: the
+    group doubles as the template (patterns-only, enforced below)."""
     import re as _re
 
     rest = q[len("CONSTRUCT"):].lstrip()
+    if m := _re.match(r"^WHERE\b", rest, _re.IGNORECASE):
+        body = rest[m.end():].lstrip()
+        if not body.startswith("{"):
+            raise ValueError("WHERE needs a braced group")
+        j = _match_brace(body, 0)
+        if body[j + 1:].strip():
+            raise ValueError(
+                f"trailing text after CONSTRUCT group: {body[j+1:]!r}"
+            )
+        rest = "{" + body[1:j] + "} WHERE {" + body[1:j] + "}"
     if not rest.startswith("{"):
         raise ValueError("CONSTRUCT needs a braced template")
     j = _match_brace(rest, 0)

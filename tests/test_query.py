@@ -1306,3 +1306,15 @@ def test_negated_property_set_errors():
         eval_bgp(t, "?s !(<p>|^<q>) ?o")
     with pytest.raises(ValueError):
         eval_bgp(t, "?s !() ?o")
+
+
+def test_construct_where_shorthand():
+    """CONSTRUCT WHERE { patterns } == the longhand with the group as
+    template; non-pattern clauses in the group are rejected."""
+    t = _path_table()
+    short = eval_bgp(t, "CONSTRUCT WHERE { ?s <knows> ?o }")
+    full = eval_bgp(t, "CONSTRUCT { ?s <knows> ?o } WHERE { ?s <knows> ?o }")
+    pd.testing.assert_frame_equal(short, full)
+    assert len(short) > 0
+    with pytest.raises(ValueError):
+        eval_bgp(t, 'CONSTRUCT WHERE { ?s <knows> ?o . FILTER(?o = "x") }')
