@@ -216,6 +216,74 @@ def fineweb_filter(docs_ds):
     return docs_ds.map_batches(fineweb_filter_batch, batch_format="pyarrow")
 
 
+def heavy_hitters(docs_ds, k: int = 50, depth: int = 4, width: int = 8192,
+                  text_col: str = "text", candidates_per_batch: int = 512):
+    """Approximate top-k tokens via a Count-Min sketch (the mergeable
+    heavy-hitter sketch beside the HLL distinct sketch): each batch
+    folds its token counts into a depth x width int64 matrix (double
+    hashing over two stable 64-bit line hashes) plus its local top
+    candidates; the driver sums the matrices — a tree-reduce of fixed
+    ~``depth*width*8``-byte partials, never a token shuffle — and
+    estimates each merged candidate as the row-wise minimum. CMS never
+    underestimates, so the exact top-k is always a subset of the
+    candidate set when ``candidates_per_batch`` >= k. Returns
+    (token, est_count) sorted by (-est_count, token)."""
+    import numpy as np
+    import pandas as pd
+
+    def _cms_rows(tokens: pd.Series):
+        h1 = pd.util.hash_pandas_object(tokens, index=False).to_numpy(
+            "uint64"
+        )
+        h2 = pd.util.hash_pandas_object(tokens + "\x00cms", index=False
+                                        ).to_numpy("uint64")
+        return np.stack(
+            [((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
+             for d in range(depth)]
+        )  # (depth, n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas()
+        toks = s.str.findall(TOKEN_PATTERN).explode().dropna()
+        vc = toks.value_counts()
+        tokens = pd.Series(vc.index.astype(str))
+        counts = vc.to_numpy("int64")
+        mat = np.zeros((depth, width), dtype=np.int64)
+        if len(tokens):
+            idx = _cms_rows(tokens)
+            for d in range(depth):
+                np.add.at(mat[d], idx[d], counts)
+        cand = tokens[:candidates_per_batch].tolist()  # vc is count-desc
+        return pa.table(
+            {
+                "mat": pa.array([mat.ravel().tolist()],
+                                pa.list_(pa.int64())),
+                "candidates": pa.array([cand], pa.list_(pa.string())),
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow")
+    mat = np.zeros(depth * width, dtype=np.int64)
+    cands: set = set()
+    for row in parts.iter_rows():  # one fixed-size partial per batch
+        mat += np.asarray(row["mat"], dtype=np.int64)
+        cands.update(row["candidates"])
+    mat = mat.reshape(depth, width)
+    tokens = pd.Series(sorted(cands), dtype=str)
+    if len(tokens):
+        idx = _cms_rows(tokens)
+        est = np.min(
+            np.stack([mat[d][idx[d]] for d in range(depth)]), axis=0
+        )
+    else:
+        est = np.array([], dtype=np.int64)
+    out = pd.DataFrame({"token": tokens, "est_count": est})
+    out = out.sort_values(
+        ["est_count", "token"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _line_hashes(lines: "pd.Series") -> "np.ndarray":
     """Stable 64-bit content hash per line (pandas siphash with its
     fixed default key — deterministic across processes, vectorized)."""

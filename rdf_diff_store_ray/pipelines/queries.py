@@ -1712,6 +1712,18 @@ def kg_metadata(sf_dir: str):
 
 
 # --------------------------------------------------------------- registry ---
+def heavy_hitters_docs(sf_dir: str):
+    """Approximate top-50 tokens via the Count-Min sketch (mergeable
+    fixed-size partials, tree-reduced — the heavy-hitter companion to
+    the HLL distinct sketch). Rows-only: an approximate count can't
+    hash-match the exact SQL oracle; ``token_frequencies`` is the exact
+    SQL-checked sibling and the pytest gate asserts CMS's
+    never-underestimate bound plus exact top-10 agreement."""
+    from ..functions.text import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, ["doc_id", "text"]), k=50)
+
+
 def line_dedup_corpus(sf_dir: str):
     """Corpus-level duplicated-line scrub (CCNet/RefinedWeb boilerplate
     removal) over the KG pages corpus — the synthetic web pages carry
@@ -1932,6 +1944,7 @@ def registry():
         "kg_state_at_mid": kg_state_at_mid,
         # ---- driver-cap watermark (position 50) ----
         "line_dedup": line_dedup_corpus,
+        "heavy_hitters": heavy_hitters_docs,
         "kg_delta_log": kg_delta_log,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,

@@ -716,3 +716,25 @@ def test_line_dedup_corpus_finds_boilerplate(ray_session):
     assert (out["n_dropped"] > 0).any()
     assert (out["n_dropped"] <= out["n_lines"]).all()
     assert (out.loc[out["n_dropped"] == out["n_lines"], "clean_chars"] == 0).all()
+
+
+def test_heavy_hitters_cms_bounds_and_recall(ray_session):
+    """CMS estimates never underestimate, and at sf0.001 (hundreds of
+    distinct tokens vs width 8192) the top-10 matches the exact count
+    ranking exactly — deterministic, so asserted exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import heavy_hitters
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = heavy_hitters(ds, k=10).to_pandas()
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    exact = docs["text"].str.findall(r"\S+").explode().value_counts()
+    assert list(out["token"]) == list(exact.head(10).index)
+    for _, r in out.iterrows():
+        assert r["est_count"] >= exact[r["token"]]
