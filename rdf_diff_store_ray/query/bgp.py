@@ -1649,6 +1649,27 @@ def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
     return out
 
 
+def _untagged_numeric(s: pd.Series) -> pd.Series:
+    """SPARQL-numeric value of each UNTAGGED binding: native aggregate
+    numbers and plain numeric strings via ``to_numeric``, decorated
+    numeric literals via a columnar extract; everything else <NA>.
+    (Untagged frames no longer distinguish IRIs from literals, so a
+    column of purely numeric-looking IRIs would also qualify — an
+    accepted approximation for ORDER BY.)"""
+    num = pd.Series(
+        pd.to_numeric(s, errors="coerce"), index=s.index, dtype="Float64"
+    )
+    rem = num.isna() & s.notna()
+    if rem.any():
+        st = s[rem].astype("string")
+        ext = st.str.extract(r'^"(?P<lex>[^"]*)"\^\^<(?P<dt>[^>]*)>$')
+        ok = ext["dt"].isin(_XSD_NUMERIC)
+        num.loc[rem] = pd.to_numeric(
+            ext["lex"].where(ok), errors="coerce"
+        ).astype("Float64")
+    return num
+
+
 def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     """SELECT solution modifiers over a finalized (untagged) binding
     frame, in SPARQL order: ORDER BY (over the FULL solution, so a
@@ -1659,15 +1680,29 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     order = spec.get("order_by")
     if order and len(df):
         # sort pre-projection; remaining columns are the deterministic
-        # tie-break (projection below preserves this row order)
+        # tie-break (projection below preserves this row order). An
+        # ORDER BY key whose values are ALL numeric (native aggregate
+        # numbers, plain numeric strings, or decorated numeric literals)
+        # sorts by VALUE, per SPARQL; mixed/non-numeric keys fall back to
+        # codepoint order on the untagged form.
         keys = [c for c, _ in order if c in df.columns]
         asc = [a for c, a in order if c in df.columns]
         rest = [c for c in df.columns if c not in keys]
         if keys or rest:
-            df = df.sort_values(
-                keys + rest, ascending=asc + [True] * len(rest),
+            work = df.copy()
+            sort_keys = []
+            for c in keys:
+                num = _untagged_numeric(work[c])
+                if num.notna().all() and len(num):
+                    work["__ord_" + c] = num
+                    sort_keys.append("__ord_" + c)
+                else:
+                    sort_keys.append(c)
+            work = work.sort_values(
+                sort_keys + rest, ascending=asc + [True] * len(rest),
                 ignore_index=True, na_position="last",
             )
+            df = work[df.columns.tolist()]
     select = spec.get("select")
     if select is not None:
         df = df.reindex(columns=select)

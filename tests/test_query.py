@@ -1318,3 +1318,28 @@ def test_construct_where_shorthand():
     assert len(short) > 0
     with pytest.raises(ValueError):
         eval_bgp(t, 'CONSTRUCT WHERE { ?s <knows> ?o . FILTER(?o = "x") }')
+
+
+def test_order_by_numeric_values_not_lexical():
+    """ORDER BY sorts all-numeric keys by VALUE (typed literals and
+    plain numeric strings); mixed columns fall back to codepoint order."""
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    t = _triples_table([
+        (f"https://e/{c}", "https://e/p", f'"{v}"^^<{xsd}>', True)
+        for c, v in zip("abc", (9, 10, 2))
+    ])
+    out = eval_bgp(t, "SELECT ?o WHERE { ?s <https://e/p> ?o } ORDER BY DESC(?o)")
+    assert [o.split('"')[1] for o in out["o"]] == ["10", "9", "2"]
+    t2 = _triples_table([
+        ("https://e/a", "https://e/p", "9", True),
+        ("https://e/b", "https://e/p", "10", True),
+        ("https://e/c", "https://e/p", "2", True),
+    ])
+    out = eval_bgp(t2, "SELECT ?o WHERE { ?s <https://e/p> ?o } ORDER BY ?o")
+    assert out["o"].tolist() == ["2", "9", "10"]
+    t3 = _triples_table([
+        ("https://e/a", "https://e/p", "zz", True),
+        ("https://e/b", "https://e/p", "9", True),
+    ])
+    out = eval_bgp(t3, "SELECT ?o WHERE { ?s <https://e/p> ?o } ORDER BY ?o")
+    assert out["o"].tolist() == ["9", "zz"]
