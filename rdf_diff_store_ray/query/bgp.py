@@ -344,6 +344,12 @@ def _parse_select(q: str) -> dict:
         elif m := _re.match(r"^OFFSET\s+(\d+)", tail, _re.IGNORECASE):
             offset = int(m.group(1))
             tail = tail[m.end():].strip()
+        elif m := _re.match(r"^VALUES\b", tail, _re.IGNORECASE):
+            # trailing VALUES (always last in the grammar): joins the
+            # group's solutions before the modifiers — the same join the
+            # in-group form performs, so it reuses group["values"]
+            group["values"].append(_parse_values(tail[m.end():]))
+            tail = ""
         else:
             raise ValueError(f"bad solution modifier: {tail!r}")
     if aggregates:

@@ -1343,3 +1343,51 @@ def test_order_by_numeric_values_not_lexical():
     ])
     out = eval_bgp(t3, "SELECT ?o WHERE { ?s <https://e/p> ?o } ORDER BY ?o")
     assert out["o"].tolist() == ["9", "zz"]
+
+
+def test_graph_constant_scopes_property_paths():
+    """A property path inside GRAPH <iri> closes over that graph's edges
+    only — an edge in another graph must not extend the chain."""
+    quads = pa.table({
+        "graph_id": ["https://g/1", "https://g/1", "https://g/2"],
+        "subj": ["https://e/a", "https://e/b", "https://e/b"],
+        "pred": [P_ACQUIRED] * 3,
+        "obj": ["https://e/b", "https://e/c", "https://e/d"],
+        "obj_is_literal": [False] * 3,
+    })
+    triples = quads.drop_columns(["graph_id"])
+    out = eval_bgp(
+        triples, f"GRAPH <https://g/1> {{ ?s <{P_ACQUIRED}>+ ?o }}",
+        quads=quads,
+    )
+    got = sorted(map(tuple, out.values.tolist()))
+    assert got == [
+        ("https://e/a", "https://e/b"),
+        ("https://e/a", "https://e/c"),
+        ("https://e/b", "https://e/c"),
+    ]
+    with pytest.raises(ValueError, match="GRAPH .var"):
+        eval_bgp(triples, f"GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }}",
+                 quads=quads)
+
+
+def test_trailing_values_joins_solutions():
+    """Postfix VALUES (always last in the grammar) joins the group's
+    solutions like the in-group form, including multi-var rows."""
+    t = _triples_table([
+        ("https://e/a", "https://e/p", "x", True),
+        ("https://e/b", "https://e/p", "y", True),
+        ("https://e/c", "https://e/p", "z", True),
+    ])
+    out = eval_bgp(
+        t, 'SELECT ?s ?o WHERE { ?s <https://e/p> ?o } VALUES ?o { "x" "z" }'
+    )
+    assert sorted(out["s"]) == ["https://e/a", "https://e/c"]
+    out = eval_bgp(
+        t, "SELECT ?s WHERE { ?s <https://e/p> ?o } ORDER BY ?s LIMIT 5 "
+           'VALUES (?s ?o) { (<https://e/a> "x") }'
+    )
+    assert out["s"].tolist() == ["https://e/a"]
+    with pytest.raises(ValueError):
+        # VALUES must be the last clause
+        eval_bgp(t, "SELECT ?s WHERE { ?s ?p ?o } VALUES ?s { <a> } LIMIT 2")
