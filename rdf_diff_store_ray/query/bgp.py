@@ -1990,9 +1990,25 @@ def eval_pattern_in_graph(qdf: pd.DataFrame, pattern, gterm) -> pd.DataFrame:
     if kind != "var":
         raise ValueError("GRAPH term must be a variable or IRI")
     if pattern[1][0] == "path":
-        raise ValueError(
-            "property paths under GRAPH ?var are not supported "
-            "(use a constant GRAPH <iri>)"
+        # a path inside GRAPH never crosses graphs, so evaluate it once
+        # per graph present in the quad frame and tag the graph id —
+        # per-graph work is bounded by that graph's own edge count
+        parts = []
+        for gid, sub in qdf.groupby("graph_id", sort=True):
+            res = eval_one_pattern(sub, pattern)
+            if len(res):
+                res = res.copy()
+                if val in res.columns:  # GRAPH ?g { ?g <p>+ ?o }
+                    res = res[res[val] == "I" + gid]
+                else:
+                    res[val] = "I" + gid
+                parts.append(res)
+        if not parts:
+            out = eval_one_pattern(qdf.iloc[0:0], pattern)
+            out[val] = pd.Series(dtype=object)
+            return out
+        return pd.concat(parts, ignore_index=True).drop_duplicates(
+            ignore_index=True
         )
     return eval_one_pattern(qdf, pattern, graph_var=val)
 

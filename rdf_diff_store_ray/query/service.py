@@ -288,12 +288,10 @@ class QueryService:
 
         def graph_pattern_in(pat, gterm):
             """GRAPH-scoped pattern fan-out (constant IRI = pruned to the
-            owning partition, variable = all partitions)."""
-            if pat[1][0] == "path":
-                raise ValueError(
-                    "property paths under GRAPH are not supported by the "
-                    "distributed service (use DiffStoreReader)"
-                )
+            owning partition, variable = all partitions). Property paths
+            are per-partition evaluable HERE, unlike in the default
+            graph: a path inside GRAPH never crosses graphs, and every
+            graph lives wholly in one partition."""
             gs, ps = format_term(gterm), format_pattern(pat)
             if gterm[0] == "iri":
                 # partition pruning: hash ownership puts the named graph

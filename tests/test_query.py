@@ -1366,9 +1366,13 @@ def test_graph_constant_scopes_property_paths():
         ("https://e/a", "https://e/c"),
         ("https://e/b", "https://e/c"),
     ]
-    with pytest.raises(ValueError, match="GRAPH .var"):
-        eval_bgp(triples, f"GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }}",
-                 quads=quads)
+    # the variable form evaluates per graph: g/2's lone edge cannot
+    # extend g/1's chain
+    out = eval_bgp(triples, f"GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }}",
+                   quads=quads)
+    assert ("https://e/a", "https://e/d") not in set(
+        map(tuple, out[["s", "o"]].values.tolist())
+    )
 
 
 def test_trailing_values_joins_solutions():
@@ -1391,3 +1395,31 @@ def test_trailing_values_joins_solutions():
     with pytest.raises(ValueError):
         # VALUES must be the last clause
         eval_bgp(t, "SELECT ?s WHERE { ?s ?p ?o } VALUES ?s { <a> } LIMIT 2")
+
+
+def test_graph_var_property_path_binds_graph():
+    """GRAPH ?g { path } evaluates per graph (chains never cross
+    graphs) and binds the graph id; the shared-var form filters."""
+    quads = pa.table({
+        "graph_id": ["https://g/1", "https://g/1", "https://g/2"],
+        "subj": ["https://e/a", "https://e/b", "https://e/b"],
+        "pred": [P_ACQUIRED] * 3,
+        "obj": ["https://e/b", "https://e/c", "https://e/d"],
+        "obj_is_literal": [False] * 3,
+    })
+    triples = quads.drop_columns(["graph_id"])
+    out = eval_bgp(
+        triples, f"GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }}", quads=quads
+    )
+    got = sorted(map(tuple, out[["g", "s", "o"]].values.tolist()))
+    assert got == [
+        ("https://g/1", "https://e/a", "https://e/b"),
+        ("https://g/1", "https://e/a", "https://e/c"),
+        ("https://g/1", "https://e/b", "https://e/c"),
+        ("https://g/2", "https://e/b", "https://e/d"),
+    ]
+    # no graph matches -> empty with both columns
+    out = eval_bgp(
+        triples, "GRAPH ?g { ?s <https://nope>+ ?o }", quads=quads
+    )
+    assert len(out) == 0 and set(out.columns) == {"g", "s", "o"}

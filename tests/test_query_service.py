@@ -266,3 +266,19 @@ def test_negated_property_set_distributed_matches(service, single_reader):
     want = single_reader.query_at(ts, q)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_graph_path_distributed_matches_single_reader(service, single_reader, built):
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    ts = _end_ts(single_reader)
+    live = state_at_table(built.delta_table(), ts)
+    gid = sorted(set(live["graph_id"].to_pylist()))[0]
+    for q in (
+        f"SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }} }}",
+        f"GRAPH <{gid}> {{ ?s <{P_ACQUIRED}>* ?o }}",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
