@@ -485,3 +485,101 @@ def test_minus_exists_values_match_naive(triples, pats, sub, mode, vals,
         for c in want_solutions
     }
     assert got == want, (query, rows, got, want)
+
+
+# ---------------------------------------------------------------------------
+# GRAPH clauses: random quad stores vs a naive graph-scoped evaluator
+
+_GIDS = ["g1", "g2"]
+
+_quad = st.tuples(st.sampled_from(_GIDS), _triple)
+
+
+def _nv_graph_eval(quads, def_pats, gterm, graph_pats):
+    """Brute force: default patterns over ALL quads' triples, GRAPH
+    patterns over one graph's triples, the graph term fixed per gid."""
+    results = set()
+
+    def match(pattern, triple, binding):
+        s, p, (o, lit) = triple
+        vals = {"subj": (s, False), "pred": (p, False), "obj": (o, lit)}
+        b = dict(binding)
+        for pos, term in zip(("subj", "pred", "obj"), pattern):
+            val = vals[pos]
+            if term.startswith("?"):
+                var = term[1:]
+                if var in b and b[var] != val:
+                    return None
+                b[var] = val
+            elif term.startswith("<"):
+                if val != (term[1:-1], False):
+                    return None
+            elif pos != "obj" or val != (term[1:-1], True):
+                return None
+        return b
+
+    gids = sorted({g for g, _ in quads})
+    all_triples = [t for _, t in quads]
+    for gid in (gids if gterm.startswith("?") else [gterm[1:-1]]):
+        sub = [t for g, t in quads if g == gid]
+        binding0 = {gterm[1:]: (gid, False)} if gterm.startswith("?") else {}
+        plan = [(p, all_triples) for p in def_pats] + \
+               [(p, sub) for p in graph_pats]
+
+        def rec(i, binding):
+            if i == len(plan):
+                vs = tuple(sorted(binding))
+                results.add(tuple(binding[v][0] for v in vs))
+                return
+            pat, pool = plan[i]
+            for t in pool:
+                b = match(pat, t, binding)
+                if b is not None:
+                    rec(i + 1, b)
+
+        rec(0, binding0)
+    return results
+
+
+@given(
+    quads=st.lists(_quad, min_size=0, max_size=8),
+    def_pats=st.lists(_pattern, min_size=0, max_size=1),
+    graph_pats=st.lists(_pattern, min_size=1, max_size=2),
+    gterm=st.sampled_from(["?g"] + [f"<{g}>" for g in _GIDS]),
+)
+@settings(max_examples=200, deadline=None)
+def test_graph_clause_matches_naive(quads, def_pats, graph_pats, gterm):
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    rows = [(g, s, p, o, lit) for (g, (s, p, (o, lit))) in quads]
+    qt = pa.table(
+        {
+            "graph_id": pa.array([r[0] for r in rows], pa.string()),
+            "subj": pa.array([r[1] for r in rows], pa.string()),
+            "pred": pa.array([r[2] for r in rows], pa.string()),
+            "obj": pa.array([r[3] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+    tt = qt.drop_columns(["graph_id"])
+    inner = " . ".join(" ".join(p) for p in graph_pats)
+    clauses = [" ".join(p) for p in def_pats] + [
+        f"GRAPH {gterm} {{ {inner} }}"
+    ]
+    query = " . ".join(clauses)
+    got_df = eval_bgp(tt, query, quads=qt)
+    got = {
+        tuple(r[c] for c in sorted(got_df.columns))
+        for _, r in got_df.iterrows()
+    }
+    want = _nv_graph_eval(
+        [(g, (s, p, (o, lit))) for g, s, p, o, lit in rows],
+        def_pats, gterm, graph_pats,
+    )
+    has_vars = gterm.startswith("?") or any(
+        t.startswith("?") for p in def_pats + graph_pats for t in p
+    )
+    if not has_vars:
+        assert bool(len(got_df)) == bool(want)
+    else:
+        assert got == want, (query, rows)
