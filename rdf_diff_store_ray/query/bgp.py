@@ -68,7 +68,8 @@ def parse_bgp(query: str):
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "limit": None, "offset": 0, "ask": False, "construct": None,
                  "describe": None, "group_by": None, "aggregates": None,
-                 "having": None, "from_graphs": None, "from_named": None}
+                 "having": None, "select_exprs": None,
+                 "from_graphs": None, "from_named": None}
 
 
 def parse_query(query: str) -> dict:
@@ -278,6 +279,7 @@ def _parse_select(q: str) -> dict:
         rest = rest[len("DISTINCT"):].lstrip()
     select: list | None
     aggregates: list = []
+    select_exprs: list = []
     if rest.startswith("*"):
         select = None
         rest = rest[1:].lstrip()
@@ -304,6 +306,24 @@ def _parse_select(q: str) -> dict:
                 )
                 select.append(m.group(5))
                 rest = rest[m.end():].lstrip()
+                continue
+            if rest.startswith("("):
+                # (expr AS ?alias) projection — evaluated like a BIND
+                # over the group result just before projection
+                j = _match_paren(rest, 0)
+                body = rest[1:j].strip()
+                am = _re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", body,
+                                _re.IGNORECASE)
+                if not am:
+                    raise ValueError(
+                        f"projection expression needs AS ?alias: {body!r}"
+                    )
+                select_exprs.append(
+                    (am.group(1),
+                     _parse_filter_operand(body[:am.start()].strip()))
+                )
+                select.append(am.group(1))
+                rest = rest[j + 1:].lstrip()
                 continue
             break
         if not select:
@@ -352,6 +372,10 @@ def _parse_select(q: str) -> dict:
             tail = ""
         else:
             raise ValueError(f"bad solution modifier: {tail!r}")
+    if aggregates and select_exprs:
+        raise ValueError(
+            "projection expressions cannot be combined with aggregates"
+        )
     if aggregates:
         aliases = {a[3] for a in aggregates}
         plain = [v for v in (select or []) if v not in aliases]
@@ -366,6 +390,7 @@ def _parse_select(q: str) -> dict:
     group.update(select=select, distinct=distinct, order_by=order_by,
                  limit=limit, offset=offset, group_by=group_by,
                  aggregates=aggregates or None, having=having or None,
+                 select_exprs=select_exprs or None,
                  from_graphs=from_graphs or None,
                  from_named=from_named or None)
     return group
@@ -624,9 +649,9 @@ def _values_term(t: str):
 
 def _parse_bind(rest: str):
     """``BIND( expr AS ?v )`` → ``(varname, operand)``. The expression
-    subset is the FILTER operand grammar: a variable, an IRI/literal
-    constant, or an accessor call
-    ``str()/lang()/datatype()/strlen()/ucase()/lcase()``."""
+    grammar is the full FILTER operand grammar: terms, accessor calls,
+    arithmetic, ``IF`` and ``COALESCE``; numeric results bind as
+    decorated numeric literals."""
     import re as _re
 
     rest = rest.strip()
@@ -638,12 +663,7 @@ def _parse_bind(rest: str):
     m = _re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", body, _re.IGNORECASE)
     if not m:
         raise ValueError(f"BIND needs 'expr AS ?var': {body!r}")
-    o = _parse_filter_operand(body[:m.start()].strip())
-    if o[0] == "num":
-        raise ValueError(
-            "bare numbers are not supported in BIND — write a typed literal"
-        )
-    return (m.group(1), o)
+    return (m.group(1), _parse_filter_operand(body[:m.start()].strip()))
 
 
 def _split_clauses(s: str):
@@ -886,18 +906,185 @@ def _parse_filter_atom(s: str):
             node = ("or",
                     [(lhs, "=", _parse_filter_operand(t)) for t in terms])
             return ("not", node) if m.group(1) else node
-    toks = _split_terms(s)
-    if len(toks) != 3 or toks[1] not in _FILTER_OPS:
+    # comparison: split on the FIRST top-level comparison operator
+    # (quote/IRI/paren aware; a '<' that opens an IRI is not an operator)
+    op, oi, olen = None, -1, 0
+    i, depth = 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            i = j + 1
+            continue
+        if c == '"':
+            j = i + 1
+            while j < len(s):
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if s[i:i + 2] in ("<=", ">=", "!="):
+                op, oi, olen = s[i:i + 2], i, 2
+                break
+            if c in "<>=":
+                op, oi, olen = c, i, 1
+                break
+        i += 1
+    if op is None:
         raise ValueError(f"bad FILTER expression: {s!r}")
-    return (_parse_filter_operand(toks[0]), toks[1],
-            _parse_filter_operand(toks[2]))
+    return (_parse_filter_operand(s[:oi]), op,
+            _parse_filter_operand(s[oi + olen:]))
 
 
 def _parse_filter_operand(t: str):
-    _ensure_filter_res()
-    if m := _FUNC_CALL_RE.match(t):
-        return ("func", m.group(1).lower(), ("var", m.group(2)))
-    return _parse_operand(t)
+    """Full operand-expression grammar (recursive descent)::
+
+        expr := mul (('+'|'-') mul)*          → ("arith", op, l, r)
+        mul  := unary (('*'|'/') unary)*      → ("arith", op, l, r)
+        unary:= '-' unary | prim              → ("neg", node)
+        prim := '(' expr ')' | func(expr) | IF(cond, expr, expr)
+              | COALESCE(expr, ...) | ?var | <iri> | literal | number
+
+    ``IF``'s condition is a full FILTER expression. Numeric operators
+    evaluate on SPARQL-numeric values (an error — unbound, non-numeric,
+    division by zero — makes the row's value an error per SPARQL)."""
+    import re
+
+    s = t.strip()
+    pos = [0]
+    n = len(s)
+
+    def ws():
+        while pos[0] < n and s[pos[0]].isspace():
+            pos[0] += 1
+
+    def expr():
+        node = mul()
+        while True:
+            ws()
+            if pos[0] < n and s[pos[0]] in "+-":
+                op = s[pos[0]]
+                pos[0] += 1
+                node = ("arith", op, node, mul())
+            else:
+                return node
+
+    def mul():
+        node = unary()
+        while True:
+            ws()
+            if pos[0] < n and s[pos[0]] in "*/":
+                op = s[pos[0]]
+                pos[0] += 1
+                node = ("arith", op, node, unary())
+            else:
+                return node
+
+    def unary():
+        ws()
+        if pos[0] < n and s[pos[0]] == "-":
+            pos[0] += 1
+            return ("neg", unary())
+        if pos[0] < n and s[pos[0]] == "+":
+            pos[0] += 1
+            return unary()
+        return prim()
+
+    def call_args() -> list:
+        """Arguments of the call whose ``(`` is at pos; advances past
+        the matching ``)`` and returns the raw argument strings."""
+        j = _match_paren(s, pos[0])
+        args = _split_args(s[pos[0] + 1 : j])
+        pos[0] = j + 1
+        return args
+
+    def prim():
+        ws()
+        if pos[0] >= n:
+            raise ValueError(f"truncated expression: {t!r}")
+        c = s[pos[0]]
+        if c == "(":
+            pos[0] += 1
+            node = expr()
+            ws()
+            if pos[0] >= n or s[pos[0]] != ")":
+                raise ValueError(f"unbalanced parentheses in {t!r}")
+            pos[0] += 1
+            return node
+        if m := re.compile(r"IF\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 3:
+                raise ValueError(f"IF needs three arguments: {t!r}")
+            return ("if", _parse_filter(args[0]),
+                    _parse_filter_operand(args[1]),
+                    _parse_filter_operand(args[2]))
+        if m := re.compile(r"COALESCE\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if not args or args == [""]:
+                raise ValueError(f"COALESCE needs arguments: {t!r}")
+            return ("coalesce", [_parse_filter_operand(a) for a in args])
+        if m := re.compile(
+            r"(str|lang|datatype|strlen|ucase|lcase)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("func", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
+        if c == "?":
+            m = re.compile(r"\?([A-Za-z_]\w*)").match(s, pos[0])
+            if not m:
+                raise ValueError(f"bad variable in {t!r}")
+            pos[0] = m.end()
+            return ("var", m.group(1))
+        if c == "<":
+            j = _iri_end(s, pos[0])
+            if j is None:
+                raise ValueError(f"unterminated IRI in {t!r}")
+            node = ("iri", s[pos[0] + 1 : j])
+            pos[0] = j + 1
+            return node
+        if c == '"':
+            j = pos[0] + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            k = j + 1
+            if k < n and s[k] == "@":
+                while k < n and not s[k].isspace() and s[k] not in "),":
+                    k += 1
+            elif s[k : k + 3] == "^^<":
+                k = s.index(">", k) + 1
+            node = _parse_term(s[pos[0]:k])
+            pos[0] = k
+            return node
+        if m := re.compile(r"(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?").match(
+            s, pos[0]
+        ):
+            pos[0] = m.end()
+            return ("num", float(m.group(0)))
+        raise ValueError(f"bad expression at {s[pos[0]:]!r} in {t!r}")
+
+    node = expr()
+    ws()
+    if pos[0] != n:
+        raise ValueError(f"trailing characters in expression: {s[pos[0]:]!r}")
+    return node
 
 
 _NUM_RE = None
@@ -1166,6 +1353,13 @@ def finish_query(result: pd.DataFrame, group: dict,
         for flt in group.get("having") or []:
             result = result[[_having_true(row, flt)
                              for row in result.to_dict("records")]]
+    for name, o in group.get("select_exprs") or []:
+        if name in result.columns:
+            raise ValueError(f"projection alias ?{name} is already bound")
+        s = _operand_tagged(o, result)
+        result = result.assign(
+            **{name: s.astype(object).where(s.notna(), None)}
+        )
     return finalize_bindings(result, group)
 
 
@@ -1465,8 +1659,10 @@ def eval_group(group: dict, pattern_bindings,
     for vname, o in group.get("binds") or []:
         if vname in result.columns:
             raise ValueError(f"BIND would rebind already-bound ?{vname}")
-        s, _const = _operand_series(o, result)
-        # expression errors (e.g. lang() of an IRI) leave the var unbound
+        # tagged unconditionally: numeric expression results become
+        # decorated numeric literals; expression errors (lang() of an
+        # IRI, division by zero, non-numeric arithmetic) → unbound
+        s = _operand_tagged(o, result)
         result = result.assign(
             **{vname: s.astype(object).where(s.notna(), None)}
         )
@@ -1952,6 +2148,11 @@ def eval_subquery(sub: dict, pattern_bindings,
         # deterministic (SPARQL leaves it implementation-defined)
         res = res.sort_values(list(res.columns), ignore_index=True,
                               na_position="last")
+    for name, o in sub.get("select_exprs") or []:
+        if name in res.columns:
+            raise ValueError(f"projection alias ?{name} is already bound")
+        s = _operand_tagged(o, res)
+        res = res.assign(**{name: s.astype(object).where(s.notna(), None)})
     if sub.get("select") is not None:
         res = res.reindex(columns=sub["select"])
     if sub.get("distinct"):
@@ -2139,6 +2340,48 @@ _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
+def _operand_numeric(o, result: pd.DataFrame) -> pd.Series:
+    """SPARQL-numeric value series of an operand (<NA> = error)."""
+    s, const = _operand_series(o, result)
+    if s is None:
+        if isinstance(const, pd.Series):
+            return const
+        return pd.Series(const, index=result.index, dtype="Float64")
+    return _series_parts(s)[1]
+
+
+_XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+_XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _render_numeric_tagged(num: pd.Series) -> pd.Series:
+    """Numeric value series → tagged decorated-literal series (integral
+    values as xsd:integer, others as xsd:double via repr; <NA> → None)."""
+    def render(v):
+        if v is None or pd.isna(v):
+            return None
+        f = float(v)
+        if f.is_integer() and abs(f) < 2**53:
+            return f'L"{int(f)}"^^<{_XSD_INTEGER}>'
+        return f'L"{f!r}"^^<{_XSD_DOUBLE}>'
+
+    return pd.Series([render(v) for v in num], index=num.index, dtype=object)
+
+
+def _operand_tagged(o, result: pd.DataFrame) -> pd.Series:
+    """Operand → TAGGED series unconditionally (numeric results are
+    rendered as decorated numeric literals) — the term form IF/COALESCE
+    and BIND assign."""
+    s, const = _operand_series(o, result)
+    if s is not None:
+        return s
+    if isinstance(const, pd.Series):
+        return _render_numeric_tagged(const)
+    return _render_numeric_tagged(
+        pd.Series(const, index=result.index, dtype="Float64")
+    )
+
+
 def _operand_series(o, result: pd.DataFrame):
     """Filter operand → (tagged Series | None, numeric constant | None).
     Accessor functions are evaluated columnar: ``str`` → the term's
@@ -2149,6 +2392,31 @@ def _operand_series(o, result: pd.DataFrame):
     idx = result.index
     n = len(result)
     kind, *rest = o
+    if kind == "arith":
+        op, left, right = rest
+        ln, rn = _operand_numeric(left, result), _operand_numeric(right, result)
+        if op == "+":
+            out = ln + rn
+        elif op == "-":
+            out = ln - rn
+        elif op == "*":
+            out = ln * rn
+        else:  # division by zero is an expression error, not inf
+            out = (ln / rn).where(rn != 0)
+        return None, out.astype("Float64")
+    if kind == "neg":
+        return None, (-_operand_numeric(rest[0], result)).astype("Float64")
+    if kind == "if":
+        cond, a, b = rest
+        mask = _filter_mask(result, cond)
+        ta, tb = _operand_tagged(a, result), _operand_tagged(b, result)
+        return ta.where(mask, tb), None
+    if kind == "coalesce":
+        out = _operand_tagged(rest[0][0], result)
+        for node in rest[0][1:]:
+            nxt = _operand_tagged(node, result)
+            out = out.where(out.notna(), nxt)
+        return out, None
     if kind == "func":
         name, arg = rest
         inner, _ = _operand_series(arg, result)
@@ -2218,8 +2486,12 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
         return result[var].notna()
     if flt[0] == "typetest":
         _, which, arg = flt
-        s, _ = _operand_series(arg, result)
-        if s is None:  # numeric constant
+        s, const = _operand_series(arg, result)
+        if s is None:  # numeric constant or arithmetic result
+            if isinstance(const, pd.Series):
+                m = const.notna() if which == "num" \
+                    else pd.Series(False, index=idx)
+                return pd.Series(m, index=idx).fillna(False).astype(bool)
             return pd.Series(which == "num", index=idx)
         lex, num, _d, _l, is_lit = _series_parts(s)
         bound = s.notna()

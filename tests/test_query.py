@@ -1423,3 +1423,91 @@ def test_graph_var_property_path_binds_graph():
         triples, "GRAPH ?g { ?s <https://nope>+ ?o }", quads=quads
     )
     assert len(out) == 0 and set(out.columns) == {"g", "s", "o"}
+
+
+# ------------------------------------------- expressions: arith/IF/COALESCE
+def _num_table():
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    return _triples_table([
+        (f"https://e/{c}", "https://e/p", f'"{v}"^^<{xsd}>', True)
+        for c, v in zip("abc", (5, 10, 0))
+    ])
+
+
+def test_filter_arithmetic_expressions():
+    t = _num_table()
+    q = "?s <https://e/p> ?o"
+    assert sorted(eval_bgp(t, q + " . FILTER(?o * 2 >= 10)")["s"]) == [
+        "https://e/a", "https://e/b"
+    ]
+    assert sorted(eval_bgp(t, q + " . FILTER((?o + 5) * 2 = 20)")["s"]) == [
+        "https://e/a"
+    ]
+    # division by zero is an expression error: the row drops
+    assert sorted(eval_bgp(t, q + " . FILTER(10 / ?o >= 1)")["s"]) == [
+        "https://e/a", "https://e/b"
+    ]
+    assert len(eval_bgp(t, q + " . FILTER(-?o < -4)")) == 2
+
+
+def test_bind_arithmetic_renders_numeric_literals():
+    t = _num_table()
+    q = "?s <https://e/p> ?o"
+    out = eval_bgp(t, q + " . BIND(?o * 2 + 1 AS ?d)")
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    assert sorted(out["d"]) == [
+        f'"{v}"^^<{xsd}>' for v in (1, 11, 21)
+    ]
+    out = eval_bgp(t, q + " . BIND(?o / 4 AS ?q)")
+    dbl = "http://www.w3.org/2001/XMLSchema#double"
+    assert f'"1.25"^^<{dbl}>' in set(out["q"])
+    out = eval_bgp(t, q + " . BIND(42 AS ?k)")
+    assert set(out["k"]) == {f'"42"^^<{xsd}>'}
+
+
+def test_if_and_coalesce():
+    t = _num_table()
+    q = "?s <https://e/p> ?o"
+    out = eval_bgp(t, q + ' . BIND(IF(?o >= 5, "big", "small") AS ?c)')
+    got = dict(zip(out["s"], out["c"]))
+    assert got["https://e/a"] == "big" and got["https://e/c"] == "small"
+    out = eval_bgp(
+        t, q + " . OPTIONAL { ?s <https://e/q> ?m } . "
+               "BIND(COALESCE(?m, ?o) AS ?v)"
+    )
+    assert out["v"].notna().all()
+
+
+def test_expression_grammar_errors():
+    t = _num_table()
+    q = "?s <https://e/p> ?o . "
+    for bad in ("FILTER(?o + )", "FILTER(IF(?o > 1, ?o) = 1)",
+                "FILTER(?o ** 2 = 1)", "FILTER(COALESCE() = 1)"):
+        with pytest.raises(ValueError):
+            eval_bgp(t, q + bad)
+
+
+def test_select_expression_projection():
+    """(expr AS ?alias) projections, local + inside subqueries; rejected
+    beside aggregates."""
+    t = _num_table()
+    out = eval_bgp(
+        t, "SELECT ?s (?o * 2 AS ?d) WHERE { ?s <https://e/p> ?o }"
+    )
+    assert list(out.columns) == ["s", "d"]
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    assert f'"20"^^<{xsd}>' in set(out["d"])
+    out = eval_bgp(
+        t, 'SELECT (IF(?o > 6, "hi", "lo") AS ?c) '
+           "WHERE { ?s <https://e/p> ?o }"
+    )
+    assert sorted(set(out["c"])) == ["hi", "lo"]
+    out = eval_bgp(
+        t, "?s <https://e/p> ?o . "
+           "{ SELECT ?s (strlen(str(?s)) AS ?n) "
+           "WHERE { ?s <https://e/p> ?x } }"
+    )
+    assert "n" in out.columns and out["n"].notna().all()
+    with pytest.raises(ValueError, match="aggregates"):
+        eval_bgp(t, "SELECT (COUNT(?o) AS ?c) (?o + 1 AS ?d) "
+                    "WHERE { ?s <https://e/p> ?o }")
