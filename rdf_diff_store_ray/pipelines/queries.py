@@ -1813,8 +1813,9 @@ def kg_bgp_dataset(sf_dir: str):
 
 
 def kg_bgp_builtins(sf_dir: str):
-    """Second-wave FILTER builtins over the KG: IN lists, type tests and
-    string functions combined in one query."""
+    """Second-wave FILTER builtins + the expression grammar over the KG:
+    IN lists, type tests, string functions, arithmetic in FILTER, and an
+    (expr AS ?alias) projection with IF — one query through the store."""
     from ..corpus import P_FOUNDED
     from ..query.bgp import DiffStoreReader
 
@@ -1822,9 +1823,12 @@ def kg_bgp_builtins(sf_dir: str):
     reader = DiffStoreReader(res.delta_table())
     out = reader.query_at(
         _store_end_ts(res),
-        f"SELECT ?s ?y WHERE {{ ?s <{P_FOUNDED}> ?y . "
+        f"SELECT ?s ?y (?y - 1900 AS ?age) "
+        f'(IF(?y >= 2000, "modern", "legacy") AS ?era) WHERE '
+        f"{{ ?s <{P_FOUNDED}> ?y . "
         f"FILTER(isLiteral(?y) && ?y NOT IN (2000, 2001) && "
-        f'STRSTARTS(str(?s), "https://") && strlen(?y) = 4) }} '
+        f'STRSTARTS(str(?s), "https://") && strlen(?y) = 4 && '
+        f"?y + 1 > 1900) }} "
         "ORDER BY DESC(?y) ?s",
     )
     return pa.Table.from_pandas(out, preserve_index=False)

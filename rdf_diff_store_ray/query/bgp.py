@@ -68,7 +68,7 @@ def parse_bgp(query: str):
 _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "limit": None, "offset": 0, "ask": False, "construct": None,
                  "describe": None, "group_by": None, "aggregates": None,
-                 "having": None, "select_exprs": None,
+                 "having": None, "select_exprs": None, "agg_exprs": None,
                  "from_graphs": None, "from_named": None}
 
 
@@ -266,10 +266,10 @@ def _parse_select(q: str) -> dict:
     import re as _re
 
     if _AGG_RE is None:
+        # matches only the aggregate HEAD; the argument (a variable, *,
+        # or a full expression) is taken with the paren matcher below
         _AGG_RE = _re.compile(
-            r"^\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
-            r"(DISTINCT\s+)?(\*|\?\w+)\s*"
-            r'(?:;\s*SEPARATOR\s*=\s*"([^"]*)")?\s*\)\s+AS\s+\?(\w+)\s*\)',
+            r"^\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(",
             _re.IGNORECASE,
         )
     rest = q[len("SELECT"):].lstrip()
@@ -280,6 +280,7 @@ def _parse_select(q: str) -> dict:
     select: list | None
     aggregates: list = []
     select_exprs: list = []
+    agg_exprs: list = []
     if rest.startswith("*"):
         select = None
         rest = rest[1:].lstrip()
@@ -292,20 +293,44 @@ def _parse_select(q: str) -> dict:
                 continue
             if m := _AGG_RE.match(rest):
                 func = m.group(1).upper()
-                arg = m.group(3)
-                if arg == "*" and func != "COUNT":
-                    raise ValueError(f"{func}(*) is not valid SPARQL")
-                if m.group(4) is not None and func != "GROUP_CONCAT":
+                open_i = m.end() - 1
+                j = _match_paren(rest, open_i)
+                inner = rest[open_i + 1:j].strip()
+                am = _re.match(r"^\s*AS\s+\?([A-Za-z_]\w*)\s*\)",
+                               rest[j + 1:], _re.IGNORECASE)
+                if not am:
                     raise ValueError(
-                        f"SEPARATOR is only valid in GROUP_CONCAT, not {func}"
+                        f"aggregate needs ') AS ?alias )': {rest[:40]!r}"
                     )
-                aggregates.append(
-                    (func, None if arg == "*" else arg[1:],
-                     bool(m.group(2)), m.group(5),
-                     m.group(4) if m.group(4) is not None else " ")
-                )
-                select.append(m.group(5))
-                rest = rest[m.end():].lstrip()
+                alias = am.group(1)
+                distinct_a = False
+                if dm := _re.match(r"^DISTINCT\s+", inner, _re.IGNORECASE):
+                    distinct_a = True
+                    inner = inner[dm.end():].strip()
+                sep = " "
+                if sm := _re.search(r';\s*SEPARATOR\s*=\s*"([^"]*)"\s*$',
+                                    inner, _re.IGNORECASE):
+                    if func != "GROUP_CONCAT":
+                        raise ValueError(
+                            f"SEPARATOR is only valid in GROUP_CONCAT, "
+                            f"not {func}"
+                        )
+                    sep = sm.group(1)
+                    inner = inner[:sm.start()].strip()
+                if inner == "*":
+                    if func != "COUNT":
+                        raise ValueError(f"{func}(*) is not valid SPARQL")
+                    var = None
+                elif vm := _re.fullmatch(r"\?([A-Za-z_]\w*)", inner):
+                    var = vm.group(1)
+                else:
+                    # aggregate over an EXPRESSION: materialized as a
+                    # hidden pre-bound column just before aggregation
+                    var = f"__agg{len(agg_exprs)}"
+                    agg_exprs.append((var, _parse_filter_operand(inner)))
+                aggregates.append((func, var, distinct_a, alias, sep))
+                select.append(alias)
+                rest = rest[j + 1 + am.end():].lstrip()
                 continue
             if rest.startswith("("):
                 # (expr AS ?alias) projection — evaluated like a BIND
@@ -391,6 +416,7 @@ def _parse_select(q: str) -> dict:
                  limit=limit, offset=offset, group_by=group_by,
                  aggregates=aggregates or None, having=having or None,
                  select_exprs=select_exprs or None,
+                 agg_exprs=agg_exprs or None,
                  from_graphs=from_graphs or None,
                  from_named=from_named or None)
     return group
@@ -1349,6 +1375,7 @@ def finish_query(result: pd.DataFrame, group: dict,
             raise ValueError("DESCRIBE needs a pattern_bindings source")
         return describe_triples(result, group["describe"], pattern_bindings)
     if group.get("aggregates"):
+        result = _materialize_agg_exprs(result, group)
         result = aggregate_bindings(result, group)
         for flt in group.get("having") or []:
             result = result[[_having_true(row, flt)
@@ -1437,6 +1464,20 @@ def _cmp_scalar(a, b, op: str) -> bool:
     if op == ">":
         return a > b
     return a >= b
+
+
+def _materialize_agg_exprs(result: pd.DataFrame, group: dict
+                           ) -> pd.DataFrame:
+    """Hidden ``__aggN`` columns for aggregates over expressions
+    (``SUM(?a * ?b)``), evaluated on the pre-aggregation binding frame;
+    expression errors leave the row's value unbound, which the
+    aggregates then skip per SPARQL."""
+    for colname, node in group.get("agg_exprs") or []:
+        s = _operand_tagged(node, result)
+        result = result.assign(
+            **{colname: s.astype(object).where(s.notna(), None)}
+        )
+    return result
 
 
 def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
@@ -2131,6 +2172,7 @@ def eval_subquery(sub: dict, pattern_bindings,
     the final untagged collation."""
     res = eval_group(sub, pattern_bindings, graph_bindings)
     if sub.get("aggregates"):
+        res = _materialize_agg_exprs(res, sub)
         res = aggregate_bindings(res, sub)
         for flt in sub.get("having") or []:
             res = res[[_having_true(row, flt)

@@ -1511,3 +1511,27 @@ def test_select_expression_projection():
     with pytest.raises(ValueError, match="aggregates"):
         eval_bgp(t, "SELECT (COUNT(?o) AS ?c) (?o + 1 AS ?d) "
                     "WHERE { ?s <https://e/p> ?o }")
+
+
+def test_aggregate_over_expression():
+    """SUM/COUNT over expressions materialize a hidden pre-bound column
+    and keep SPARQL's error-skipping; legacy forms unchanged."""
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = []
+    for s, p, q_ in (("a", 5, 3), ("b", 2, 10)):
+        rows.append((f"https://e/{s}", "https://e/price", f'"{p}"^^<{xsd}>', True))
+        rows.append((f"https://e/{s}", "https://e/qty", f'"{q_}"^^<{xsd}>', True))
+    t = _triples_table(rows)
+    out = eval_bgp(
+        t, "SELECT ?s (SUM(?p * ?q) AS ?rev) WHERE "
+           "{ ?s <https://e/price> ?p . ?s <https://e/qty> ?q } "
+           "GROUP BY ?s ORDER BY ?s"
+    )
+    assert out["rev"].tolist() == [15.0, 20.0]
+    out = eval_bgp(
+        t, 'SELECT (GROUP_CONCAT(DISTINCT ?p; SEPARATOR="|") AS ?g) '
+           "WHERE { ?s <https://e/price> ?p }"
+    )
+    assert out["g"].iloc[0] == "2|5"
+    with pytest.raises(ValueError):
+        eval_bgp(t, "SELECT (SUM(*) AS ?x) WHERE { ?s ?p ?o }")
