@@ -1712,6 +1712,85 @@ def kg_metadata(sf_dir: str):
 
 
 # --------------------------------------------------------------- registry ---
+def curate_corpus(sf_dir: str, per_lang: int = 100,
+                  threshold: float = 0.7):
+    """The END-TO-END corpus curation pipeline a training-data run
+    composes from this repo's stages: FineWeb-style quality filter →
+    MinHash near-dedup (exact dups are a special case at Jaccard 1.0) →
+    deterministic stratified per-language cap. Everything streams: the
+    filter is an inline batch predicate, dedup is the co-partitioned
+    semi-join surface, the language re-join is a second co-partitioned
+    semi-join (survivor ids never broadcast), and the final cap ships
+    only batches x strata x k rows to the driver."""
+    import ray.data as rd
+
+    from ..functions.dedup import dedup_documents
+    from ..functions.text import fineweb_filter_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        verdict = fineweb_filter_batch(batch)
+        return batch.filter(verdict["keep"])
+
+    filtered = docs.map_batches(keep_only, batch_format="pyarrow")
+    kept = dedup_documents(filtered, threshold=threshold)  # (doc_id, text)
+
+    # survivors x (doc_id, lang): co-partitioned inner semi-join on a
+    # bounded pid — neither side is ever collected or broadcast
+    num_partitions = 32
+
+    def tag(batch: pa.Table, is_keep: bool) -> pa.Table:
+        n = batch.num_rows
+        lang = batch["lang"] if "lang" in batch.column_names else \
+            pa.array([None] * n, pa.string())
+        pid = pc.bit_wise_and(
+            batch["doc_id"].cast(pa.int64()),
+            pa.scalar(num_partitions - 1, pa.int64()),
+        ).cast(pa.int32())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": lang,
+                "is_keep": pa.array([is_keep] * n, pa.bool_()),
+                "cc_pid": pid,
+            }
+        )
+
+    def semi_join(group):
+        keep_ids = set(group.loc[group["is_keep"], "doc_id"])
+        out = group[~group["is_keep"]]
+        out = out[out["doc_id"].isin(keep_ids)]
+        return out[["doc_id", "lang"]]
+
+    joined = (
+        kept.select_columns(["doc_id"])
+        .map_batches(lambda b: tag(b, True), batch_format="pyarrow")
+        .union(
+            _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+                lambda b: tag(b, False), batch_format="pyarrow"
+            )
+        )
+        .groupby("cc_pid")
+        .map_groups(semi_join, batch_format="pandas")
+    )
+
+    def cap_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = (df["doc_id"].to_numpy(np.int64) * 2654435761) % (1 << 32)
+        df = (df.sort_values(["lang", "h", "doc_id"])
+              .groupby("lang", sort=False).head(per_lang))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = joined.map_batches(cap_partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["lang", "h", "doc_id"])
+           .groupby("lang", sort=False).head(per_lang))
+    return pa.Table.from_pandas(
+        out[["doc_id", "lang"]].sort_values(["lang", "doc_id"]),
+        preserve_index=False,
+    )
+
+
 def heavy_hitters_docs(sf_dir: str):
     """Approximate top-50 tokens via the Count-Min sketch (mergeable
     fixed-size partials, tree-reduced — the heavy-hitter companion to
@@ -1947,6 +2026,7 @@ def registry():
         "kg_incremental_append": kg_incremental_append,
         "kg_state_at_mid": kg_state_at_mid,
         # ---- driver-cap watermark (position 50) ----
+        "curate_corpus": curate_corpus,
         "line_dedup": line_dedup_corpus,
         "heavy_hitters": heavy_hitters_docs,
         "kg_delta_log": kg_delta_log,

@@ -738,3 +738,32 @@ def test_heavy_hitters_cms_bounds_and_recall(ray_session):
     assert list(out["token"]) == list(exact.head(10).index)
     for _, r in out.iterrows():
         assert r["est_count"] >= exact[r["token"]]
+
+
+def test_curate_corpus_composes_stages(ray_session):
+    """The composed curation pipeline: every survivor passes the quality
+    filter, per-language counts respect the cap, and the result is
+    deterministic across runs."""
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.text import fineweb_filter_batch
+    from rdf_diff_store_ray.pipelines.queries import curate_corpus
+
+    out = curate_corpus("/root/testdata/sf0.001", per_lang=30).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby("lang").size() <= 30).all()
+    # survivors all pass the quality filter
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    surv = docs[docs["doc_id"].isin(out["doc_id"])]
+    verdict = fineweb_filter_batch(
+        pa.Table.from_pandas(surv, preserve_index=False)
+    ).to_pandas()
+    assert verdict["keep"].all()
+    # deterministic
+    again = curate_corpus("/root/testdata/sf0.001", per_lang=30).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
