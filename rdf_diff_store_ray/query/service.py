@@ -163,8 +163,23 @@ class QueryService:
         from .bgp import LRU
 
         self._gather_cache = LRU(64)  # ts -> unioned live triple table
+        self._query_cache = LRU(1000)  # (ts, query) -> final frame
 
     def query_at(self, ts, query: str) -> pd.DataFrame:
+        from .bgp import parse_query
+
+        key = (
+            ts if isinstance(ts, int) else int(pd.Timestamp(ts).timestamp()),
+            query,
+        )
+        hit = self._query_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._query_at_uncached(ts, query)
+        self._query_cache.put(key, out)
+        return out
+
+    def _query_at_uncached(self, ts, query: str) -> pd.DataFrame:
         from .bgp import parse_query
 
         g = parse_query(query)

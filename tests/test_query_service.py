@@ -50,10 +50,12 @@ def test_query_at_matches(service, single_reader):
 
 
 def test_query_caches_warm(service, single_reader):
+    """Layered caching: the ACTOR level warms on a repeat that reaches
+    it (bypassing the router LRU, which would otherwise short-circuit)."""
     ts = _end_ts(single_reader)
     q = "?s <https://kg.example/prop/partnersWith> ?o"
     service.query_at(ts, q)
-    service.query_at(ts, q)
+    service._query_at_uncached(ts, q)
     assert all(lv == "Query" for lv in service.cache_levels())
 
 
@@ -282,3 +284,16 @@ def test_graph_path_distributed_matches_single_reader(service, single_reader, bu
         got = service.query_at(ts, q)
         want = single_reader.query_at(ts, q)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_router_query_cache_returns_identical_frame(service, single_reader):
+    """A repeated query is served from the router LRU — the identical
+    object comes back, no re-evaluation."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED
+
+    ts = _end_ts(single_reader)
+    q = f"SELECT ?s ?o WHERE {{ ?s <{P_ACQUIRED}> ?o }} LIMIT 7"
+    first = service.query_at(ts, q)
+    second = service.query_at(ts, q)
+    assert first is second
+    pd.testing.assert_frame_equal(first, single_reader.query_at(ts, q))
