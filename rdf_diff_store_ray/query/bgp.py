@@ -1059,6 +1059,52 @@ def _parse_filter_operand(t: str):
             if not args or args == [""]:
                 raise ValueError(f"COALESCE needs arguments: {t!r}")
             return ("coalesce", [_parse_filter_operand(a) for a in args])
+        if m := re.compile(r"CONCAT\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if not args or args == [""]:
+                raise ValueError(f"CONCAT needs arguments: {t!r}")
+            return ("concat", [_parse_filter_operand(a) for a in args])
+        if m := re.compile(r"SUBSTR\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) not in (2, 3):
+                raise ValueError(f"SUBSTR needs 2 or 3 arguments: {t!r}")
+            return ("substr", _parse_filter_operand(args[0]),
+                    _parse_filter_operand(args[1]),
+                    _parse_filter_operand(args[2]) if len(args) == 3
+                    else None)
+        if m := re.compile(r"REPLACE\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 3:
+                raise ValueError(
+                    f"REPLACE needs (arg, \"pattern\", \"replacement\"): {t!r}"
+                )
+            pat = _parse_filter_operand(args[1])
+            rep = _parse_filter_operand(args[2])
+            if pat[0] != "lit" or rep[0] != "lit":
+                raise ValueError(
+                    "REPLACE pattern and replacement must be string "
+                    f"literals: {t!r}"
+                )
+            try:
+                re.compile(pat[1])
+            except re.error as e:
+                raise ValueError(
+                    f"bad REPLACE pattern {pat[1]!r}: {e}"
+                ) from e
+            return ("replace", _parse_filter_operand(args[0]),
+                    pat[1], rep[1])
+        if m := re.compile(
+            r"(ABS|CEIL|FLOOR|ROUND)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("numfn", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
         if m := re.compile(
             r"(str|lang|datatype|strlen|ucase|lcase)\s*\(", re.IGNORECASE
         ).match(s, pos[0]):
@@ -2459,6 +2505,69 @@ def _operand_series(o, result: pd.DataFrame):
             nxt = _operand_tagged(node, result)
             out = out.where(out.notna(), nxt)
         return out, None
+    if kind == "concat":
+        out = None
+        ok = pd.Series(True, index=idx)
+        for node in rest[0]:
+            part = _operand_tagged(node, result)
+            lex, _nm, _dt, _lg, is_lit = _series_parts(part)
+            ok &= is_lit.fillna(False) & lex.notna()
+            out = lex if out is None else out.fillna("") + lex.fillna("")
+        tagged = ("L" + out.fillna("")).where(ok)
+        return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "substr":
+        src, start_n, len_n = rest
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(src, result)
+        )
+        start = _operand_numeric(start_n, result)
+        # SPARQL SUBSTR is 1-based; non-integer/unbound args are errors
+        i0 = (start - 1).astype("Float64")
+        ok = is_lit.fillna(False) & lex.notna() & i0.notna() & (i0 >= 0)
+        if len_n is not None:
+            ln = _operand_numeric(len_n, result)
+            ok &= ln.notna() & (ln >= 0)
+        parts = []
+        for k_, v in enumerate(lex.tolist()):
+            if not bool(ok.iloc[k_]) or not isinstance(v, str):
+                parts.append(None)
+                continue
+            a = int(i0.iloc[k_])
+            if len_n is not None:
+                parts.append(v[a:a + int(ln.iloc[k_])])
+            else:
+                parts.append(v[a:])
+        tagged = pd.Series(
+            ["L" + p if p is not None else None for p in parts],
+            index=idx, dtype=object,
+        )
+        return tagged, None
+    if kind == "replace":
+        src, pat, rep = rest
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(src, result)
+        )
+        ok = is_lit.fillna(False) & lex.notna()
+        out = lex.fillna("").str.replace(pat, rep, regex=True)
+        tagged = ("L" + out).where(ok)
+        return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "numfn":
+        name, node = rest
+        num = _operand_numeric(node, result).astype("Float64")
+        if name == "abs":
+            out = num.abs()
+        elif name == "ceil":
+            out = pd.Series(np.ceil(num.astype(float)), index=idx,
+                            dtype="Float64").where(num.notna())
+        elif name == "floor":
+            out = pd.Series(np.floor(num.astype(float)), index=idx,
+                            dtype="Float64").where(num.notna())
+        else:  # round — SPARQL rounds half towards +inf
+            out = pd.Series(
+                np.floor(num.astype(float) + 0.5), index=idx,
+                dtype="Float64",
+            ).where(num.notna())
+        return None, out
     if kind == "func":
         name, arg = rest
         inner, _ = _operand_series(arg, result)

@@ -1535,3 +1535,33 @@ def test_aggregate_over_expression():
     assert out["g"].iloc[0] == "2|5"
     with pytest.raises(ValueError):
         eval_bgp(t, "SELECT (SUM(*) AS ?x) WHERE { ?s ?p ?o }")
+
+
+def test_string_and_numeric_builtins_third_wave():
+    """CONCAT / SUBSTR / REPLACE / ABS / CEIL / FLOOR / ROUND."""
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    t = _triples_table([
+        ("https://e/a", "https://e/p", "hello world", True),
+        ("https://e/b", "https://e/p", f'"-7"^^<{xsd}>', True),
+    ])
+    q = "?s <https://e/p> ?o . "
+    out = eval_bgp(t, q + 'BIND(CONCAT(?o, "!") AS ?c)')
+    assert sorted(out["c"]) == ["-7!", "hello world!"]
+    out = eval_bgp(t, q + "BIND(SUBSTR(?o, 7) AS ?c)")  # 1-based
+    assert sorted(out["c"]) == ["", "world"]
+    out = eval_bgp(t, q + 'BIND(REPLACE(?o, "o", "0") AS ?c)')
+    assert "hell0 w0rld" in set(out["c"])
+    out = eval_bgp(t, q + "BIND(ABS(?o) AS ?c)")
+    # non-numeric ABS is an expression error -> unbound
+    vals = dict(zip(out["s"], out["c"]))
+    assert vals["https://e/a"] is None
+    assert vals["https://e/b"] == f'"7"^^<{xsd}>'
+    assert eval_bgp(t, q + "FILTER(CEIL(?o / 2) = -3)")["s"].tolist() == [
+        "https://e/b"
+    ]
+    assert len(eval_bgp(t, q + "FILTER(ROUND(2.5) = 3)")) == 2  # half-up
+    assert len(eval_bgp(t, q + "FILTER(FLOOR(?o / 2) = -4)")) == 1
+    with pytest.raises(ValueError):
+        eval_bgp(t, q + 'BIND(REPLACE(?o, "(", "x") AS ?c)')
+    with pytest.raises(ValueError):
+        eval_bgp(t, q + "BIND(SUBSTR(?o) AS ?c)")
