@@ -1106,6 +1106,73 @@ def _parse_filter_operand(t: str):
             return ("numfn", m.group(1).lower(),
                     _parse_filter_operand(args[0]))
         if m := re.compile(
+            r"(STRBEFORE|STRAFTER)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 2:
+                raise ValueError(f"{m.group(1)} needs two arguments: {t!r}")
+            return ("strpart", m.group(1).lower(),
+                    _parse_filter_operand(args[0]),
+                    _parse_filter_operand(args[1]))
+        if m := re.compile(
+            r"ENCODE_FOR_URI\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"ENCODE_FOR_URI needs one argument: {t!r}")
+            return ("encodeuri", _parse_filter_operand(args[0]))
+        if m := re.compile(r"STRDT\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 2:
+                raise ValueError(f"STRDT needs two arguments: {t!r}")
+            dt = _parse_filter_operand(args[1])
+            if dt[0] != "iri":
+                raise ValueError(
+                    f"STRDT datatype must be a constant IRI: {t!r}"
+                )
+            return ("strdt", _parse_filter_operand(args[0]), dt[1])
+        if m := re.compile(r"STRLANG\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 2:
+                raise ValueError(f"STRLANG needs two arguments: {t!r}")
+            tag = _parse_filter_operand(args[1])
+            if tag[0] != "lit" or not re.fullmatch(
+                r"[A-Za-z]+(-[A-Za-z0-9]+)*", tag[1]
+            ):
+                raise ValueError(
+                    f"STRLANG tag must be a constant BCP-47 literal: {t!r}"
+                )
+            return ("strlang", _parse_filter_operand(args[0]), tag[1])
+        if m := re.compile(r"(IRI|URI)\s*\(", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("mkiri", _parse_filter_operand(args[0]))
+        if m := re.compile(
+            r"(MD5|SHA1|SHA256|SHA384|SHA512)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("hashfn", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
+        if m := re.compile(r"NOW\s*\(\s*\)", re.IGNORECASE).match(s, pos[0]):
+            pos[0] = m.end()
+            return ("now",)
+        if m := re.compile(
+            r"(RAND|UUID|STRUUID)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            raise ValueError(
+                f"{m.group(1)}() is non-deterministic and unsupported — "
+                "this engine is deterministic by contract"
+            )
+        if m := re.compile(
             r"(str|lang|datatype|strlen|ucase|lcase)\s*\(", re.IGNORECASE
         ).match(s, pos[0]):
             pos[0] = m.end() - 1
@@ -2373,6 +2440,11 @@ _XSD_NUMERIC = frozenset(
 
 _DEC_EXTRACT = None  # lazy: (lex)(dtype)(lang) groups of a decorated token
 
+# NOW() context: the as-of timestamp of the running query_at (a pandas
+# Timestamp), bound around evaluation so NOW() is deterministic — it is
+# the time-travel instant being queried, not the wall clock.
+_EVAL_NOW: list = [None]
+
 
 def _series_parts(s: pd.Series):
     """Columnar decomposition of a Series of tagged binding strings
@@ -2551,6 +2623,95 @@ def _operand_series(o, result: pd.DataFrame):
         out = lex.fillna("").str.replace(pat, rep, regex=True)
         tagged = ("L" + out).where(ok)
         return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "strpart":
+        which, a, b = rest
+        alex, _an, _ad, _al, ail = _series_parts(_operand_tagged(a, result))
+        blex, _bn, _bd, _bl, bil = _series_parts(_operand_tagged(b, result))
+        ok = (ail.fillna(False) & alex.notna()
+              & bil.fillna(False) & blex.notna())
+        parts = []
+        for av, bv, okv in zip(alex.tolist(), blex.tolist(), ok.tolist()):
+            if not okv or not isinstance(av, str) or not isinstance(bv, str):
+                parts.append(None)
+                continue
+            if bv == "":
+                # SPARQL: empty separator → "" before, the whole str after
+                parts.append("" if which == "strbefore" else av)
+                continue
+            i = av.find(bv)
+            if i < 0:
+                parts.append("")
+            elif which == "strbefore":
+                parts.append(av[:i])
+            else:
+                parts.append(av[i + len(bv):])
+        return pd.Series(
+            ["L" + p if p is not None else None for p in parts],
+            index=idx, dtype=object,
+        ), None
+    if kind == "encodeuri":
+        from urllib.parse import quote
+
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(rest[0], result)
+        )
+        ok = is_lit.fillna(False) & lex.notna()
+        out = lex.map(
+            lambda v: quote(v, safe="") if isinstance(v, str) else None
+        )
+        tagged = ("L" + out).where(ok)
+        return tagged.astype(object).where(tagged.notna(), None), None
+    if kind in ("strdt", "strlang"):
+        from ..ntriples import escape_literal
+
+        node, decor = rest
+        lex, _nm, dtype, lang_, is_lit = _series_parts(
+            _operand_tagged(node, result)
+        )
+        # the first argument must be a SIMPLE literal, per SPARQL
+        ok = (is_lit.fillna(False) & lex.notna()
+              & dtype.isna() & lang_.isna())
+        esc = lex.map(
+            lambda v: escape_literal(v) if isinstance(v, str) else None
+        )
+        suffix = f"^^<{decor}>" if kind == "strdt" else f"@{decor}"
+        tagged = ('L"' + esc + '"' + suffix).where(ok)
+        return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "mkiri":
+        src = _operand_tagged(rest[0], result)
+        lex, _nm, dtype, lang_, is_lit = _series_parts(src)
+        st = src.astype("string")
+        already = (st.notna() & ~is_lit
+                   & ~lex.fillna("").str.startswith("_:"))
+        simple = is_lit.fillna(False) & lex.notna() & dtype.isna() \
+            & lang_.isna()
+        out = st.where(already, ("I" + lex.fillna("")).where(simple))
+        return out.astype(object).where(out.notna(), None), None
+    if kind == "hashfn":
+        import hashlib
+
+        name, node = rest
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(node, result)
+        )
+        ok = is_lit.fillna(False) & lex.notna()
+        out = lex.map(
+            lambda v: hashlib.new(name, v.encode("utf-8")).hexdigest()
+            if isinstance(v, str) else None
+        )
+        tagged = ("L" + out).where(ok)
+        return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "now":
+        ts = _EVAL_NOW[0]
+        if ts is None:
+            raise ValueError(
+                "NOW() needs a query-timestamp context — evaluate via "
+                "query_at(ts, ...) (NOW() = the as-of timestamp, so "
+                "results stay deterministic and reproducible)"
+            )
+        tok = (f'L"{ts.isoformat()}"'
+               "^^<http://www.w3.org/2001/XMLSchema#dateTime>")
+        return pd.Series([tok] * n, index=idx, dtype=object), None
     if kind == "numfn":
         name, node = rest
         num = _operand_numeric(node, result).astype("Float64")
@@ -2866,7 +3027,11 @@ class DiffStoreReader:
         need_quads = (group_has_graph(g) or g.get("from_graphs")
                       or g.get("from_named"))
         quads = self._quads_at(k) if need_quads else None
-        res = eval_bgp(self._store_at(k), query, quads=quads)
+        _EVAL_NOW[0] = pd.Timestamp(k, unit="s")
+        try:
+            res = eval_bgp(self._store_at(k), query, quads=quads)
+        finally:
+            _EVAL_NOW[0] = None
         self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"
         self._record("sparql", self.last_cache_level, time.monotonic() - t0)

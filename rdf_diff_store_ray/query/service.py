@@ -175,7 +175,13 @@ class QueryService:
         hit = self._query_cache.get(key)
         if hit is not None:
             return hit
-        out = self._query_at_uncached(ts, query)
+        from .bgp import _EVAL_NOW
+
+        _EVAL_NOW[0] = pd.Timestamp(key[0], unit="s")
+        try:
+            out = self._query_at_uncached(ts, query)
+        finally:
+            _EVAL_NOW[0] = None
         self._query_cache.put(key, out)
         return out
 

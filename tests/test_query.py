@@ -1565,3 +1565,67 @@ def test_string_and_numeric_builtins_third_wave():
         eval_bgp(t, q + 'BIND(REPLACE(?o, "(", "x") AS ?c)')
     with pytest.raises(ValueError):
         eval_bgp(t, q + "BIND(SUBSTR(?o) AS ?c)")
+
+
+def test_string_builtins_fourth_wave():
+    """STRBEFORE/STRAFTER, ENCODE_FOR_URI, STRDT/STRLANG, IRI(), hashes."""
+    t = _triples_table([
+        ("https://e/a", "https://e/p", "abc def", True),
+    ])
+    q = "?s <https://e/p> ?o . "
+    out = eval_bgp(t, q + 'BIND(STRBEFORE(?o, " ") AS ?c)')
+    assert out["c"].tolist() == ["abc"]
+    out = eval_bgp(t, q + 'BIND(STRAFTER(?o, " ") AS ?c)')
+    assert out["c"].tolist() == ["def"]
+    # no match -> "", empty separator -> ""/whole string (spec)
+    assert eval_bgp(t, q + 'BIND(STRBEFORE(?o, "x") AS ?c)')["c"].tolist() \
+        == [""]
+    assert eval_bgp(t, q + 'BIND(STRAFTER(?o, "") AS ?c)')["c"].tolist() \
+        == ["abc def"]
+    out = eval_bgp(t, q + "BIND(ENCODE_FOR_URI(?o) AS ?c)")
+    assert out["c"].tolist() == ["abc%20def"]
+    xsd = "http://www.w3.org/2001/XMLSchema#token"
+    out = eval_bgp(t, q + f"BIND(STRDT(?o, <{xsd}>) AS ?c)")
+    assert out["c"].tolist() == [f'"abc def"^^<{xsd}>']
+    out = eval_bgp(t, q + 'BIND(STRLANG(?o, "en-US") AS ?c)')
+    assert out["c"].tolist() == ['"abc def"@en-US']
+    # STRDT/STRLANG over an already-decorated literal is an error
+    t2 = _triples_table([("https://e/a", "https://e/p", '"x"@en', True)])
+    out = eval_bgp(t2, q + f"BIND(STRDT(?o, <{xsd}>) AS ?c)")
+    assert out["c"].tolist() == [None]
+    # IRI() over a simple literal and over an IRI (identity)
+    out = eval_bgp(t, q + 'BIND(IRI("https://e/x") AS ?c) . '
+                          "FILTER(isIRI(?c))")
+    assert len(out) == 1
+    out = eval_bgp(t, q + "BIND(URI(?s) AS ?c)")
+    assert out["c"].tolist() == ["https://e/a"]
+    # hashes: deterministic hex of the UTF-8 lexical form
+    import hashlib
+    out = eval_bgp(t, q + "BIND(SHA256(?o) AS ?c)")
+    assert out["c"].tolist() == [hashlib.sha256(b"abc def").hexdigest()]
+    out = eval_bgp(t, q + "BIND(MD5(?o) AS ?c)")
+    assert out["c"].tolist() == [hashlib.md5(b"abc def").hexdigest()]
+    with pytest.raises(ValueError):
+        eval_bgp(t, q + "BIND(RAND() AS ?c)")
+    with pytest.raises(ValueError):
+        eval_bgp(t, q + "BIND(UUID() AS ?c)")
+    with pytest.raises(ValueError):
+        eval_bgp(t, q + 'BIND(STRLANG(?o, "7bad") AS ?c)')
+    with pytest.raises(ValueError):  # NOW() without a query-time context
+        eval_bgp(t, q + "BIND(NOW() AS ?c)")
+
+
+def test_now_binds_the_asof_timestamp(built):
+    reader = DiffStoreReader(built.delta_table())
+    _lo, hi = reader.metadata()
+    out = reader.query_at(
+        hi, "SELECT DISTINCT ?t WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }"
+    )
+    k = int(pd.Timestamp(hi).timestamp())
+    expect = (f'"{pd.Timestamp(k, unit="s").isoformat()}"'
+              "^^<http://www.w3.org/2001/XMLSchema#dateTime>")
+    assert out["t"].tolist() == [expect]
+    # deterministic: asking the same instant again returns the same value
+    assert reader.query_at(
+        hi, "SELECT DISTINCT ?t WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }"
+    )["t"].tolist() == [expect]
