@@ -1913,6 +1913,29 @@ def kg_bgp_builtins(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_terms(sf_dir: str):
+    """PREFIX declarations + term-constructor/hash builtins + NOW() over
+    the KG store: prefixed names in every term position, STRAFTER/SHA256
+    derived columns, STRDT re-typing, and the as-of-timestamp NOW()."""
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        "PREFIX kg: <https://kg.example/prop/> "
+        "PREFIX ent: <https://kg.example/entity/> "
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s (STRAFTER(STR(?s), STR(ent:)) AS ?local) "
+        "(SHA256(STR(?s)) AS ?h) "
+        "(STRDT(STR(?y), xsd:gYear) AS ?year) ?t WHERE "
+        "{ ?s kg:foundedIn ?y . BIND(NOW() AS ?t) . "
+        "FILTER(STRLEN(ENCODE_FOR_URI(STR(?s))) >= STRLEN(STR(?s))) } "
+        "ORDER BY ?s LIMIT 25",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -1941,6 +1964,7 @@ def kg_bgp_features(sf_dir: str):
         "select": kg_bgp_select,
         "star_path": kg_bgp_star_path,
         "subquery": kg_bgp_subquery,
+        "terms": kg_bgp_terms,
         "typed": kg_bgp_typed,
         "union": kg_bgp_union,
     }
@@ -2048,6 +2072,7 @@ def registry():
         "kg_bgp_subquery": kg_bgp_subquery,
         "kg_bgp_dataset": kg_bgp_dataset,
         "kg_bgp_builtins": kg_bgp_builtins,
+        "kg_bgp_terms": kg_bgp_terms,
         "kg_triple_pr": kg_triple_pr,
         "kg_metrics_export": kg_metrics_export,
         "kg_triples": kg_triples,

@@ -72,6 +72,100 @@ _NO_MODIFIERS = {"select": None, "distinct": False, "order_by": None,
                  "from_graphs": None, "from_named": None}
 
 
+_PNAME_DECL = None
+_PNAME_TOKEN = None
+_SCHEME_RE = None
+
+
+def _expand_prefixes(q: str) -> str:
+    """Strip leading ``PREFIX ns: <iri>`` / ``BASE <iri>`` declarations
+    and expand prefixed names (``ns:local``, ``:local``) into full
+    ``<IRI>`` terms — quote-, IRI- and variable-aware, so colons inside
+    string literals, IRIs and ``?vars`` are never touched. With a BASE,
+    relative ``<ref>`` IRIs are resolved RFC-3986-style. Undefined
+    prefixes raise. This is a pure text pre-pass, so every query form
+    and every term position (patterns, paths, FILTER expressions,
+    VALUES, GRAPH/FROM names, CONSTRUCT templates, ``^^dt`` suffixes)
+    gets prefix support at once — matching how oxigraph accepts
+    prefixed queries for the reference (`src/query.rs:102-114`)."""
+    global _PNAME_DECL, _PNAME_TOKEN, _SCHEME_RE
+    import re
+
+    if _PNAME_DECL is None:
+        _PNAME_DECL = re.compile(
+            r"(?:PREFIX\s+([A-Za-z_][\w-]*)?:\s*<([^<>\s]*)>"
+            r"|BASE\s+<([^<>\s]*)>)\s*",
+            re.IGNORECASE,
+        )
+        # prefix ":" local — local may contain dots but not end in one
+        _PNAME_TOKEN = re.compile(
+            r"([A-Za-z_][\w-]*)?:([\w](?:[\w-]|\.(?=[\w.-]))*)?"
+        )
+        _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    s = q.lstrip()
+    prefixes: dict = {}
+    base = None
+    while m := _PNAME_DECL.match(s):
+        if m.group(3) is not None:
+            base = m.group(3)
+        else:
+            prefixes[m.group(1) or ""] = m.group(2)
+        s = s[m.end():]
+    if not prefixes and base is None:
+        return q
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c == "<" and (j := _iri_end(s, i)) is not None:
+            ref = s[i + 1 : j]
+            if base is not None and not _SCHEME_RE.match(ref):
+                from urllib.parse import urljoin
+
+                ref = urljoin(base, ref)
+            out.append(f"<{ref}>")
+            i = j + 1
+        elif c in "?$":
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            out.append(s[i:j])
+            i = j
+        elif (c.isalnum() or c in "_:") and (
+            m := _PNAME_TOKEN.match(s, i)
+        ) and ":" in m.group(0):
+            ns = m.group(1) or ""
+            if ns not in prefixes:
+                raise ValueError(
+                    f"undefined prefix {ns!r}: in query (declared: "
+                    f"{sorted(prefixes) or 'none'})"
+                )
+            out.append(f"<{prefixes[ns]}{m.group(2) or ''}>")
+            i = m.end()
+        elif c.isalnum() or c == "_":
+            # a bare word without a colon: consume it whole so its inner
+            # letters are never re-tested as a pname start
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            out.append(s[i:j])
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def parse_query(query: str) -> dict:
     """Parse the SPARQL-subset grammar into a group dict::
 
@@ -98,7 +192,7 @@ def parse_query(query: str) -> dict:
     optionals → BINDs → MINUS → EXISTS → filters → modifiers (a fixed
     normal form of the spec's position-sensitive ordering). Grows the oxigraph-subset surface of
     ``src/query.rs:102-114`` toward the full SELECT form it accepts."""
-    q = query.strip()
+    q = _expand_prefixes(query.strip())
     import re as _re
 
     if _re.match(r"^SELECT\b", q, _re.IGNORECASE):
@@ -1315,6 +1409,8 @@ def _parse_term(t: str):
         # plain IRIs (even ones containing ?query or *) matched above;
         # anything else with path operators parses as a property path
         return ("path", _parse_path_token(t))
+    if t == "a":  # the rdf:type keyword (valid only as a predicate)
+        return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
     raise ValueError(f"bad term: {t!r}")
 
 

@@ -1629,3 +1629,66 @@ def test_now_binds_the_asof_timestamp(built):
     assert reader.query_at(
         hi, "SELECT DISTINCT ?t WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }"
     )["t"].tolist() == [expect]
+
+
+def test_prefix_declarations():
+    """PREFIX/BASE declarations expand everywhere a term can appear."""
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    t = _triples_table([
+        ("https://e/a", P_ACQUIRED, "https://e/b", False),
+        ("https://e/a", "https://e/n", f'"5"^^<{xsd}>', True),
+    ])
+    pre = "PREFIX e: <https://e/> PREFIX x: <https://kg.example/prop/> "
+    out = eval_bgp(t, pre + "SELECT ?s WHERE { ?s x:acquired e:b }")
+    assert out["s"].tolist() == ["https://e/a"]
+    # ^^dt suffix, FILTER expression and property-path positions
+    out = eval_bgp(
+        t,
+        "PREFIX e: <https://e/> PREFIX xsd: "
+        "<http://www.w3.org/2001/XMLSchema#> "
+        'SELECT ?v WHERE { ?s e:n ?v . FILTER(?v = "5"^^xsd:integer) }',
+    )
+    assert len(out) == 1
+    out = eval_bgp(
+        t, "PREFIX x: <https://kg.example/prop/> "
+           "SELECT ?o WHERE { <https://e/a> x:acquired+ ?o }"
+    )
+    assert out["o"].tolist() == ["https://e/b"]
+    # empty prefix and a colon inside a string literal stays untouched
+    out = eval_bgp(
+        t, "PREFIX : <https://kg.example/prop/> "
+           'SELECT ?s WHERE { ?s :acquired ?o . FILTER(STR(?o) != "x:y") }'
+    )
+    assert out["s"].tolist() == ["https://e/a"]
+    with pytest.raises(ValueError, match="undefined prefix"):
+        eval_bgp(t, "PREFIX e: <https://e/> SELECT ?s WHERE { ?s nope:p ?o }")
+
+
+def test_base_declaration_resolves_relative_iris():
+    t = _triples_table([
+        ("https://e/dir/a", "https://e/dir/p", "https://e/other", False),
+    ])
+    out = eval_bgp(
+        t, "BASE <https://e/dir/> SELECT ?o WHERE { <a> <p> ?o }"
+    )
+    assert out["o"].tolist() == ["https://e/other"]
+    # absolute IRIs pass through a BASE untouched
+    out = eval_bgp(
+        t, "BASE <https://e/dir/> SELECT ?o "
+           "WHERE { <https://e/dir/a> <p> ?o }"
+    )
+    assert len(out) == 1
+
+
+def test_rdf_type_keyword_a():
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    t = _triples_table([
+        ("https://e/a", rdf_type, "https://e/Company", False),
+        ("https://e/a", P_FOUNDED, "1999", True),
+    ])
+    out = eval_bgp(t, "SELECT ?s WHERE { ?s a <https://e/Company> }")
+    assert out["s"].tolist() == ["https://e/a"]
+    out = eval_bgp(
+        t, "PREFIX e: <https://e/> ASK { e:a a e:Company }"
+    )
+    assert bool(out["ask"].iloc[0]) is True
