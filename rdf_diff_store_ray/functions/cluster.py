@@ -222,3 +222,74 @@ def semantic_dedup(emb_ds, *, k: int = 16, threshold: float = 0.95,
     return tagged.groupby("cluster").map_groups(
         dedup_in_cluster, batch_format="pyarrow"
     )
+
+
+def label_centroid_outliers(emb_ds, k: int = 3):
+    """Per-label outlier ranking: each label's centroid is folded from
+    per-batch partial sums (the wire carries labels × d floats per
+    batch, never embeddings), broadcast once, and every vector scores
+    its L2 distance to its own label's centroid in-stream; the top-k
+    farthest per label are ranked (distance DESC, vec_id ASC). Returns
+    ``(label, vec_id, rank)`` — integer output, so the result is
+    platform-stable. The final per-label pass is a legal
+    ``groupby.map_groups`` because label cardinality is bounded."""
+    src = emb_ds.select_columns(["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _matrix(batch["embedding"])
+        labs = np.asarray(batch["label"].to_pandas(), dtype=np.int64)
+        rows = []
+        for lab in np.unique(labs):
+            m = V[labs == lab]
+            rows.append({"label": int(lab), "n": float(len(m)),
+                         "vecsum": m.sum(axis=0).tolist()})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"label": pa.array([], pa.int64()),
+             "n": pa.array([], pa.float64()),
+             "vecsum": pa.array([], pa.list_(pa.float64()))}
+        )
+
+    parts = src.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()  # nbatches × nlabels tiny partial rows
+    sums: dict = {}
+    counts: dict = {}
+    for lab, n, vs in zip(parts["label"], parts["n"], parts["vecsum"]):
+        lab = int(lab)
+        counts[lab] = counts.get(lab, 0.0) + float(n)
+        cur = sums.get(lab)
+        sums[lab] = np.asarray(vs) if cur is None else cur + np.asarray(vs)
+    cent = {lab: sums[lab] / counts[lab] for lab in sums}
+    ref = ray.put(cent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        V = _matrix(batch["embedding"])
+        labs = np.asarray(batch["label"].to_pandas(), dtype=np.int64)
+        if V.size == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.float64())}
+            )
+        C = np.stack([c[int(lab)] for lab in labs])
+        dist = np.sqrt(((V - C) ** 2).sum(axis=1))
+        return pa.table(
+            {"label": pa.array(labs, pa.int64()),
+             "vec_id": batch["vec_id"],
+             "dist": pa.array(dist, pa.float64())}
+        )
+
+    import pandas as pd
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "vec_id"],
+                              ascending=[False, True], kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        return g[["label", "vec_id", "rank"]]
+
+    return (
+        src.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .groupby("label")
+        .map_groups(topk, batch_format="pandas")
+    )

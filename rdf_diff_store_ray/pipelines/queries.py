@@ -247,6 +247,104 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 """
 
 
+def top_terms_per_lang(sf_dir: str, k: int = 5):
+    """Per-language top-k vocabulary: the data-mixing diagnostic (which
+    tokens dominate each language slice). Two-phase over the unbounded
+    (lang, token) key — per-batch Arrow partial counts (the shuffle
+    carries one row per distinct key per batch), keyed sum, then a
+    per-lang top-k; the final ``map_groups`` is legal because the lang
+    vocabulary is bounded."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(
+            batch["text"].combine_chunks(), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks_list)
+        parent = pc.list_parent_indices(toks_list)
+        langs = pc.take(batch["lang"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        # one flat composite key so value_counts stays a single Arrow
+        # kernel; \x00 cannot appear in either part
+        keyed = pc.binary_join_element_wise(
+            langs.filter(keep), flat.filter(keep), "\x00"
+        )
+        vc = pc.value_counts(keyed)
+        split = pc.split_pattern(vc.field("values"), "\x00", max_splits=1)
+        return pa.table(
+            {
+                "lang": pc.list_element(split, 0),
+                "token": pc.list_element(split, 1),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", "token"], ascending=[False, True],
+                              kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        return g[["lang", "token", "n", "rank"]]
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+TOP_TERMS_PER_LANG_SQL = r"""
+SELECT lang, token, n, rank FROM (
+  SELECT lang, token, n,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM (SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents)
+        GROUP BY lang, tok)
+) WHERE rank <= 5
+"""
+
+
+def centroid_outliers(sf_dir: str, k: int = 3):
+    """Embedding-space outliers per label: top-k vectors farthest from
+    their label's centroid — the anomaly/quality screen a curated
+    corpus runs over its embedding clusters (mislabeled or off-topic
+    points sit far from their centroid)."""
+    import ray.data as rd
+
+    from ..functions.cluster import label_centroid_outliers
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return label_centroid_outliers(emb, k=k)
+
+
+CENTROID_OUTLIERS_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT label, d, avg(x) AS c FROM dims GROUP BY label, d
+), dist AS (
+  SELECT dims.vec_id, dims.label, sqrt(sum((dims.x - cent.c) ^ 2)) AS dd
+  FROM dims JOIN cent ON dims.label = cent.label AND dims.d = cent.d
+  GROUP BY dims.vec_id, dims.label
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, rank FROM (
+  SELECT label, vec_id,
+         CAST(row_number() OVER (PARTITION BY label
+                                 ORDER BY dd DESC, vec_id) AS BIGINT) AS rank
+  FROM dist
+) WHERE rank <= 3
+"""
+
+
 def pii_redact_docs(sf_dir: str):
     """PII scrubbing over the documents table: redacted text + per-class
     match counts (email / IPv4 / SSN / phone), vectorized RE2 kernels.
@@ -2029,6 +2127,8 @@ def registry():
         "repetition_stats": repetition_stats,
         "ann_topk": ann_topk,
         "label_dist": label_dist,
+        "top_terms_per_lang": top_terms_per_lang,
+        "centroid_outliers": centroid_outliers,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
         # ORDER MATTERS: the driver grades a bounded PREFIX of the
         # registry (r2 ran exactly 50 of 57), so slots 38-50 go to
@@ -2133,4 +2233,6 @@ def oracles():
         "top_docs_by_len": TOP_DOCS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "label_dist": LABEL_DIST_SQL,
+        "top_terms_per_lang": TOP_TERMS_PER_LANG_SQL,
+        "centroid_outliers": CENTROID_OUTLIERS_SQL,
     }
