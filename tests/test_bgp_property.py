@@ -583,3 +583,39 @@ def test_graph_clause_matches_naive(quads, def_pats, graph_pats, gterm):
         assert bool(len(got_df)) == bool(want)
     else:
         assert got == want, (query, rows)
+
+
+@given(
+    triples=st.lists(_triple, min_size=0, max_size=8),
+    pats=st.lists(_pattern, min_size=1, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_expansion_matches_plain(triples, pats):
+    """Rewriting every IRI as a prefixed name must not change results —
+    the PREFIX pre-pass is a pure text identity."""
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    plain = " . ".join(" ".join(t) for t in pats)
+
+    def prefixed_term(t: str) -> str:
+        if t.startswith("<e"):
+            return "n:" + t[2:-1]
+        if t.startswith("<p"):
+            return "q:" + t[2:-1]
+        return t
+
+    pre = "PREFIX n: <e> PREFIX q: <p> " + " . ".join(
+        " ".join(prefixed_term(x) for x in t) for t in pats
+    )
+    a = eval_bgp(table, plain)
+    b = eval_bgp(table, pre)
+    pd.testing.assert_frame_equal(a, b)
