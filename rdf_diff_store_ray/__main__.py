@@ -101,6 +101,17 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    _ensure_ray()
+    from .state.update import sparql_update
+
+    text = open(args.file).read() if args.file else (args.update or "")
+    if not text.strip():
+        raise SystemExit("empty update: pass the update string or --file")
+    print(json.dumps(sparql_update(args.store, text, args.ts)))
+    return 0
+
+
 def cmd_compact(args) -> int:
     _ensure_ray()
     from .state.append import compact_log
@@ -210,6 +221,17 @@ def main(argv=None) -> int:
     d.add_argument("--graph", required=True)
     d.add_argument("--ts", type=int, required=True)
     d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser(
+        "update",
+        help="SPARQL Update: INSERT/DELETE DATA, DELETE WHERE, "
+             "CLEAR/DROP GRAPH",
+    )
+    u.add_argument("--store", required=True)
+    u.add_argument("--ts", type=int, required=True)
+    u.add_argument("--file", help="read the update from a file")
+    u.add_argument("update", nargs="?", help="the update string")
+    u.set_defaults(fn=cmd_update)
 
     cp = sub.add_parser("compact", help="merge append segments into base files (git-gc analog)")
     cp.add_argument("--store", required=True)

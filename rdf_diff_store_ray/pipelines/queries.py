@@ -1810,6 +1810,56 @@ def kg_metadata(sf_dir: str):
 
 
 # --------------------------------------------------------------- registry ---
+def kg_sparql_update(sf_dir: str):
+    """SPARQL Update surface end-to-end: copy the built log, apply a
+    deterministic INSERT DATA → DELETE DATA → DELETE WHERE → CLEAR →
+    DROP sequence, and report each step's write summary plus the live
+    triple count after it — one row per step, value-stable."""
+    import shutil
+    import tempfile
+
+    from ..query.bgp import DiffStoreReader
+    from ..state.update import _store_table, sparql_update
+
+    res = kg_build_for(sf_dir)
+    delta_dir = os.path.join(
+        tempfile.mkdtemp(prefix="kg_update_", dir="/tmp"), "deltas"
+    )
+    shutil.copytree(res.delta_dir, delta_dir)
+    hi_s = _store_end_ts(res)
+    g1, g2 = "https://upd.example/g1", "https://upd.example/g2"
+    steps = [
+        ("insert", "PREFIX u: <https://upd.example/p/> "
+         f"INSERT DATA {{ GRAPH <{g1}> {{ u:a u:p \"1\" . u:a u:q u:b }} "
+         f"GRAPH <{g2}> {{ u:a u:p \"1\" . u:c u:p \"3\" }} }}"),
+        ("delete_data", f"DELETE DATA {{ GRAPH <{g2}> "
+         "{ <https://upd.example/p/a> <https://upd.example/p/p> \"1\" } }"),
+        ("delete_where",
+         "DELETE WHERE { ?s <https://upd.example/p/p> \"1\" }"),
+        ("clear", f"CLEAR GRAPH <{g1}>"),
+        ("drop", f"DROP GRAPH <{g2}>"),
+    ]
+    rows = []
+    for i, (name, upd) in enumerate(steps, 1):
+        summary = sparql_update(delta_dir, upd, hi_s + 10 * i)
+        reader = DiffStoreReader(_store_table(delta_dir))
+        live = reader.query_at(
+            hi_s + 10 * i,
+            "SELECT ?g ?s ?p ?o WHERE { GRAPH ?g { ?s ?p ?o } . "
+            "FILTER(STRSTARTS(STR(?g), \"https://upd.example/\")) }",
+        )
+        rows.append(
+            {
+                "step": name,
+                "graphs": summary["graphs"],
+                "added": summary["added"],
+                "removed": summary["removed"],
+                "live_quads": len(live),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def curate_corpus(sf_dir: str, per_lang: int = 100,
                   threshold: float = 0.7):
     """The END-TO-END corpus curation pipeline a training-data run
@@ -2148,6 +2198,7 @@ def registry():
         "kg_query_service": kg_query_service,
         "kg_turtle_ingest": kg_turtle_ingest,
         "kg_incremental_append": kg_incremental_append,
+        "kg_sparql_update": kg_sparql_update,
         "kg_state_at_mid": kg_state_at_mid,
         # ---- driver-cap watermark (position 50) ----
         "curate_corpus": curate_corpus,

@@ -1,0 +1,195 @@
+"""SPARQL Update over the delta-log store: INSERT/DELETE DATA,
+DELETE WHERE, CLEAR/DROP GRAPH — all routed through the append path
+(canonicalization, no-op suppression, monotonicity, write lock)."""
+
+import glob
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+T1, T2, T3, T4 = (1_700_000_000, 1_700_000_100,
+                  1_700_000_200, 1_700_000_300)
+
+
+def _delta_table(delta_dir):
+    files = sorted(
+        glob.glob(os.path.join(delta_dir, "partition=*", "*.parquet"))
+    )
+    return pads.dataset(files).to_table()
+
+
+@pytest.fixture()
+def store(ray_session, tmp_path):
+    from rdf_diff_store_ray.state.append import init_log
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    s = init_log(str(tmp_path / "deltas"), num_partitions=4)
+    sparql_update(
+        s,
+        "PREFIX x: <https://x/> "
+        "INSERT DATA { "
+        'GRAPH <https://g/1> { x:a x:p "1" . x:a x:q x:b } '
+        'GRAPH <https://g/2> { x:a x:p "1" . x:c x:p "3" } }',
+        T1,
+    )
+    return s
+
+
+def _reader(store):
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+
+    return DiffStoreReader(_delta_table(store))
+
+
+def test_insert_data_creates_versions(store):
+    r = _reader(store)
+    txt = r.graphs_at(T1)
+    assert '<https://x/a> <https://x/p> "1" .' in txt
+    assert "<https://x/a> <https://x/q> <https://x/b> ." in txt
+    # GRAPH-scoped query sees per-graph placement
+    out = r.query_at(
+        T1, "SELECT ?s WHERE { GRAPH <https://g/2> { ?s <https://x/p> ?o } }"
+    )
+    assert sorted(out["s"]) == ["https://x/a", "https://x/c"]
+
+
+def test_insert_data_is_idempotent_noop(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        'INSERT DATA { GRAPH <https://g/1> { <https://x/a> <https://x/p> "1" } }',
+        T2,
+    )
+    assert res == {"form": "insert_data", "graphs": 0,
+                   "added": 0, "removed": 0}
+    # no new version was written (no-op suppression upstream of append)
+    assert _reader(store).metadata()[1].timestamp() == T1
+
+
+def test_delete_data_removes_only_named_graph(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        'DELETE DATA { GRAPH <https://g/2> { <https://x/a> <https://x/p> "1" } }',
+        T2,
+    )
+    assert res["removed"] == 1 and res["graphs"] == 1
+    r = _reader(store)
+    out = r.query_at(
+        T2, 'SELECT ?g WHERE { GRAPH ?g { <https://x/a> <https://x/p> "1" } }'
+    )
+    assert out["g"].tolist() == ["https://g/1"]
+    # absent triples are a no-op per spec
+    res = sparql_update(
+        store,
+        'DELETE DATA { GRAPH <https://g/2> { <https://x/nope> <https://x/p> "9" } }',
+        T3,
+    )
+    assert res["removed"] == 0 and res["graphs"] == 0
+
+
+def test_delete_where_default_graph_hits_every_owner(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    # "1"-valued x:p triples live in BOTH graphs; a bare pattern deletes
+    # them from each owner
+    res = sparql_update(
+        store, 'DELETE WHERE { ?s <https://x/p> "1" }', T2
+    )
+    assert res["graphs"] == 2 and res["removed"] == 2
+    r = _reader(store)
+    assert len(r.query_at(T2, '?s <https://x/p> "1"')) == 0
+    # untouched triples survive
+    assert len(r.query_at(T2, '?s <https://x/p> "3"')) == 1
+    # time travel still sees the pre-delete state
+    assert len(r.query_at(T1, '?s <https://x/p> "1"')) == 1
+
+
+def test_delete_where_graph_scoped(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        "DELETE WHERE { GRAPH <https://g/2> { ?s <https://x/p> ?o } }",
+        T2,
+    )
+    assert res["graphs"] == 1 and res["removed"] == 2
+    r = _reader(store)
+    out = r.query_at(
+        T2, "SELECT ?g WHERE { GRAPH ?g { ?s <https://x/p> ?o } }"
+    )
+    assert out["g"].tolist() == ["https://g/1"]
+
+
+def test_delete_where_variable_graph(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        'DELETE WHERE { GRAPH ?g { ?s <https://x/p> "1" } }', T2
+    )
+    assert res["graphs"] == 2 and res["removed"] == 2
+
+
+def test_clear_and_drop_graph(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    sparql_update(store, "CLEAR GRAPH <https://g/1>", T2)
+    r = _reader(store)
+    live = {
+        g for g in r.query_at(
+            T2, "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }"
+        )["g"]
+    }
+    assert live == {"https://g/2"}  # cleared graph is empty but live
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    st = state_at_table(_delta_table(store), T2)
+    assert sorted(st["graph_id"].to_pylist()) == ["https://g/1", "https://g/2"]
+
+    sparql_update(store, "DROP GRAPH <https://g/2>", T3)
+    st = state_at_table(_delta_table(store), T3)
+    assert st["graph_id"].to_pylist() == ["https://g/1"]
+
+
+def test_update_grammar_errors(store):
+    from rdf_diff_store_ray.state.update import parse_update, sparql_update
+
+    with pytest.raises(ValueError, match="GRAPH blocks"):
+        parse_update('INSERT DATA { <https://x/a> <https://x/p> "1" }')
+    with pytest.raises(ValueError, match="ground terms"):
+        parse_update("INSERT DATA { GRAPH <https://g/1> { ?s <https://x/p> ?o } }")
+    with pytest.raises(ValueError, match="filters"):
+        parse_update(
+            "DELETE WHERE { ?s <https://x/p> ?o . FILTER(?o > 1) }"
+        )
+    with pytest.raises(ValueError, match="unsupported update form"):
+        parse_update("LOAD <https://remote/data.ttl>")
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_update('PREFIX x: <https://x/> '
+                     'INSERT DATA { GRAPH <g> { nope:a x:p "1" } }')
+    # monotonicity is enforced by the append layer
+    with pytest.raises(Exception):
+        sparql_update(
+            store,
+            'INSERT DATA { GRAPH <https://g/1> { <https://x/z> <https://x/p> "9" } }',
+            T1 - 500,
+        )
+
+
+def test_update_cli(store):
+    import json
+    import subprocess
+
+    out = subprocess.run(
+        ["python", "-m", "rdf_diff_store_ray", "update",
+         "--store", store, "--ts", str(T2),
+         'INSERT DATA { GRAPH <https://g/3> { <https://x/n> <https://x/p> "7" } }'],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["form"] == "insert_data" and res["added"] == 1
