@@ -106,6 +106,97 @@ def _ground_quads(group: dict) -> list:
     return out
 
 
+def _parse_template(body: str, kind: str) -> dict:
+    """Quad-pattern template body → a group-shaped dict of bare
+    ``patterns`` plus ``graphs`` blocks. SPARQL quad templates do not
+    require "." separators between adjacent GRAPH blocks; bare triple
+    runs between blocks parse with the ordinary group grammar.
+    ``kind="DATA"`` restricts GRAPH terms to constant IRIs; templates
+    also accept ``GRAPH ?var``."""
+    from ..query.bgp import _match_brace, _parse_group_body
+
+    gre = re.compile(
+        r"GRAPH\s*(\?[A-Za-z_]\w*|<[^<>\s]+>)\s*\{", re.IGNORECASE
+    )
+    patterns, graphs, pos, n = [], [], 0, len(body)
+
+    def consume_bare(start: int) -> int:
+        """Advance to the next top-level GRAPH keyword (quote-aware) and
+        parse the skipped run as bare triple patterns."""
+        i = start
+        while i < n:
+            c = body[i]
+            if c == '"':
+                i += 1
+                while i < n:
+                    if body[i] == "\\":
+                        i += 2
+                        continue
+                    if body[i] == '"':
+                        break
+                    i += 1
+                i += 1
+                continue
+            if gre.match(body, i):
+                break
+            i += 1
+        chunk = body[start:i].strip().rstrip(".").strip()
+        if chunk:
+            sub = _parse_group_body(chunk)
+            for key in ("filters", "optionals", "unions", "values",
+                        "binds", "minus", "exists", "subqueries", "graphs"):
+                if sub.get(key):
+                    raise ValueError(
+                        f"{key} are not allowed in a quad template"
+                    )
+            patterns.extend(sub["patterns"])
+        return i
+
+    while pos < n:
+        if body[pos].isspace() or body[pos] == ".":
+            pos += 1
+            continue
+        if gm := gre.match(body, pos):
+            gj = _match_brace(body, gm.end() - 1)
+            sub = _parse_group_body(body[gm.end(): gj].strip())
+            for key in ("filters", "optionals", "unions", "values",
+                        "binds", "minus", "exists", "subqueries", "graphs"):
+                if sub.get(key):
+                    raise ValueError(
+                        f"{key} are not allowed inside a GRAPH template block"
+                    )
+            term = gm.group(1)
+            gterm = (("var", term[1:]) if term.startswith("?")
+                     else ("iri", term[1:-1]))
+            if kind == "DATA" and gterm[0] != "iri":
+                raise ValueError(
+                    f"GRAPH term in DATA must be a constant IRI: {term!r}"
+                )
+            graphs.append((gterm, sub))
+            pos = gj + 1
+        else:
+            nxt = consume_bare(pos)
+            if nxt == pos:
+                raise ValueError(f"bad quad template at: {body[pos:pos+60]!r}")
+            pos = nxt
+    for pats in [patterns] + [sub["patterns"] for _g, sub in graphs]:
+        for _s, p, _o in pats:
+            if p[0] == "path":
+                raise ValueError(
+                    "property paths cannot appear in a quad template"
+                )
+    if kind == "DATA" and patterns:
+        raise ValueError(
+            "INSERT/DELETE DATA needs GRAPH blocks — the store keeps "
+            "every triple in a named source graph (GRAPH <id> { ... })"
+        )
+    if not patterns and not graphs:
+        raise ValueError("empty quad template")
+    return {"patterns": patterns, "filters": [], "optionals": [],
+            "unions": [], "values": [], "binds": [], "minus": [],
+            "exists": [], "subqueries": [], "graphs": graphs}
+
+
 def parse_update(update: str) -> dict:
     """Parse a SPARQL-Update string (PREFIX declarations supported) into
     ``{"form": ..., ...}``; raises on unsupported forms with the list of
@@ -117,29 +208,7 @@ def parse_update(update: str) -> dict:
         j = _match_brace(q, m.end() - 1)
         if q[j + 1:].strip():
             raise ValueError(f"trailing content after DATA block: {q[j+1:]!r}")
-        # scan GRAPH blocks directly: SPARQL quad data does not require
-        # "." separators between adjacent GRAPH blocks
-        body = q[m.end(): j].strip()
-        graphs, pos = [], 0
-        gre = re.compile(r"GRAPH\s*<([^<>\s]+)>\s*\{", re.IGNORECASE)
-        while pos < len(body):
-            if body[pos].isspace() or body[pos] == ".":
-                pos += 1
-                continue
-            gm = gre.match(body, pos)
-            if not gm:
-                raise ValueError(
-                    "INSERT/DELETE DATA needs GRAPH blocks — the store "
-                    "keeps every triple in a named source graph "
-                    f"(GRAPH <id> {{ ... }}): {body[pos:pos + 60]!r}"
-                )
-            gj = _match_brace(body, gm.end() - 1)
-            sub = _parse_group_body(body[gm.end(): gj].strip())
-            graphs.append((("iri", gm.group(1)), sub))
-            pos = gj + 1
-        group = {"patterns": [], "filters": [], "optionals": [],
-                 "unions": [], "values": [], "binds": [], "minus": [],
-                 "exists": [], "subqueries": [], "graphs": graphs}
+        group = _parse_template(q[m.end(): j].strip(), kind="DATA")
         return {
             "form": f"{m.group(1).lower()}_data",
             "quads": _ground_quads(group),
@@ -171,6 +240,47 @@ def parse_update(update: str) -> dict:
                         "property paths cannot appear in a deletion template"
                     )
         return {"form": "delete_where", "group": group}
+    if m := re.match(r"(DELETE|INSERT)\s*\{", q, re.IGNORECASE):
+        # the general modify form:
+        #   [DELETE { template }] [INSERT { template }] WHERE { group }
+        pos = 0
+        dele = ins = None
+        for _ in range(2):
+            t = re.compile(r"(DELETE|INSERT)\s*\{", re.IGNORECASE).match(
+                q, pos
+            )
+            if not t:
+                break
+            j = _match_brace(q, t.end() - 1)
+            tmpl = _parse_template(q[t.end(): j].strip(), kind="TEMPLATE")
+            if t.group(1).upper() == "DELETE":
+                if dele is not None:
+                    raise ValueError("duplicate DELETE template")
+                dele = tmpl
+            else:
+                if ins is not None:
+                    raise ValueError("duplicate INSERT template")
+                ins = tmpl
+            pos = j + 1
+            while pos < len(q) and q[pos].isspace():
+                pos += 1
+        if ins is not None and ins["patterns"]:
+            raise ValueError(
+                "INSERT templates need GRAPH blocks — there is no "
+                "default graph to insert into (one named graph per "
+                "source id)"
+            )
+        wm = re.compile(r"WHERE\s*\{", re.IGNORECASE).match(q, pos)
+        if not wm:
+            raise ValueError(f"modify form needs WHERE {{ ... }}: {q[pos:pos+60]!r}")
+        j = _match_brace(q, wm.end() - 1)
+        if q[j + 1:].strip():
+            raise ValueError(
+                f"trailing content after WHERE block: {q[j+1:]!r}"
+            )
+        group = _parse_group_body(q[wm.end(): j].strip())
+        return {"form": "modify", "delete": dele, "insert": ins,
+                "group": group}
     if m := _GRAPH_RE.match(q):
         return {"form": f"{m.group(1).lower()}_graph", "graph": m.group(2)}
     raise ValueError(
@@ -186,9 +296,11 @@ def _tagged_to_term(v: str):
 
 def _instantiate(pattern, row: dict):
     """One solution row (tagged dict) × one triple pattern → ground
-    (subj, pred, obj, is_lit), or None if a template var is unbound."""
+    (subj, pred, obj, is_lit); None if a template var is unbound or the
+    instantiation is ill-formed (a literal in subject/predicate
+    position) — such quads are skipped, per the SPARQL Update spec."""
     out = []
-    for pos, term in zip(("subj", "pred", "obj"), pattern):
+    for term in pattern:
         if term[0] == "var":
             v = row.get(term[1])
             if v is None:
@@ -199,41 +311,48 @@ def _instantiate(pattern, row: dict):
         else:  # lit
             val, is_lit = term[1], True
         out.append((val, is_lit))
-    (s, _), (p, _), (o, ol) = out
+    (s, sl), (p, pl), (o, ol) = out
+    if sl or pl:
+        return None
     return (s, p, o, ol)
 
 
-def _delete_where_quads(group: dict, deltas, ts) -> list:
-    """Evaluate the DELETE WHERE group at ``ts`` and instantiate its
-    patterns into the ground quads to remove."""
-    import pandas as pd
+def _solutions(group: dict, deltas, ts):
+    """Evaluate a WHERE group against the quad view at ``ts`` → (tagged
+    solution rows, quad frame)."""
+    from ..query.bgp import (
+        eval_group,
+        eval_one_pattern,
+        eval_pattern_in_graph,
+    )
 
-    from ..query.bgp import eval_group, eval_one_pattern, eval_pattern_in_graph
-
-    quads = reconstruct.quads_at_table(deltas, ts)
-    qdf = quads.to_pandas()
+    qdf = reconstruct.quads_at_table(deltas, ts).to_pandas()
     merged = qdf.drop(columns=["graph_id"]).drop_duplicates()
     source = lambda pat: eval_one_pattern(merged, pat)  # noqa: E731
     gsource = lambda pat, gt: eval_pattern_in_graph(qdf, pat, gt)  # noqa: E731
-    bindings = eval_group(group, source, gsource)
-    rows = bindings.to_dict("records")
-    out = []  # (graph_id, subj, pred, obj, is_lit)
-    for pat in group["patterns"]:
+    return eval_group(group, source, gsource).to_dict("records"), qdf
+
+
+def _template_quads(tmpl: dict, rows: list, qdf) -> list:
+    """Instantiate a quad template with the solution rows →
+    [(graph_id, subj, pred, obj, is_lit)]. Bare (default-graph) patterns
+    resolve to EVERY source graph holding the triple (the merged view is
+    the union) — inserts never carry bare patterns (rejected at parse)."""
+    out = []
+    for pat in tmpl["patterns"]:
         seen = set()
         for row in rows:
             t = _instantiate(pat, row)
             if t is None or t in seen:
                 continue
             seen.add(t)
-            # a default-graph deletion removes the triple from EVERY
-            # source graph holding it (the merged view is the union)
             hit = qdf[
                 (qdf["subj"] == t[0]) & (qdf["pred"] == t[1])
                 & (qdf["obj"] == t[2]) & (qdf["obj_is_literal"] == t[3])
             ]
             for gid in hit["graph_id"].unique():
                 out.append((gid,) + t)
-    for gterm, sub in group.get("graphs") or []:
+    for gterm, sub in tmpl.get("graphs") or []:
         for pat in sub["patterns"]:
             seen = set()
             for row in rows:
@@ -241,8 +360,8 @@ def _delete_where_quads(group: dict, deltas, ts) -> list:
                     gid = gterm[1]
                 else:
                     gv = row.get(gterm[1])
-                    if gv is None:
-                        continue
+                    if gv is None or gv[0] == "L":
+                        continue  # unbound / literal graph term: skip
                     gid = _tagged_to_term(gv)[0]
                 t = _instantiate(pat, row)
                 if t is None or (gid,) + t in seen:
@@ -269,26 +388,36 @@ def sparql_update(store: str, update: str, ts: int) -> dict:
 
     deltas = _store_table(store)
     if form == "delete_where":
-        quads = _delete_where_quads(u["group"], deltas, ts)
-    else:
-        quads = u["quads"]
+        rows, qdf = _solutions(u["group"], deltas, ts)
+        del_quads = _template_quads(u["group"], rows, qdf)
+        ins_quads = []
+    elif form == "modify":
+        rows, qdf = _solutions(u["group"], deltas, ts)
+        del_quads = (_template_quads(u["delete"], rows, qdf)
+                     if u["delete"] else [])
+        ins_quads = (_template_quads(u["insert"], rows, qdf)
+                     if u["insert"] else [])
+    elif form == "insert_data":
+        del_quads, ins_quads = [], u["quads"]
+    else:  # delete_data
+        del_quads, ins_quads = u["quads"], []
+
     by_graph: dict = {}
-    for gid, s, p, o, ol in quads:
-        by_graph.setdefault(gid, []).append((s, p, o, ol))
+    for gid, s, p, o, ol in del_quads:
+        by_graph.setdefault(gid, [set(), set()])[0].add((s, p, o, ol))
+    for gid, s, p, o, ol in ins_quads:
+        by_graph.setdefault(gid, [set(), set()])[1].add((s, p, o, ol))
 
     live = reconstruct.state_at_table(deltas, ts)
     cur_text = dict(zip(live["graph_id"].to_pylist(),
                         live["delta_text"].to_pylist()))
     updates: dict = {}
     added = removed = 0
-    for gid, triples in sorted(by_graph.items()):
+    for gid, (dels, ins) in sorted(by_graph.items()):
         cur = set(ntriples.parse(cur_text.get(gid, "")))
-        if form == "insert_data":
-            new = cur | set(triples)
-            added += len(new) - len(cur)
-        else:
-            new = cur - set(triples)
-            removed += len(cur) - len(new)
+        new = (cur - dels) | ins  # spec order: delete, then insert
+        removed += len(dels & cur)
+        added += len(new) - len(cur - dels)
         if new != cur:
             updates[gid] = sorted(new)
     if updates:

@@ -193,3 +193,76 @@ def test_update_cli(store):
     assert out.returncode == 0, out.stderr
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["form"] == "insert_data" and res["added"] == 1
+
+
+def test_modify_insert_where(store):
+    """INSERT { } WHERE { }: derive new triples from matched bindings."""
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        "PREFIX x: <https://x/> "
+        "INSERT { GRAPH <https://g/derived> { ?s x:hasValue ?o } } "
+        'WHERE { GRAPH <https://g/2> { ?s x:p ?o } }',
+        T2,
+    )
+    assert res["form"] == "modify"
+    assert res["graphs"] == 1 and res["added"] == 2 and res["removed"] == 0
+    r = _reader(store)
+    out = r.query_at(
+        T2,
+        "SELECT ?s ?o WHERE { GRAPH <https://g/derived> "
+        "{ ?s <https://x/hasValue> ?o } }",
+    )
+    assert len(out) == 2
+
+
+def test_modify_delete_insert_where(store):
+    """Rename a predicate in place: DELETE old INSERT new WHERE match."""
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        "PREFIX x: <https://x/> "
+        "DELETE { GRAPH ?g { ?s x:p ?o } } "
+        "INSERT { GRAPH ?g { ?s x:p2 ?o } } "
+        "WHERE { GRAPH ?g { ?s x:p ?o } }",
+        T2,
+    )
+    assert res["removed"] == 3 and res["added"] == 3  # 3 x:p quads total
+    r = _reader(store)
+    assert len(r.query_at(T2, "?s <https://x/p> ?o")) == 0
+    out = r.query_at(
+        T2, "SELECT ?g ?s WHERE { GRAPH ?g { ?s <https://x/p2> ?o } }"
+    )
+    assert len(out) == 3
+    # history is intact
+    assert len(r.query_at(T1, "?s <https://x/p> ?o")) == 2  # distinct s,o
+
+
+def test_modify_bare_delete_hits_every_owner(store):
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(
+        store,
+        'DELETE { ?s <https://x/p> "1" } '
+        'WHERE { ?s <https://x/p> "1" }',
+        T2,
+    )
+    assert res["graphs"] == 2 and res["removed"] == 2
+
+
+def test_modify_grammar_errors(store):
+    from rdf_diff_store_ray.state.update import parse_update
+
+    with pytest.raises(ValueError, match="INSERT templates need GRAPH"):
+        parse_update(
+            "INSERT { ?s <https://x/p3> ?o } WHERE { ?s <https://x/p> ?o }"
+        )
+    with pytest.raises(ValueError, match="WHERE"):
+        parse_update("INSERT { GRAPH <g> { <a> <p> <b> } }")
+    with pytest.raises(ValueError, match="duplicate DELETE"):
+        parse_update(
+            "DELETE { GRAPH <g> { <a> <p> <b> } } "
+            "DELETE { GRAPH <g> { <a> <p> <c> } } WHERE { ?s ?p ?o }"
+        )
