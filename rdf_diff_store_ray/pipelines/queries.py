@@ -1239,6 +1239,65 @@ def kg_ntriples_roundtrip(sf_dir: str):
     )
 
 
+def _quadset_digest(quads_ds):
+    """Order-independent digest of a quads Dataset: per-line sha256
+    folded by modular uint64 sum inside ``map_batches`` — the driver
+    sees one (acc, n) pair per batch, never quads."""
+    import hashlib
+
+    from ..nquads import format_quad_line
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = n = 0
+        for g, s, p, o, lit in zip(
+            batch["graph_id"].to_pylist(), batch["subj"].to_pylist(),
+            batch["pred"].to_pylist(), batch["obj"].to_pylist(),
+            batch["obj_is_literal"].to_pylist(),
+        ):
+            h = hashlib.sha256(
+                format_quad_line(g, s, p, o, lit).encode("utf-8")
+            ).digest()
+            acc = (acc + int.from_bytes(h[:8], "big")) % (1 << 64)
+            n += 1
+        return pa.table({"acc": pa.array([acc], pa.uint64()),
+                         "n": pa.array([n], pa.int64())})
+
+    parts = quads_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return int(parts["acc"].sum() % (1 << 64)), int(parts["n"].sum())
+
+
+def kg_nquads_roundtrip(sf_dir: str):
+    """Export the end-state quad view as partitioned canonical N-Quads
+    (one sorted ``.nq`` file per graph-hash partition) and read it back
+    through the N-Quads source; compare count + order-independent
+    digest. Streaming in both directions — the driver holds only
+    (digest, count) accumulators and the file manifest."""
+    import tempfile
+
+    from ..sources import read_nquads, write_nquads
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    quads_ds = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+    out_dir = tempfile.mkdtemp(prefix="nq_roundtrip_", dir="/tmp")
+    manifest = write_nquads(quads_ds, out_dir, num_partitions=16).to_pandas()
+    back = read_nquads(out_dir)
+    want = _quadset_digest(quads_ds)
+    got = _quadset_digest(back)
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_quads": got[1],
+                "files": int((manifest["n_quads"] > 0).sum()),
+                "digest_match": bool(got == want),
+            }
+        ]
+    )
+
+
 def kg_turtle_ingest(sf_dir: str):
     """Turtle ingestion interop: export the end-state KG as Turtle-style
     documents WITH ``@prefix`` headers and abbreviations, read them back
@@ -2206,6 +2265,7 @@ def registry():
         "heavy_hitters": heavy_hitters_docs,
         "kg_delta_log": kg_delta_log,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
+        "kg_nquads_roundtrip": kg_nquads_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,
         "kg_bgp_filter": kg_bgp_filter,
         "kg_bgp_optional": kg_bgp_optional,

@@ -1,1 +1,7 @@
-from .ntriples_io import read_ntriples, read_turtle, write_ntriples  # noqa: F401
+from .ntriples_io import (  # noqa: F401
+    read_nquads,
+    read_ntriples,
+    read_turtle,
+    write_nquads,
+    write_ntriples,
+)

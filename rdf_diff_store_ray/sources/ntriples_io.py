@@ -168,3 +168,93 @@ def write_ntriples(triples_ds, out_dir: str, num_partitions: int = 64):
         .groupby("partition_id")
         .map_groups(write_partition_files, batch_format="pandas")
     )
+
+
+def read_nquads(paths):
+    """``ray.data.read_text`` over ``.nq`` files → a columnar quads
+    Dataset ``(subj, pred, obj, obj_is_literal, graph_id)`` (the graph
+    id decoded from the quad's graph IRI). Streams; one parse task per
+    file block."""
+    import ray.data as rd
+
+    from ..nquads import parse_quad_line
+
+    def parse_lines(batch: pa.Table) -> pa.Table:
+        gids, subjs, preds, objs, lits = [], [], [], [], []
+        for line in batch["text"].to_pylist():
+            line = (line or "").strip()
+            if not line or line.startswith("#"):
+                continue
+            g, s, p, o, lit = parse_quad_line(line)
+            gids.append(g)
+            subjs.append(s)
+            preds.append(p)
+            objs.append(o)
+            lits.append(lit)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "obj_is_literal": pa.array(lits, pa.bool_()),
+                "graph_id": pa.array(gids, pa.string()),
+            }
+        )
+
+    return rd.read_text(paths).map_batches(
+        parse_lines, batch_format="pyarrow"
+    )
+
+
+def write_nquads(quads_ds, out_dir: str, num_partitions: int = 64):
+    """Write the quad view as partitioned canonical N-Quads: one sorted
+    ``part-NNNNN.nq`` file per graph-hash partition (N-Quads is
+    multi-graph, so the file unit is the partition, not the graph; the
+    graph-hash key keeps each graph's quads in one file). Returns a
+    manifest Dataset ``(partition_id, file, n_quads)``. Deterministic:
+    lines are sorted+deduped within each file and the partition of a
+    graph is a pure hash of its id."""
+    import zlib
+
+    import pandas as pd
+
+    from ..nquads import format_quad_line
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pids = pa.array(
+            [
+                zlib.crc32(g.encode("utf-8")) % num_partitions
+                for g in batch["graph_id"].to_pylist()
+            ],
+            pa.int32(),
+        )
+        return batch.append_column("partition_id", pids)
+
+    def write_partition_file(group: pd.DataFrame) -> pd.DataFrame:
+        pid = int(group["partition_id"].iloc[0])
+        lines = sorted(
+            {
+                format_quad_line(g, s, p, o, lit)
+                for g, s, p, o, lit in zip(
+                    group["graph_id"], group["subj"], group["pred"],
+                    group["obj"], group["obj_is_literal"],
+                )
+            }
+        )
+        fname = f"part-{pid:05d}.nq"
+        final = os.path.join(out_dir, fname)
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n" if lines else "")
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {"partition_id": [pid], "file": [fname], "n_quads": [len(lines)]}
+        )
+
+    return (
+        quads_ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(write_partition_file, batch_format="pandas")
+    )

@@ -49,3 +49,60 @@ def test_hostile_graph_id_filename(ray_session, triples_table, tmp_path):
 
     gid = "<#/(%¤=:"
     assert graph_id_from_filename(graph_filename(gid)) == gid
+
+
+def test_nquads_codec_roundtrip():
+    from rdf_diff_store_ray.nquads import (
+        graph_id_from_iri,
+        graph_iri,
+        parse_nquads,
+        serialize_nquads,
+    )
+
+    hostile = "<#/(%¤=:"  # the reference's hostile graph id
+    quads = [
+        ("https://g/1", "https://x/a", "https://x/p", "v 1", True),
+        ("https://g/1", "https://x/a", "https://x/q", "https://x/b", False),
+        (hostile, "https://x/c", "https://x/p",
+         '"5"^^<http://www.w3.org/2001/XMLSchema#integer>', True),
+    ]
+    text = serialize_nquads(quads)
+    assert text.endswith("\n") and len(text.splitlines()) == 3
+    assert sorted(parse_nquads(text)) == sorted(quads)
+    # hostile ids go through the graph: encoding, clean IRIs untouched
+    assert graph_iri("https://g/1") == "https://g/1"
+    enc = graph_iri(hostile)
+    assert enc.startswith("graph:") and " " not in enc and "<" not in enc
+    assert graph_id_from_iri(enc) == hostile
+    # dedup + sort = canonical bytes
+    assert serialize_nquads(quads + quads) == text
+    assert serialize_nquads([]) == ""
+
+
+def test_write_read_nquads_distributed(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.sources import read_nquads, write_nquads
+
+    quads = [
+        (f"https://g/{i % 5}", f"https://x/s{i}", "https://x/p",
+         f"v{i}", True)
+        for i in range(200)
+    ]
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({
+        "graph_id": [q[0] for q in quads],
+        "subj": [q[1] for q in quads],
+        "pred": [q[2] for q in quads],
+        "obj": [q[3] for q in quads],
+        "obj_is_literal": [q[4] for q in quads],
+    }))
+    out = str(tmp_path / "nq")
+    manifest = write_nquads(ds, out, num_partitions=8).to_pandas()
+    assert manifest["n_quads"].sum() == 200
+    back = read_nquads(out)
+    rows = back.to_pandas()
+    got = sorted(zip(rows["graph_id"], rows["subj"], rows["pred"],
+                     rows["obj"], rows["obj_is_literal"]))
+    assert got == sorted(quads)
