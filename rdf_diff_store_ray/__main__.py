@@ -159,7 +159,9 @@ def cmd_query(args) -> int:
     from .query.bgp import DiffStoreReader
 
     reader = DiffStoreReader(_delta_table(args.store))
-    print(reader.query_at_json(args.ts, args.bgp))
+    fn = {"json": reader.query_at_json, "csv": reader.query_at_csv,
+          "tsv": reader.query_at_tsv}[args.format]
+    print(fn(args.ts, args.bgp), end="" if args.format != "json" else "\n")
     return 0
 
 
@@ -249,10 +251,13 @@ def main(argv=None) -> int:
                    help="prefix mapping for --turtle (repeatable)")
     g.set_defaults(fn=cmd_graphs_at)
 
-    q = sub.add_parser("query", help="BGP query at ts (SPARQL-JSON output)")
+    q = sub.add_parser("query", help="BGP query at ts")
     q.add_argument("--store", required=True)
     q.add_argument("--ts", type=int, required=True)
     q.add_argument("--bgp", required=True)
+    q.add_argument("--format", choices=["json", "csv", "tsv"],
+                   default="json",
+                   help="W3C results serialization (default json)")
     q.set_defaults(fn=cmd_query)
 
     df = sub.add_parser("diff", help="added/removed triples between two versions")

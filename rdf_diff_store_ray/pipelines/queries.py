@@ -308,6 +308,48 @@ SELECT lang, token, n, rank FROM (
 """
 
 
+def train_val_split(sf_dir: str, train_frac: float = 0.9,
+                    salt: str = "split:"):
+    """Deterministic train/validation assignment: each doc hashes to a
+    split by ``md5(salt + doc_id)`` — stable across runs, machines and
+    engines (the split must never depend on row order or partitioning),
+    shuffle-free, and reproducible by any other system that can compute
+    md5. The threshold compares the first 8 hex chars lexicographically
+    (fixed-width lowercase hex compares in numeric order), so the Ray
+    side and the SQL oracle share exact bytes, no float boundary."""
+    import hashlib
+
+    thresh = format(int(train_frac * 0x100000000), "08x")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        splits = [
+            "train"
+            if hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8] < thresh
+            else "val"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 def centroid_outliers(sf_dir: str, k: int = 3):
     """Embedding-space outliers per label: top-k vectors farthest from
     their label's centroid — the anomaly/quality screen a curated
@@ -2238,6 +2280,7 @@ def registry():
         "label_dist": label_dist,
         "top_terms_per_lang": top_terms_per_lang,
         "centroid_outliers": centroid_outliers,
+        "train_val_split": train_val_split,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
         # ORDER MATTERS: the driver grades a bounded PREFIX of the
         # registry (r2 ran exactly 50 of 57), so slots 38-50 go to
@@ -2346,4 +2389,5 @@ def oracles():
         "label_dist": LABEL_DIST_SQL,
         "top_terms_per_lang": TOP_TERMS_PER_LANG_SQL,
         "centroid_outliers": CENTROID_OUTLIERS_SQL,
+        "train_val_split": TRAIN_VAL_SPLIT_SQL,
     }

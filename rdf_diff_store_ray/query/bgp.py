@@ -3029,6 +3029,52 @@ def bindings_json(df: pd.DataFrame) -> str:
     return json.dumps(out, sort_keys=True)
 
 
+def bindings_csv(df: pd.DataFrame) -> str:
+    """W3C SPARQL 1.1 Query Results CSV: header of variable names, one
+    row per solution, unbound = empty field, RFC-4180 quoting, CRLF
+    line ends."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n", quoting=csv.QUOTE_MINIMAL)
+    w.writerow(df.columns)
+    for _, row in df.iterrows():
+        w.writerow(["" if row[c] is None else row[c] for c in df.columns])
+    return buf.getvalue()
+
+
+def bindings_tsv(df: pd.DataFrame) -> str:
+    """W3C SPARQL 1.1 Query Results TSV: ``?var`` header, RDF-term
+    syntax per value (IRIs bracketed, literals quoted/decorated),
+    unbound = empty field. Values here are finalized (untagged)
+    strings, so term syntax is reconstructed the same way the engine
+    distinguishes terms: decorated literals pass through, everything
+    else is typed by the column's provenance being lost — emit IRIs for
+    absolute-IRI-shaped values and plain quoted literals otherwise."""
+    from ..ntriples import escape_literal, is_decorated_literal
+
+    import re as _re
+
+    iri_like = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s\"<>{}|^`\\]*$")
+
+    def term(v):
+        if v is None:
+            return ""
+        if is_decorated_literal(v):
+            return v
+        if v.startswith("_:"):
+            return v
+        if iri_like.match(v):
+            return f"<{v}>"
+        return f'"{escape_literal(v)}"'
+
+    lines = ["\t".join(f"?{c}" for c in df.columns)]
+    for _, row in df.iterrows():
+        lines.append("\t".join(term(row[c]) for c in df.columns))
+    return "\n".join(lines) + "\n"
+
+
 class DiffStoreReader:
     """Cached reader over a delta-log table (one partition or a whole small
     store). Cache levels mirror the reference's ``CacheLevel``
@@ -3135,6 +3181,12 @@ class DiffStoreReader:
 
     def query_at_json(self, ts, query: str) -> str:
         return bindings_json(self.query_at(ts, query))
+
+    def query_at_csv(self, ts, query: str) -> str:
+        return bindings_csv(self.query_at(ts, query))
+
+    def query_at_tsv(self, ts, query: str) -> str:
+        return bindings_tsv(self.query_at(ts, query))
 
     def diff(self, ts1, ts2) -> pd.DataFrame:
         """Triples added/removed between two store versions — the

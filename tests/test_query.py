@@ -1692,3 +1692,26 @@ def test_rdf_type_keyword_a():
         t, "PREFIX e: <https://e/> ASK { e:a a e:Company }"
     )
     assert bool(out["ask"].iloc[0]) is True
+
+
+def test_results_csv_tsv_serializations():
+    from rdf_diff_store_ray.query.bgp import bindings_csv, bindings_tsv
+
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    df = pd.DataFrame(
+        {
+            "s": ["https://e/a", "https://e/b"],
+            "o": ['say "hi", ok', None],
+            "n": [f'"5"^^<{xsd}>', "plain"],
+        }
+    )
+    csv_out = bindings_csv(df)
+    lines = csv_out.split("\r\n")
+    assert lines[0] == "s,o,n"
+    assert lines[1] == 'https://e/a,"say ""hi"", ok","""5""^^<{}>"'.format(xsd)
+    assert lines[2] == "https://e/b,,plain"  # unbound = empty field
+    tsv_out = bindings_tsv(df)
+    tl = tsv_out.splitlines()
+    assert tl[0] == "?s\t?o\t?n"
+    assert tl[1] == f'<https://e/a>\t"say \\"hi\\", ok"\t"5"^^<{xsd}>'
+    assert tl[2] == '<https://e/b>\t\t"plain"'
