@@ -2234,6 +2234,42 @@ def kg_bgp_features(sf_dir: str):
     return pa.Table.from_pylist(out)
 
 
+def kg_lifecycle(sf_dir: str):
+    """EVERY store-lifecycle feature in one driver entry, the
+    ``kg_bgp_features`` pattern: each named form runs its own registry
+    callable and contributes one (form, rows, digest) row, so a value
+    regression in any lifecycle surface (delta log, roundtrips through
+    every interop format, incremental writes, SPARQL Update, metrics)
+    changes this entry's output even under the driver's rows-only
+    check. The individual entries stay registered and pytest-gated."""
+    import hashlib
+
+    forms = {
+        "delta_log": kg_delta_log,
+        "incremental_append": kg_incremental_append,
+        "metrics_export": kg_metrics_export,
+        "nquads_roundtrip": kg_nquads_roundtrip,
+        "ntriples_roundtrip": kg_ntriples_roundtrip,
+        "sparql_update": kg_sparql_update,
+        "turtle_ingest": kg_turtle_ingest,
+    }
+    out = []
+    for name in sorted(forms):
+        t = forms[name](sf_dir)
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if len(df.columns):
+            df = df.sort_values(list(df.columns), ignore_index=True)
+        payload = df.to_csv(index=False).encode()
+        out.append(
+            {
+                "form": name,
+                "rows": len(df),
+                "digest": hashlib.sha256(payload).hexdigest()[:16],
+            }
+        )
+    return pa.Table.from_pylist(out)
+
+
 def registry():
     """name -> callable(sf_dir). Keep in sync with :func:`oracles`."""
     return {
@@ -2291,6 +2327,7 @@ def registry():
         # grades them one by one. Entries with green rows from earlier
         # rounds sit at the tail.
         "kg_bgp_features": kg_bgp_features,
+        "kg_lifecycle": kg_lifecycle,
         "kg_diff": kg_diff,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
