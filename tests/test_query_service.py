@@ -297,3 +297,34 @@ def test_router_query_cache_returns_identical_frame(service, single_reader):
     second = service.query_at(ts, q)
     assert first is second
     pd.testing.assert_frame_equal(first, single_reader.query_at(ts, q))
+
+
+def test_prefix_now_builtins_distributed_match(service, single_reader):
+    """Round-3 grammar additions through the router: PREFIX expansion,
+    NOW() (= the as-of instant on BOTH paths), term-constructor and
+    hash builtins, and the `a` keyword must agree with the single
+    reader — on the pushed-down single-pattern path AND the router-side
+    algebra path."""
+    from rdf_diff_store_ray.corpus import P_FOUNDED
+
+    ts = _end_ts(single_reader)
+    pre = ("PREFIX kg: <https://kg.example/prop/> "
+           "PREFIX ent: <https://kg.example/entity/> ")
+    for q in (
+        # single-pattern pushdown with a builtin FILTER
+        pre + "SELECT ?s ?y WHERE { ?s kg:foundedIn ?y . "
+              "FILTER(STRLEN(SHA256(STR(?s))) = 64) }",
+        # router-side algebra: BIND of NOW + STRAFTER + hash, multi-var
+        pre + "SELECT ?s ?t ?loc WHERE { ?s kg:foundedIn ?y . "
+              "BIND(NOW() AS ?t) . BIND(STRAFTER(STR(?s), STR(ent:)) AS ?loc) }",
+        # modify-free sanity for `a` (no rdf:type triples -> empty both)
+        "SELECT ?s WHERE { ?s a <https://kg.example/Type> }",
+        pre + "SELECT ?s (ENCODE_FOR_URI(STRBEFORE(STR(?y), \"9\")) AS ?e) "
+              "WHERE { ?s kg:foundedIn ?y } ORDER BY ?s ?e LIMIT 20",
+    ):
+        got = service.query_at(ts, q)
+        want = single_reader.query_at(ts, q)
+        pd.testing.assert_frame_equal(got, want)
+    q = pre + "SELECT DISTINCT ?t WHERE { ?s kg:foundedIn ?y . BIND(NOW() AS ?t) }"
+    out = service.query_at(ts, q)
+    assert len(out) == 1 and "XMLSchema#dateTime" in out["t"].iloc[0]
