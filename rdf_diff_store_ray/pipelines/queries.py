@@ -2234,6 +2234,36 @@ def kg_bgp_features(sf_dir: str):
     return pa.Table.from_pylist(out)
 
 
+def kg_pagerank(sf_dir: str, k: int = 20):
+    """Entity importance over the end-state KG: PageRank on the IRI→IRI
+    edge set (literals are not nodes), top-k by (rank DESC, node). The
+    curation signal degree alone can't give — rank-weighted sampling
+    and head-entity QA both need it."""
+    import ray.data as rd
+
+    from ..functions.graph import pagerank
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["obj_is_literal"].combine_chunks())
+        t = batch.filter(keep)
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    ranks = pagerank(
+        triples.map_batches(edges, batch_format="pyarrow"), n_iter=20
+    )
+    top = ranks.sort([("rank"), ("node")], descending=[True, False]).limit(k)
+    return top.to_pandas().assign(
+        rank_pos=lambda d: np.arange(1, len(d) + 1, dtype="int64")
+    )
+
+
 def kg_lifecycle(sf_dir: str):
     """EVERY store-lifecycle feature in one driver entry, the
     ``kg_bgp_features`` pattern: each named form runs its own registry
@@ -2328,6 +2358,7 @@ def registry():
         # rounds sit at the tail.
         "kg_bgp_features": kg_bgp_features,
         "kg_lifecycle": kg_lifecycle,
+        "kg_pagerank": kg_pagerank,
         "kg_diff": kg_diff,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
