@@ -308,6 +308,111 @@ SELECT lang, token, n, rank FROM (
 """
 
 
+def pair_ngram_overlap(sf_dir: str, max_doc: int = 60, k: int = 3):
+    """Word-``k``-gram overlap for deterministic doc pairs
+    ``(2m, 2m+1)``: integer intersection/union set sizes — the exact
+    verification primitive under the LSH near-dup pipeline
+    (``jaccard = n_inter / n_union``), SQL-checked because every output
+    is an integer (no float rounding to disagree on). The pair id IS
+    ``doc_id // 2``, so both sides co-locate through an ordinary keyed
+    aggregate: explode distinct grams per doc, two-level groupby —
+    no joins, no driver state."""
+    from ray.data.aggregate import Max, Sum
+
+    def grams(batch: pa.Table) -> pa.Table:
+        pair_ids, sides, gs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            if did >= max_doc:
+                continue
+            toks = (text or "").split()
+            seen = {
+                " ".join(toks[i: i + k])
+                for i in range(len(toks) - k + 1)
+            }
+            for g in seen:
+                pair_ids.append(did // 2)
+                sides.append(did % 2)
+                gs.append(g)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_ids, pa.int64()),
+                "side": pa.array(sides, pa.int64()),
+                "gram": pa.array(gs, pa.string()),
+            }
+        )
+
+    tagged = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pair_id": b["pair_id"],
+                "gram": b["gram"],
+                "a": pc.cast(pc.equal(b["side"], 0), pa.int64()),
+                "b": pc.cast(pc.equal(b["side"], 1), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_gram = tagged.groupby(["pair_id", "gram"]).aggregate(
+        Max("a", alias_name="in_a"), Max("b", alias_name="in_b")
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["inter"] = (df["in_a"] * df["in_b"]).astype("int64")
+        out = df.groupby("pair_id").agg(
+            n_inter=("inter", "sum"), n_union=("inter", "count")
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _S
+
+    return (
+        per_gram.map_batches(fold, batch_format="pyarrow")
+        .groupby("pair_id")
+        .aggregate(_S("n_inter", alias_name="n_inter"),
+                   _S("n_union", alias_name="n_union"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "a": pc.multiply(b["pair_id"].combine_chunks(), 2),
+                    "b": pc.add(pc.multiply(
+                        b["pair_id"].combine_chunks(), 2), 1),
+                    "n_inter": b["n_inter"],
+                    "n_union": b["n_union"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+PAIR_NGRAM_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+  FROM documents WHERE doc_id < 60
+), positions AS (
+  SELECT doc_id, t, unnest(range(greatest(len(t) - 2, 0))) AS i
+  FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g
+  FROM positions
+), per AS (
+  SELECT doc_id // 2 AS pair_id, g,
+         max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM grams GROUP BY pair_id, g
+)
+SELECT CAST(pair_id * 2 AS BIGINT) AS a,
+       CAST(pair_id * 2 + 1 AS BIGINT) AS b,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+       CAST(count(*) AS BIGINT) AS n_union
+FROM per GROUP BY pair_id
+"""
+
+
 def train_val_split(sf_dir: str, train_frac: float = 0.9,
                     salt: str = "split:"):
     """Deterministic train/validation assignment: each doc hashes to a
@@ -2347,6 +2452,7 @@ def registry():
         "top_terms_per_lang": top_terms_per_lang,
         "centroid_outliers": centroid_outliers,
         "train_val_split": train_val_split,
+        "pair_ngram_overlap": pair_ngram_overlap,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
         # ORDER MATTERS: the driver grades a bounded PREFIX of the
         # registry (r2 ran exactly 50 of 57), so slots 38-50 go to
@@ -2458,4 +2564,5 @@ def oracles():
         "top_terms_per_lang": TOP_TERMS_PER_LANG_SQL,
         "centroid_outliers": CENTROID_OUTLIERS_SQL,
         "train_val_split": TRAIN_VAL_SPLIT_SQL,
+        "pair_ngram_overlap": PAIR_NGRAM_OVERLAP_SQL,
     }
