@@ -2468,10 +2468,10 @@ def registry():
         "kg_diff": kg_diff,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
+        "kg_query_service": kg_query_service,
         "kg_metadata": kg_metadata,
         "kmeans_clusters": kmeans_clusters,
         "semdedup_docs": semdedup_docs,
-        "kg_query_service": kg_query_service,
         "kg_turtle_ingest": kg_turtle_ingest,
         "kg_incremental_append": kg_incremental_append,
         "kg_sparql_update": kg_sparql_update,
