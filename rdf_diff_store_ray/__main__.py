@@ -25,10 +25,15 @@ import sys
 
 
 def _ensure_ray() -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # under `ray job submit` RAY_ADDRESS points at the cluster; the
+        # default stays a local session for standalone CLI use
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
