@@ -106,3 +106,36 @@ def test_write_read_nquads_distributed(ray_session, tmp_path):
     got = sorted(zip(rows["graph_id"], rows["subj"], rows["pred"],
                      rows["obj"], rows["obj_is_literal"]))
     assert got == sorted(quads)
+
+
+def test_nquads_codec_property():
+    """serialize ∘ parse is a fixpoint on random quads, blank nodes and
+    decorated literals included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_diff_store_ray.nquads import parse_nquads, serialize_nquads
+
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    graphs = st.sampled_from(
+        ["https://g/1", "hostile id <>%", "graph:prefixed", "urn:x"]
+    )
+    subjects = st.sampled_from(["https://x/a", "_:b0", "_:b1"])
+    objs = st.one_of(
+        st.tuples(st.sampled_from(["https://x/b", "_:b0"]), st.just(False)),
+        st.tuples(st.sampled_from(
+            ["plain value", 'quote " inside', f'"7"^^<{xsd}>', '"x"@en-US']
+        ), st.just(True)),
+    )
+    quad = st.tuples(graphs, subjects, st.just("https://x/p"), objs)
+
+    @given(st.lists(quad, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def check(qs):
+        quads = [(g, s, p, o, lit) for (g, s, p, (o, lit)) in qs]
+        text = serialize_nquads(quads)
+        back = parse_nquads(text)
+        assert sorted(set(back)) == sorted(set(quads))
+        assert serialize_nquads(back) == text  # fixpoint
+
+    check()

@@ -266,3 +266,55 @@ def test_modify_grammar_errors(store):
             "DELETE { GRAPH <g> { <a> <p> <b> } } "
             "DELETE { GRAPH <g> { <a> <p> <c> } } WHERE { ?s ?p ?o }"
         )
+
+
+def test_update_roundtrip_property(ray_session, tmp_path):
+    """Inserted ground quads are exactly the live state; deleting them
+    all returns every graph to empty — for random quad sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_diff_store_ray.state.append import init_log
+    from rdf_diff_store_ray.state.reconstruct import quads_at_table
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    graphs = st.sampled_from(["https://g/1", "https://g/2"])
+    subjects = st.sampled_from(["https://x/a", "https://x/b"])
+    preds = st.sampled_from(["https://x/p", "https://x/q"])
+    objs = st.one_of(
+        st.sampled_from(["https://x/o1", "https://x/o2"]).map(
+            lambda v: (v, False)
+        ),
+        st.sampled_from(["v1", "v 2"]).map(lambda v: (v, True)),
+    )
+    quad = st.tuples(graphs, subjects, preds, objs)
+
+    def fmt(o, lit):
+        return f'"{o}"' if lit else f"<{o}>"
+
+    counter = [0]
+
+    @given(st.lists(quad, min_size=1, max_size=10))
+    @settings(max_examples=25, deadline=None)
+    def check(qs):
+        counter[0] += 1
+        store = init_log(str(tmp_path / f"d{counter[0]}"), num_partitions=2)
+        quads = sorted({(g, s, p, o, lit) for (g, s, p, (o, lit)) in qs})
+        by_g: dict = {}
+        for g, s, p, o, lit in quads:
+            by_g.setdefault(g, []).append(f"{fmt(s,0)} {fmt(p,0)} {fmt(o,lit)}")
+        blocks = " ".join(
+            f"GRAPH <{g}> {{ {' . '.join(ts)} }}" for g, ts in by_g.items()
+        )
+        sparql_update(store, f"INSERT DATA {{ {blocks} }}", T1)
+        live = quads_at_table(_delta_table(store), T1)
+        got = sorted(zip(live["graph_id"].to_pylist(),
+                         live["subj"].to_pylist(),
+                         live["pred"].to_pylist(),
+                         live["obj"].to_pylist(),
+                         live["obj_is_literal"].to_pylist()))
+        assert got == quads
+        sparql_update(store, f"DELETE DATA {{ {blocks} }}", T2)
+        assert quads_at_table(_delta_table(store), T2).num_rows == 0
+
+    check()
