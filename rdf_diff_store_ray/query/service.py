@@ -185,6 +185,21 @@ class QueryService:
         self._query_cache.put(key, out)
         return out
 
+    def query_at_json(self, ts, query: str) -> str:
+        from .bgp import bindings_json
+
+        return bindings_json(self.query_at(ts, query))
+
+    def query_at_csv(self, ts, query: str) -> str:
+        from .bgp import bindings_csv
+
+        return bindings_csv(self.query_at(ts, query))
+
+    def query_at_tsv(self, ts, query: str) -> str:
+        from .bgp import bindings_tsv
+
+        return bindings_tsv(self.query_at(ts, query))
+
     def _query_at_uncached(self, ts, query: str) -> pd.DataFrame:
         from .bgp import parse_query
 

@@ -328,3 +328,13 @@ def test_prefix_now_builtins_distributed_match(service, single_reader):
     q = pre + "SELECT DISTINCT ?t WHERE { ?s kg:foundedIn ?y . BIND(NOW() AS ?t) }"
     out = service.query_at(ts, q)
     assert len(out) == 1 and "XMLSchema#dateTime" in out["t"].iloc[0]
+
+
+def test_service_serializations_match_reader(service, single_reader):
+    from rdf_diff_store_ray.corpus import P_FOUNDED
+
+    ts = _end_ts(single_reader)
+    q = f"SELECT ?s ?y WHERE {{ ?s <{P_FOUNDED}> ?y }} ORDER BY ?s ?y LIMIT 5"
+    assert service.query_at_json(ts, q) == single_reader.query_at_json(ts, q)
+    assert service.query_at_csv(ts, q) == single_reader.query_at_csv(ts, q)
+    assert service.query_at_tsv(ts, q) == single_reader.query_at_tsv(ts, q)
