@@ -2207,10 +2207,19 @@ def curate_corpus(sf_dir: str, per_lang: int = 100,
     parts = joined.map_batches(cap_partial, batch_format="pyarrow").to_pandas()
     out = (parts.sort_values(["lang", "h", "doc_id"])
            .groupby("lang", sort=False).head(per_lang))
-    return pa.Table.from_pandas(
-        out[["doc_id", "lang"]].sort_values(["lang", "doc_id"]),
-        preserve_index=False,
-    )
+    # final stage: deterministic train/val assignment (the same
+    # md5-threshold rule as `train_val_split`) on the bounded survivor
+    # set — the corpus leaves this pipeline training-ready
+    import hashlib
+
+    out = out[["doc_id", "lang"]].sort_values(["lang", "doc_id"])
+    out["split"] = [
+        "train"
+        if hashlib.md5(f"split:{i}".encode()).hexdigest()[:8] < "e6666666"
+        else "val"
+        for i in out["doc_id"]
+    ]
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def heavy_hitters_docs(sf_dir: str):

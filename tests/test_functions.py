@@ -764,6 +764,14 @@ def test_curate_corpus_composes_stages(ray_session):
         pa.Table.from_pandas(surv, preserve_index=False)
     ).to_pandas()
     assert verdict["keep"].all()
+    # split assignment matches the train_val_split rule exactly
+    import hashlib
+
+    for did, split in zip(out["doc_id"], out["split"]):
+        want = ("train" if hashlib.md5(f"split:{did}".encode())
+                .hexdigest()[:8] < "e6666666" else "val")
+        assert split == want
+    assert set(out["split"]) <= {"train", "val"}
     # deterministic
     again = curate_corpus("/root/testdata/sf0.001", per_lang=30).to_pandas()
     pd.testing.assert_frame_equal(out, again)
