@@ -2538,6 +2538,7 @@ def registry():
         "events_quantiles": rel.events_value_quantiles,
         "events_range_join": rel.events_range_join,
         "events_state_diff": rel.events_state_diff,
+        "q3_shipping_priority": rel.q3_shipping_priority,
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
@@ -2639,6 +2640,7 @@ def oracles():
         "events_asof_state": rel.EVENTS_ASOF_SQL,
         "events_change_log": rel.EVENTS_CHANGE_LOG_SQL,
         "events_state_diff": rel.EVENTS_STATE_DIFF_SQL,
+        "q3_shipping_priority": rel.Q3_SHIPPING_PRIORITY_SQL,
         "events_metadata": rel.EVENTS_METADATA_SQL,
         "events_version_times": rel.EVENTS_VERSION_TIMES_SQL,
         "revenue_q6": rel.REVENUE_Q6_SQL,

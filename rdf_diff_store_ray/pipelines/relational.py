@@ -1300,3 +1300,106 @@ def approx_distinct_users(sf_dir: str, m: int = 4096):
             "m": pa.array([m], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------ Q3 shipping priority ------
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1997-01-01", k: int = 10):
+    """TPC-H Q3 shape: 3-table composition (customer ⋈ orders ⋈
+    lineitem) with the scale-shape choices made explicit — the small
+    side (segment customers) broadcasts as an id set; lineitem
+    pre-aggregates revenue per orderkey BEFORE the join, so the hash
+    join is mid × mid rather than large × mid; top-k with deterministic
+    tie-breaks. Money is integer cents throughout."""
+    import numpy as np
+
+    import ray
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)),
+        batch_format="pyarrow",
+    ).select_columns(["c_custkey"]).to_pandas()
+    keys_ref = ray.put(frozenset(cust["c_custkey"].tolist()))
+    cut = pa.scalar(np.datetime64(cutoff, "s"), pa.timestamp("s"))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array(
+            [k_ in keys for k_ in batch["o_custkey"].to_pylist()],
+            pa.bool_(),
+        )
+        t = batch.filter(
+            pc.and_(mask, pc.less(batch["o_orderdate"].cast(
+                pa.timestamp("s")), cut))
+        )
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater(batch["l_shipdate"].cast(pa.timestamp("s")), cut)
+        )
+        rev = _round_away(
+            pc.multiply(
+                pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+                pa.scalar(100.0),
+            )
+        ).cast(pa.int64())
+        df = pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_cents": rev}
+        ).to_pandas()
+        g = df.groupby("l_orderkey", sort=False)["revenue_cents"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.sort(
+        [("revenue_cents"), ("o_orderdate"), ("l_orderkey")],
+        descending=[True, False, False],
+    ).limit(k).to_pandas()
+    return out[["l_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_cents"]]
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents FROM (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < DATE '1997-01-01'
+    AND l.l_shipdate > DATE '1997-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10
+"""
