@@ -1260,6 +1260,15 @@ def _parse_filter_operand(t: str):
             pos[0] = m.end()
             return ("now",)
         if m := re.compile(
+            r"(YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("dtfn", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
+        if m := re.compile(
             r"(RAND|UUID|STRUUID)\s*\(", re.IGNORECASE
         ).match(s, pos[0]):
             raise ValueError(
@@ -2797,6 +2806,20 @@ def _operand_series(o, result: pd.DataFrame):
         )
         tagged = ("L" + out).where(ok)
         return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "dtfn":
+        name, node = rest
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(node, result)
+        )
+        # accessor over date/dateTime literals: parse the lexical form
+        # (unparseable / non-literal terms are expression errors)
+        dt = pd.to_datetime(lex.where(is_lit), errors="coerce")
+        comp = {
+            "year": dt.dt.year, "month": dt.dt.month, "day": dt.dt.day,
+            "hours": dt.dt.hour, "minutes": dt.dt.minute,
+            "seconds": dt.dt.second,
+        }[name]
+        return None, pd.Series(comp, index=idx).astype("Float64")
     if kind == "now":
         ts = _EVAL_NOW[0]
         if ts is None:

@@ -1715,3 +1715,34 @@ def test_results_csv_tsv_serializations():
     assert tl[0] == "?s\t?o\t?n"
     assert tl[1] == f'<https://e/a>\t"say \\"hi\\", ok"\t"5"^^<{xsd}>'
     assert tl[2] == '<https://e/b>\t\t"plain"'
+
+
+def test_datetime_accessors(built):
+    """YEAR/MONTH/DAY/HOURS over dateTime literals, composing with
+    NOW() — the time-travel store's natural FILTER vocabulary."""
+    xsd = "http://www.w3.org/2001/XMLSchema#dateTime"
+    t = _triples_table([
+        ("https://e/a", "https://e/at", f'"2024-03-05T07:08:09"^^<{xsd}>',
+         True),
+        ("https://e/b", "https://e/at", "not a date", True),
+    ])
+    q = "?s <https://e/at> ?d . "
+    out = eval_bgp(t, q + "FILTER(YEAR(?d) = 2024 && MONTH(?d) = 3 && "
+                          "DAY(?d) = 5 && HOURS(?d) = 7 && "
+                          "MINUTES(?d) = 8 && SECONDS(?d) = 9)")
+    assert out["s"].tolist() == ["https://e/a"]  # bad date = error row
+    out = eval_bgp(t, q + "BIND(YEAR(?d) AS ?y)")
+    vals = dict(zip(out["s"], out["y"]))
+    assert vals["https://e/b"] is None
+    # composes with NOW() through the reader
+    reader = DiffStoreReader(built.delta_table())
+    _lo, hi = reader.metadata()
+    out = reader.query_at(
+        hi, "SELECT DISTINCT ?y WHERE { ?s ?p ?o . "
+            "BIND(YEAR(NOW()) AS ?y) }"
+    )
+    import pandas as pd
+    want = pd.Timestamp(int(pd.Timestamp(hi).timestamp()), unit="s").year
+    assert out["y"].tolist() == [
+        f'"{want}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ]
