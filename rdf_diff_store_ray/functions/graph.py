@@ -12,7 +12,9 @@ scalars per iteration (node count, dangling mass, L1 shift).
 
 Entity importance is the curation signal: rank-weighted sampling and
 head-entity QA both need it (degree alone over-counts boilerplate
-mentions).
+mentions). Algorithm: Page, Brin, Motwani, Winograd (1999), "The
+PageRank citation ranking", with the uniform dangling-mass correction
+of Berkhin (2005), "A survey on PageRank computing".
 """
 
 from __future__ import annotations

@@ -459,8 +459,9 @@ def source_mix_sample(sf_dir: str, min_chars: int = 300,
                       salt: str = "mix:"):
     """Data-mixture reweighting: each source's keep-rate is its
     high-quality fraction (docs with ``n_chars ≥ min_chars``), applied
-    as a deterministic hash threshold per doc — the DoReMi-style domain
-    rebalancing primitive (upsample clean sources, downsample noisy
+    as a deterministic hash threshold per doc — the domain-rebalancing
+    primitive in the spirit of DoReMi (Xie et al. 2023, arXiv:2305.10429),
+    reduced to a deterministic one-pass rule (upsample clean sources, downsample noisy
     ones) with zero RNG state. The threshold is integer arithmetic
     (``n_hi * 2^32 // n_total``) and the hash compare is fixed-width
     hex, so the SQL oracle matches bit-for-bit; two passes: a tiny
