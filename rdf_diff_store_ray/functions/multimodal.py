@@ -267,3 +267,89 @@ def decode_features(media_ds, batch_size: int = 64, concurrency=(1, 4)):
         batch_size=batch_size,  # small on purpose: large binary rows
         concurrency=concurrency,
     )
+
+
+class AHashStage:
+    """payload → 64-bit average-hash (aHash): mean-pool the decoded
+    frame to 8×8, threshold at the mean, pack to one uint64 — the
+    classic perceptual fingerprint (robust to small pixel noise,
+    re-encoding, minor crops). Same actor-pool contract as
+    :class:`DecodeStage`; small batches for large binary rows."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+        self.weights = np.left_shift(
+            np.uint64(1), np.arange(grid * grid, dtype=np.uint64)
+        )
+
+    def _pool(self, arr: np.ndarray) -> np.ndarray:
+        g = self.grid
+        h, w = arr.shape[:2]
+        # crop to a multiple of the grid, then block-mean — deterministic
+        # for any input size ≥ g×g
+        hh, ww = max(h // g, 1) * g, max(w // g, 1) * g
+        a = arr[:hh, :ww].astype(np.float64)
+        return a.reshape(g, hh // g, g, ww // g).mean(axis=(1, 3))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for codec, payload in zip(
+            batch["codec"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = decode_payload(codec, payload)
+            if arr.ndim == 3:  # video: hash the first frame
+                arr = arr[0]
+            pooled = self._pool(arr)
+            bits = (pooled > pooled.mean()).reshape(-1)
+            hashes.append(int((self.weights * bits).sum()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "ahash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+
+def media_dedup(media_ds, batch_size: int = 64, concurrency=(1, 4)):
+    """Perceptual dedup over a media Dataset: aHash each payload, then
+    one bounded ``groupby(ahash)`` — colliding hashes form a duplicate
+    group whose lowest ``media_id`` is the keeper. Returns
+    ``(media_id, ahash, keep, dup_of)`` with ``dup_of = -1`` on kept
+    rows. The shuffle carries (media_id, ahash) pairs only — payloads
+    never move after the hash stage — and the hash key is folded into a
+    BOUNDED partition count (one vectorized group pass per partition;
+    never one Ray group per distinct hash)."""
+    import pandas as pd
+
+    hashed = media_ds.map_batches(
+        AHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    num_partitions = 64
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pid = pc.cast(
+            pc.bit_wise_and(batch["ahash"],
+                            pa.scalar(num_partitions - 1, pa.uint64())),
+            pa.int32(),
+        )
+        return batch.append_column("md_pid", pid)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ahash", "media_id"], kind="stable")
+        keeper = g.groupby("ahash", sort=False)["media_id"].transform("min")
+        g = g.assign(
+            keep=g["media_id"] == keeper,
+            dup_of=np.where(g["media_id"] == keeper, -1, keeper),
+        )
+        return g[["media_id", "ahash", "keep", "dup_of"]]
+
+    return (
+        hashed.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("md_pid")
+        .map_groups(resolve, batch_format="pandas")
+    )

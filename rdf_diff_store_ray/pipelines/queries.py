@@ -1072,6 +1072,41 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width"])
 
 
+def media_dedup_q(sf_dir: str):
+    """Perceptual (aHash) media dedup over the synthetic media table
+    plus two planted perceptual duplicates — the image-side analog of
+    MinHash near-dedup (hash stage = actor pool over binary payloads,
+    resolve = bounded-partition group pass)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        encode_fake_image,
+        media_dedup,
+        synthetic_media_table,
+    )
+
+    base = synthetic_media_table(n=64, h=32, w=32)
+    dup = encode_fake_image(3, 32, 32)
+    noisy = bytearray(dup)
+    noisy[-1] = (noisy[-1] + 1) % 256
+    extra = pa.table(
+        {
+            "media_id": pa.array([1000], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "codec": pa.array(["fake-v1"], pa.string()),
+            "payload": pa.array([bytes(noisy)], pa.binary()),
+        }
+    )
+    media = pa.concat_tables([base, extra])
+    out = media_dedup(rd.from_arrow(media)).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True)[
+            ["media_id", "keep", "dup_of"]
+        ],
+        preserve_index=False,
+    )
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling chain: synthetic videos → every-4th-frame
     flat-map actor stage → per-frame histogram features."""
@@ -2625,6 +2660,7 @@ def registry():
         "lang_id": lang_id_docs,
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
+        "media_dedup": media_dedup_q,
         "multimodal_frames": multimodal_frames,
     }
 

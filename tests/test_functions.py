@@ -775,3 +775,41 @@ def test_curate_corpus_composes_stages(ray_session):
     # deterministic
     again = curate_corpus("/root/testdata/sf0.001", per_lang=30).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_media_dedup_perceptual(ray_session):
+    """aHash collapses perceptually identical payloads (1-pixel noise)
+    into one group and keeps distinct images apart."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.multimodal import (
+        encode_fake_image,
+        media_dedup,
+        synthetic_media_table,
+    )
+
+    base = encode_fake_image(7, 32, 32)
+    # perturb ONE pixel by one level: below any mean-threshold flip
+    noisy = bytearray(base)
+    noisy[-1] = (noisy[-1] + 1) % 256
+    distinct = encode_fake_image(8, 32, 32)
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "media_type": pa.array(["image"] * 3, pa.string()),
+            "codec": pa.array(["fake-v1"] * 3, pa.string()),
+            "payload": pa.array([base, bytes(noisy), distinct],
+                                pa.binary()),
+        }
+    )
+    out = media_dedup(rd.from_arrow(media)).to_pandas() \
+        .sort_values("media_id", ignore_index=True)
+    assert out.loc[0, "keep"] and out.loc[0, "dup_of"] == -1
+    assert not out.loc[1, "keep"] and out.loc[1, "dup_of"] == 1
+    assert out.loc[2, "keep"]  # distinct content survives
+    # determinism + self-dedup on a clean synthetic set: no collisions
+    clean = media_dedup(
+        rd.from_arrow(synthetic_media_table(n=64, h=32, w=32))
+    ).to_pandas()
+    assert clean["keep"].all()
