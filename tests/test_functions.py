@@ -813,3 +813,37 @@ def test_media_dedup_perceptual(ray_session):
         rd.from_arrow(synthetic_media_table(n=64, h=32, w=32))
     ).to_pandas()
     assert clean["keep"].all()
+
+
+def test_quantize_embeddings_roundtrip(emb_ds, ray_session):
+    """int8 quantization: reconstruction error bounded by scale/2 per
+    dimension, codes in range, ANN top-1 preserved on dequantized
+    vectors."""
+    from rdf_diff_store_ray.functions.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    codes_ds, params = quantize_embeddings(emb_ds)
+    mins, scales = params
+    codes = codes_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    flat = np.stack(codes["codes"].to_numpy())
+    assert flat.min() >= 0 and flat.max() <= 255
+    back = dequantize_embeddings(codes_ds, params).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    V = _random_embeddings()
+    R = np.stack(back["embedding"].to_numpy())
+    err = np.abs(R - V)
+    assert (err <= scales[None, :] / 2 + 1e-9).all()
+    # ANN semantics survive quantization: self is still rank-1
+    import ray.data as rd
+    import pyarrow as pa_
+
+    emb2 = rd.from_arrow(pa_.table({
+        "vec_id": pa_.array(back["vec_id"].tolist(), pa_.int64()),
+        "embedding": pa_.array([list(map(float, v)) for v in R],
+                               pa_.list_(pa_.float32())),
+    }))
+    got = brute_force_topk(emb2, V[5:6], k=3)
+    assert got["vec_id"].to_pylist()[0] == 5
