@@ -160,6 +160,7 @@ def run_bench() -> dict:
             "json_props_stats", "kmeans_clusters", "semdedup_docs",
             "fineweb_filter", "stratified_sample", "top_terms_per_lang",
             "centroid_outliers", "train_val_split", "pair_ngram_overlap",
+            "bpe_tokenize", "span_dedup", "lm_perplexity",
         ):
             timed(name, q.registry()[name])
 

@@ -503,3 +503,135 @@ def pii_redact(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         pii_redact_batch, batch_format="pyarrow"
     )
+
+
+def _window_hashes(tok_hash: "np.ndarray", starts: "np.ndarray",
+                   lens: "np.ndarray", window: int) -> "np.ndarray":
+    """Rolling W-token window hashes for a batch of documents whose
+    token hashes are concatenated in ``tok_hash`` (per-doc segments at
+    ``starts``/``lens``): a vectorized polynomial fold of W shifted
+    views (W numpy ops over the whole batch, no Python per-token loop).
+    Windows that would cross a document boundary are masked out by the
+    caller via the returned per-position validity."""
+    import numpy as np
+
+    n = len(tok_hash)
+    if n < window:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    P = np.uint64(1099511628211)  # FNV prime: odd -> invertible mod 2^64
+    acc = np.zeros(n - window + 1, np.uint64)
+    for k in range(window):
+        acc = acc * P + tok_hash[k:n - window + 1 + k]
+    # a window starting at i is valid iff it lies inside one doc
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    valid = doc_of[: n - window + 1] == doc_of[window - 1:]
+    return acc[valid], np.flatnonzero(valid)
+
+
+def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
+               id_col: str = "doc_id", text_col: str = "text",
+               max_dup_windows: int = 2_000_000):
+    """Corpus-level duplicated-span detection and removal — the
+    scalable approximation of ExactSubstr dedup (Lee et al., 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    run of ``window`` consecutive tokens whose rolling hash occurs
+    >= ``min_dup`` times across the corpus marks every token it covers;
+    covered tokens are removed from the cleaned text.
+
+    Same two-pass shape as :func:`line_dedup` (the suffix array of the
+    paper is replaced by fixed-width window hashing, which shuffles
+    DISTINCT window hashes only and needs no global sort): (1)
+    streaming partial window-hash counts -> keyed sum -> duplicated
+    set, bounded by ``max_dup_windows`` with a hard error; (2) the set
+    broadcast once via ``ray.put``, each document re-scanned
+    vectorized, covered tokens dropped. Returns
+    (id, clean_text, n_tokens, n_dup_windows, n_covered_tokens)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def _doc_token_arrays(texts: "pd.Series"):
+        toks = texts.fillna("").str.split()
+        lens = toks.str.len().fillna(0).to_numpy("int64")
+        flat = toks.explode().dropna()
+        th = pd.util.hash_pandas_object(flat, index=False).to_numpy(
+            "uint64"
+        )
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return th, starts, lens
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        th, starts, lens = _doc_token_arrays(batch[text_col].to_pandas())
+        wh, _ = _window_hashes(th, starts, lens, window)
+        vals, counts = np.unique(wh, return_counts=True)
+        return pa.table(
+            {"h": pa.array(vals, pa.uint64()),
+             "n": pa.array(counts.astype("int64"), pa.int64())}
+        )
+
+    agg = (
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h").sum("n")
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        keep = pc.greater_equal(batch["sum(n)"], min_dup)
+        return pa.table({"h": batch.filter(keep)["h"]})
+
+    dup_tbl = agg.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    if len(dup_tbl) > max_dup_windows:
+        raise ValueError(
+            f"{len(dup_tbl)} duplicated windows exceed max_dup_windows="
+            f"{max_dup_windows}; raise the cap or min_dup"
+        )
+    dup_sorted = np.sort(dup_tbl["h"].to_numpy("uint64")) if len(dup_tbl) \
+        else np.empty(0, np.uint64)
+    dup_ref = ray.put(dup_sorted)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        df = batch.to_pandas()
+        texts = df[text_col]
+        th, starts, lens = _doc_token_arrays(texts)
+        n = len(th)
+        covered = np.zeros(n, bool)
+        n_dup_win = np.zeros(len(df), np.int64)
+        if n >= window and len(dup):
+            wh, pos = _window_hashes(th, starts, lens, window)
+            loc = np.clip(np.searchsorted(dup, wh), 0, len(dup) - 1)
+            hit = dup[loc] == wh
+            hit_pos = pos[hit]
+            # mark the W tokens under each duplicated window via a
+            # difference array (vectorized interval painting)
+            diff = np.zeros(n + 1, np.int64)
+            np.add.at(diff, hit_pos, 1)
+            np.add.at(diff, hit_pos + window, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            np.add.at(n_dup_win, doc_of[hit_pos], 1)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        n_cov = np.bincount(
+            doc_of[covered], minlength=len(df)
+        ).astype("int64") if n else np.zeros(len(df), np.int64)
+        flat = texts.fillna("").str.split().explode().dropna()
+        kept = flat[~covered] if n else flat
+        kept_doc = doc_of[~covered] if n else np.empty(0, np.int64)
+        joined = pd.Series(kept.to_numpy(dtype=object)).groupby(
+            kept_doc, sort=False
+        ).agg(" ".join)
+        clean = pd.Series([""] * len(df))
+        clean.update(joined)
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy("int64"), pa.int64()),
+                "clean_text": pa.array(clean.tolist(), pa.string()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_dup_windows": pa.array(n_dup_win, pa.int64()),
+                "n_covered_tokens": pa.array(n_cov, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")

@@ -1156,6 +1156,88 @@ def quantize_embeddings_q(sf_dir: str):
     )
 
 
+def span_dedup_docs(sf_dir: str, window: int = 15):
+    """Duplicated-span scrub over the documents table (the ExactSubstr
+    approximation, Lee et al. 2022): corpus-wide duplicated token
+    windows detected and removed, reported as one summary row of
+    integer accounting invariants (covered <= total, windows bounded by
+    positions)."""
+    from ..functions.text import span_dedup
+
+    out = span_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), window=window
+    ).to_pandas()
+    return pa.Table.from_pylist(
+        [
+            {
+                "n_docs": int(len(out)),
+                "n_docs_with_dup_spans": int((out["n_dup_windows"] > 0).sum()),
+                "total_dup_windows": int(out["n_dup_windows"].sum()),
+                "total_covered_tokens": int(out["n_covered_tokens"].sum()),
+                "total_tokens": int(out["n_tokens"].sum()),
+            }
+        ]
+    )
+
+
+def lm_perplexity_docs(sf_dir: str):
+    """The CCNet quality signal (Wenzek et al. 2019): train the byte-
+    trigram stupid-backoff LM on the English slice (the trusted
+    reference corpus), score EVERY document, report per-language
+    integer aggregates. (The synthetic corpus draws every language
+    label from one shared vocabulary, so the per-lang means are close
+    here by construction; the model's actual discrimination — fluent
+    text vs character junk — is the pytest gate
+    ``test_char_lm_discriminates_junk``.)"""
+    from ..functions.lm import char_lm_train, lm_perplexity
+
+    ref = _docs(sf_dir, columns=["text", "lang"]).map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")),
+        batch_format="pyarrow",
+    )
+    model = char_lm_train(ref)
+    scored = lm_perplexity(
+        _docs(sf_dir, columns=["doc_id", "text"]), model
+    ).to_pandas()
+    langs = _docs(sf_dir, columns=["doc_id", "lang"]).to_pandas()
+    df = scored.merge(langs, on="doc_id")
+    out = (
+        df.groupby("lang", sort=True)
+        .agg(
+            n_docs=("doc_id", "size"),
+            mean_ppl_x100=("ppl_x100", "mean"),
+            median_ppl_x100=("ppl_x100", "median"),
+        )
+        .reset_index()
+    )
+    out["mean_ppl_x100"] = out["mean_ppl_x100"].round().astype("int64")
+    out["median_ppl_x100"] = out["median_ppl_x100"].round().astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bpe_tokenize(sf_dir: str, n_merges: int = 80, k: int = 30):
+    """Train a BPE tokenizer on the documents table (distributed word
+    counting, driver merge loop over the bounded frequency table —
+    Sennrich et al. 2016) and encode the corpus with it: top-k tokens
+    by (count DESC, token ASC) plus the model/coverage summary row
+    counts. Deterministic: the merge sequence is a pure function of the
+    corpus."""
+    from ..functions.bpe import bpe_token_counts, bpe_train
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=n_merges, max_words=20_000)
+    counts = bpe_token_counts(
+        _docs(sf_dir, columns=["doc_id", "text"]), merges
+    ).to_pandas()
+    top = counts.sort_values(
+        ["n", "token"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    top["rank_pos"] = np.arange(1, len(top) + 1, dtype="int64")
+    top["n_merges"] = int(len(merges))
+    top["vocab_size"] = int(len(counts))
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling chain: synthetic videos → every-4th-frame
     flat-map actor stage → per-frame histogram features."""
@@ -2616,6 +2698,7 @@ def dedup_suite(sf_dir: str):
             "rolling_fingerprints": doc_rolling_fingerprints,
             "semdedup_docs": semdedup_docs,
             "simhash_pairs": simhash_pairs,
+            "span_dedup": span_dedup_docs,
         },
         sf_dir,
     )
@@ -2631,7 +2714,9 @@ def embed_text_suite(sf_dir: str):
         {
             "ann_topk_lsh": ann_topk_lsh,
             "approx_distinct_users": rel.approx_distinct_users,
+            "bpe_tokenize": bpe_tokenize,
             "curate_corpus": curate_corpus,
+            "lm_perplexity": lm_perplexity_docs,
             "heavy_hitters": heavy_hitters_docs,
             "ivf_topk": ivf_topk_q,
             "kmeans_clusters": kmeans_clusters,
@@ -2762,6 +2847,9 @@ def registry():
         "media_dedup": media_dedup_q,
         "quantize_embeddings": quantize_embeddings_q,
         "multimodal_frames": multimodal_frames,
+        "bpe_tokenize": bpe_tokenize,
+        "span_dedup": span_dedup_docs,
+        "lm_perplexity": lm_perplexity_docs,
     }
 
 

@@ -847,3 +847,288 @@ def test_quantize_embeddings_roundtrip(emb_ds, ray_session):
     }))
     got = brute_force_topk(emb2, V[5:6], k=3)
     assert got["vec_id"].to_pylist()[0] == 5
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _naive_bpe(word_freqs: dict, n_merges: int):
+    """Straight transcription of the Sennrich et al. (2016) pseudocode:
+    recount every pair each iteration, merge the most frequent
+    (ties: lexicographically smallest pair)."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("</w>",): n for w, n in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_learn_merges_matches_naive():
+    import pandas as pd
+
+    from rdf_diff_store_ray.functions.bpe import learn_merges
+
+    word_freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+                  "new": 2, "wide": 1}
+    wf = pd.DataFrame(
+        {"word": list(word_freqs), "n": list(word_freqs.values())}
+    )
+    got = learn_merges(wf, 12)
+    want, _ = _naive_bpe(word_freqs, 12)
+    assert got == want
+
+
+def test_bpe_train_and_encode_distributed(docs_ds):
+    from collections import Counter
+
+    from rdf_diff_store_ray.functions.bpe import (
+        _PRETOK_RE, bpe_token_counts, bpe_tokens_per_doc, bpe_train,
+        encode_word,
+    )
+
+    merges = bpe_train(docs_ds, n_merges=40, max_words=1000)
+    merges2 = bpe_train(docs_ds, n_merges=40, max_words=1000)
+    assert merges == merges2  # deterministic model
+
+    # naive corpus-wide token counts from the same merges
+    texts = _docs_table()["text"].to_pylist()
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = Counter()
+    total_words = 0
+    for t in texts:
+        for w in _PRETOK_RE.findall(t):
+            total_words += 1
+            for tok in encode_word(w, ranks):
+                want[tok] += 1
+
+    got_tbl = bpe_token_counts(docs_ds, merges).to_pandas()
+    got = dict(zip(got_tbl["token"], got_tbl["n"]))
+    assert got == dict(want)
+
+    per_doc = bpe_tokens_per_doc(docs_ds, merges).to_pandas()
+    assert per_doc["n_tokens"].sum() == sum(want.values())
+    # every word emits >= 1 token, and identical docs tokenize identically
+    m = dict(zip(per_doc["doc_id"], per_doc["n_tokens"]))
+    assert m[0] == m[1] and m[0] >= len(_PRETOK_RE.findall(texts[0]))
+
+
+def test_bpe_empty_corpus_raises(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    with pytest.raises(ValueError, match="empty"):
+        bpe_train(empty, n_merges=5)
+
+
+# ---------------------------------------------------------- span dedup
+
+
+def test_span_dedup_plants_and_scrubs(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import span_dedup
+
+    passage = " ".join(f"tok{i}" for i in range(30))  # 30-token dup span
+    uniq = [
+        " ".join(f"u{d}w{i}" for i in range(40)) for d in range(3)
+    ]
+    texts = [
+        uniq[0] + " " + passage,
+        passage + " " + uniq[1],
+        uniq[2],
+        "",  # empty doc survives
+    ]
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    ))
+    out = span_dedup(ds, window=20).to_pandas().set_index("doc_id")
+    # both planted docs lose exactly the 30 passage tokens
+    for d in (0, 1):
+        assert out.loc[d, "n_covered_tokens"] == 30
+        assert out.loc[d, "n_dup_windows"] == 11  # 30 - 20 + 1
+        assert "tok0" not in out.loc[d, "clean_text"]
+    assert out.loc[0, "clean_text"] == uniq[0]
+    assert out.loc[1, "clean_text"] == uniq[1]
+    assert out.loc[2, "n_covered_tokens"] == 0
+    assert out.loc[2, "clean_text"] == uniq[2]
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "clean_text"] == ""
+
+
+def test_span_dedup_matches_naive(ray_session):
+    """Window-level parity with a naive set-based implementation on a
+    random corpus with planted repeats."""
+    import random
+
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import span_dedup
+
+    rng = random.Random(7)
+    W = 5
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab) for _ in range(60))
+            for _ in range(12)]
+    docs.append(docs[0])  # exact dup -> every window duplicated
+
+    # naive: count every W-token window across the corpus
+    from collections import Counter
+
+    win_counts = Counter()
+    for t in docs:
+        toks = t.split()
+        for i in range(len(toks) - W + 1):
+            win_counts[tuple(toks[i:i + W])] += 1
+
+    naive_cov = []
+    for t in docs:
+        toks = t.split()
+        cov = [False] * len(toks)
+        nwin = 0
+        for i in range(len(toks) - W + 1):
+            if win_counts[tuple(toks[i:i + W])] >= 2:
+                nwin += 1
+                for j in range(i, i + W):
+                    cov[j] = True
+        naive_cov.append((sum(cov), nwin))
+
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    ))
+    out = span_dedup(ds, window=W).to_pandas().set_index("doc_id")
+    for d, (ncov, nwin) in enumerate(naive_cov):
+        assert out.loc[d, "n_covered_tokens"] == ncov, d
+        assert out.loc[d, "n_dup_windows"] == nwin, d
+
+
+# ------------------------------------------------------------- char LM
+
+
+def _naive_lm_score(texts_train, text):
+    """Per-char dict-based stupid backoff mirror of functions.lm."""
+    from collections import Counter
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for t in texts_train:
+        b = t.encode("utf-8")
+        for i, c in enumerate(b):
+            uni[c] += 1
+            if i >= 1:
+                bi[(b[i - 1], c)] += 1
+            if i >= 2:
+                tri[(b[i - 2], b[i - 1], c)] += 1
+    total = sum(uni.values())
+    import math
+
+    b = text.encode("utf-8")
+    logp = 0.0
+    for i, c in enumerate(b):
+        p1 = max(uni.get(c, 0), 0.5) / total
+        if i >= 1:
+            prev = b[i - 1]
+            if (prev, c) in bi and uni.get(prev, 0) > 0:
+                p2 = bi[(prev, c)] / uni[prev]
+            else:
+                p2 = 0.4 * p1
+        else:
+            p2 = p1
+        if i >= 2:
+            p21 = b[i - 2], b[i - 1]
+            if (p21[0], p21[1], c) in tri and bi.get(p21, 0) > 0:
+                p = tri[(p21[0], p21[1], c)] / bi[p21]
+            else:
+                p = 0.4 * p2
+        else:
+            p = p2
+        logp += math.log(p)
+    return logp
+
+
+def test_char_lm_matches_naive(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.lm import char_lm_train, lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "cats and dogs and logs",
+        "größe straße naïve café",  # multi-byte UTF-8
+    ]
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    ))
+    model = char_lm_train(ds)
+    out = lm_perplexity(ds, model).to_pandas().set_index("doc_id")
+    for d, t in enumerate(texts):
+        want = _naive_lm_score(texts, t)
+        got = out.loc[d, "logprob_x1000"] / 1000.0
+        assert abs(got - want) < 2e-3, (d, got, want)
+        assert out.loc[d, "n_bytes"] == len(t.encode("utf-8"))
+
+
+def test_char_lm_discriminates_junk(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.lm import char_lm_train, lm_perplexity
+
+    english = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "a small house stands on the green hill beside the old mill",
+        "children play in the park while parents watch from the bench",
+    ] * 5
+    train = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(english)), pa.int64()),
+         "text": pa.array(english, pa.string())}
+    ))
+    model = char_lm_train(train)
+    probe = ["the brown dog jumps over the green hill near the park",
+             "zq xv kjw qqpz vxk zzj wqx kvz jqq xwz pkv zqx wjk"]
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(2), pa.int64()),
+         "text": pa.array(probe, pa.string())}
+    ))
+    out = lm_perplexity(ds, model).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ppl_x100"] < out.loc[1, "ppl_x100"] / 3
+
+
+def test_char_lm_empty_corpus_raises(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.lm import char_lm_train
+
+    empty = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}
+    ))
+    with pytest.raises(ValueError, match="empty"):
+        char_lm_train(empty)
