@@ -1132,3 +1132,46 @@ def test_char_lm_empty_corpus_raises(ray_session):
     ))
     with pytest.raises(ValueError, match="empty"):
         char_lm_train(empty)
+
+
+def test_new_ops_invariant_under_repartitioning(ray_session):
+    """BPE training, span dedup and LM scoring must not depend on batch
+    boundaries: 1-block vs 5-block inputs give identical results."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+    from rdf_diff_store_ray.functions.lm import char_lm_train, lm_perplexity
+    from rdf_diff_store_ray.functions.text import span_dedup
+
+    passage = " ".join(f"tok{i}" for i in range(25))
+    texts = [
+        f"doc {d} unique words w{d}a w{d}b w{d}c " + (passage if d % 3 == 0
+                                                      else "")
+        for d in range(20)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    one = rd.from_arrow(tbl)
+    many = rd.from_arrow(tbl).repartition(5)
+
+    assert bpe_train(one, n_merges=30) == bpe_train(many, n_merges=30)
+
+    s1 = span_dedup(one, window=10).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    s2 = span_dedup(many, window=10).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(s1, s2)
+
+    m1, m2 = char_lm_train(one), char_lm_train(many)
+    assert m1["total"] == m2["total"]
+    assert (m1["tri_keys"] == m2["tri_keys"]).all()
+    assert (m1["tri_counts"] == m2["tri_counts"]).all()
+    p1 = lm_perplexity(one, m1).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    p2 = lm_perplexity(many, m1).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(p1, p2)
