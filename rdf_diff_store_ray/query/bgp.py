@@ -1990,15 +1990,38 @@ def _apply_exists(result: pd.DataFrame, eres: pd.DataFrame,
 
 
 def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
+    """Natural-join the patterns' binding sets. Join ORDER is chosen by
+    greedy selectivity (smallest frame first, then the smallest frame
+    sharing a variable with the accumulated bindings; a cross join only
+    when nothing shares) — safe because pattern frames are fully bound,
+    so the inner joins commute; the written order of an unselective
+    first pattern no longer inflates the intermediates. If any pattern
+    matched nothing the conjunction is empty regardless of order, with
+    every pattern variable present (unbound) in the result schema."""
+    if not patterns:  # pure-OPTIONAL/FILTER group
+        return pd.DataFrame(index=[0])
+    frames = [pattern_bindings(p) for p in patterns]
+    if any(len(f) == 0 for f in frames):
+        cols: list = []
+        for f in frames:
+            cols.extend(c for c in f.columns if c not in cols)
+        return pd.DataFrame(columns=cols, dtype=object)
+    rest = sorted(range(len(frames)), key=lambda i: (len(frames[i]), i))
+    order = [rest.pop(0)]
+    seen = set(frames[order[0]].columns)
+    while rest:
+        sharing = [i for i in rest if seen & set(frames[i].columns)]
+        pick = min(sharing or rest, key=lambda i: (len(frames[i]), i))
+        rest.remove(pick)
+        order.append(pick)
+        seen |= set(frames[pick].columns)
     result: pd.DataFrame | None = None
-    for pat in patterns:
-        cur = pattern_bindings(pat)
-        result = cur if result is None else _merge_bindings(result, cur)
+    for i in order:
+        result = (frames[i] if result is None
+                  else _merge_bindings(result, frames[i]))
         result = result.drop_duplicates(ignore_index=True)
         if len(result) == 0:  # NOT .empty — a zero-column boolean frame
             break             # with rows still means "matched"
-    if result is None:  # empty pattern list (pure-OPTIONAL/FILTER group)
-        result = pd.DataFrame(index=[0])
     return result
 
 
