@@ -163,8 +163,10 @@ def lm_perplexity(docs_ds, model, *, text_col: str = "text",
                   id_col: str = "doc_id"):
     """Score each document: mean per-byte negative log score under the
     broadcast model -> perplexity. Returns
-    (id, n_bytes, logprob_x1000, ppl_x100) with the rounded-integer
-    columns as the platform-stable report surface."""
+    (id, <passthrough columns>, n_bytes, logprob_x1000, ppl_x100) with
+    the rounded-integer columns as the platform-stable report surface;
+    any other input columns (e.g. ``lang``) pass through so downstream
+    aggregates need no driver-side re-join."""
     import ray
 
     model_ref = ray.put(model)
@@ -173,7 +175,6 @@ def lm_perplexity(docs_ds, model, *, text_col: str = "text",
         m = ray.get(model_ref)
         s = batch[text_col].to_pandas()
         flat, doc_of, lens, _ = _byte_arrays(s)
-        ids = batch[id_col].to_pandas().to_numpy("int64")
         if len(flat):
             logp = _score_positions(flat, doc_of, m)
             sums = np.bincount(doc_of, weights=logp, minlength=len(lens))
@@ -181,17 +182,16 @@ def lm_perplexity(docs_ds, model, *, text_col: str = "text",
             sums = np.zeros(len(lens))
         mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
         ppl = np.exp(-mean)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "n_bytes": pa.array(lens, pa.int64()),
-                "logprob_x1000": pa.array(
-                    np.round(sums * 1000).astype("int64"), pa.int64()
-                ),
-                "ppl_x100": pa.array(
-                    np.round(ppl * 100).astype("int64"), pa.int64()
-                ),
-            }
+        cols = {
+            c: batch[c] for c in batch.column_names if c != text_col
+        }
+        cols["n_bytes"] = pa.array(lens, pa.int64())
+        cols["logprob_x1000"] = pa.array(
+            np.round(sums * 1000).astype("int64"), pa.int64()
         )
+        cols["ppl_x100"] = pa.array(
+            np.round(ppl * 100).astype("int64"), pa.int64()
+        )
+        return pa.table(cols)
 
     return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1197,22 +1197,36 @@ def lm_perplexity_docs(sf_dir: str):
     )
     model = char_lm_train(ref)
     scored = lm_perplexity(
-        _docs(sf_dir, columns=["doc_id", "text"]), model
-    ).to_pandas()
-    langs = _docs(sf_dir, columns=["doc_id", "lang"]).to_pandas()
-    df = scored.merge(langs, on="doc_id")
-    out = (
-        df.groupby("lang", sort=True)
-        .agg(
-            n_docs=("doc_id", "size"),
-            mean_ppl_x100=("ppl_x100", "mean"),
-            median_ppl_x100=("ppl_x100", "median"),
-        )
-        .reset_index()
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]), model
     )
-    out["mean_ppl_x100"] = out["mean_ppl_x100"].round().astype("int64")
-    out["median_ppl_x100"] = out["median_ppl_x100"].round().astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+    # per-lang aggregate stays distributed: one (lang, n, sum) partial
+    # per batch, keyed sum over the bounded language set — the per-doc
+    # scores never land on the driver
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "ppl_x100"]).to_pandas()
+        g = df.groupby("lang", sort=False)["ppl_x100"].agg(["size", "sum"])
+        return pa.table(
+            {
+                "lang": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g["size"].to_numpy("int64"), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy("int64"), pa.int64()),
+            }
+        )
+
+    parts = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang").sum(["n", "s"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n_docs", "sum(s)": "s"})
+        .sort_values("lang", ignore_index=True)
+    )
+    parts["mean_ppl_x100"] = (
+        (parts["s"] / parts["n_docs"]).round().astype("int64")
+    )
+    return pa.Table.from_pandas(
+        parts[["lang", "n_docs", "mean_ppl_x100"]], preserve_index=False
+    )
 
 
 def bpe_tokenize(sf_dir: str, n_merges: int = 80, k: int = 30):
