@@ -1164,20 +1164,36 @@ def span_dedup_docs(sf_dir: str, window: int = 15):
     positions)."""
     from ..functions.text import span_dedup
 
-    out = span_dedup(
+    scrubbed = span_dedup(
         _docs(sf_dir, columns=["doc_id", "text"]), window=window
-    ).to_pandas()
-    return pa.Table.from_pylist(
-        [
-            {
-                "n_docs": int(len(out)),
-                "n_docs_with_dup_spans": int((out["n_dup_windows"] > 0).sum()),
-                "total_dup_windows": int(out["n_dup_windows"].sum()),
-                "total_covered_tokens": int(out["n_covered_tokens"].sum()),
-                "total_tokens": int(out["n_tokens"].sum()),
-            }
-        ]
     )
+
+    # summary folds per-batch partials — the scrubbed corpus itself
+    # (clean_text) never leaves the stream
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_docs_with_dup_spans": pa.array(
+                    [pc.sum(pc.cast(pc.greater(batch["n_dup_windows"], 0),
+                                    pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "total_dup_windows": pa.array(
+                    [pc.sum(batch["n_dup_windows"]).as_py() or 0], pa.int64()
+                ),
+                "total_covered_tokens": pa.array(
+                    [pc.sum(batch["n_covered_tokens"]).as_py() or 0],
+                    pa.int64(),
+                ),
+                "total_tokens": pa.array(
+                    [pc.sum(batch["n_tokens"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = scrubbed.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pylist([{c: int(parts[c].sum()) for c in parts}])
 
 
 def lm_perplexity_docs(sf_dir: str):
