@@ -126,6 +126,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    _ensure_ray()
+    from .state.fsck import fsck_ok, fsck_store
+
+    report = fsck_store(args.store,
+                        check_canonical=not args.no_canonical)
+    ok = fsck_ok(report)
+    print(json.dumps({
+        "ok": ok,
+        "partitions": report.num_rows,
+        "rows": int(sum(report["n_rows"].to_pylist())),
+        "violations": {
+            c: int(sum(report[c].to_pylist()))
+            for c in report.column_names if c.startswith("bad_")
+        },
+    }))
+    return 0 if ok else 1
+
+
 def cmd_graphs_at(args) -> int:
     if args.out and (args.turtle or args.prefix):
         raise SystemExit(
@@ -244,6 +263,15 @@ def main(argv=None) -> int:
     cp.add_argument("--store", required=True)
     cp.add_argument("--min-segments", type=int, default=1, dest="min_segments")
     cp.set_defaults(fn=cmd_compact)
+
+    fs = sub.add_parser(
+        "fsck", help="verify store invariants (digest/canonical/"
+        "ownership/replay); exit 1 on violations"
+    )
+    fs.add_argument("--store", required=True)
+    fs.add_argument("--no-canonical", action="store_true",
+                    help="skip the serializer-fixpoint check")
+    fs.set_defaults(fn=cmd_fsck)
 
     g = sub.add_parser("graphs-at", help="merged canonical N-Triples at ts")
     g.add_argument("--store", required=True)

@@ -2052,6 +2052,31 @@ def kg_blank_nodes(sf_dir: str):
     )
 
 
+def kg_fsck(sf_dir: str):
+    """Run the store consistency checker (the git-fsck analog,
+    `state/fsck.py`) over the built KG's delta log: every invariant the
+    readers rely on — digest integrity, canonical-text fixpoint, hash
+    ownership, seq replay order, suppression/tombstone legality —
+    verified distributed, one counter row per partition."""
+    from ..state.fsck import fsck_ok, fsck_store
+
+    res = kg_build_for(sf_dir)
+    report = fsck_store(res.delta_dir)
+    df = report.to_pandas()
+    bad = [c for c in df.columns if c.startswith("bad_")]
+    return pa.Table.from_pylist(
+        [
+            {
+                "ok": bool(fsck_ok(report)),
+                "partitions": int(len(df)),
+                "rows": int(df["n_rows"].sum()),
+                "graphs": int(df["n_graphs"].sum()),
+                "violations": int(df[bad].to_numpy().sum()),
+            }
+        ]
+    )
+
+
 def kg_metrics_export(sf_dir: str):
     """Operational metrics artifact (``GET /metrics`` analog,
     ``src/metrics/mod.rs``): build-stage histograms + manifest counters
@@ -2676,6 +2701,7 @@ def kg_lifecycle(sf_dir: str):
     return _digest_forms(
         {
             "delta_log": kg_delta_log,
+            "fsck": kg_fsck,
             "incremental_append": kg_incremental_append,
             "metrics_export": kg_metrics_export,
             "nquads_roundtrip": kg_nquads_roundtrip,
@@ -2840,6 +2866,7 @@ def registry():
         "line_dedup": line_dedup_corpus,
         "heavy_hitters": heavy_hitters_docs,
         "kg_delta_log": kg_delta_log,
+        "kg_fsck": kg_fsck,
         "kg_ntriples_roundtrip": kg_ntriples_roundtrip,
         "kg_nquads_roundtrip": kg_nquads_roundtrip,
         "kg_bgp_acquired": kg_bgp_acquired,

@@ -352,3 +352,91 @@ def test_interleaved_appenders_one_loses(store, ray_session):
     assert n_ok >= 1  # at least one writer made progress
     live = state_at_table(_delta_table(store), ts + 1)
     assert live.num_rows == n_ok  # exactly the winners' graphs are live
+
+
+# ----------------------------------------------------------------- fsck
+
+
+def _first_nonempty_partition(delta_dir):
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(os.path.join(delta_dir, "partition=*",
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        if t.num_rows:
+            return f, t
+    raise AssertionError("no rows in store")
+
+
+def test_fsck_clean_store(store, ray_session):
+    from rdf_diff_store_ray.state.append import append_graphs, delete_graphs
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+
+    append_graphs(store, {HOSTILE_ID: G_A, "graph-b": G_B}, T1)
+    append_graphs(store, {HOSTILE_ID: G_A2}, T2)
+    delete_graphs(store, ["graph-b"], T3)
+    report = fsck_store(store)
+    assert fsck_ok(report), report.to_pandas().to_string()
+    df = report.to_pandas()
+    assert df["n_rows"].sum() == 4 and df["n_graphs"].sum() == 2
+
+
+def test_fsck_detects_corruption(store, ray_session):
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+
+    append_graphs(store, {HOSTILE_ID: G_A, "graph-b": G_B}, T1)
+    f, t = _first_nonempty_partition(store)
+    # tamper: change delta_text without updating the digest
+    import pyarrow as pa
+
+    texts = t["delta_text"].to_pylist()
+    texts[0] = '<https://x/evil> <https://x/p> "tampered" .\n'
+    cols = {c: t[c] for c in t.column_names}
+    cols["delta_text"] = pa.array(texts, pa.large_string())
+    pq.write_table(pa.table(cols).cast(t.schema), f)
+    report = fsck_store(store)
+    assert not fsck_ok(report)
+    df = report.to_pandas()
+    assert df["bad_digest"].sum() >= 1
+
+
+def test_fsck_detects_misplaced_graph(store, ray_session):
+    """Rows moved to a partition that does not own their graph hash are
+    flagged (the invariant the service's point-read pruning relies on)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+
+    append_graphs(store, {HOSTILE_ID: G_A, "graph-b": G_B}, T1)
+    f, t = _first_nonempty_partition(store)
+    # rewrite this partition's rows claiming a different partition dir
+    other = [d for d in sorted(glob.glob(os.path.join(store, "partition=*")))
+             if d != os.path.dirname(f)][0]
+    dst = os.path.join(other, os.path.basename(f))
+    if os.path.exists(dst):
+        src_rows = pq.read_table(dst)
+        merged = pa.concat_tables([src_rows, t.cast(src_rows.schema)])
+    else:
+        merged = t
+    pq.write_table(merged, dst)
+    os.remove(f)
+    report = fsck_store(store)
+    assert not fsck_ok(report)
+    assert report.to_pandas()["bad_ownership"].sum() >= 1
+
+
+def test_fsck_cli(store, ray_session, capsys):
+    import json as _json
+
+    from rdf_diff_store_ray.__main__ import main
+    from rdf_diff_store_ray.state.append import append_graphs
+
+    append_graphs(store, {"graph-b": G_B}, T1)
+    rc = main(["fsck", "--store", store])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] is True
