@@ -200,6 +200,22 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_blame(args) -> int:
+    """Per-line provenance at ts (git-blame analog) as JSON lines:
+    {"graph_id", "line", "since": unix seconds}."""
+    import pandas as pd
+
+    from .state.blame import blame_table
+
+    out = blame_table(_delta_table(args.store), args.ts)
+    for r in out.to_pylist():
+        print(json.dumps({
+            "graph_id": r["graph_id"], "line": r["line"],
+            "since": int(pd.Timestamp(r["since_ts"]).timestamp()),
+        }))
+    return 0
+
+
 def cmd_metadata(args) -> int:
     import pandas as pd
 
@@ -292,6 +308,11 @@ def main(argv=None) -> int:
                    default="json",
                    help="W3C results serialization (default json)")
     q.set_defaults(fn=cmd_query)
+
+    bl = sub.add_parser("blame", help="per-line provenance at ts (git-blame analog)")
+    bl.add_argument("--store", required=True)
+    bl.add_argument("--ts", type=int, required=True)
+    bl.set_defaults(fn=cmd_blame)
 
     df = sub.add_parser("diff", help="added/removed triples between two versions")
     df.add_argument("--store", required=True)

@@ -1452,6 +1452,21 @@ def kg_diff(sf_dir: str):
     )
 
 
+def kg_blame(sf_dir: str):
+    """Per-line provenance at end-of-history — the ``git blame`` analog
+    (the reference's one-commit-per-change model makes this ``git blame``
+    over the graph file, ``src/git.rs:151-190``), via the DISTRIBUTED
+    ``blame`` path: one bounded-partition shuffle keyed by the log's own
+    ``graph_id`` hash, line-run algebra vectorized per partition."""
+    from ..state.blame import blame
+
+    res = kg_build_for(sf_dir)
+    out = blame(res.delta_dataset(), _store_end_ts(res)).sort(
+        ["graph_id", "line"]
+    )
+    return out
+
+
 def kg_bgp_acquired(sf_dir: str):
     from ..corpus import P_ACQUIRED
     from ..query.bgp import DiffStoreReader
@@ -2720,6 +2735,7 @@ def kg_analytics(sf_dir: str):
     triple P/R vs the reference oracle."""
     return _digest_forms(
         {
+            "blame": kg_blame,
             "blank_nodes": kg_blank_nodes,
             "diff": kg_diff,
             "entity_degree": kg_entity_degree,
@@ -2852,6 +2868,7 @@ def registry():
         # ---- driver-cap watermark (position 50) ----
         "kg_pagerank": kg_pagerank,
         "kg_diff": kg_diff,
+        "kg_blame": kg_blame,
         "kg_blank_nodes": kg_blank_nodes,
         "kg_entity_degree": kg_entity_degree,
         "kg_query_service": kg_query_service,
