@@ -789,6 +789,39 @@ FROM documents d WHERE doc_id >= 20
 """
 
 
+def pack_sequences_q(sf_dir: str, capacity: int = 256):
+    """GPT-style training-sequence packing of the documents table:
+    concatenate the whitespace-token stream in doc_id order and split at
+    fixed 256-token boundaries — one (doc_id, seq_id, n_tok) row per
+    sequence a document touches, via the distributed two-level prefix
+    sum in :func:`..functions.packing.pack_sequences`."""
+    from ..functions.packing import pack_sequences
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return pack_sequences(docs, capacity=capacity).sort(["doc_id", "seq_id"])
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+), off AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM tok WHERE n > 0
+), spans AS (
+  SELECT doc_id, n, o,
+         unnest(range(o // 256, (o + n - 1) // 256 + 1)) AS seq_id
+  FROM off
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(least(o + n, (seq_id + 1) * 256)
+            - greatest(o, seq_id * 256) AS BIGINT) AS n_tok
+FROM spans ORDER BY doc_id, seq_id
+"""
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
     """Per-document top-k TF-IDF terms — the classic two-shuffle text
     pipeline. tf is exact per batch (a document never spans rows); df is
@@ -2795,6 +2828,7 @@ def embed_text_suite(sf_dir: str):
             "lang_id": lang_id_docs,
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
+            "pack_sequences": pack_sequences_q,
             "quantize_embeddings": quantize_embeddings_q,
         },
         sf_dir,
@@ -2924,6 +2958,7 @@ def registry():
         "bpe_tokenize": bpe_tokenize,
         "span_dedup": span_dedup_docs,
         "lm_perplexity": lm_perplexity_docs,
+        "pack_sequences": pack_sequences_q,
     }
 
 
@@ -2975,4 +3010,5 @@ def oracles():
         "train_val_split": TRAIN_VAL_SPLIT_SQL,
         "pair_ngram_overlap": PAIR_NGRAM_OVERLAP_SQL,
         "source_mix_sample": SOURCE_MIX_SAMPLE_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
     }

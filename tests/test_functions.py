@@ -1175,3 +1175,56 @@ def test_new_ops_invariant_under_repartitioning(ray_session):
     p2 = lm_perplexity(many, m1).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(p1, p2)
+
+
+# ------------------------------------------------------------- seq packing
+def test_pack_sequences_invariants(ray_session):
+    """Packed stream properties: every sequence except the last is
+    exactly full, totals are conserved, empty docs are absent, and the
+    layout is invariant to the partitioning knobs (it depends only on
+    doc order + capacity)."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.packing import pack_sequences
+
+    cap = 64
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = pack_sequences(docs, capacity=cap, num_partitions=16).to_pandas()
+    per_seq = out.groupby("seq_id")["n_tok"].sum()
+    assert (per_seq.iloc[:-1] == cap).all() and 0 < per_seq.iloc[-1] <= cap
+    assert (out["n_tok"] > 0).all() and (out["n_tok"] <= cap).all()
+    # totals conserved vs a direct count
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    txt = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"]
+    total = pc.sum(pc.count_substring_regex(txt, r"\S+")).as_py()
+    assert out["n_tok"].sum() == total
+    # knob invariance: different bucket_span / partitions, same layout
+    out2 = (
+        pack_sequences(docs, capacity=cap, bucket_span=7, num_partitions=3)
+        .to_pandas()
+    )
+    import pandas as pd
+
+    a = out.sort_values(["doc_id", "seq_id"], ignore_index=True)
+    b = out2.sort_values(["doc_id", "seq_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_rejects_bad_capacity(ray_session):
+    import ray.data as rd
+
+    import pytest as _pytest
+
+    from rdf_diff_store_ray.functions.packing import pack_sequences
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, capacity=0)
