@@ -76,6 +76,24 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_build_inc(args) -> int:
+    _ensure_ray()
+    from .pipelines.build import build_incremental
+
+    with open(args.gazetteer) as f:
+        gaz = json.load(f)
+    res = build_incremental(args.pages, args.out, gazetteer=gaz)
+    print(json.dumps({
+        "out_dir": res.out_dir,
+        "partitions": res.num_partitions,
+        "applied_deltas": res.applied_deltas,
+        "canonical_map_size": res.canonical_map_size,
+        "wall_s": round(res.wall_s, 3),
+        "stage_wall_s": res.stage_wall_s,
+    }))
+    return 0
+
+
 def cmd_init(args) -> int:
     from .state.append import init_log
 
@@ -242,6 +260,15 @@ def main(argv=None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--actor-pools", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    bi = sub.add_parser(
+        "build-incremental",
+        help="append a new crawl batch to an existing store (continuous-writer analog)",
+    )
+    bi.add_argument("--pages", required=True)
+    bi.add_argument("--out", required=True)
+    bi.add_argument("--gazetteer", required=True)
+    bi.set_defaults(fn=cmd_build_inc)
 
     i = sub.add_parser("init", help="create an empty delta log")
     i.add_argument("--store", required=True)

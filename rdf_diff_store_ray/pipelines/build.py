@@ -57,6 +57,7 @@ class BuildResult:
     wall_s: float
     resumed_partitions: int
     stage_wall_s: dict = None
+    applied_deltas: int = -1  # incremental builds only; -1 = full build
 
     @property
     def delta_dir(self) -> str:
@@ -337,4 +338,182 @@ def build(
         wall_s=time.monotonic() - t0,
         resumed_partitions=len(done),
         stage_wall_s=stage_wall,
+    )
+
+
+def build_incremental(
+    pages,
+    out_dir: str,
+    *,
+    gazetteer: dict,
+    batch_size: int = 1024,
+    enforce_digest: str = "raise",
+    write_triples: bool = True,
+) -> BuildResult:
+    """Append a NEW crawl snapshot batch to an EXISTING store — the
+    distributed form of the reference's continuously-running writer
+    (``src/bin/rdf-diff-writer.rs:45-91`` ingests updates forever; the
+    full :func:`build` is the bootstrap, this is every run after).
+
+    ``pages`` must be a complete crawl batch (one or more NEW snapshot
+    instants over the whole corpus): like the full build's grid
+    semantics, a live graph absent from a new instant is tombstoned.
+    The pipeline is the same stage graph as :func:`build` over only the
+    new pages; differences:
+
+    - the canonical map is EXTENDED, never rewritten
+      (:func:`..stages.canonicalize.extend_canonical_map` — old surfaces
+      keep their IRIs so unchanged pages stay byte-identical and
+      suppressed);
+    - each partition derives its delta rows against its existing log
+      state (stored digests seed suppression; per-graph monotonicity is
+      validated before any byte is written) and appends ONE new log
+      segment — O(changes) I/O, existing files untouched;
+    - the whole append phase runs under :class:`..state.append.StoreWriteLock`
+      (single-writer per store, like every other write path).
+
+    Partitions are individually all-or-nothing; re-running the same
+    batch after a partial failure is safe — already-appended versions
+    are suppressed as no-ops — and is also how "nothing changed" runs
+    behave (``applied_deltas == 0``).
+    """
+    import hashlib
+
+    from .._bootstrap import ensure_importable
+    from ..state.append import (
+        StoreWriteLock,
+        incremental_seed_rows,
+        make_incremental_appender,
+    )
+    from ..stages.canonicalize import extend_canonical_map
+
+    ensure_importable()
+    t0 = time.monotonic()
+    stage_wall: dict = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        stage_wall[name] = round(now - _last[0], 3)
+        _last[0] = now
+
+    delta_dir = os.path.join(out_dir, "deltas")
+    success_path = os.path.join(delta_dir, deltas_mod.SUCCESS_NAME)
+    if not os.path.exists(success_path):
+        raise ValueError(
+            f"no existing store at {delta_dir!r} — run build() (or "
+            "init_log) first; build_incremental only appends"
+        )
+    with open(success_path) as f:
+        meta = json.load(f)
+    num_partitions = int(meta["num_partitions"])
+    old_snap = [int(t) for t in meta.get("snapshot_times", [])]
+    canon_path = os.path.join(out_dir, "canonical_map.json")
+    old_map = {}
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            old_map = json.load(f)
+
+    # -- stage 1: extract + relations over the NEW pages only ---------------
+    # checkpointed per input batch (keyed by the input path) so a killed
+    # incremental run resumes without re-extracting
+    if isinstance(pages, str):
+        key = hashlib.sha1(pages.encode()).hexdigest()[:12]
+        ds = rd.read_parquet(pages, columns=PAGE_COLUMNS)
+    else:
+        key = "dataset"
+        ds = pages
+    raw_dir = os.path.join(out_dir, f"raw_inc_{key}")
+    raw_success = os.path.join(raw_dir, "_SUCCESS")
+    if key == "dataset" or not os.path.exists(raw_success):
+        raw = ds.map_batches(
+            extract_batch,
+            fn_kwargs={"enforce": enforce_digest},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).map_batches(
+            ner_mod.page_relations_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        raw.write_parquet(raw_dir)
+        with open(raw_success, "w") as f:
+            f.write("{}")
+    _mark("extract_ner_raw")
+    raw_ds = rd.read_parquet(raw_dir)
+
+    # -- stage 2: extend the canonical map (old assignments immutable) ------
+    new_snap = _snapshot_times(raw_ds)
+    canonical_map = extend_canonical_map(old_map, raw_ds, gazetteer)
+    tmp = canon_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(canonical_map, f, sort_keys=True)
+    os.replace(tmp, canon_path)
+    gaz_ref = ray.put(gazetteer)
+    canon_ref = ray.put(canonical_map)
+    _mark("canonical_map_and_snapshots")
+
+    # -- stage 3: versions → per-partition segment appends (locked) ---------
+    serialized = raw_ds.map_batches(
+        link_mod.serialize_versions_batch,
+        fn_kwargs={
+            "gazetteer_ref": gaz_ref,
+            "canonical_map_ref": canon_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    versions = serialized.map_batches(
+        add_partition_id,
+        fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
+        batch_format="pyarrow",
+    ).union(rd.from_arrow(incremental_seed_rows(num_partitions)))
+
+    with StoreWriteLock(delta_dir):
+        rows = (
+            versions.groupby("partition_id")
+            .map_groups(
+                make_incremental_appender(delta_dir, new_snap),
+                batch_format="pandas",
+            )
+            .take_all()
+        )
+        deltas_mod.mark_success(
+            delta_dir,
+            {
+                "num_partitions": num_partitions,
+                "partitions_written": num_partitions,
+                "partitions_resumed": 0,
+                "snapshot_times": sorted(set(old_snap) | set(new_snap)),
+            },
+        )
+    applied = int(sum(r["applied"] for r in rows))
+    if write_triples:
+        triples_dir = os.path.join(out_dir, "triples", f"inc_{key}")
+        shutil.rmtree(triples_dir, ignore_errors=True)
+        raw_ds.map_batches(
+            link_mod.emit_triples_batch,
+            fn_kwargs={
+                "gazetteer_ref": gaz_ref,
+                "canonical_map_ref": canon_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).write_parquet(triples_dir)
+    _mark("delta_log_and_triples")
+
+    all_manifests = [
+        deltas_mod.read_manifest(delta_dir, pid)
+        for pid in sorted(deltas_mod.completed_partitions(delta_dir))
+    ]
+    return BuildResult(
+        out_dir=out_dir,
+        num_partitions=num_partitions,
+        manifests=all_manifests,
+        canonical_map_size=len(canonical_map),
+        wall_s=time.monotonic() - t0,
+        resumed_partitions=0,
+        stage_wall_s=stage_wall,
+        applied_deltas=applied,
     )

@@ -1485,6 +1485,73 @@ def kg_diff(sf_dir: str):
     )
 
 
+def kg_incremental_build(sf_dir: str):
+    """Split-build equivalence as a graded surface — the continuous
+    writer analog (the reference's rdf-diff-writer ingests updates
+    forever, ``src/bin/rdf-diff-writer.rs:45-91``): bootstrap a store on
+    the first 3 crawl instants, append the remaining instants with
+    :func:`..pipelines.build.build_incremental`, and compare the delta
+    log row-for-row (graph, ts, op, digest, text) against the one-shot
+    full build. Cached beside the kg build; the comparison re-runs every
+    call."""
+    import glob as _glob
+    import json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..corpus import EPOCH, SNAPSHOT_STEP
+    from .build import build, build_incremental
+
+    full = kg_build_for(sf_dir)
+    root = os.path.dirname(full.out_dir)
+    corpus_dir = os.path.join(root, "corpus")
+    with open(os.path.join(corpus_dir, "gazetteer.json")) as f:
+        gaz = json.load(f)
+    split_root = os.path.join(root, "kg_split")
+    early_p = os.path.join(split_root, "early.parquet")
+    late_p = os.path.join(split_root, "late.parquet")
+    done_p = os.path.join(split_root, "_DONE")
+    if not os.path.exists(done_p):
+        os.makedirs(split_root, exist_ok=True)
+        t = pads.dataset(os.path.join(corpus_dir, "pages.parquet")).to_table()
+        cut = pd.Timestamp(EPOCH + 3 * SNAPSHOT_STEP, unit="s")
+        ts = t["warc_ts"].to_pandas()
+        pq.write_table(t.filter(pa.array(ts < cut)), early_p)
+        pq.write_table(t.filter(pa.array(ts >= cut)), late_p)
+        build(early_p, os.path.join(split_root, "kg"), gazetteer=gaz,
+              num_partitions=full.num_partitions, resume=True)
+        build_incremental(late_p, os.path.join(split_root, "kg"),
+                          gazetteer=gaz)
+        with open(done_p, "w") as f:
+            f.write("{}")
+
+    def log_rows(delta_dir):
+        files = sorted(
+            _glob.glob(os.path.join(delta_dir, "partition=*", "*.parquet"))
+        )
+        t = pads.dataset(files).to_table()
+        return sorted(
+            zip(
+                t["graph_id"].to_pylist(),
+                t["warc_ts"].cast(pa.timestamp("s")).to_pylist(),
+                t["op"].to_pylist(),
+                [d.hex() if d else "" for d in t["digest"].to_pylist()],
+                t["delta_text"].to_pylist(),
+            )
+        )
+
+    a = log_rows(full.delta_dir)
+    b = log_rows(os.path.join(split_root, "kg", "deltas"))
+    return pa.table(
+        {
+            "n_full": pa.array([len(a)], pa.int64()),
+            "n_split": pa.array([len(b)], pa.int64()),
+            "delta_rows_equal": pa.array([a == b], pa.bool_()),
+        }
+    )
+
+
 def kg_blame(sf_dir: str):
     """Per-line provenance at end-of-history — the ``git blame`` analog
     (the reference's one-commit-per-change model makes this ``git blame``
@@ -2751,6 +2818,7 @@ def kg_lifecycle(sf_dir: str):
             "delta_log": kg_delta_log,
             "fsck": kg_fsck,
             "incremental_append": kg_incremental_append,
+            "incremental_build": kg_incremental_build,
             "metrics_export": kg_metrics_export,
             "nquads_roundtrip": kg_nquads_roundtrip,
             "ntriples_roundtrip": kg_ntriples_roundtrip,
@@ -2911,6 +2979,7 @@ def registry():
         "semdedup_docs": semdedup_docs,
         "kg_turtle_ingest": kg_turtle_ingest,
         "kg_incremental_append": kg_incremental_append,
+        "kg_incremental_build": kg_incremental_build,
         "kg_sparql_update": kg_sparql_update,
         "kg_state_at_mid": kg_state_at_mid,
         "curate_corpus": curate_corpus,

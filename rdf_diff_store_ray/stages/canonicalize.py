@@ -228,12 +228,17 @@ def build_canonical_map(
     num_perm: int = 64,
     bands: int = 16,
     batch_size: int = 4096,
+    extra_surfaces=None,
 ) -> dict:
     """Distributed canonicalization over a raw nested-triples Dataset.
 
     Returns the (small) ``surface → IRI`` dict, ready for ``ray.put``.
     The shuffles here run over the **surface vocabulary** (≪ corpus size);
     corpus-scale data is touched only by the first ``map_batches``.
+
+    ``extra_surfaces``: additional vocabulary to cluster alongside the
+    corpus surfaces (incremental builds pass the existing map's keys so
+    new variants land in the clusters of the surfaces they vary).
     """
     import ray.data as rd
 
@@ -246,9 +251,10 @@ def build_canonical_map(
                     seen.add(t["obj_surface"])
         return pa.table({"surface": pa.array(sorted(seen), pa.string())})
 
-    alias_tbl = pa.table(
-        {"surface": pa.array(sorted(gazetteer["alias_to_eid"]), pa.string())}
-    )
+    vocab = sorted(gazetteer["alias_to_eid"])
+    if extra_surfaces:
+        vocab = sorted(set(vocab) | set(extra_surfaces))
+    alias_tbl = pa.table({"surface": pa.array(vocab, pa.string())})
     surf_ds = (
         raw_ds.map_batches(surfaces_of, batch_format="pyarrow")
         .union(rd.from_arrow(alias_tbl))
@@ -292,3 +298,35 @@ def build_canonical_map(
     edges = [(r["s1"], r["s2"]) for r in edge_ds.take_all()]
     surfaces = [r["surface"] for r in surf_ds.take_all()]
     return canonical_map_from_edges(edges, surfaces, gazetteer["alias_to_eid"])
+
+
+def extend_canonical_map(old_map: dict, raw_ds, gazetteer: dict, **kw) -> dict:
+    """Grow an existing ``surface → IRI`` map with an incremental batch's
+    vocabulary WITHOUT moving any existing assignment.
+
+    Stability contract (what makes incremental builds digest-compatible
+    with the store they append to): every surface already in ``old_map``
+    keeps exactly its old IRI — even if the new batch's variants would
+    merge two old clusters, the old split stands (retroactive merges
+    would rewrite history the log has already committed, the same reason
+    git never rewrites reachable commits). A NEW surface that clusters
+    with old surfaces adopts the lexicographically smallest of their
+    IRIs; a genuinely new cluster keeps its freshly derived canonical.
+
+    The clustering itself is the full distributed pass over (new corpus
+    surfaces ∪ old vocabulary) — vocabulary-scale, like the map build.
+    """
+    fresh = build_canonical_map(
+        raw_ds, gazetteer, extra_surfaces=list(old_map), **kw
+    )
+    clusters: dict = {}
+    for s, c in fresh.items():
+        clusters.setdefault(c, []).append(s)
+    out = dict(old_map)
+    for c, members in clusters.items():
+        olds = sorted(old_map[m] for m in members if m in old_map)
+        target = olds[0] if olds else c
+        for m in members:
+            if m not in out:
+                out[m] = target
+    return out

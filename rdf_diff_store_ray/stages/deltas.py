@@ -49,7 +49,9 @@ MANIFEST_NAME = "manifest.json"
 SUCCESS_NAME = "_SUCCESS"
 
 
-def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame:
+def derive_partition_deltas(
+    group: pd.DataFrame, snapshot_times, seed_latest: dict | None = None
+) -> pd.DataFrame:
     """Delta rows for EVERY graph in one partition, in a single pass over
     the (graph_id, warc_ts)-sorted arrays — one output frame per
     partition, never per graph (a per-graph DataFrame + concat costs more
@@ -59,7 +61,14 @@ def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame
     stable input order — documented tie-break, FIXTURES.md note); a
     version whose digest equals the previous live digest is suppressed;
     absence from a snapshot instant while live emits a delete tombstone.
-    ``snapshot_times`` is the sorted global crawl grid (unix seconds)."""
+    ``snapshot_times`` is the sorted global crawl grid (unix seconds).
+
+    ``seed_latest`` (incremental builds): ``graph_id → (ts_seconds, op,
+    digest)`` from the partition's EXISTING log — live seeded graphs
+    start with their stored digest (so an unchanged re-crawl is
+    suppressed and absence tombstones them), and any derived delta that
+    would predate a seeded graph's latest version raises before the
+    caller writes anything."""
     g = group.sort_values(["graph_id", "warc_ts"], kind="stable",
                           ignore_index=True)
     # last row wins on same-second ties (documented tie-break): dedup to
@@ -79,10 +88,29 @@ def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame
     # instant, emit updates where the graph has a version at t whose
     # digest differs from its previous live digest, and tombstones where
     # a live graph is absent — identical semantics to the per-graph scan
-    graphs, gidx = np.unique(gids, return_inverse=True)
+    seed_live = [
+        gid for gid, (_, op, _d) in (seed_latest or {}).items()
+        if op != OP_DELETE
+    ]
+    if seed_live:
+        graphs = np.unique(np.concatenate([gids, np.array(seed_live,
+                                                          dtype=object)]))
+        gidx = np.searchsorted(graphs, gids)
+    else:
+        graphs, gidx = np.unique(gids, return_inverse=True)
     n_graphs = len(graphs)
     live = np.zeros(n_graphs, dtype=bool)
     prev = np.empty(n_graphs, dtype=object)  # previous live digest
+    seed_ts = np.full(n_graphs, np.iinfo(np.int64).min, dtype=np.int64)
+    if seed_latest:
+        for i, gname in enumerate(graphs):
+            s = seed_latest.get(gname)
+            if s is None:
+                continue
+            seed_ts[i] = int(s[0])
+            if s[1] != OP_DELETE:
+                live[i] = True
+                prev[i] = s[2]
     out_gid_parts: list = []
     out_ts_parts: list = []
     out_op_parts: list = []
@@ -117,6 +145,17 @@ def derive_partition_deltas(group: pd.DataFrame, snapshot_times) -> pd.DataFrame
     gidx_out, ts_out, op_out, row_out = (
         gidx_out[order], ts_out[order], op_out[order], row_out[order]
     )
+    if seed_latest:
+        bad = np.flatnonzero(ts_out < seed_ts[gidx_out])
+        if len(bad):
+            b = bad[0]
+            raise ValueError(
+                f"incremental delta at ts={int(ts_out[b])} predates existing "
+                f"history ({int(seed_ts[gidx_out[b]])}) for graph "
+                f"{graphs[gidx_out[b]]!r} (+{len(bad) - 1} more) — the "
+                "version axis is monotone per graph (src/git.rs:208 analog); "
+                "nothing was written for this partition"
+            )
     is_upd = row_out >= 0
     text_out = np.where(is_upd, texts[np.maximum(row_out, 0)], "")
     dig_out = np.where(is_upd, digests[np.maximum(row_out, 0)], b"")

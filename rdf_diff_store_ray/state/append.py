@@ -432,6 +432,134 @@ def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     return _apply(delta_dir, rows, ts)
 
 
+_SEED_MARKER = "\x00__partition_seed__"
+
+
+def incremental_seed_rows(num_partitions: int) -> pa.Table:
+    """One marker row per partition (VERSIONS schema + partition_id) so
+    the incremental delta pass visits partitions with NO new pages — their
+    live graphs are absent from the new crawl and still need tombstones.
+    The marker graph id starts with NUL, unreachable from any real input
+    (filename encoding rejects/escapes control bytes)."""
+    n = num_partitions
+    return pa.table(
+        {
+            "graph_id": pa.array([_SEED_MARKER] * n, pa.string()),
+            "warc_ts": pa.array(
+                [pd.Timestamp(0, unit="s")] * n, pa.timestamp("s")
+            ),
+            "delta_text": pa.array([""] * n, pa.large_string()),
+            "digest": pa.array([b""] * n, pa.binary()),
+            "partition_id": pa.array(
+                np.arange(n, dtype=np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+def make_incremental_appender(delta_dir: str, snapshot_times):
+    """``map_groups`` callable for one partition of an INCREMENTAL build.
+
+    Replay determinism: the derive is seeded from the partition's
+    PRE-BATCH state (rows before the batch's first instant), so running
+    the same batch twice derives byte-identical delta rows; rows already
+    present in the log (exact ``(graph, ts, op, digest)`` match — a
+    previous run of this batch) are then dropped, and only genuinely new
+    rows are validated for per-graph monotonicity against the FULL
+    current state and appended as one new segment. Each partition is
+    all-or-nothing (one atomic segment write); a re-run after a partial
+    failure appends exactly the missing partitions' rows and nothing
+    else — no markers, the log itself is the ledger."""
+    snap = sorted(int(t) for t in snapshot_times)
+
+    def append_incremental_partition(group: pd.DataFrame) -> pd.DataFrame:
+        import time
+
+        t0 = time.monotonic()
+        pid = int(group["partition_id"].iloc[0])
+        g = group[group["graph_id"] != _SEED_MARKER]
+        current = _partition_table(delta_dir, pid)
+        pre = current.filter(
+            pc.less(
+                current["warc_ts"].cast(pa.timestamp("s")),
+                pa.scalar(snap[0] * 10**6, pa.timestamp("us")).cast(
+                    pa.timestamp("s")
+                ),
+            )
+        ) if current.num_rows and snap else current
+        deltas = deltas_mod.derive_partition_deltas(
+            g, snap, seed_latest=_latest_by_graph(pre)
+        )
+        if len(deltas) and current.num_rows > pre.num_rows:
+            # drop rows a previous run of this batch already appended
+            cur = current.to_pandas()
+            cur_ts = (
+                cur["warc_ts"].to_numpy().astype("datetime64[s]")
+                .astype("int64")
+            )
+            cur_keys = set(
+                zip(cur["graph_id"], cur_ts.tolist(), cur["op"], cur["digest"])
+            )
+            ts_s = (
+                deltas["warc_ts"].to_numpy().astype("datetime64[s]")
+                .astype("int64")
+            )
+            keep = [
+                (gid, int(t), op, dig) not in cur_keys
+                for gid, t, op, dig in zip(
+                    deltas["graph_id"], ts_s, deltas["op"], deltas["digest"]
+                )
+            ]
+            deltas = deltas[keep].reset_index(drop=True)
+        if len(deltas):
+            # genuinely new rows must not predate any graph's CURRENT
+            # latest version (e.g. an API append stamped after the batch)
+            latest_all = _latest_by_graph(current)
+            ts_s = (
+                deltas["warc_ts"].to_numpy().astype("datetime64[s]")
+                .astype("int64")
+            )
+            for gid, t in zip(deltas["graph_id"], ts_s):
+                prevrow = latest_all.get(gid)
+                if prevrow is not None and int(t) < prevrow[0]:
+                    raise ValueError(
+                        f"incremental delta at ts={int(t)} predates existing "
+                        f"history ({prevrow[0]}) for graph {gid!r} — the "
+                        "version axis is monotone per graph (src/git.rs:208 "
+                        "analog); nothing was written for this partition"
+                    )
+        applied = len(deltas)
+        if applied:
+            seq_start = _max_seq(current) + 1
+            add = pa.table(
+                {
+                    "graph_id": pa.array(deltas["graph_id"], pa.string()),
+                    "warc_ts": pa.Array.from_pandas(
+                        deltas["warc_ts"], type=pa.timestamp("s")
+                    ),
+                    "op": pa.array(deltas["op"], pa.string()),
+                    "delta_text": pa.array(
+                        deltas["delta_text"], pa.large_string()
+                    ),
+                    "digest": pa.array(list(deltas["digest"]), pa.binary()),
+                    "partition_id": pa.array(
+                        np.full(applied, pid, dtype=np.int32), pa.int32()
+                    ),
+                    "seq": pa.array(
+                        seq_start + np.arange(applied, dtype=np.int64)
+                    ),
+                }
+            ).cast(DELTAS)
+            merged = pa.concat_tables([current, add]).cast(DELTAS)
+            deltas_mod.append_segment(
+                delta_dir, pid, add, merged,
+                wall_s=time.monotonic() - t0,
+            )
+        return pd.DataFrame({"partition_id": [pid], "applied": [applied]})
+
+    return append_incremental_partition
+
+
 def compact_log(delta_dir: str, min_segments: int = 1) -> int:
     """Merge each partition's append segments back into its base file
     (the git-gc analog for the log-structured store): partitions with
