@@ -84,6 +84,11 @@ def test_incremental_equals_full_build(split_corpus, ray_session, tmp_path):
     a = _delta_rows(full.delta_dir)
     b = _delta_rows(inc.delta_dir)
     assert a == b
+    # every store invariant fsck checks must hold for incremental segments
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+
+    report = fsck_store(inc.delta_dir)
+    assert fsck_ok(report), report.to_pandas().to_string()
     # _SUCCESS snapshot grids agree too
     with open(os.path.join(full.delta_dir, "_SUCCESS")) as f:
         grid_full = json.load(f)["snapshot_times"]
