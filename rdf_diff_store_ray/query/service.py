@@ -137,6 +137,14 @@ class PartitionReaderActor:
         os.replace(tmp, path)
         return text.count("\n")
 
+    def blame_at(self, ts) -> pa.Table:
+        """Per-line provenance of this partition's live graphs at ``ts``
+        (a graph's whole history lives in exactly one partition, so
+        blame never crosses partitions)."""
+        from ..state.blame import blame_table
+
+        return blame_table(self.reader.deltas, ts)
+
     def metadata(self):
         return self.reader.metadata()
 
@@ -470,6 +478,23 @@ class QueryService:
                 shutil.rmtree(work, ignore_errors=True)
         os.replace(tmp_out, out_path)
         return n
+
+    def blame_at(self, ts) -> pd.DataFrame:
+        """Distributed per-line provenance (the git-blame analog): every
+        partition actor computes blame over its own graphs in parallel,
+        the router concatenates — no cross-partition state, the same
+        ownership argument as :meth:`graph_at`. Sorted (graph_id, line)."""
+        parts = ray.get([a.blame_at.remote(ts) for a in self.actors])
+        tables = [p for p in parts if p.num_rows]
+        if not tables:
+            return pd.DataFrame(
+                {"graph_id": [], "line": [], "since_ts": []}
+            ).astype({"since_ts": "datetime64[s]"})
+        return (
+            pa.concat_tables(tables)
+            .to_pandas()
+            .sort_values(["graph_id", "line"], ignore_index=True)
+        )
 
     def metadata(self):
         metas = [m for m in ray.get([a.metadata.remote() for a in self.actors])

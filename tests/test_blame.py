@@ -156,6 +156,31 @@ def test_cli_blame(ray_session, tmp_path, capsys):
     }
 
 
+def test_blame_service_matches_table(store, ray_session):
+    """Distributed QueryService.blame_at == the single-table path."""
+    from rdf_diff_store_ray.query.service import QueryService
+    from rdf_diff_store_ray.state.blame import blame_table
+
+    hist = [
+        ("g", T0, "update", _doc(1)),
+        ("g", T0 + 60, "update", _doc(1, 2)),
+        ("h", T0 + 30, "update", _doc(3)),
+        ("h", T0 + 90, "delete", ""),
+    ]
+    _apply(store, hist)
+    svc = QueryService(store)
+    try:
+        got = svc.blame_at(T0 + 120)
+    finally:
+        svc.shutdown()
+    expect = blame_table(_delta_table(store), T0 + 120).to_pandas()
+    assert _blame_dict(got) == _blame_dict(expect)
+    assert _blame_dict(got) == {
+        ("g", _line(1)): T0,
+        ("g", _line(2)): T0 + 60,
+    }
+
+
 def test_blame_matches_naive_oracle_randomized(store, ray_session):
     """Seeded random histories over several graphs: vectorized table path
     == naive replay, and the distributed Dataset path == the table path."""
