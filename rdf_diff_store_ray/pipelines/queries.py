@@ -1509,16 +1509,30 @@ def kg_incremental_build(sf_dir: str):
     with open(os.path.join(corpus_dir, "gazetteer.json")) as f:
         gaz = json.load(f)
     split_root = os.path.join(root, "kg_split")
-    early_p = os.path.join(split_root, "early.parquet")
-    late_p = os.path.join(split_root, "late.parquet")
+    early_p = os.path.join(split_root, "early_pages")
+    late_p = os.path.join(split_root, "late_pages")
     done_p = os.path.join(split_root, "_DONE")
     if not os.path.exists(done_p):
         os.makedirs(split_root, exist_ok=True)
-        t = pads.dataset(os.path.join(corpus_dir, "pages.parquet")).to_table()
+        import ray.data as rd
+
         cut = pd.Timestamp(EPOCH + 3 * SNAPSHOT_STEP, unit="s")
-        ts = t["warc_ts"].to_pandas()
-        pq.write_table(t.filter(pa.array(ts < cut)), early_p)
-        pq.write_table(t.filter(pa.array(ts >= cut)), late_p)
+        pages_ds = rd.read_parquet(os.path.join(corpus_dir, "pages.parquet"))
+        # streaming split — the pages never gather on the driver
+        pages_ds.map_batches(
+            lambda b: b.filter(
+                pc.less(b["warc_ts"].cast(pa.timestamp("s")),
+                        pa.scalar(cut, pa.timestamp("s")))
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(early_p)
+        pages_ds.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["warc_ts"].cast(pa.timestamp("s")),
+                                 pa.scalar(cut, pa.timestamp("s")))
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(late_p)
         build(early_p, os.path.join(split_root, "kg"), gazetteer=gaz,
               num_partitions=full.num_partitions, resume=True)
         build_incremental(late_p, os.path.join(split_root, "kg"),
@@ -1526,28 +1540,51 @@ def kg_incremental_build(sf_dir: str):
         with open(done_p, "w") as f:
             f.write("{}")
 
-    def log_rows(delta_dir):
+    def log_digest(delta_dir):
+        """Order-insensitive distributed log digest: per-row sha256 over
+        (graph, ts, op, digest, text) summed mod 2^64 + row count — two
+        scalars per store, nothing row-scale reaches the driver."""
+        import hashlib
+
+        import ray.data as rd
+
         files = sorted(
             _glob.glob(os.path.join(delta_dir, "partition=*", "*.parquet"))
         )
-        t = pads.dataset(files).to_table()
-        return sorted(
-            zip(
-                t["graph_id"].to_pylist(),
-                t["warc_ts"].cast(pa.timestamp("s")).to_pylist(),
-                t["op"].to_pylist(),
-                [d.hex() if d else "" for d in t["digest"].to_pylist()],
-                t["delta_text"].to_pylist(),
-            )
-        )
 
-    a = log_rows(full.delta_dir)
-    b = log_rows(os.path.join(split_root, "kg", "deltas"))
+        def partial(batch: pa.Table) -> pa.Table:
+            ts = batch["warc_ts"].cast(pa.timestamp("s")).to_pylist()
+            acc = 0
+            for g, t, op, d, txt in zip(
+                batch["graph_id"].to_pylist(), ts,
+                batch["op"].to_pylist(), batch["digest"].to_pylist(),
+                batch["delta_text"].to_pylist(),
+            ):
+                key = f"{g}\x00{int(pd.Timestamp(t).timestamp())}\x00{op}\x00" \
+                      f"{(d or b'').hex()}\x00{txt}"
+                acc = (acc + int.from_bytes(
+                    hashlib.sha256(key.encode()).digest()[:8], "big"
+                )) % (1 << 64)
+            return pa.table(
+                {"h": pa.array([acc], pa.uint64()),
+                 "n": pa.array([batch.num_rows], pa.int64())}
+            )
+
+        rows = rd.read_parquet(files).map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all()
+        return (sum(r["n"] for r in rows),
+                sum(r["h"] for r in rows) % (1 << 64))
+
+    n_a, h_a = log_digest(full.delta_dir)
+    n_b, h_b = log_digest(os.path.join(split_root, "kg", "deltas"))
     return pa.table(
         {
-            "n_full": pa.array([len(a)], pa.int64()),
-            "n_split": pa.array([len(b)], pa.int64()),
-            "delta_rows_equal": pa.array([a == b], pa.bool_()),
+            "n_full": pa.array([n_a], pa.int64()),
+            "n_split": pa.array([n_b], pa.int64()),
+            "delta_rows_equal": pa.array(
+                [(n_a, h_a) == (n_b, h_b)], pa.bool_()
+            ),
         }
     )
 
