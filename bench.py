@@ -220,8 +220,94 @@ def run_scaling() -> dict:
     }
 
 
+def run_incremental() -> dict:
+    """Time the continuous-writer path: bootstrap a store on the first 5
+    crawl instants, then ``build_incremental`` of the 6th instant's batch
+    (extract → canonical-map extension → per-partition segment appends).
+    Min-of-2 legs, each against a fresh copy of the bootstrap store on
+    tmpfs. Evidence for the O(changes) claim — compare against the full
+    rebuild number from the plain bench on the same corpus."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from rdf_diff_store_ray.corpus import EPOCH, SNAPSHOT_STEP
+    from rdf_diff_store_ray.pipelines.build import build, build_incremental
+
+    cdir = ensure_corpus(SF_DIR)
+    with open(os.path.join(cdir, "gazetteer.json")) as f:
+        gaz = json.load(f)
+    shm_root = "/dev/shm" if os.path.isdir("/dev/shm") else BENCH_CACHE
+    work = os.path.join(shm_root, f"ray_kg_inc_cpus{NUM_CPUS}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    cut_s = EPOCH + 5 * SNAPSHOT_STEP  # corpus has 6 instants; last is new
+    cut = pa.scalar(cut_s * 10**6, pa.timestamp("us")).cast(pa.timestamp("s"))
+    pages = rd.read_parquet(os.path.join(cdir, "pages.parquet"))
+    early_p = os.path.join(work, "early_pages")
+    late_p = os.path.join(work, "late_pages")
+    pages.map_batches(
+        lambda b: b.filter(pc.less(b["warc_ts"].cast(pa.timestamp("s")), cut)),
+        batch_format="pyarrow",
+    ).write_parquet(early_p)
+    pages.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["warc_ts"].cast(pa.timestamp("s")), cut)
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(late_p)
+    n_late = pads.dataset(late_p).count_rows()
+    pool = (2, max(4, NUM_CPUS // 2))
+    boot_dir = os.path.join(work, "kg_boot")
+    t0 = time.monotonic()
+    build(early_p, boot_dir, gazetteer=gaz, num_partitions=32,
+          resume=False, batch_size=256, actor_pool=pool)
+    boot_sec = round(time.monotonic() - t0, 3)
+    legs, applied = [], 0
+    for leg in range(2):
+        run_dir = os.path.join(work, f"kg_leg{leg}")
+        shutil.rmtree(run_dir, ignore_errors=True)
+        shutil.copytree(boot_dir, run_dir)
+        t0 = time.monotonic()
+        res = build_incremental(late_p, run_dir, gazetteer=gaz,
+                                batch_size=256)
+        legs.append(round(time.monotonic() - t0, 3))
+        applied = res.applied_deltas
+        log(f"[bench] incremental leg {leg}: {legs[-1]}s "
+            f"(applied {applied}, stages {res.stage_wall_s})")
+    inc_sec = min(legs)
+    shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "kg_incremental_sec",
+        "value": inc_sec,
+        "unit": "sec",
+        "batch_pages": int(n_late),
+        "batch_pages_per_sec": round(n_late / inc_sec, 1),
+        "applied_deltas": int(applied),
+        "bootstrap_sec": boot_sec,
+        "legs": legs,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--incremental" in sys.argv:
+        print(json.dumps(run_incremental()))
     else:
         print(json.dumps(run_bench()))
