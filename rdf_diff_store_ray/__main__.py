@@ -218,6 +218,15 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_truncate(args) -> int:
+    _ensure_ray()
+    from .state.append import truncate_log
+
+    removed = truncate_log(args.store, args.before_ts)
+    print(json.dumps({"store": args.store, "removed_rows": removed}))
+    return 0
+
+
 def cmd_blame(args) -> int:
     """Per-line provenance at ts (git-blame analog) as JSON lines:
     {"graph_id", "line", "since": unix seconds}."""
@@ -335,6 +344,14 @@ def main(argv=None) -> int:
                    default="json",
                    help="W3C results serialization (default json)")
     q.set_defaults(fn=cmd_query)
+
+    tr = sub.add_parser(
+        "truncate",
+        help="squash history before ts into per-graph baselines (retention)",
+    )
+    tr.add_argument("--store", required=True)
+    tr.add_argument("--before-ts", type=int, required=True)
+    tr.set_defaults(fn=cmd_truncate)
 
     bl = sub.add_parser("blame", help="per-line provenance at ts (git-blame analog)")
     bl.add_argument("--store", required=True)

@@ -621,6 +621,99 @@ def _compact_locked(delta_dir: str, min_segments: int) -> int:
     return int(done)
 
 
+def truncate_log(delta_dir: str, before_ts: int) -> int:
+    """Retention: squash all history BEFORE ``before_ts`` (unix seconds)
+    into one baseline version per graph — the git shallow-clone /
+    history-truncation analog (the reference's repo otherwise grows one
+    commit per change forever, ``src/git.rs:151-190``).
+
+    Every read at ``t >= before_ts`` is unchanged BYTE-FOR-BYTE: a graph
+    live at the cut keeps exactly one row carrying its original latest
+    pre-cut ``warc_ts``, text and digest (so ``state_at`` rows, diffs and
+    blame *runs that survive the cut* are identical); rows at
+    ``t >= before_ts`` are kept verbatim. Graphs dead at the cut with no
+    later history vanish entirely (their tombstones squash away).
+    History before the cut is unrecoverable — blame/`state_at` at
+    ``t < before_ts`` now see only the baselines, by design.
+
+    Runs distributed (one task per partition, like compaction), each
+    partition rewritten atomically under the store write lock; ``seq``
+    is renumbered in replay order (sorting is total on ``(graph, ts,
+    seq)``). Returns the number of rows removed."""
+    with StoreWriteLock(delta_dir):
+        return _truncate_locked(delta_dir, int(before_ts))
+
+
+def _truncate_locked(delta_dir: str, before_ts: int) -> int:
+    import time
+
+    import ray.data as rd
+
+    num_partitions = _log_num_partitions(delta_dir)
+    cut = pa.scalar(before_ts * 10**6, pa.timestamp("us")).cast(
+        pa.timestamp("s")
+    )
+
+    def truncate_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch["pid"].to_pylist():
+            t0 = time.monotonic()
+            merged = _partition_table(delta_dir, pid)
+            if merged.num_rows == 0:
+                out.append({"pid": pid, "removed": 0})
+                continue
+            ts_col = merged["warc_ts"].cast(pa.timestamp("s"))
+            old = merged.filter(pc.less(ts_col, cut))
+            new = merged.filter(pc.greater_equal(ts_col, cut))
+            # baseline: each graph's latest pre-cut row, live graphs only
+            base = _latest_rows(old)
+            base = base.filter(pc.not_equal(base["op"], OP_DELETE))
+            squashed = pa.concat_tables(
+                [base.select(DELTAS.names), new.select(DELTAS.names)]
+            ).cast(DELTAS)
+            idx = pc.sort_indices(
+                squashed,
+                sort_keys=[("graph_id", "ascending"),
+                           ("warc_ts", "ascending"), ("seq", "ascending")],
+            )
+            squashed = squashed.take(idx)
+            squashed = squashed.set_column(
+                squashed.schema.get_field_index("seq"), "seq",
+                pa.array(np.arange(squashed.num_rows, dtype=np.int64)),
+            )
+            deltas_mod.write_partition(
+                delta_dir, pid, squashed, wall_s=time.monotonic() - t0
+            )
+            out.append(
+                {"pid": pid, "removed": merged.num_rows - squashed.num_rows}
+            )
+        return pa.Table.from_pylist(out)
+
+    rows = (
+        rd.from_arrow(pa.table({"pid": pa.array(range(num_partitions),
+                                                pa.int64())}))
+        .map_batches(truncate_one, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    return int(sum(r["removed"] for r in rows))
+
+
+def _latest_rows(table: pa.Table) -> pa.Table:
+    """One row per graph: its max-``(warc_ts, seq)`` row (vectorized
+    last-of-run, the same total order every reader uses)."""
+    if table.num_rows == 0:
+        return table
+    idx = pc.sort_indices(
+        table,
+        sort_keys=[("graph_id", "ascending"), ("warc_ts", "ascending"),
+                   ("seq", "ascending")],
+    )
+    srt = table.take(idx)
+    gids = srt["graph_id"].to_numpy(zero_copy_only=False)
+    last_of_run = np.r_[gids[1:] != gids[:-1], True]
+    return srt.filter(pa.array(last_of_run))
+
+
 def delete_graphs(delta_dir: str, graph_ids, ts: int) -> int:
     """Tombstone each currently-live graph at ``ts``; absent graphs are
     no-ops. Returns the number of tombstones written."""

@@ -440,3 +440,63 @@ def test_fsck_cli(store, ray_session, capsys):
     rc = main(["fsck", "--store", store])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"] is True
+
+
+# ---------------------------------------------------------------- truncation
+def test_truncate_preserves_post_cut_reads(store, ray_session):
+    """Retention squash: every state_at at t >= cut is byte-identical
+    before and after truncate_log; pre-cut history is gone; fsck clean."""
+    from rdf_diff_store_ray.state.append import (
+        append_graphs, delete_graphs, truncate_log,
+    )
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    G_C = '<https://x/c> <https://x/p> "9" .\n'
+    append_graphs(store, {"a": G_A, "b": G_B, "dead": G_C}, T1)
+    append_graphs(store, {"a": G_A2}, T2)
+    delete_graphs(store, ["dead"], T2)
+    append_graphs(store, {"b": G_A}, T3)
+
+    cut = T2 + 50  # between T2 and T3
+    probes = [cut, T3 - 1, T3, T3 + 100]
+    before = {
+        t: sorted(
+            zip(*(state_at_table(_delta_table(store), t)[c].to_pylist()
+                  for c in ("graph_id", "warc_ts", "delta_text")))
+        )
+        for t in probes
+    }
+    removed = truncate_log(store, cut)
+    assert removed > 0
+    after = {
+        t: sorted(
+            zip(*(state_at_table(_delta_table(store), t)[c].to_pylist()
+                  for c in ("graph_id", "warc_ts", "delta_text")))
+        )
+        for t in probes
+    }
+    assert before == after
+    dt = _delta_table(store)
+    # squashed: one baseline per live graph + post-cut rows; 'dead' gone
+    assert set(dt["graph_id"].to_pylist()) == {"a", "b"}
+    assert dt.num_rows == 3  # a@T2 baseline, b@T1 baseline, b@T3
+    assert fsck_ok(fsck_store(store)), fsck_store(store).to_pandas()
+
+
+def test_truncate_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from rdf_diff_store_ray.__main__ import main
+
+    store = str(tmp_path / "deltas")
+    assert main(["init", "--store", store, "--partitions", "2"]) == 0
+    assert main(["append", "--store", store, "--graph", "g",
+                 "--text", G_A, "--ts", str(T1)]) == 0
+    assert main(["append", "--store", store, "--graph", "g",
+                 "--text", G_A2, "--ts", str(T2)]) == 0
+    capsys.readouterr()
+    assert main(["truncate", "--store", store,
+                 "--before-ts", str(T2 + 1)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["removed_rows"] == 1
