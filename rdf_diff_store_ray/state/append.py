@@ -627,14 +627,16 @@ def truncate_log(delta_dir: str, before_ts: int) -> int:
     history-truncation analog (the reference's repo otherwise grows one
     commit per change forever, ``src/git.rs:151-190``).
 
-    Every read at ``t >= before_ts`` is unchanged BYTE-FOR-BYTE: a graph
-    live at the cut keeps exactly one row carrying its original latest
-    pre-cut ``warc_ts``, text and digest (so ``state_at`` rows, diffs and
-    blame *runs that survive the cut* are identical); rows at
-    ``t >= before_ts`` are kept verbatim. Graphs dead at the cut with no
-    later history vanish entirely (their tombstones squash away).
-    History before the cut is unrecoverable — blame/`state_at` at
-    ``t < before_ts`` now see only the baselines, by design.
+    Every ``state_at``/``diff`` read at ``t >= before_ts`` is unchanged
+    BYTE-FOR-BYTE: a graph live at the cut keeps exactly one row
+    carrying its original latest pre-cut ``warc_ts``, text and digest;
+    rows at ``t >= before_ts`` are kept verbatim. Graphs dead at the cut
+    with no later history vanish entirely (their tombstones squash
+    away). History before the cut is unrecoverable: reads at ``t <
+    before_ts`` see only the baselines, and ``blame`` runs that began
+    before the cut re-blame to the baseline's timestamp — the earliest
+    surviving evidence, exactly like ``git blame`` stopping at a shallow
+    clone's boundary commit.
 
     Runs distributed (one task per partition, like compaction), each
     partition rewritten atomically under the store write lock; ``seq``
