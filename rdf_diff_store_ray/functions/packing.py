@@ -68,7 +68,13 @@ def pack_sequences(
         )
         return out.filter(pc.greater(out["n"], 0))
 
-    counts = docs_ds.map_batches(count_tokens, batch_format="pyarrow")
+    # One tokenizing pass over the corpus, pinned in the object store:
+    # both consumers below (the bucket aggregate and the spans pass) read
+    # the materialized (doc_id, n, bucket) table instead of re-reading and
+    # re-tokenizing the documents. At ~24 bytes/doc it is ~0.002% of a web
+    # corpus's bytes, so it fits cluster memory (with spill) at any scale
+    # where the corpus itself is readable.
+    counts = docs_ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
 
     # level 2: bounded bucket table -> exclusive offsets, broadcast once
     bucket_rows = counts.groupby("bucket").aggregate(Sum("n", alias_name="n")).take_all()
