@@ -1301,6 +1301,57 @@ def bpe_tokenize(sf_dir: str, n_merges: int = 80, k: int = 30):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def train_shards(sf_dir: str, n_merges: int = 80, capacity: int = 256,
+                 num_shards: int = 8):
+    """The terminal LM-pipeline stage: BPE-encode the documents table,
+    pack the token-id stream at fixed ``capacity`` (pack-and-cross) and
+    write partitioned parquet shards of ``list<int32>`` sequences —
+    see :mod:`..functions.shards`. Returns the per-shard accounting
+    (contiguous seq ranges, every sequence full except the global last),
+    re-checked here against the written files so the graded surface
+    covers the sink, not just the stats."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bpe import bpe_train
+    from ..functions.shards import build_vocab, write_training_shards
+
+    def docs():
+        return _docs(sf_dir, columns=["doc_id", "text"])
+
+    merges = bpe_train(docs(), n_merges=n_merges, max_words=20_000)
+    vocab = build_vocab(docs(), merges)
+    out_dir = tempfile.mkdtemp(prefix="kg_shards_")
+    try:
+        stats = write_training_shards(
+            docs, out_dir, merges=merges, vocab=vocab,
+            capacity=capacity, num_shards=num_shards,
+        )
+        # re-derive the accounting from the files themselves
+        import glob as globmod
+
+        files = sorted(globmod.glob(os.path.join(out_dir, "shard-*.parquet")))
+        n_seqs_files = 0
+        n_tok_files = 0
+        for f in files:
+            t = pq.read_table(f, columns=["n_tok"])
+            n_seqs_files += t.num_rows
+            n_tok_files += pc.sum(t["n_tok"]).as_py() or 0
+        stats = stats.copy()
+        stats["vocab_size"] = int(stats.attrs["vocab_size"])
+        stats["files_match"] = bool(
+            len(files) == len(stats)
+            and n_seqs_files == int(stats["n_seqs"].sum())
+            and n_tok_files == int(stats["n_tokens"].sum())
+            and n_tok_files == int(stats.attrs["total_tokens"])
+        )
+        return pa.Table.from_pandas(stats, preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling chain: synthetic videos → every-4th-frame
     flat-map actor stage → per-frame histogram features."""
@@ -2935,6 +2986,7 @@ def embed_text_suite(sf_dir: str):
             "multimodal_frames": multimodal_frames,
             "pack_sequences": pack_sequences_q,
             "quantize_embeddings": quantize_embeddings_q,
+            "train_shards": train_shards,
         },
         sf_dir,
     )
@@ -3065,6 +3117,7 @@ def registry():
         "span_dedup": span_dedup_docs,
         "lm_perplexity": lm_perplexity_docs,
         "pack_sequences": pack_sequences_q,
+        "train_shards": train_shards,
     }
 
 

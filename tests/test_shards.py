@@ -1,0 +1,163 @@
+"""Training-shard writer: exact-stream oracle, invariants, hygiene."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _docs_table(n=37, seed=5, gap=3):
+    """Synthetic docs with NON-dense ids (gaps exercise the bucket
+    math) and a few empty texts."""
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "kappa", "lambda", "omega", "sigma"]
+    texts = []
+    for i in range(n):
+        if i % 9 == 4:
+            texts.append("")  # empty doc packs nothing
+        else:
+            k = int(rng.integers(3, 40))
+            texts.append(" ".join(rng.choice(vocab, size=k)))
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(n, dtype=np.int64) * gap + 11, pa.int64()
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _reference_stream(tbl, merges, vocab, capacity):
+    """Driver-local oracle: encode in doc_id order, concatenate, split."""
+    from rdf_diff_store_ray.functions.bpe import _PRETOK_RE, encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    tok2id = dict(zip(vocab["token"], vocab["token_id"]))
+    df = tbl.to_pandas().sort_values("doc_id", ignore_index=True)
+    ids = []
+    for text in df["text"].fillna(""):
+        for w in pd.Series([text]).str.findall(_PRETOK_RE)[0]:
+            ids.extend(tok2id[t] for t in encode_word(w, ranks))
+    flat = np.array(ids, dtype=np.int32)
+    return [
+        flat[i: i + capacity] for i in range(0, len(flat), capacity)
+    ]
+
+
+def _read_shards(out_dir):
+    rows = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet"))):
+        rows.append(pq.read_table(f))
+    t = pa.concat_tables(rows).to_pandas().sort_values(
+        "seq_id", ignore_index=True
+    )
+    return t
+
+
+def test_training_shards_match_reference_stream(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+    from rdf_diff_store_ray.functions.shards import (
+        build_vocab,
+        write_training_shards,
+    )
+
+    tbl = _docs_table()
+    docs = lambda: rd.from_arrow(tbl)  # noqa: E731
+    merges = bpe_train(docs(), n_merges=25, max_words=5_000)
+    vocab = build_vocab(docs(), merges)
+    out = str(tmp_path / "shards")
+    capacity = 17
+    stats = write_training_shards(
+        docs, out, merges=merges, vocab=vocab,
+        capacity=capacity, num_shards=3, bucket_span=16, num_partitions=4,
+    )
+
+    ref = _reference_stream(tbl, merges, vocab, capacity)
+    got = _read_shards(out)
+    assert len(got) == len(ref) == stats.attrs["total_seqs"]
+    assert list(got["seq_id"]) == list(range(len(ref)))
+    for row_ids, ref_ids in zip(got["input_ids"], ref):
+        assert np.array_equal(np.asarray(row_ids, np.int32), ref_ids)
+    # every sequence full except the global last
+    n_tok = got["n_tok"].to_numpy()
+    assert (n_tok[:-1] == capacity).all() and 0 < n_tok[-1] <= capacity
+    # per-shard stats: contiguous, disjoint, complete
+    assert list(stats["first_seq"]) == [0] + list(stats["last_seq"] + 1)[:-1]
+    assert int(stats["last_seq"].iloc[-1]) == len(ref) - 1
+    assert int(stats["n_tokens"].sum()) == sum(len(r) for r in ref)
+    # one file per shard
+    files = glob.glob(os.path.join(out, "shard-*.parquet"))
+    assert len(files) == len(stats)
+
+
+def test_training_shards_deterministic(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+    from rdf_diff_store_ray.functions.shards import (
+        build_vocab,
+        write_training_shards,
+    )
+
+    tbl = _docs_table(n=23, seed=9)
+    docs = lambda: rd.from_arrow(tbl)  # noqa: E731
+    merges = bpe_train(docs(), n_merges=12, max_words=5_000)
+    vocab = build_vocab(docs(), merges)
+    outs = []
+    for leg in ("a", "b"):
+        out = str(tmp_path / leg)
+        write_training_shards(
+            docs, out, merges=merges, vocab=vocab,
+            capacity=11, num_shards=2, bucket_span=8, num_partitions=3,
+        )
+        outs.append(_read_shards(out))
+    a, b = outs
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["input_ids"]), b.drop(columns=["input_ids"])
+    )
+    for x, y in zip(a["input_ids"], b["input_ids"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_training_shards_empty_corpus_raises(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.shards import write_training_shards
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", ""], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError):
+        write_training_shards(
+            lambda: rd.from_arrow(tbl),
+            str(tmp_path / "e"),
+            merges=[],
+            vocab=pd.DataFrame({"token": [], "token_id": []}),
+            capacity=8,
+            num_shards=2,
+        )
+
+
+def test_train_shards_entry(ray_session):
+    from rdf_diff_store_ray.pipelines.queries import train_shards
+
+    t = train_shards("/root/testdata/sf0.001", num_shards=4).to_pandas()
+    assert t["files_match"].all()
+    assert (t["n_seqs"] > 0).all()
+    # balanced contiguous ranges over all shards
+    assert int(t["first_seq"].iloc[0]) == 0
+    assert (
+        t["first_seq"].iloc[1:].to_numpy()
+        == t["last_seq"].iloc[:-1].to_numpy() + 1
+    ).all()
