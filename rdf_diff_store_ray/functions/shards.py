@@ -42,6 +42,78 @@ import pyarrow.parquet as pq
 from .bpe import _PRETOK_RE, bpe_token_counts, encode_word
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a BIJECTION on uint64, so distinct keys
+    never collide and the sort below has no ties to break."""
+    x = x.astype(np.uint64, copy=True)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def epoch_order(ds, *, key_col: str = "seq_id", epoch: int = 0,
+                seed: int = 0, mode: str = "full"):
+    """Deterministic per-epoch training order: every row gets the
+    pseudorandom sort key ``splitmix64(key ^ mix(seed, epoch))`` — a
+    pure function of ``(key, seed, epoch)``, so the order is identical
+    across runs, cluster sizes and batch boundaries, and different for
+    every epoch. ``mode="full"`` globally sorts on the key (ONE
+    all-to-all — the cost of a true global shuffle, but reproducible);
+    ``mode="blocks"`` only permutes block order and sorts within each
+    batch (zero extra network — the scale path when approximate mixing
+    is enough for training). Returns the Dataset with the original
+    columns, reordered."""
+    if mode not in ("full", "blocks"):
+        raise ValueError(f"unknown mode {mode!r}")
+    salt = _mix64(
+        np.array([np.uint64(seed) ^ (np.uint64(epoch) << np.uint64(32))],
+                 np.uint64)
+    )[0]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        eo = _mix64(k ^ salt).view(np.int64)
+        return batch.append_column("_eo", pa.array(eo, pa.int64()))
+
+    def drop_key(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_eo"])
+
+    def sort_within(batch: pa.Table) -> pa.Table:
+        k = _mix64(
+            batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ^ salt
+        )
+        return batch.take(pa.array(np.argsort(k), pa.int64()))
+
+    if mode == "full":
+        return (
+            ds.map_batches(add_key, batch_format="pyarrow")
+            .sort("_eo")
+            .map_batches(drop_key, batch_format="pyarrow")
+        )
+    return ds.randomize_block_order(seed=int(salt % np.uint64(2**31))).map_batches(
+        sort_within, batch_format="pyarrow"
+    )
+
+
+def read_training_shards(shard_dir: str, *, epoch: int = 0, seed: int = 0,
+                         mode: str = "full"):
+    """Consume a shard directory written by :func:`write_training_shards`
+    in the deterministic order of ``(epoch, seed)`` — the training-side
+    reader. Streams: nothing is materialized beyond the epoch reorder."""
+    import glob as globmod
+
+    import ray.data as rd
+
+    files = sorted(globmod.glob(os.path.join(shard_dir, "shard-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no shard-*.parquet under {shard_dir}")
+    return epoch_order(
+        rd.read_parquet(files), key_col="seq_id", epoch=epoch, seed=seed,
+        mode=mode,
+    )
+
+
 def build_vocab(docs_ds, merges: list, *, text_col: str = "text") -> pd.DataFrame:
     """Corpus vocabulary under the trained merges: one row per distinct
     token, ``token_id`` assigned by (count DESC, token ASC) rank."""

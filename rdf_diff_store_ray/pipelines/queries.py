@@ -1352,6 +1352,38 @@ def train_shards(sf_dir: str, n_merges: int = 80, capacity: int = 256,
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def shard_epoch_order(sf_dir: str, k: int = 12):
+    """Deterministic per-epoch training order (:func:`..functions.shards
+    .epoch_order` — bijective splitmix64 key sort, identical across
+    runs/cluster sizes/batch boundaries, distinct per epoch), probed on
+    the documents table: the first ``k`` doc ids of epochs 0 and 1 plus
+    the multiset-preservation accounting."""
+    from ..functions.shards import epoch_order
+
+    n = _docs(sf_dir, columns=["doc_id"]).count()  # metadata-only
+
+    def first_k(epoch: int) -> pd.DataFrame:
+        ds = epoch_order(
+            _docs(sf_dir, columns=["doc_id"]), key_col="doc_id",
+            epoch=epoch, seed=42, mode="full",
+        )
+        head = ds.limit(k).to_pandas()
+        return head.assign(epoch=np.int64(epoch), n_total=np.int64(n))
+
+    a, b = first_k(0), first_k(1)
+    out = pd.concat([a, b], ignore_index=True)
+    out["rank_pos"] = np.tile(np.arange(1, k + 1, dtype="int64"), 2)[
+        : len(out)
+    ]
+    out["orders_differ"] = bool(
+        list(a["doc_id"]) != list(b["doc_id"])
+    )
+    return pa.Table.from_pandas(
+        out[["epoch", "rank_pos", "doc_id", "n_total", "orders_differ"]],
+        preserve_index=False,
+    )
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling chain: synthetic videos → every-4th-frame
     flat-map actor stage → per-frame histogram features."""
@@ -2987,6 +3019,7 @@ def embed_text_suite(sf_dir: str):
             "pack_sequences": pack_sequences_q,
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
+            "shard_epoch_order": shard_epoch_order,
         },
         sf_dir,
     )
@@ -3118,6 +3151,7 @@ def registry():
         "lm_perplexity": lm_perplexity_docs,
         "pack_sequences": pack_sequences_q,
         "train_shards": train_shards,
+        "shard_epoch_order": shard_epoch_order,
     }
 
 

@@ -161,3 +161,77 @@ def test_train_shards_entry(ray_session):
         t["first_seq"].iloc[1:].to_numpy()
         == t["last_seq"].iloc[:-1].to_numpy() + 1
     ).all()
+
+
+def test_epoch_order_full_is_deterministic_and_complete(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.shards import epoch_order
+
+    tbl = pa.table({"seq_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "v": pa.array(np.arange(200, dtype=np.int64) * 7)})
+
+    def run(epoch, tbl_in):
+        out = epoch_order(
+            rd.from_arrow(tbl_in), epoch=epoch, seed=3, mode="full"
+        ).to_pandas()
+        return out
+
+    a = run(0, tbl)
+    b = run(0, tbl)
+    c = run(1, tbl)
+    # identical across runs; different across epochs; same multiset
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["seq_id"]) != list(c["seq_id"])
+    assert sorted(a["seq_id"]) == sorted(c["seq_id"]) == list(range(200))
+    assert list(a["seq_id"]) != list(range(200))  # actually shuffled
+    # payload stays attached to its key
+    assert (a["v"].to_numpy() == a["seq_id"].to_numpy() * 7).all()
+    # batch/block-boundary invariance: same order from a re-blocked input
+    import ray.data as rd2
+
+    re_blocked = rd2.from_arrow(tbl).repartition(7)
+    d = epoch_order(re_blocked, epoch=0, seed=3, mode="full").to_pandas()
+    pd.testing.assert_frame_equal(a, d)
+
+
+def test_epoch_order_blocks_mode_preserves_multiset(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.shards import epoch_order
+
+    tbl = pa.table({"seq_id": pa.array(np.arange(100, dtype=np.int64))})
+    out = epoch_order(
+        rd.from_arrow(tbl).repartition(5), epoch=2, seed=1, mode="blocks"
+    ).to_pandas()
+    assert sorted(out["seq_id"]) == list(range(100))
+    with pytest.raises(ValueError):
+        epoch_order(rd.from_arrow(tbl), mode="nope")
+
+
+def test_read_training_shards_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+    from rdf_diff_store_ray.functions.shards import (
+        build_vocab,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    tbl = _docs_table(n=20, seed=2)
+    docs = lambda: rd.from_arrow(tbl)  # noqa: E731
+    merges = bpe_train(docs(), n_merges=10, max_words=5_000)
+    vocab = build_vocab(docs(), merges)
+    out = str(tmp_path / "shards")
+    stats = write_training_shards(
+        docs, out, merges=merges, vocab=vocab, capacity=13, num_shards=2,
+        bucket_span=8, num_partitions=3,
+    )
+    ds = read_training_shards(out, epoch=0, seed=7)
+    got = ds.to_pandas()
+    assert len(got) == stats.attrs["total_seqs"]
+    assert sorted(got["seq_id"]) == list(range(len(got)))
+    assert list(got.columns) == ["seq_id", "input_ids", "n_tok"]
+    with pytest.raises(FileNotFoundError):
+        read_training_shards(str(tmp_path / "missing"))
