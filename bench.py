@@ -161,7 +161,7 @@ def run_bench() -> dict:
             "fineweb_filter", "stratified_sample", "top_terms_per_lang",
             "centroid_outliers", "train_val_split", "pair_ngram_overlap",
             "bpe_tokenize", "span_dedup", "lm_perplexity",
-            "pack_sequences", "train_shards",
+            "pack_sequences", "train_shards", "shard_epoch_order",
         ):
             timed(name, q.registry()[name])
 
