@@ -61,8 +61,10 @@ def epoch_order(ds, *, key_col: str = "seq_id", epoch: int = 0,
     all-to-all — the cost of a true global shuffle, but reproducible);
     ``mode="blocks"`` only permutes block order and sorts within each
     batch (zero extra network — the scale path when approximate mixing
-    is enough for training). Returns the Dataset with the original
-    columns, reordered."""
+    is enough for training; NOT batch-boundary invariant, unlike
+    ``"full"``). ``key_col`` values must be unique — equal keys map to
+    equal sort keys and their relative order is then unspecified.
+    Returns the Dataset with the original columns, reordered."""
     if mode not in ("full", "blocks"):
         raise ValueError(f"unknown mode {mode!r}")
     salt = _mix64(
@@ -148,6 +150,10 @@ def write_training_shards(
     ``vocab_size``/``total_tokens`` attrs; the shards land at
     ``out_dir/shard-NNNNN.parquet`` with rows
     ``(seq_id, input_ids list<int32>, n_tok)``.
+
+    Size ``num_shards`` so one shard (= ``total_tokens / num_shards``
+    × 4 bytes, assembled in one task) stays ~1 GiB: at 100 TB of text
+    (~25T tokens) that is ~100k shards.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
@@ -240,7 +246,9 @@ def write_training_shards(
         within = (
             pd.Series(lens).groupby(buckets).cumsum().to_numpy("int64") - lens
         )
-        off = np.array([bucket_start[b] for b in buckets], np.int64) + within
+        off = (
+            pd.Series(buckets).map(bucket_start).to_numpy("int64") + within
+        )
         seq_ids, poss, segs = [], [], []
         for ids, o in zip(doc_ids, off):
             if not len(ids):
