@@ -193,3 +193,64 @@ def test_incremental_requires_existing_store(split_corpus, ray_session, tmp_path
             split_corpus["late"], str(tmp_path / "nope"),
             gazetteer=split_corpus["gazetteer"],
         )
+
+
+def test_incremental_build_on_truncated_store(split_corpus, ray_session,
+                                              tmp_path):
+    """Retention then growth: truncating the bootstrap store's history
+    (squash to per-graph baselines) must not disturb a later
+    build_incremental — the squashed store's post-cut reads stay
+    byte-identical to the untruncated store's after BOTH ingest the same
+    late batch, and fsck stays clean. (Baselines keep each live graph's
+    original latest pre-cut ts/digest, so suppression and monotonicity
+    seed identically.)"""
+    from rdf_diff_store_ray.pipelines.build import build, build_incremental
+    from rdf_diff_store_ray.state.append import truncate_log
+    from rdf_diff_store_ray.state.fsck import fsck_ok, fsck_store
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+
+    gaz = split_corpus["gazetteer"]
+    plain = build(
+        split_corpus["early"], str(tmp_path / "kg_plain"),
+        gazetteer=gaz, num_partitions=4, resume=False, write_triples=False,
+    )
+    squashed = build(
+        split_corpus["early"], str(tmp_path / "kg_squash"),
+        gazetteer=gaz, num_partitions=4, resume=False, write_triples=False,
+    )
+    cut = EPOCH + 2 * SNAPSHOT_STEP + 50  # inside the early window
+    assert truncate_log(squashed.delta_dir, cut) >= 0
+
+    inc_plain = build_incremental(
+        split_corpus["late"], str(tmp_path / "kg_plain"),
+        gazetteer=gaz, write_triples=False,
+    )
+    inc_squash = build_incremental(
+        split_corpus["late"], str(tmp_path / "kg_squash"),
+        gazetteer=gaz, write_triples=False,
+    )
+    assert inc_plain.applied_deltas == inc_squash.applied_deltas > 0
+
+    def _state(delta_dir, ts):
+        files = sorted(
+            glob.glob(os.path.join(delta_dir, "partition=*", "*.parquet"))
+        )
+        t = pads.dataset(files).to_table()
+        st = state_at_table(t, ts)
+        return sorted(
+            zip(st["graph_id"].to_pylist(), st["delta_text"].to_pylist())
+        )
+
+    probes = [
+        cut,
+        EPOCH + 3 * SNAPSHOT_STEP,
+        EPOCH + 4 * SNAPSHOT_STEP,
+        EPOCH + 6 * SNAPSHOT_STEP,
+    ]
+    for ts in probes:
+        assert _state(inc_plain.delta_dir, ts) == _state(
+            inc_squash.delta_dir, ts
+        ), f"state diverged at t={ts}"
+    assert fsck_ok(fsck_store(inc_squash.delta_dir)), (
+        fsck_store(inc_squash.delta_dir).to_pandas()
+    )
