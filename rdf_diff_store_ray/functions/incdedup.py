@@ -1,0 +1,269 @@
+"""Incremental MinHash-LSH dedup against a PERSISTED band index — the
+shape a continuously-ingesting pipeline needs (CCNet / FineWeb dedup
+each new crawl against everything already kept, without re-shuffling
+the historical corpus): the index stores only ``(band_id, band_hash,
+doc_id)`` rows, hash-bucketed into a FIXED partition layout on disk, so
+
+- an ingest batch's band rows meet the index rows of the same buckets
+  in exactly ONE partition each (same key as the in-corpus LSH path:
+  ``(band_hash + band_id) % num_partitions``),
+- extension is log-structured: each ingest appends one
+  ``bands-<pid>-<seq>.parquet`` segment per touched partition and never
+  rewrites existing bytes (readers glob; the delta-store pattern),
+- the duplicate decision is collision-based (``>= min_bands`` band
+  collisions), the standard signature-only rule when historical TEXTS
+  are not retained — with 128 perms / 32 bands a single-band collision
+  concentrates around Jaccard ~0.7, and ``min_bands`` trades recall
+  against false positives.
+
+Per-doc aggregation never runs per-group Python: each new band row
+lives in exactly one partition, where it is marked hit / not-hit in one
+vectorized merge; the per-doc fold is a keyed ``Sum``/``Min`` aggregate
+(every doc has exactly ``bands`` rows, so zero-hit docs survive).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .dedup import doc_minhash_batch
+
+_NO_MATCH = np.int64(2**62)
+
+
+def _band_rows(docs_ds, *, num_perm: int, bands: int, num_partitions: int):
+    """docs -> (doc_id, band_id, band_hash, pid) rows, bucketed on the
+    index's fixed partition key."""
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        key = pc.add(batch["band_hash"], batch["band_id"].cast(pa.int64()))
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("pid", pid)
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            doc_minhash_batch,
+            fn_kwargs={"num_perm": num_perm, "bands": bands},
+            batch_format="pyarrow",
+        )
+        .map_batches(add_pid, batch_format="pyarrow")
+    )
+
+
+def _next_seq(index_dir: str) -> int:
+    segs = globmod.glob(os.path.join(index_dir, "bands-*-*.parquet"))
+    seqs = [int(os.path.basename(s).split("-")[2].split(".")[0]) for s in segs]
+    return (max(seqs) + 1) if seqs else 0
+
+
+def extend_minhash_index(
+    docs_ds,
+    index_dir: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Append the docs' band rows to the index as ONE new segment per
+    touched partition (``bands-<pid>-<seq>.parquet``; existing files
+    untouched). Also the bootstrap: extending an empty directory builds
+    the index. Returns per-partition (pid, rows) accounting. The LSH
+    knobs must match across every extend/dedup call on one index — they
+    are recorded in ``index.json`` on first write and validated after."""
+    os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "index.json")
+    import json
+
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "num_partitions": num_partitions,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old != meta:
+            raise ValueError(
+                f"index at {index_dir!r} was built with {old}, got {meta}"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    seq = _next_seq(index_dir)
+
+    def write_partition(part: pd.DataFrame) -> pd.DataFrame:
+        pid = int(part["pid"].iloc[0])
+        tbl = pa.Table.from_pandas(
+            part[["doc_id", "band_id", "band_hash"]].sort_values(
+                ["band_hash", "band_id", "doc_id"], ignore_index=True
+            ),
+            preserve_index=False,
+        )
+        pq.write_table(
+            tbl, os.path.join(index_dir, f"bands-{pid:05d}-{seq:06d}.parquet")
+        )
+        return pd.DataFrame(
+            {
+                "pid": pd.Series([pid], dtype="int64"),
+                "rows": pd.Series([len(part)], dtype="int64"),
+            }
+        )
+
+    rows = _band_rows(
+        docs_ds, num_perm=num_perm, bands=bands, num_partitions=num_partitions
+    )
+    return (
+        rows.groupby("pid")
+        .map_groups(write_partition, batch_format="pandas")
+        .to_pandas()
+        .sort_values("pid", ignore_index=True)
+    )
+
+
+def _read_index_meta(index_dir: str) -> dict:
+    import json
+
+    meta_path = os.path.join(index_dir, "index.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no index at {index_dir!r}")
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def dedup_against_index(
+    docs_ds,
+    index_dir: str,
+    *,
+    min_bands: int = 1,
+):
+    """Flag each new document whose MinHash bands collide with the index
+    in ``>= min_bands`` bands. Returns a Dataset of one row per input
+    doc: ``(doc_id, n_hit_bands, matched_doc, is_dup)`` where
+    ``matched_doc`` is the smallest colliding index doc id (-1 when not
+    a duplicate). Streaming end to end: index segments are read
+    per-partition, new band rows meet them in one bounded-partition
+    pass, and the per-doc fold is a keyed aggregate (docs and the index
+    never co-materialize anywhere)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    meta = _read_index_meta(index_dir)
+    num_partitions = int(meta["num_partitions"])
+    bands = int(meta["bands"])
+    if not 1 <= min_bands <= bands:
+        raise ValueError(f"min_bands must be in [1, {bands}]")
+
+    new_rows = _band_rows(
+        docs_ds,
+        num_perm=int(meta["num_perm"]),
+        bands=bands,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.append_column(
+            "origin", pa.array(np.ones(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+
+    seg_files = sorted(
+        globmod.glob(os.path.join(index_dir, "bands-*-*.parquet"))
+    )
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        key = pc.add(batch["band_hash"], batch["band_id"].cast(pa.int64()))
+        pid = pc.subtract(
+            key,
+            pc.multiply(
+                pc.divide(key, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("pid", pid).append_column(
+            "origin", pa.array(np.zeros(batch.num_rows, np.int8))
+        )
+
+    if seg_files:
+        index_rows = rd.read_parquet(seg_files).map_batches(
+            tag_index, batch_format="pyarrow"
+        )
+        unioned = new_rows.union(index_rows)
+    else:
+        unioned = new_rows
+
+    def match_partition(part: pd.DataFrame) -> pd.DataFrame:
+        new = part[part["origin"] == 1]
+        old = part[part["origin"] == 0]
+        if not len(new):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "hit": pd.Series(dtype="int64"),
+                    "matched_key": pd.Series(dtype="int64"),
+                }
+            )
+        if len(old):
+            best = (
+                old.groupby(["band_id", "band_hash"], sort=False)["doc_id"]
+                .min()
+                .rename("matched_key")
+            )
+            out = new.merge(
+                best, left_on=["band_id", "band_hash"], right_index=True,
+                how="left",
+            )
+        else:
+            out = new.copy()
+            out["matched_key"] = np.nan
+        hit = out["matched_key"].notna()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy("int64"),
+                "hit": hit.to_numpy().astype("int64"),
+                "matched_key": out["matched_key"]
+                .fillna(float(_NO_MATCH))
+                .to_numpy("int64"),
+            }
+        )
+
+    per_doc = (
+        unioned.groupby("pid")
+        .map_groups(match_partition, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("hit", alias_name="n_hit_bands"),
+            Min("matched_key", alias_name="matched_min"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_hit_bands"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = batch["matched_min"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dup = n >= min_bands
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hit_bands": pa.array(n, pa.int64()),
+                "matched_doc": pa.array(np.where(dup, m, -1), pa.int64()),
+                "is_dup": pa.array(dup, pa.bool_()),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")

@@ -1352,6 +1352,85 @@ def train_shards(sf_dir: str, n_merges: int = 80, capacity: int = 256,
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def incremental_dedup(sf_dir: str, min_bands: int = 1):
+    """Continuous-ingest dedup (:mod:`..functions.incdedup`): bootstrap
+    a persisted MinHash band index from the first 60% of the documents
+    table, flag the remaining 40% against it (collision rule,
+    ``min_bands``), then extend the index with the batch's kept docs and
+    re-check the batch — now every doc must hit its own signature.
+    Returns one summary row of the full lifecycle accounting."""
+    import shutil
+    import tempfile
+
+    from ..functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    n = _docs(sf_dir, columns=["doc_id"]).count()
+    split = (n * 3) // 5
+
+    def docs_where(lo, hi):
+        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b["doc_id"], lo),
+                    pc.less(b["doc_id"], hi),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    idx = tempfile.mkdtemp(prefix="kg_minhash_idx_")
+    try:
+        boot = extend_minhash_index(
+            docs_where(0, split), idx, num_partitions=16
+        )
+        first = dedup_against_index(
+            docs_where(split, n), idx, min_bands=min_bands
+        ).to_pandas()
+        # kept ids are O(ingest batch), not O(corpus): broadcast once
+        import ray as _ray
+
+        kept_ids = np.sort(
+            first.loc[~first["is_dup"], "doc_id"].to_numpy("int64")
+        )
+        kept_ref = _ray.put(kept_ids)
+
+        def keep_only(b: pa.Table) -> pa.Table:
+            ks = _ray.get(kept_ref)
+            mask = np.isin(b["doc_id"].to_numpy(zero_copy_only=False), ks)
+            return b.filter(pa.array(mask))
+
+        extend_minhash_index(
+            docs_where(split, n).map_batches(
+                keep_only, batch_format="pyarrow"
+            ),
+            idx,
+            num_partitions=16,
+        )
+        kept_set = set(kept_ids.tolist())
+        second = dedup_against_index(
+            docs_where(split, n), idx, min_bands=min_bands
+        ).to_pandas()
+        return pa.Table.from_pylist(
+            [
+                {
+                    "n_indexed": int(split),
+                    "n_batch": int(n - split),
+                    "index_rows": int(boot["rows"].sum()),
+                    "n_dup_vs_history": int(first["is_dup"].sum()),
+                    "n_kept": int(len(kept_set)),
+                    "all_self_dup_after_extend": bool(
+                        second["is_dup"].all()
+                    ),
+                }
+            ]
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def shard_epoch_order(sf_dir: str, k: int = 12):
     """Deterministic per-epoch training order (:func:`..functions.shards
     .epoch_order` — bijective splitmix64 key sort, identical across
@@ -2983,6 +3062,7 @@ def dedup_suite(sf_dir: str):
     return _digest_forms(
         {
             "embedding_dupes": embedding_dupes,
+            "incremental_dedup": incremental_dedup,
             "line_dedup": line_dedup_corpus,
             "media_dedup": media_dedup_q,
             "minhash_dedup": minhash_dedup,
@@ -3152,6 +3232,7 @@ def registry():
         "pack_sequences": pack_sequences_q,
         "train_shards": train_shards,
         "shard_epoch_order": shard_epoch_order,
+        "incremental_dedup": incremental_dedup,
     }
 
 

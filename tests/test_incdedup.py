@@ -1,0 +1,154 @@
+"""Incremental MinHash dedup against a persisted band index."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _corpus(n, seed, start_id=0):
+    """Distinct multi-sentence docs (enough shingles for stable LSH)."""
+    rng = np.random.default_rng(seed)
+    words = ["quantum", "ledger", "harbor", "velvet", "python", "basalt",
+             "meadow", "circuit", "lantern", "orchid", "timber", "glacier"]
+    texts = [
+        " ".join(rng.choice(words, size=60)) for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(start_id, start_id + n, dtype=np.int64)
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _mutate(text, rng, n_edits=2):
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[int(rng.integers(0, len(toks)))] = "zzz"
+    return " ".join(toks)
+
+
+def test_incremental_dedup_flags_planted_dupes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = _corpus(40, seed=3)
+    stats = extend_minhash_index(
+        rd.from_arrow(base), idx, num_partitions=8
+    )
+    assert int(stats["rows"].sum()) == 40 * 32  # every band row landed
+
+    # batch: 10 near-dupes of base docs (light edits), 10 fresh docs
+    rng = np.random.default_rng(7)
+    base_texts = base["text"].to_pylist()
+    dup_texts = [_mutate(base_texts[i], rng) for i in range(10)]
+    fresh = _corpus(10, seed=99, start_id=2000)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, 1010, dtype=np.int64)),
+            "text": pa.array(dup_texts, pa.string()),
+        }
+    )
+    out = (
+        dedup_against_index(rd.from_arrow(batch), idx)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out["is_dup"].all(), out
+    # matched_doc points back at the mutated source
+    assert (out["matched_doc"].to_numpy() == np.arange(10)).all()
+
+    out_fresh = dedup_against_index(rd.from_arrow(fresh), idx).to_pandas()
+    assert not out_fresh["is_dup"].any(), out_fresh
+    assert (out_fresh["matched_doc"] == -1).all()
+    assert len(out_fresh) == 10  # zero-hit docs still reported
+
+
+def test_index_extension_is_log_structured(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = _corpus(20, seed=1)
+    b = _corpus(20, seed=2, start_id=500)
+    extend_minhash_index(rd.from_arrow(a), idx, num_partitions=4)
+    seg0 = set(glob.glob(os.path.join(idx, "bands-*-*.parquet")))
+    mtimes0 = {f: os.path.getmtime(f) for f in seg0}
+    extend_minhash_index(rd.from_arrow(b), idx, num_partitions=4)
+    seg1 = set(glob.glob(os.path.join(idx, "bands-*-*.parquet")))
+    # old segments untouched, new ones appended with the next seq
+    assert seg0 < seg1
+    assert all(os.path.getmtime(f) == mtimes0[f] for f in seg0)
+    assert {os.path.basename(f).split("-")[2] for f in seg1 - seg0} == {
+        "000001.parquet"
+    }
+
+    # the extended index now flags b's own docs as dups (self-identity)
+    out = dedup_against_index(rd.from_arrow(b), idx).to_pandas()
+    assert out["is_dup"].all()
+    assert (out["matched_doc"] == out["doc_id"]).all()
+
+
+def test_index_knob_mismatch_and_missing_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = _corpus(5, seed=4)
+    extend_minhash_index(rd.from_arrow(a), idx, num_partitions=4)
+    with pytest.raises(ValueError):
+        extend_minhash_index(rd.from_arrow(a), idx, num_partitions=8)
+    with pytest.raises(FileNotFoundError):
+        dedup_against_index(rd.from_arrow(a), str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        dedup_against_index(rd.from_arrow(a), idx, min_bands=0)
+
+
+def test_min_bands_monotone(ray_session, tmp_path):
+    """Raising min_bands can only shrink the duplicate set."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = _corpus(30, seed=5)
+    extend_minhash_index(rd.from_arrow(base), idx, num_partitions=4)
+    rng = np.random.default_rng(11)
+    texts = base["text"].to_pylist()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, 130, dtype=np.int64)),
+            "text": pa.array(
+                [_mutate(t, rng, n_edits=6) for t in texts], pa.string()
+            ),
+        }
+    )
+    dups = {}
+    for mb in (1, 8, 32):
+        out = dedup_against_index(
+            rd.from_arrow(batch), idx, min_bands=mb
+        ).to_pandas()
+        dups[mb] = set(out.loc[out["is_dup"], "doc_id"])
+    assert dups[32] <= dups[8] <= dups[1]
+    assert dups[1]  # lightly-edited docs collide somewhere
