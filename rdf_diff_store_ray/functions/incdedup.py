@@ -18,8 +18,9 @@ doc_id)`` rows, hash-bucketed into a FIXED partition layout on disk, so
 
 Per-doc aggregation never runs per-group Python: each new band row
 lives in exactly one partition, where it is marked hit / not-hit in one
-vectorized merge; the per-doc fold is a keyed ``Sum``/``Min`` aggregate
-(every doc has exactly ``bands`` rows, so zero-hit docs survive).
+vectorized merge; the per-doc fold hashes docs into bounded partitions
+and runs one vectorized pandas groupby per partition (every doc has
+exactly ``bands`` rows, so zero-hit docs survive).
 """
 
 from __future__ import annotations
@@ -159,7 +160,6 @@ def dedup_against_index(
     pass, and the per-doc fold is a keyed aggregate (docs and the index
     never co-materialize anywhere)."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
 
     meta = _read_index_meta(index_dir)
     num_partitions = int(meta["num_partitions"])
@@ -239,14 +239,41 @@ def dedup_against_index(
             }
         )
 
+    # per-doc fold in bounded partitions: Ray's keyed aggregate pays
+    # ~ms per distinct key (measured 10 s over 2k docs), so hash docs
+    # into a fixed partition count and fold with one vectorized pandas
+    # groupby per partition instead
+    def add_dpid(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        pid = pc.subtract(
+            d,
+            pc.multiply(
+                pc.divide(d, pa.scalar(num_partitions, pa.int64())),
+                pa.scalar(num_partitions, pa.int64()),
+            ),
+        ).cast(pa.int32())
+        return batch.append_column("dpid", pid)
+
+    def fold_docs(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.groupby("doc_id", sort=False)
+            .agg(
+                n_hit_bands=("hit", "sum"),
+                matched_min=("matched_key", "min"),
+            )
+            .reset_index()
+        )
+        return g.astype(
+            {"doc_id": "int64", "n_hit_bands": "int64",
+             "matched_min": "int64"}
+        )
+
     per_doc = (
         unioned.groupby("pid")
         .map_groups(match_partition, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("hit", alias_name="n_hit_bands"),
-            Min("matched_key", alias_name="matched_min"),
-        )
+        .map_batches(add_dpid, batch_format="pyarrow")
+        .groupby("dpid")
+        .map_groups(fold_docs, batch_format="pandas")
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -1383,9 +1383,8 @@ def incremental_dedup(sf_dir: str, min_bands: int = 1):
 
     idx = tempfile.mkdtemp(prefix="kg_minhash_idx_")
     try:
-        boot = extend_minhash_index(
-            docs_where(0, split), idx, num_partitions=16
-        )
+        knobs = {"num_perm": 64, "bands": 16, "num_partitions": 16}
+        boot = extend_minhash_index(docs_where(0, split), idx, **knobs)
         first = dedup_against_index(
             docs_where(split, n), idx, min_bands=min_bands
         ).to_pandas()
@@ -1407,7 +1406,7 @@ def incremental_dedup(sf_dir: str, min_bands: int = 1):
                 keep_only, batch_format="pyarrow"
             ),
             idx,
-            num_partitions=16,
+            **knobs,
         )
         kept_set = set(kept_ids.tolist())
         second = dedup_against_index(
