@@ -39,7 +39,35 @@ from .dedup import doc_minhash_batch
 _NO_MATCH = np.int64(2**62)
 
 
-def _band_rows(docs_ds, *, num_perm: int, bands: int, num_partitions: int):
+def _exact_hash_batch(batch: pa.Table) -> pa.Table:
+    """Exact mode: one pseudo-band row per doc, ``band_hash`` = the
+    text's md5 folded to a nonnegative int64 (the band machinery then
+    gives exact-duplicate detection for free)."""
+    import hashlib
+
+    h = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5((t or "").encode("utf-8")).digest()[:8], "big"
+            )
+            >> 1
+            for t in batch["text"].to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "band_id": pa.array(
+                np.zeros(batch.num_rows, np.int32), pa.int32()
+            ),
+            "band_hash": pa.array(h, pa.int64()),
+        }
+    )
+
+
+def _band_rows(docs_ds, *, num_perm: int, bands: int, num_partitions: int,
+               exact: bool = False):
     """docs -> (doc_id, band_id, band_hash, pid) rows, bucketed on the
     index's fixed partition key."""
 
@@ -54,15 +82,16 @@ def _band_rows(docs_ds, *, num_perm: int, bands: int, num_partitions: int):
         ).cast(pa.int32())
         return batch.append_column("pid", pid)
 
-    return (
-        docs_ds.select_columns(["doc_id", "text"])
-        .map_batches(
+    hashed = docs_ds.select_columns(["doc_id", "text"])
+    if exact:
+        hashed = hashed.map_batches(_exact_hash_batch, batch_format="pyarrow")
+    else:
+        hashed = hashed.map_batches(
             doc_minhash_batch,
             fn_kwargs={"num_perm": num_perm, "bands": bands},
             batch_format="pyarrow",
         )
-        .map_batches(add_pid, batch_format="pyarrow")
-    )
+    return hashed.map_batches(add_pid, batch_format="pyarrow")
 
 
 def _next_seq(index_dir: str) -> int:
@@ -78,6 +107,7 @@ def extend_minhash_index(
     num_perm: int = 128,
     bands: int = 32,
     num_partitions: int = 64,
+    mode: str = "minhash",
 ) -> pd.DataFrame:
     """Append the docs' band rows to the index as ONE new segment per
     touched partition (``bands-<pid>-<seq>.parquet``; existing files
@@ -89,10 +119,15 @@ def extend_minhash_index(
     meta_path = os.path.join(index_dir, "index.json")
     import json
 
+    if mode not in ("minhash", "exact"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "exact":
+        num_perm, bands = 1, 1  # one pseudo-band of md5 hashes
     meta = {
         "num_perm": num_perm,
         "bands": bands,
         "num_partitions": num_partitions,
+        "mode": mode,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -125,7 +160,8 @@ def extend_minhash_index(
         )
 
     rows = _band_rows(
-        docs_ds, num_perm=num_perm, bands=bands, num_partitions=num_partitions
+        docs_ds, num_perm=num_perm, bands=bands,
+        num_partitions=num_partitions, exact=(mode == "exact"),
     )
     return (
         rows.groupby("pid")
@@ -151,14 +187,16 @@ def dedup_against_index(
     *,
     min_bands: int = 1,
 ):
-    """Flag each new document whose MinHash bands collide with the index
-    in ``>= min_bands`` bands. Returns a Dataset of one row per input
-    doc: ``(doc_id, n_hit_bands, matched_doc, is_dup)`` where
-    ``matched_doc`` is the smallest colliding index doc id (-1 when not
-    a duplicate). Streaming end to end: index segments are read
-    per-partition, new band rows meet them in one bounded-partition
-    pass, and the per-doc fold is a keyed aggregate (docs and the index
-    never co-materialize anywhere)."""
+    """Flag each new document whose bands collide with the index in
+    ``>= min_bands`` bands (an ``mode="exact"`` index has one md5
+    pseudo-band, so collisions mean byte-identical text). Returns a
+    Dataset of one row per input doc: ``(doc_id, n_hit_bands,
+    matched_doc, is_dup)`` where ``matched_doc`` is the smallest
+    colliding index doc id (-1 when not a duplicate). Streaming end to
+    end: index segments are read per-partition, new band rows meet them
+    in one bounded-partition pass, and the per-doc fold is a vectorized
+    pandas groupby inside bounded doc-hash partitions (docs and the
+    index never co-materialize anywhere)."""
     import ray.data as rd
 
     meta = _read_index_meta(index_dir)
@@ -172,6 +210,7 @@ def dedup_against_index(
         num_perm=int(meta["num_perm"]),
         bands=bands,
         num_partitions=num_partitions,
+        exact=(meta.get("mode", "minhash") == "exact"),
     ).map_batches(
         lambda b: b.append_column(
             "origin", pa.array(np.ones(b.num_rows, np.int8))

@@ -152,3 +152,44 @@ def test_min_bands_monotone(ray_session, tmp_path):
         dups[mb] = set(out.loc[out["is_dup"], "doc_id"])
     assert dups[32] <= dups[8] <= dups[1]
     assert dups[1]  # lightly-edited docs collide somewhere
+
+
+def test_exact_mode_flags_only_byte_identical(ray_session, tmp_path):
+    """Exact mode: duplicates are byte-identical texts only — a one-word
+    edit passes, an identical re-ingest is flagged."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = _corpus(15, seed=8)
+    extend_minhash_index(
+        rd.from_arrow(base), idx, num_partitions=4, mode="exact"
+    )
+    rng = np.random.default_rng(3)
+    texts = base["text"].to_pylist()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, 130, dtype=np.int64)),
+            # 15 byte-identical + 15 one-word edits
+            "text": pa.array(
+                texts + [_mutate(t, rng, n_edits=1) for t in texts],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dedup_against_index(rd.from_arrow(batch), idx)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[100:114, "is_dup"].all()
+    assert (
+        out.loc[100:114, "matched_doc"].to_numpy() == np.arange(15)
+    ).all()
+    assert not out.loc[115:129, "is_dup"].any()
+    # a minhash-mode call on an exact index must refuse (knob mismatch)
+    with pytest.raises(ValueError):
+        extend_minhash_index(rd.from_arrow(base), idx, num_partitions=4)
