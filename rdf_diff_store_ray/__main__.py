@@ -163,6 +163,58 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_dedup_index_extend(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.incdedup import extend_minhash_index
+
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    stats = extend_minhash_index(
+        docs, args.index, num_perm=args.num_perm, bands=args.bands,
+        num_partitions=args.partitions, mode=args.mode,
+    )
+    print(json.dumps({
+        "index": args.index,
+        "partitions_touched": int(len(stats)),
+        "rows_appended": int(stats["rows"].sum()),
+    }))
+    return 0
+
+
+def cmd_dedup_index_check(args) -> int:
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .functions.incdedup import dedup_against_index
+
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    out = dedup_against_index(docs, args.index, min_bands=args.min_bands)
+    if args.out:
+        out.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(args.out).to_table(columns=["is_dup"])
+        n, d = t.num_rows, int(pc.sum(pc.cast(t["is_dup"], pa.int64())).as_py() or 0)
+    else:
+        # summary folds per-batch partials; per-doc rows never gather
+        def partial(b: "pa.Table") -> "pa.Table":
+            return pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "d": pa.array(
+                    [pc.sum(pc.cast(b["is_dup"], pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            })
+
+        parts = out.map_batches(partial, batch_format="pyarrow").to_pandas()
+        n, d = int(parts["n"].sum()), int(parts["d"].sum())
+    print(json.dumps({"n_docs": n, "n_dup": d, "n_kept": n - d}))
+    return 0
+
+
 def cmd_graphs_at(args) -> int:
     if args.out and (args.turtle or args.prefix):
         raise SystemExit(
@@ -367,6 +419,28 @@ def main(argv=None) -> int:
     m = sub.add_parser("metadata", help="(start_time, end_time) of the store")
     m.add_argument("--store", required=True)
     m.set_defaults(fn=cmd_metadata)
+
+    de = sub.add_parser(
+        "dedup-index-extend",
+        help="append a docs parquet's signatures to a persisted dedup index",
+    )
+    de.add_argument("--docs", required=True)
+    de.add_argument("--index", required=True)
+    de.add_argument("--num-perm", type=int, default=128, dest="num_perm")
+    de.add_argument("--bands", type=int, default=32)
+    de.add_argument("--partitions", type=int, default=64)
+    de.add_argument("--mode", choices=["minhash", "exact"], default="minhash")
+    de.set_defaults(fn=cmd_dedup_index_extend)
+
+    dc = sub.add_parser(
+        "dedup-index-check",
+        help="flag a docs parquet's duplicates against a persisted index",
+    )
+    dc.add_argument("--docs", required=True)
+    dc.add_argument("--index", required=True)
+    dc.add_argument("--min-bands", type=int, default=1, dest="min_bands")
+    dc.add_argument("--out", help="write per-doc verdicts as parquet here")
+    dc.set_defaults(fn=cmd_dedup_index_check)
 
     args = p.parse_args(argv)
     return args.fn(args)

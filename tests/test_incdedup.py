@@ -193,3 +193,44 @@ def test_exact_mode_flags_only_byte_identical(ray_session, tmp_path):
     # a minhash-mode call on an exact index must refuse (knob mismatch)
     with pytest.raises(ValueError):
         extend_minhash_index(rd.from_arrow(base), idx, num_partitions=4)
+
+
+def test_dedup_index_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.__main__ import main
+
+    base = _corpus(12, seed=6)
+    pq.write_table(base, str(tmp_path / "base.parquet"))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, 106, dtype=np.int64)),
+            # 3 byte-identical + 3 fresh
+            "text": pa.array(
+                base["text"].to_pylist()[:3]
+                + _corpus(3, seed=77)["text"].to_pylist(),
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(batch, str(tmp_path / "batch.parquet"))
+    idx = str(tmp_path / "idx")
+
+    assert main(["dedup-index-extend", "--docs", str(tmp_path / "base.parquet"),
+                 "--index", idx, "--mode", "exact", "--partitions", "4"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["rows_appended"] == 12
+
+    verdicts = str(tmp_path / "verdicts")
+    assert main(["dedup-index-check", "--docs", str(tmp_path / "batch.parquet"),
+                 "--index", idx, "--out", verdicts]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"n_docs": 6, "n_dup": 3, "n_kept": 3}
+
+    # no --out: summary folds in-stream, same numbers
+    assert main(["dedup-index-check", "--docs", str(tmp_path / "batch.parquet"),
+                 "--index", idx]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip())
+    assert out2 == out
