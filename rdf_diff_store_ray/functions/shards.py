@@ -139,6 +139,7 @@ def write_training_shards(
     text_col: str = "text",
     bucket_span: int = 4096,
     num_partitions: int = 64,
+    resume: bool = False,
 ):
     """Write the packed token-id sequences of a corpus as parquet shards.
 
@@ -154,6 +155,12 @@ def write_training_shards(
     Size ``num_shards`` so one shard (= ``total_tokens / num_shards``
     × 4 bytes, assembled in one task) stays ~1 GiB: at 100 TB of text
     (~25T tokens) that is ~100k shards.
+
+    Shard files are published atomically (write to ``.tmp``, rename), so
+    ``resume=True`` after a killed run skips every shard whose file
+    already exists and recreates only the missing ones — the output is
+    a pure function of the corpus, so surviving files are already
+    correct.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
@@ -306,21 +313,27 @@ def write_training_shards(
             raise AssertionError(
                 f"shard {shard}: {len(flat)} tokens != expected {lens.sum()}"
             )
-        bounds = np.cumsum(lens)[:-1]
-        seq_arrays = np.split(flat, bounds)
-        tbl = pa.table(
-            {
-                "seq_id": pa.array(
-                    np.arange(lo_seq, hi_seq + 1, dtype=np.int64)
-                ),
-                "input_ids": pa.array(
-                    [a.tolist() for a in seq_arrays],
-                    pa.list_(pa.int32()),
-                ),
-                "n_tok": pa.array(lens, pa.int64()),
-            }
-        )
-        pq.write_table(tbl, os.path.join(out_dir, f"shard-{shard:05d}.parquet"))
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        if not (resume and os.path.exists(path)):
+            bounds = np.cumsum(lens)[:-1]
+            seq_arrays = np.split(flat, bounds)
+            tbl = pa.table(
+                {
+                    "seq_id": pa.array(
+                        np.arange(lo_seq, hi_seq + 1, dtype=np.int64)
+                    ),
+                    "input_ids": pa.array(
+                        [a.tolist() for a in seq_arrays],
+                        pa.list_(pa.int32()),
+                    ),
+                    "n_tok": pa.array(lens, pa.int64()),
+                }
+            )
+            # atomic publish: a killed run never leaves a partial shard,
+            # so resume=True can trust any file that exists
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
         return pd.DataFrame(
             {
                 "shard_id": pd.Series([shard], dtype="int64"),

@@ -235,3 +235,42 @@ def test_read_training_shards_roundtrip(ray_session, tmp_path):
     assert list(got.columns) == ["seq_id", "input_ids", "n_tok"]
     with pytest.raises(FileNotFoundError):
         read_training_shards(str(tmp_path / "missing"))
+
+
+def test_training_shards_resume_recreates_only_missing(ray_session, tmp_path):
+    """Kill-and-resume analog: delete one shard file, re-run with
+    resume=True — the missing shard is recreated byte-correct, the
+    surviving files are not rewritten (mtimes untouched)."""
+    import time as _time
+
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import bpe_train
+    from rdf_diff_store_ray.functions.shards import (
+        build_vocab,
+        write_training_shards,
+    )
+
+    tbl = _docs_table(n=30, seed=13)
+    docs = lambda: rd.from_arrow(tbl)  # noqa: E731
+    merges = bpe_train(docs(), n_merges=15, max_words=5_000)
+    vocab = build_vocab(docs(), merges)
+    out = str(tmp_path / "shards")
+    kw = dict(merges=merges, vocab=vocab, capacity=19, num_shards=3,
+              bucket_span=8, num_partitions=3)
+    write_training_shards(docs, out, **kw)
+    baseline = _read_shards(out)
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    assert len(files) == 3
+    os.remove(files[1])
+    mtimes = {f: os.path.getmtime(f) for f in files if f != files[1]}
+    _time.sleep(0.05)
+    write_training_shards(docs, out, resume=True, **kw)
+    assert all(os.path.getmtime(f) == mtimes[f] for f in mtimes)
+    restored = _read_shards(out)
+    pd.testing.assert_frame_equal(
+        baseline.drop(columns=["input_ids"]),
+        restored.drop(columns=["input_ids"]),
+    )
+    for x, y in zip(baseline["input_ids"], restored["input_ids"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
