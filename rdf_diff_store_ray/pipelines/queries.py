@@ -1045,6 +1045,30 @@ def ivf_topk_q(sf_dir: str, k: int = 10):
     return ivf_topk(emb, _query_vec(sf_dir), k=k)
 
 
+def ann_index_topk_q(sf_dir: str, k: int = 10):
+    """Persisted-IVF ANN (:mod:`..functions.annindex`): build the index
+    over the embeddings table (bounded driver sample trains the
+    quantizer; inverted lists land as per-cluster parquet), then answer
+    the standard query with file-level pruning — only the probed lists'
+    files are opened."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..functions.annindex import build_ivf_index, ivf_index_topk
+
+    idx = tempfile.mkdtemp(prefix="kg_ivf_idx_")
+    try:
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_ivf_index(emb, idx, n_clusters=16, train_size=2048)
+        return ivf_index_topk(idx, _query_vec(sf_dir), k=k, nprobe=4)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def ngram_jaccard_q(sf_dir: str):
     from ..functions.dedup import ngram_jaccard_pairs
 
@@ -3099,6 +3123,7 @@ def embed_text_suite(sf_dir: str):
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
+            "ann_index_topk": ann_index_topk_q,
         },
         sf_dir,
     )
@@ -3232,6 +3257,7 @@ def registry():
         "train_shards": train_shards,
         "shard_epoch_order": shard_epoch_order,
         "incremental_dedup": incremental_dedup,
+        "ann_index_topk": ann_index_topk_q,
     }
 
 
