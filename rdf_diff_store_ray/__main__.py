@@ -215,6 +215,49 @@ def cmd_dedup_index_check(args) -> int:
     return 0
 
 
+def cmd_ann_index_build(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.annindex import build_ivf_index, extend_ivf_index
+
+    emb = rd.read_parquet(args.embeddings, columns=["vec_id", "embedding"])
+    if args.extend:
+        stats = extend_ivf_index(emb, args.index)
+    else:
+        stats = build_ivf_index(
+            emb, args.index, n_clusters=args.clusters,
+            train_size=args.train_size,
+        )
+    print(json.dumps({
+        "index": args.index,
+        "lists_touched": int(len(stats)),
+        "rows": int(stats["rows"].sum()),
+    }))
+    return 0
+
+
+def cmd_ann_index_query(args) -> int:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+
+    from .functions.annindex import ivf_index_topk
+
+    q = _pq.read_table(args.queries, columns=["embedding"])
+    out = ivf_index_topk(
+        args.index, q["embedding"].to_pylist(), k=args.k, nprobe=args.nprobe
+    )
+    if args.out:
+        _pq.write_table(out, args.out)
+        print(json.dumps({"rows": out.num_rows, "out": args.out}))
+    else:
+        print(json.dumps({
+            "rows": out.num_rows,
+            "results": out.to_pylist(),
+        }))
+    return 0
+
+
 def cmd_graphs_at(args) -> int:
     if args.out and (args.turtle or args.prefix):
         raise SystemExit(
@@ -441,6 +484,30 @@ def main(argv=None) -> int:
     dc.add_argument("--min-bands", type=int, default=1, dest="min_bands")
     dc.add_argument("--out", help="write per-doc verdicts as parquet here")
     dc.set_defaults(fn=cmd_dedup_index_check)
+
+    ab = sub.add_parser(
+        "ann-index-build",
+        help="build (or --extend) a persisted IVF index from an embeddings parquet",
+    )
+    ab.add_argument("--embeddings", required=True)
+    ab.add_argument("--index", required=True)
+    ab.add_argument("--clusters", type=int, default=16)
+    ab.add_argument("--train-size", type=int, default=2048, dest="train_size")
+    ab.add_argument("--extend", action="store_true",
+                    help="append to an existing index (frozen quantizer)")
+    ab.set_defaults(fn=cmd_ann_index_build)
+
+    aq = sub.add_parser(
+        "ann-index-query",
+        help="top-k cosine search over a persisted IVF index (probed lists only)",
+    )
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="parquet with an `embedding` list<float> column")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.add_argument("--out", help="write results parquet here")
+    aq.set_defaults(fn=cmd_ann_index_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -149,3 +149,43 @@ def test_ivf_index_errors(ray_session, tmp_path):
     bad = _emb_table(5, seed=7, dim=7)
     with pytest.raises(Exception):
         extend_ivf_index(rd.from_arrow(bad), idx)
+
+
+def test_ann_index_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.__main__ import main
+
+    emb = _emb_table(120, seed=9)
+    pq.write_table(emb, str(tmp_path / "emb.parquet"))
+    pq.write_table(
+        pa.table(
+            {"embedding": pa.array(
+                emb["embedding"].to_pylist()[:2], pa.list_(pa.float64())
+            )}
+        ),
+        str(tmp_path / "q.parquet"),
+    )
+    idx = str(tmp_path / "ivf")
+    assert main(["ann-index-build", "--embeddings",
+                 str(tmp_path / "emb.parquet"), "--index", idx,
+                 "--clusters", "4", "--train-size", "120"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["rows"] == 120
+    assert main(["ann-index-query", "--index", idx, "--queries",
+                 str(tmp_path / "q.parquet"), "--k", "3"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["rows"] == 6
+    # each query's own vector is its rank-1 hit
+    by_q = {r["query_id"]: r for r in res["results"] if r["rank"] == 1}
+    assert by_q[0]["vec_id"] == 0 and by_q[1]["vec_id"] == 1
+    # extend via CLI
+    emb2 = _emb_table(30, seed=10, start_id=500)
+    pq.write_table(emb2, str(tmp_path / "emb2.parquet"))
+    assert main(["ann-index-build", "--embeddings",
+                 str(tmp_path / "emb2.parquet"), "--index", idx,
+                 "--extend"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["rows"] == 30
