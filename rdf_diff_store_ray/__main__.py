@@ -215,6 +215,28 @@ def cmd_dedup_index_check(args) -> int:
     return 0
 
 
+def cmd_dedup_index_compact(args) -> int:
+    from .functions.incdedup import compact_index
+
+    stats = compact_index(args.index)
+    print(json.dumps({
+        "partitions_compacted": int(len(stats)),
+        "segments_merged": int(stats["segments_merged"].sum()) if len(stats) else 0,
+    }))
+    return 0
+
+
+def cmd_ann_index_compact(args) -> int:
+    from .functions.annindex import compact_ivf_index
+
+    stats = compact_ivf_index(args.index)
+    print(json.dumps({
+        "lists_compacted": int(len(stats)),
+        "segments_merged": int(stats["segments_merged"].sum()) if len(stats) else 0,
+    }))
+    return 0
+
+
 def cmd_ann_index_build(args) -> int:
     _ensure_ray()
     import ray.data as rd
@@ -508,6 +530,20 @@ def main(argv=None) -> int:
     aq.add_argument("--nprobe", type=int, default=4)
     aq.add_argument("--out", help="write results parquet here")
     aq.set_defaults(fn=cmd_ann_index_query)
+
+    dcc = sub.add_parser(
+        "dedup-index-compact",
+        help="merge a dedup index's append segments (git-gc analog)",
+    )
+    dcc.add_argument("--index", required=True)
+    dcc.set_defaults(fn=cmd_dedup_index_compact)
+
+    acc = sub.add_parser(
+        "ann-index-compact",
+        help="merge an IVF index's list segments (git-gc analog)",
+    )
+    acc.add_argument("--index", required=True)
+    acc.set_defaults(fn=cmd_ann_index_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -60,6 +60,38 @@ def _next_seq(index_dir: str) -> int:
     return (max(seqs) + 1) if seqs else 0
 
 
+def compact_ivf_index(index_dir: str) -> pd.DataFrame:
+    """Merge each inverted list's append segments into one base segment
+    (the git-gc analog for the ANN index): per touched list, concat +
+    sort all ``list-<cluster>-*.parquet`` rows, publish atomically as
+    the NEXT seq, delete the inputs. Single-writer; rows are an
+    unordered set, so query results are unchanged. Returns
+    (cluster, segments_merged, rows) accounting."""
+    _load_meta(index_dir)  # validates the index exists
+    seq = _next_seq(index_dir)
+    by_cluster: dict[int, list] = {}
+    for f in sorted(globmod.glob(os.path.join(index_dir, "list-*-*.parquet"))):
+        by_cluster.setdefault(
+            int(os.path.basename(f).split("-")[1]), []
+        ).append(f)
+    out = []
+    for cluster, files in sorted(by_cluster.items()):
+        if len(files) < 2:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = t.sort_by([("vec_id", "ascending")])
+        path = os.path.join(index_dir, f"list-{cluster:05d}-{seq:06d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        for f in files:
+            os.remove(f)
+        out.append((cluster, len(files), t.num_rows))
+    return pd.DataFrame(
+        out, columns=["cluster", "segments_merged", "rows"]
+    ).astype("int64")
+
+
 def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
     """Assign the vectors to the index's FROZEN centroids and append one
     ``list-<cluster>-<seq>.parquet`` segment per touched inverted list

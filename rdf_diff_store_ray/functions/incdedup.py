@@ -171,6 +171,41 @@ def extend_minhash_index(
     )
 
 
+def compact_index(index_dir: str) -> pd.DataFrame:
+    """Merge each partition's append segments into one base segment (the
+    ``compact_log`` / git-gc analog for the dedup index): per touched
+    partition, concat + sort all ``bands-<pid>-*.parquet`` rows, publish
+    atomically as the NEXT seq, then delete the inputs. Single-writer
+    like every store write path — do not run concurrently with extend.
+    Rows are an unordered set, so reads before and after are identical.
+    Returns (pid, segments_merged, rows) accounting."""
+    meta = _read_index_meta(index_dir)  # validates the index exists
+    del meta
+    seq = _next_seq(index_dir)
+    by_pid: dict[int, list] = {}
+    for f in sorted(globmod.glob(os.path.join(index_dir, "bands-*-*.parquet"))):
+        by_pid.setdefault(int(os.path.basename(f).split("-")[1]), []).append(f)
+    out = []
+    for pid, files in sorted(by_pid.items()):
+        if len(files) < 2:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = t.sort_by(
+            [("band_hash", "ascending"), ("band_id", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        path = os.path.join(index_dir, f"bands-{pid:05d}-{seq:06d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        for f in files:
+            os.remove(f)
+        out.append((pid, len(files), t.num_rows))
+    return pd.DataFrame(
+        out, columns=["pid", "segments_merged", "rows"]
+    ).astype("int64")
+
+
 def _read_index_meta(index_dir: str) -> dict:
     import json
 
@@ -192,7 +227,10 @@ def dedup_against_index(
     pseudo-band, so collisions mean byte-identical text). Returns a
     Dataset of one row per input doc: ``(doc_id, n_hit_bands,
     matched_doc, is_dup)`` where ``matched_doc`` is the smallest
-    colliding index doc id (-1 when not a duplicate). Streaming end to
+    colliding index doc id (-1 when not a duplicate). Batch-INTERNAL
+    duplicates are deliberately not flagged — run the in-corpus
+    operators (``dedup.minhash_dedup_clusters`` / ``exact_dedup``) on
+    the batch first; this call checks new-vs-history only. Streaming end to
     end: index segments are read per-partition, new band rows meet them
     in one bounded-partition pass, and the per-doc fold is a vectorized
     pandas groupby inside bounded doc-hash partitions (docs and the

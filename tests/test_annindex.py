@@ -189,3 +189,32 @@ def test_ann_index_cli(ray_session, tmp_path, capsys):
                  "--extend"]) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["rows"] == 30
+
+
+def test_compact_ivf_index_preserves_queries(ray_session, tmp_path):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.annindex import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        rd.from_arrow(_emb_table(100, seed=1)), idx,
+        n_clusters=4, train_size=100,
+    )
+    extend_ivf_index(rd.from_arrow(_emb_table(50, seed=2, start_id=500)), idx)
+    q = np.random.default_rng(3).normal(size=(4, 16))
+    before = ivf_index_topk(idx, q, k=5, nprobe=4).to_pandas()
+    n_before = len(glob.glob(os.path.join(idx, "list-*-*.parquet")))
+    compact_ivf_index(idx)
+    n_after = len(glob.glob(os.path.join(idx, "list-*-*.parquet")))
+    assert n_after < n_before
+    after = ivf_index_topk(idx, q, k=5, nprobe=4).to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+    assert len(compact_ivf_index(idx)) == 0

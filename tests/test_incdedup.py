@@ -234,3 +234,34 @@ def test_dedup_index_cli(ray_session, tmp_path, capsys):
                  "--index", idx]) == 0
     out2 = _json.loads(capsys.readouterr().out.strip())
     assert out2 == out
+
+
+def test_compact_index_preserves_reads(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        compact_index,
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    for seed, start in ((1, 0), (2, 300), (3, 600)):
+        extend_minhash_index(
+            rd.from_arrow(_corpus(10, seed=seed, start_id=start)),
+            idx, num_partitions=4,
+        )
+    probe = _corpus(10, seed=2, start_id=300)  # identical to batch 2
+    before = dedup_against_index(rd.from_arrow(probe), idx).to_pandas()
+    n_seg_before = len(glob.glob(os.path.join(idx, "bands-*-*.parquet")))
+    stats = compact_index(idx)
+    assert int(stats["segments_merged"].sum()) >= n_seg_before // 2
+    n_seg_after = len(glob.glob(os.path.join(idx, "bands-*-*.parquet")))
+    assert n_seg_after < n_seg_before
+    after = dedup_against_index(rd.from_arrow(probe), idx).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values("doc_id", ignore_index=True),
+        after.sort_values("doc_id", ignore_index=True),
+    )
+    # compaction is idempotent (single segments left untouched)
+    assert len(compact_index(idx)) == 0
