@@ -100,7 +100,6 @@ def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
     meta = _load_meta(index_dir)
     Cn = _load_centroids(index_dir)
     cref = ray.put(Cn)
-    seq = _next_seq(index_dir)
     dim = int(meta["dim"])
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -156,15 +155,21 @@ def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
         )
 
     # cluster cardinality is bounded (= n_clusters) by construction, so a
-    # per-cluster map_groups is safe here
-    return (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(write_list, batch_format="pandas")
-        .to_pandas()
-        .sort_values("cluster", ignore_index=True)
-    )
+    # per-cluster map_groups is safe here. seq is claimed under the
+    # single-writer lock — two concurrent extenders would otherwise both
+    # claim the same segment number
+    from ..state.append import StoreWriteLock
+
+    with StoreWriteLock(index_dir):
+        seq = _next_seq(index_dir)
+        return (
+            emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(write_list, batch_format="pandas")
+            .to_pandas()
+            .sort_values("cluster", ignore_index=True)
+        )
 
 
 def build_ivf_index(

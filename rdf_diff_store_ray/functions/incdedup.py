@@ -129,46 +129,54 @@ def extend_minhash_index(
         "num_partitions": num_partitions,
         "mode": mode,
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            old = json.load(f)
-        if old != meta:
-            raise ValueError(
-                f"index at {index_dir!r} was built with {old}, got {meta}"
-            )
-    else:
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
-    seq = _next_seq(index_dir)
-
-    def write_partition(part: pd.DataFrame) -> pd.DataFrame:
-        pid = int(part["pid"].iloc[0])
-        tbl = pa.Table.from_pandas(
-            part[["doc_id", "band_id", "band_hash"]].sort_values(
-                ["band_hash", "band_id", "doc_id"], ignore_index=True
-            ),
-            preserve_index=False,
-        )
-        pq.write_table(
-            tbl, os.path.join(index_dir, f"bands-{pid:05d}-{seq:06d}.parquet")
-        )
-        return pd.DataFrame(
-            {
-                "pid": pd.Series([pid], dtype="int64"),
-                "rows": pd.Series([len(part)], dtype="int64"),
-            }
-        )
-
     rows = _band_rows(
         docs_ds, num_perm=num_perm, bands=bands,
         num_partitions=num_partitions, exact=(mode == "exact"),
     )
-    return (
-        rows.groupby("pid")
-        .map_groups(write_partition, batch_format="pandas")
-        .to_pandas()
-        .sort_values("pid", ignore_index=True)
-    )
+    from ..state.append import StoreWriteLock
+
+    # everything that reads-then-writes index state (meta validation,
+    # seq assignment, segment writes) happens under the single-writer
+    # lock — two concurrent extenders would otherwise both claim the
+    # same seq after both passing validation
+    with StoreWriteLock(index_dir):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if old != meta:
+                raise ValueError(
+                    f"index at {index_dir!r} was built with {old}, got {meta}"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        seq = _next_seq(index_dir)
+
+        def write_partition(part: pd.DataFrame) -> pd.DataFrame:
+            pid = int(part["pid"].iloc[0])
+            tbl = pa.Table.from_pandas(
+                part[["doc_id", "band_id", "band_hash"]].sort_values(
+                    ["band_hash", "band_id", "doc_id"], ignore_index=True
+                ),
+                preserve_index=False,
+            )
+            pq.write_table(
+                tbl,
+                os.path.join(index_dir, f"bands-{pid:05d}-{seq:06d}.parquet"),
+            )
+            return pd.DataFrame(
+                {
+                    "pid": pd.Series([pid], dtype="int64"),
+                    "rows": pd.Series([len(part)], dtype="int64"),
+                }
+            )
+
+        return (
+            rows.groupby("pid")
+            .map_groups(write_partition, batch_format="pandas")
+            .to_pandas()
+            .sort_values("pid", ignore_index=True)
+        )
 
 
 def compact_index(index_dir: str) -> pd.DataFrame:
@@ -179,8 +187,14 @@ def compact_index(index_dir: str) -> pd.DataFrame:
     like every store write path — do not run concurrently with extend.
     Rows are an unordered set, so reads before and after are identical.
     Returns (pid, segments_merged, rows) accounting."""
-    meta = _read_index_meta(index_dir)  # validates the index exists
-    del meta
+    _read_index_meta(index_dir)  # validates the index exists
+    from ..state.append import StoreWriteLock
+
+    with StoreWriteLock(index_dir):
+        return _compact_index_locked(index_dir)
+
+
+def _compact_index_locked(index_dir: str) -> pd.DataFrame:
     seq = _next_seq(index_dir)
     by_pid: dict[int, list] = {}
     for f in sorted(globmod.glob(os.path.join(index_dir, "bands-*-*.parquet"))):

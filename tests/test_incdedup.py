@@ -265,3 +265,29 @@ def test_compact_index_preserves_reads(ray_session, tmp_path):
     )
     # compaction is idempotent (single segments left untouched)
     assert len(compact_index(idx)) == 0
+
+
+def test_index_writes_are_single_writer(ray_session, tmp_path):
+    """A held write lock makes a concurrent extend/compact fail fast —
+    the same contract as the delta store's append path."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        compact_index,
+        extend_minhash_index,
+    )
+    from rdf_diff_store_ray.state.append import LogLockedError, StoreWriteLock
+
+    idx = str(tmp_path / "idx")
+    extend_minhash_index(rd.from_arrow(_corpus(5, seed=1)), idx,
+                         num_partitions=2)
+    with StoreWriteLock(idx):
+        with pytest.raises(LogLockedError):
+            extend_minhash_index(rd.from_arrow(_corpus(5, seed=2,
+                                                       start_id=50)),
+                                 idx, num_partitions=2)
+        with pytest.raises(LogLockedError):
+            compact_index(idx)
+    # lock released: writes work again
+    extend_minhash_index(rd.from_arrow(_corpus(5, seed=2, start_id=50)),
+                         idx, num_partitions=2)
