@@ -162,14 +162,17 @@ def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
 
     with StoreWriteLock(index_dir):
         seq = _next_seq(index_dir)
-        return (
+        out = (
             emb_ds.select_columns(["vec_id", "embedding"])
             .map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(write_list, batch_format="pandas")
             .to_pandas()
-            .sort_values("cluster", ignore_index=True)
         )
+        if out.empty:  # empty ingest batch: nothing written
+            return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                 "rows": pd.Series(dtype="int64")})
+        return out.sort_values("cluster", ignore_index=True)
 
 
 def build_ivf_index(

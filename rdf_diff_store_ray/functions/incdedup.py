@@ -171,12 +171,15 @@ def extend_minhash_index(
                 }
             )
 
-        return (
+        out = (
             rows.groupby("pid")
             .map_groups(write_partition, batch_format="pandas")
             .to_pandas()
-            .sort_values("pid", ignore_index=True)
         )
+        if out.empty:  # empty ingest batch: nothing written
+            return pd.DataFrame({"pid": pd.Series(dtype="int64"),
+                                 "rows": pd.Series(dtype="int64")})
+        return out.sort_values("pid", ignore_index=True)
 
 
 def compact_index(index_dir: str) -> pd.DataFrame:

@@ -291,3 +291,25 @@ def test_index_writes_are_single_writer(ray_session, tmp_path):
     # lock released: writes work again
     extend_minhash_index(rd.from_arrow(_corpus(5, seed=2, start_id=50)),
                          idx, num_partitions=2)
+
+
+def test_extend_with_empty_batch_is_a_noop(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.incdedup import (
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    extend_minhash_index(rd.from_arrow(_corpus(5, seed=1)), idx,
+                         num_partitions=2)
+    n_seg = len(glob.glob(os.path.join(idx, "bands-*-*.parquet")))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    stats = extend_minhash_index(rd.from_arrow(empty), idx,
+                                 num_partitions=2)
+    assert len(stats) == 0
+    assert len(glob.glob(os.path.join(idx, "bands-*-*.parquet"))) == n_seg
+    out = dedup_against_index(rd.from_arrow(empty), idx).to_pandas()
+    assert len(out) == 0
