@@ -3124,6 +3124,7 @@ def embed_text_suite(sf_dir: str):
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
             "ann_index_topk": ann_index_topk_q,
+            "approx_quantiles_price": rel.approx_quantiles_price,
         },
         sf_dir,
     )
@@ -3258,6 +3259,7 @@ def registry():
         "shard_epoch_order": shard_epoch_order,
         "incremental_dedup": incremental_dedup,
         "ann_index_topk": ann_index_topk_q,
+        "approx_quantiles_price": rel.approx_quantiles_price,
     }
 
 

@@ -1403,3 +1403,81 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents FROM (
 )
 ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10
 """
+
+
+def approx_quantiles_price(
+    sf_dir: str,
+    qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+    target_sample: int = 65536,
+    seed: int = 17,
+):
+    """Approximate quantiles of a CONTINUOUS high-cardinality column
+    (``l_extendedprice`` cents) via a mergeable deterministic-sample
+    sketch — the missing member of the sketch family next to HLL
+    (distinct) and Count-Min (heavy hitters). ``events_quantiles``'s
+    exact per-value count-merge needs bounded value cardinality; this
+    works at any cardinality:
+
+    pass 1 counts rows (parquet metadata); pass 2 keeps each row iff
+    ``splitmix64(row_key ^ seed) < p·2^64`` with ``p =
+    target_sample/n`` — a pure function of the row KEY, so the sample
+    is deterministic, batch/cluster-invariant and globally uniform;
+    partials merge by concatenation (equal weights). The driver sorts
+    ~``target_sample`` scalars and reads type-1 empirical quantiles.
+    Rank error ~ sqrt(q(1-q)/m): ≲0.3 % at 64k samples (pytest-gated
+    against the exact quantiles). Rows-only entry (a sampled result
+    can't hash-match an exact SQL oracle)."""
+    import numpy as np
+
+    from ..functions.shards import _mix64
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(path, columns=["l_orderkey", "l_linenumber",
+                                        "l_extendedprice"])
+    n = ds.count()  # metadata-only
+    if n == 0:
+        raise ValueError("cannot sketch quantiles of an empty table")
+    p = min(1.0, target_sample / n)
+    # uint64 threshold without the C-long overflow at p == 1
+    threshold = (
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+        if p >= 1.0
+        else np.uint64(int(p * float(2**63)) * 2)
+    )
+    salt = np.uint64(seed)
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        # row key: the table's natural composite primary key, folded
+        key = (
+            batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64) * np.uint64(8)
+            + batch["l_linenumber"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        keep = _mix64(key ^ salt) <= threshold
+        vals = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"v": pa.array(vals.astype(np.int64), pa.int64())})
+
+    sample = np.array(
+        [r["v"] for r in
+         ds.map_batches(sample_batch, batch_format="pyarrow").iter_rows()],
+        dtype=np.int64,
+    )
+    if not len(sample):
+        raise ValueError("sample came back empty; raise target_sample")
+    sample.sort()
+    out_q, out_v = [], []
+    for q in qs:
+        idx = min(len(sample) - 1, int(np.ceil(q * len(sample))) - 1)
+        idx = max(idx, 0)
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(sample[idx]))
+    return pa.table(
+        {
+            "q_pct": pa.array(out_q, pa.int64()),
+            "price_cents": pa.array(out_v, pa.int64()),
+            "n_rows": pa.array([int(n)] * len(out_q), pa.int64()),
+            "n_sampled": pa.array([int(len(sample))] * len(out_q),
+                                  pa.int64()),
+        }
+    )

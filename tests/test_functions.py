@@ -1228,3 +1228,37 @@ def test_pack_sequences_rejects_bad_capacity(ray_session):
     )
     with _pytest.raises(ValueError):
         pack_sequences(docs, capacity=0)
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """Sub-sampled sketch: every estimated quantile's true rank is
+    within the 4·sqrt(q(1-q)/m) sampling bound; full-sample run is
+    exact; both deterministic."""
+    import duckdb
+    import numpy as np
+
+    from rdf_diff_store_ray.pipelines.relational import approx_quantiles_price
+
+    sf = "/root/testdata/sf0.01"
+    vals = duckdb.sql(
+        f"SELECT l_extendedprice FROM read_parquet('{sf}/lineitem.parquet')"
+    ).df()["l_extendedprice"].to_numpy()
+    vals.sort()
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+    sub = approx_quantiles_price(sf, qs=qs, target_sample=8192).to_pandas()
+    m = int(sub["n_sampled"].iloc[0])
+    assert 0 < m < len(vals)
+    for g, q in zip(sub["price_cents"], qs):
+        rank = np.searchsorted(vals, g, side="right") / len(vals)
+        bound = 4 * np.sqrt(q * (1 - q) / m)
+        assert abs(rank - q) <= bound, (q, rank, bound)
+
+    full = approx_quantiles_price(sf, qs=qs, target_sample=10**9).to_pandas()
+    assert int(full["n_sampled"].iloc[0]) == len(vals)
+    for g, q in zip(full["price_cents"], qs):
+        idx = max(0, min(len(vals) - 1, int(np.ceil(q * len(vals))) - 1))
+        assert g == int(vals[idx])
+
+    again = approx_quantiles_price(sf, qs=qs, target_sample=8192).to_pandas()
+    assert again.equals(sub)
