@@ -162,7 +162,7 @@ def run_bench() -> dict:
             "centroid_outliers", "train_val_split", "pair_ngram_overlap",
             "bpe_tokenize", "span_dedup", "lm_perplexity",
             "pack_sequences", "train_shards", "shard_epoch_order",
-            "incremental_dedup", "ann_index_topk",
+            "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
         ):
             timed(name, q.registry()[name])
 

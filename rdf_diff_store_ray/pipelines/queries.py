@@ -1454,6 +1454,33 @@ def incremental_dedup(sf_dir: str, min_bands: int = 1):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 60, seed: int = 5):
+    """Length-weighted corpus sampling (:mod:`..functions.sampling` —
+    Efraimidis-Spirakis reservoir): draw k docs with probability
+    proportional to whitespace-token count, the standard data-mixing
+    draw when long documents should dominate an epoch. Deterministic
+    per seed; per-batch local top-k, driver merges batches x k rows."""
+    import pyarrow.compute as _pc
+
+    from ..functions.sampling import weighted_sample
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        n = _pc.count_substring_regex(
+            batch["text"].cast(pa.string()), r"\S+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_weight, batch_format="pyarrow"
+    )
+    out = weighted_sample(
+        ds, k=k, weight_col="n_tokens", key_col="doc_id", seed=seed
+    )
+    return pa.Table.from_pandas(
+        out[["rank", "doc_id", "n_tokens"]], preserve_index=False
+    )
+
+
 def shard_epoch_order(sf_dir: str, k: int = 12):
     """Deterministic per-epoch training order (:func:`..functions.shards
     .epoch_order` — bijective splitmix64 key sort, identical across
@@ -3125,6 +3152,7 @@ def embed_text_suite(sf_dir: str):
             "shard_epoch_order": shard_epoch_order,
             "ann_index_topk": ann_index_topk_q,
             "approx_quantiles_price": rel.approx_quantiles_price,
+            "weighted_sample_docs": weighted_sample_docs,
         },
         sf_dir,
     )
@@ -3260,6 +3288,7 @@ def registry():
         "incremental_dedup": incremental_dedup,
         "ann_index_topk": ann_index_topk_q,
         "approx_quantiles_price": rel.approx_quantiles_price,
+        "weighted_sample_docs": weighted_sample_docs,
     }
 
 

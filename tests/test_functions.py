@@ -1262,3 +1262,61 @@ def test_approx_quantiles_rank_error_bound(ray_session):
 
     again = approx_quantiles_price(sf, qs=qs, target_sample=8192).to_pandas()
     assert again.equals(sub)
+
+
+def test_weighted_sample_statistics_and_determinism(ray_session):
+    """E-S weighted sampling: heavy rows (1000x weight) are always
+    drawn, draws are deterministic per seed, different across seeds,
+    batch-boundary invariant, zero weights never selected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.sampling import weighted_sample
+
+    n = 500
+    w = np.ones(n)
+    w[:10] = 1000.0  # heavies
+    w[490:] = 0.0    # never selected
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(w, pa.float64()),
+        }
+    )
+    out = weighted_sample(
+        rd.from_arrow(tbl), k=50, weight_col="w", key_col="doc_id", seed=3
+    )
+    assert len(out) == 50 and out["doc_id"].is_unique
+    assert set(range(10)) <= set(out["doc_id"])      # all heavies in
+    assert not (set(range(490, 500)) & set(out["doc_id"]))  # no zeros
+    # deterministic per seed; different seeds differ; batch-invariant
+    out2 = weighted_sample(
+        rd.from_arrow(tbl), k=50, weight_col="w", key_col="doc_id", seed=3
+    )
+    assert out.equals(out2)
+    out3 = weighted_sample(
+        rd.from_arrow(tbl).repartition(7), k=50, weight_col="w",
+        key_col="doc_id", seed=3,
+    )
+    assert list(out3["doc_id"]) == list(out["doc_id"])
+    other = weighted_sample(
+        rd.from_arrow(tbl), k=50, weight_col="w", key_col="doc_id", seed=4
+    )
+    assert list(other["doc_id"]) != list(out["doc_id"])
+    # uniform weights: inclusion frequency is roughly flat across seeds
+    uni = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "w": pa.array(np.ones(100), pa.float64()),
+        }
+    )
+    counts = np.zeros(100)
+    for s in range(30):
+        got = weighted_sample(
+            rd.from_arrow(uni), k=20, weight_col="w", key_col="doc_id",
+            seed=s,
+        )
+        counts[got["doc_id"].to_numpy()] += 1
+    # expectation 6 per row over 30 draws of 20/100; loose 0-count check
+    assert counts.min() >= 1 and counts.max() <= 15, counts
