@@ -280,6 +280,56 @@ def cmd_ann_index_query(args) -> int:
     return 0
 
 
+def cmd_tokenizer_train(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.bpe import bpe_train, save_tokenizer
+    from .functions.shards import build_vocab
+
+    def docs():
+        return rd.read_parquet(args.docs, columns=["doc_id", "text"])
+
+    merges = bpe_train(docs(), n_merges=args.merges,
+                       max_words=args.max_words)
+    vocab = build_vocab(docs(), merges)
+    save_tokenizer(args.out, merges, vocab)
+    print(json.dumps({
+        "out": args.out,
+        "n_merges": len(merges),
+        "vocab_size": int(len(vocab)),
+    }))
+    return 0
+
+
+def cmd_write_shards(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.bpe import load_tokenizer
+    from .functions.shards import write_training_shards
+
+    merges, vocab = load_tokenizer(args.tokenizer)
+    if vocab is None:
+        raise SystemExit("tokenizer file has no vocab; re-train with one")
+
+    def docs():
+        return rd.read_parquet(args.docs, columns=["doc_id", "text"])
+
+    stats = write_training_shards(
+        docs, args.out, merges=merges, vocab=vocab,
+        capacity=args.capacity, num_shards=args.shards,
+        resume=args.resume,
+    )
+    print(json.dumps({
+        "out": args.out,
+        "shards": int(len(stats)),
+        "total_seqs": int(stats.attrs["total_seqs"]),
+        "total_tokens": int(stats.attrs["total_tokens"]),
+    }))
+    return 0
+
+
 def cmd_graphs_at(args) -> int:
     if args.out and (args.turtle or args.prefix):
         raise SystemExit(
@@ -544,6 +594,29 @@ def main(argv=None) -> int:
     )
     acc.add_argument("--index", required=True)
     acc.set_defaults(fn=cmd_ann_index_compact)
+
+    tt = sub.add_parser(
+        "tokenizer-train",
+        help="train a BPE tokenizer on a docs parquet and persist it",
+    )
+    tt.add_argument("--docs", required=True)
+    tt.add_argument("--out", required=True)
+    tt.add_argument("--merges", type=int, default=200)
+    tt.add_argument("--max-words", type=int, default=50_000,
+                    dest="max_words")
+    tt.set_defaults(fn=cmd_tokenizer_train)
+
+    ws = sub.add_parser(
+        "write-shards",
+        help="pack a docs parquet into fixed-capacity token-id shards",
+    )
+    ws.add_argument("--docs", required=True)
+    ws.add_argument("--tokenizer", required=True)
+    ws.add_argument("--out", required=True)
+    ws.add_argument("--capacity", type=int, default=1024)
+    ws.add_argument("--shards", type=int, default=8)
+    ws.add_argument("--resume", action="store_true")
+    ws.set_defaults(fn=cmd_write_shards)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -257,3 +257,43 @@ def bpe_tokens_per_doc(docs_ds, merges: list, *, text_col: str = "text",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return docs_ds.map_batches(count_batch, batch_format="pyarrow")
+
+
+def save_tokenizer(path: str, merges: list, vocab=None) -> None:
+    """Persist the trained tokenizer (ordered merge list + optional
+    vocab table) as JSON — train once, reuse across shard-writer runs
+    (the real-pipeline contract: the tokenizer is FROZEN the moment any
+    shard is written with it)."""
+    import json
+    import os
+
+    obj = {"merges": [list(p) for p in merges]}
+    if vocab is not None:
+        obj["vocab"] = {
+            "token": vocab["token"].tolist(),
+            "token_id": [int(i) for i in vocab["token_id"]],
+            "n": [int(x) for x in vocab["n"]] if "n" in vocab else None,
+        }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def load_tokenizer(path: str):
+    """Inverse of :func:`save_tokenizer`. Returns ``(merges, vocab)``
+    with merges as the original list of string pairs and vocab a pandas
+    DataFrame (or None if the file carries merges only)."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    merges = [tuple(p) for p in obj["merges"]]
+    vocab = None
+    if obj.get("vocab"):
+        v = obj["vocab"]
+        data = {"token": v["token"], "token_id": v["token_id"]}
+        if v.get("n") is not None:
+            data["n"] = v["n"]
+        vocab = pd.DataFrame(data).astype({"token_id": "int32"})
+    return merges, vocab

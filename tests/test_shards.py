@@ -274,3 +274,71 @@ def test_training_shards_resume_recreates_only_missing(ray_session, tmp_path):
     )
     for x, y in zip(baseline["input_ids"], restored["input_ids"]):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tokenizer_save_load_roundtrip(ray_session, tmp_path):
+    """A saved+loaded tokenizer produces byte-identical shards — the
+    frozen-tokenizer contract."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.bpe import (
+        bpe_train,
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from rdf_diff_store_ray.functions.shards import (
+        build_vocab,
+        write_training_shards,
+    )
+
+    tbl = _docs_table(n=18, seed=21)
+    docs = lambda: rd.from_arrow(tbl)  # noqa: E731
+    merges = bpe_train(docs(), n_merges=10, max_words=5_000)
+    vocab = build_vocab(docs(), merges)
+    path = str(tmp_path / "tokenizer.json")
+    save_tokenizer(path, merges, vocab)
+    merges2, vocab2 = load_tokenizer(path)
+    assert merges2 == merges
+    assert vocab2["token"].tolist() == vocab["token"].tolist()
+    assert vocab2["token_id"].tolist() == vocab["token_id"].tolist()
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a_dir, merges=merges, vocab=vocab,
+                          capacity=11, num_shards=2, bucket_span=8,
+                          num_partitions=2)
+    write_training_shards(docs, b_dir, merges=merges2, vocab=vocab2,
+                          capacity=11, num_shards=2, bucket_span=8,
+                          num_partitions=2)
+    a, b = _read_shards(a_dir), _read_shards(b_dir)
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["input_ids"]), b.drop(columns=["input_ids"])
+    )
+    for x, y in zip(a["input_ids"], b["input_ids"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    # merges-only save round-trips too
+    p2 = str(tmp_path / "merges_only.json")
+    save_tokenizer(p2, merges)
+    m3, v3 = load_tokenizer(p2)
+    assert m3 == merges and v3 is None
+
+
+def test_tokenizer_and_shards_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from rdf_diff_store_ray.__main__ import main
+
+    pq.write_table(_docs_table(n=25, seed=30),
+                   str(tmp_path / "docs.parquet"))
+    tok = str(tmp_path / "tok.json")
+    assert main(["tokenizer-train", "--docs", str(tmp_path / "docs.parquet"),
+                 "--out", tok, "--merges", "12"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["n_merges"] == 12 and out["vocab_size"] > 0
+    shards = str(tmp_path / "shards")
+    assert main(["write-shards", "--docs", str(tmp_path / "docs.parquet"),
+                 "--tokenizer", tok, "--out", shards,
+                 "--capacity", "16", "--shards", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["shards"] == 2 and out["total_tokens"] > 0
+    got = _read_shards(shards)
+    assert len(got) == out["total_seqs"]
