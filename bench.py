@@ -163,6 +163,7 @@ def run_bench() -> dict:
             "bpe_tokenize", "span_dedup", "lm_perplexity",
             "pack_sequences", "train_shards", "shard_epoch_order",
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
+            "weighted_sample_docs",
         ):
             timed(name, q.registry()[name])
 
