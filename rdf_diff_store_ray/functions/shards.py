@@ -60,11 +60,15 @@ def epoch_order(ds, *, key_col: str = "seq_id", epoch: int = 0,
     every epoch. ``mode="full"`` globally sorts on the key (ONE
     all-to-all — the cost of a true global shuffle, but reproducible);
     ``mode="blocks"`` only permutes block order and sorts within each
-    batch (zero extra network — the scale path when approximate mixing
-    is enough for training; NOT batch-boundary invariant, unlike
-    ``"full"``). ``key_col`` values must be unique — equal keys map to
-    equal sort keys and their relative order is then unspecified.
-    Returns the Dataset with the original columns, reordered."""
+    block (zero extra network — the scale path when approximate mixing
+    is enough for training). Caveats of ``"blocks"``: within-block
+    order is content-deterministic, but the BLOCK permutation rides
+    Ray's ``randomize_block_order``, whose emitted order varies with
+    executor scheduling (measured) — only ``"full"`` guarantees a
+    run-identical, blocking-invariant order. ``key_col`` values must be
+    unique — equal keys map to equal sort keys and their relative order
+    is then unspecified. Returns the Dataset with the original columns,
+    reordered."""
     if mode not in ("full", "blocks"):
         raise ValueError(f"unknown mode {mode!r}")
     salt = _mix64(
@@ -93,8 +97,13 @@ def epoch_order(ds, *, key_col: str = "seq_id", epoch: int = 0,
             .sort("_eo")
             .map_batches(drop_key, batch_format="pyarrow")
         )
+    # batch_size=None = one whole block per call: the within-sort then
+    # depends only on block contents, keeping the order run-identical
+    # for a fixed input blocking (the mode is still only approximate
+    # mixing — re-blocking the input changes it; use "full" for the
+    # blocking-invariant order)
     return ds.randomize_block_order(seed=int(salt % np.uint64(2**31))).map_batches(
-        sort_within, batch_format="pyarrow"
+        sort_within, batch_format="pyarrow", batch_size=None
     )
 
 

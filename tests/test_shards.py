@@ -342,3 +342,23 @@ def test_tokenizer_and_shards_cli(ray_session, tmp_path, capsys):
     assert out["shards"] == 2 and out["total_tokens"] > 0
     got = _read_shards(shards)
     assert len(got) == out["total_seqs"]
+
+
+def test_epoch_order_blocks_mode_shuffles_and_preserves(ray_session):
+    """Blocks mode: the multiset is preserved and the order is actually
+    mixed; run-identical order is NOT guaranteed (Ray's
+    randomize_block_order emission varies with executor scheduling —
+    the docstring says so; mode="full" is the deterministic path)."""
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.shards import epoch_order
+
+    tbl = pa.table({"seq_id": pa.array(np.arange(120, dtype=np.int64))})
+    out = list(
+        epoch_order(
+            rd.from_arrow(tbl).repartition(6), epoch=1, seed=9,
+            mode="blocks",
+        ).to_pandas()["seq_id"]
+    )
+    assert sorted(out) == list(range(120))
+    assert out != list(range(120))
