@@ -2953,6 +2953,28 @@ def kg_bgp_terms(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_bnode(sf_dir: str):
+    """Blank-node labels as query-pattern terms (SPARQL 1.1 §4.1.4): a
+    ``_:t`` term is a scoped variable, so this joins acquirer → target →
+    target's HQ city without projecting the intermediate — SELECT *
+    must NOT emit the hidden ``__bn_t`` column."""
+    from ..corpus import P_ACQUIRED, P_HQ
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    reader = DiffStoreReader(dt)
+    out = reader.query_at(
+        int(pd.Timestamp(hi).timestamp()),
+        f"SELECT * WHERE {{ ?a <{P_ACQUIRED}> _:t . _:t <{P_HQ}> ?city }} "
+        "ORDER BY ?a ?city LIMIT 50",
+    )
+    assert not any(c.startswith("__bn_") for c in out.columns)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -2968,6 +2990,7 @@ def kg_bgp_features(sf_dir: str):
     forms = {
         "acquired": kg_bgp_acquired,
         "aggregate": kg_bgp_aggregate,
+        "bnode": kg_bgp_bnode,
         "builtins": kg_bgp_builtins,
         "construct": kg_bgp_construct,
         "dataset": kg_bgp_dataset,
@@ -3262,6 +3285,7 @@ def registry():
         "kg_bgp_dataset": kg_bgp_dataset,
         "kg_bgp_builtins": kg_bgp_builtins,
         "kg_bgp_terms": kg_bgp_terms,
+        "kg_bgp_bnode": kg_bgp_bnode,
         "kg_triple_pr": kg_triple_pr,
         "kg_metrics_export": kg_metrics_export,
         "kg_triples": kg_triples,

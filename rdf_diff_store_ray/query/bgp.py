@@ -1420,6 +1420,21 @@ def _parse_term(t: str):
         return ("path", _parse_path_token(t))
     if t == "a":  # the rdf:type keyword (valid only as a predicate)
         return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    if t.startswith("_:"):
+        # A blank-node label in a query pattern is a VARIABLE scoped to
+        # the query (SPARQL 1.1 §4.1.4) — it never matches the stored
+        # blank node of the same name. Mapped to a hidden ?__bn_<label>
+        # var: joins across patterns like any variable, dropped from
+        # SELECT * projection, and instantiated fresh per solution in
+        # CONSTRUCT templates. (Strict SPARQL additionally forbids
+        # reusing one label across two group scopes; here the label
+        # simply names the same hidden variable.)
+        import re as _re
+        # no dots: the group splitter treats top-level '.' as a clause
+        # separator, so dotted labels could never reach here intact
+        if not _re.fullmatch(r"[A-Za-z0-9_-]+", t[2:]) or "__" in t[2:]:
+            raise ValueError(f"bad blank node label: {t!r}")
+        return ("var", "__bn_" + t[2:])
     raise ValueError(f"bad term: {t!r}")
 
 
@@ -1779,7 +1794,24 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
     """Instantiate a CONSTRUCT template against tagged bindings → a
     distinct, sorted triple frame ``(subj, pred, obj, obj_is_literal)``.
     Per SPARQL: rows where a template variable is unbound, or binds a
-    literal in subject/predicate position, produce no triple."""
+    literal in subject/predicate position (or a blank node in predicate
+    position), produce no triple. A template-only blank-node label
+    (``_:x`` parsed to a hidden ``__bn_x`` var the WHERE group never
+    binds) instantiates a FRESH blank node per solution row — rows are
+    pre-sorted so the generated labels are a pure function of the
+    solution multiset, not of arrival order."""
+    fresh = {val for s, p, o in template for kind, val in (s, p, o)
+             if kind == "var" and val.startswith("__bn_")
+             and val not in result.columns}
+    if fresh:
+        for s, p, o in template:
+            if p[0] == "var" and p[1] in fresh:
+                raise ValueError(
+                    "blank nodes are not valid in predicate position"
+                )
+        result = result.sort_values(
+            list(result.columns), ignore_index=True, na_position="last"
+        )
     frames = []
     for s, p, o in template:
         n = len(result)
@@ -1787,7 +1819,16 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
         cols: dict = {}
         for pos, term in (("subj", s), ("pred", p), ("obj", o)):
             kind, val = term
-            if kind == "var":
+            if kind == "var" and val in fresh:
+                cols[pos] = pd.Series(
+                    [f"_:{val[5:]}r{i}" for i in range(n)],
+                    index=result.index,
+                )
+                if pos == "obj":
+                    cols["obj_is_literal"] = pd.Series(
+                        False, index=result.index
+                    )
+            elif kind == "var":
                 series = (result[val] if val in result.columns
                           else pd.Series([None] * n, index=result.index,
                                          dtype=object)).astype("string")
@@ -1797,6 +1838,9 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
                         "L").fillna(False).astype(bool)
                 else:
                     ok &= series.str.startswith("I").fillna(False).astype(bool)
+                    if pos == "pred":
+                        ok &= ~series.str.slice(1).str.startswith(
+                            "_:").fillna(False).astype(bool)
                 cols[pos] = series.str.slice(1)
             elif kind == "iri":
                 cols[pos] = pd.Series([val] * n, index=result.index)
@@ -2193,6 +2237,10 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
         for c in select:  # vars never bound anywhere → None, not float NaN
             if df[c].isna().all():
                 df[c] = None
+    elif any(c.startswith("__bn_") for c in df.columns):
+        # SELECT * never projects blank-node-label variables (they are
+        # scoped to the pattern, not part of the solution sequence)
+        df = df[[c for c in df.columns if not c.startswith("__bn_")]]
     if spec.get("distinct"):
         df = df.drop_duplicates(ignore_index=True)
     if not order and len(df.columns) and len(df):

@@ -1746,3 +1746,74 @@ def test_datetime_accessors(built):
     assert out["y"].tolist() == [
         f'"{want}"^^<http://www.w3.org/2001/XMLSchema#integer>'
     ]
+
+
+# ----------------------------------------------------------- blank nodes ----
+def test_bnode_pattern_terms_join_and_hide():
+    """A ``_:label`` query term is a scoped variable (SPARQL 1.1
+    §4.1.4): it joins across patterns like any var, never matches a
+    stored ``_:label`` literally, and SELECT * omits it."""
+    t = _triples_table([
+        ("https://e/a", "https://e/knows", "https://e/m1", False),
+        ("https://e/b", "https://e/knows", "https://e/m2", False),
+        ("https://e/m1", "https://e/name", "Ann", True),
+        ("https://e/m2", "https://e/name", "Bob", True),
+        # a stored blank node named _:t must NOT be what _:t matches
+        ("_:t", "https://e/name", "Sneaky", True),
+    ])
+    out = eval_bgp(
+        t, "?s <https://e/knows> _:t . _:t <https://e/name> ?n"
+    )
+    assert sorted(out.columns) == ["n", "s"]
+    assert dict(zip(out["s"], out["n"])) == {
+        "https://e/a": "Ann", "https://e/b": "Bob"
+    }
+    out2 = eval_bgp(
+        t, "SELECT * WHERE { ?s <https://e/knows> _:t . "
+           "_:t <https://e/name> ?n } ORDER BY ?s"
+    )
+    assert sorted(out2.columns) == ["n", "s"]
+    # explicit projection of the visible vars only
+    out3 = eval_bgp(
+        t, "SELECT ?n WHERE { _:w <https://e/name> ?n } ORDER BY ?n"
+    )
+    assert out3["n"].tolist() == ["Ann", "Bob", "Sneaky"]
+
+
+def test_bnode_construct_fresh_per_solution():
+    """A template-only blank-node label instantiates one FRESH node per
+    solution row, shared across the template's triples for that row,
+    and the labels are deterministic across evaluations."""
+    t = _triples_table([
+        ("https://e/a", "https://e/knows", "https://e/m1", False),
+        ("https://e/b", "https://e/knows", "https://e/m2", False),
+        ("https://e/m1", "https://e/name", "Ann", True),
+        ("https://e/m2", "https://e/name", "Bob", True),
+    ])
+    q = ("CONSTRUCT { ?s <https://e/stmt> _:x . _:x <https://e/val> ?n } "
+         "WHERE { ?s <https://e/knows> _:p . _:p <https://e/name> ?n }")
+    out = eval_bgp(t, q)
+    stmt = out[out["pred"] == "https://e/stmt"]
+    val = out[out["pred"] == "https://e/val"]
+    assert len(stmt) == 2 and len(val) == 2
+    # one fresh node per solution, consistently linking the two triples
+    links = dict(zip(stmt["obj"], stmt["subj"]))
+    names = dict(zip(val["subj"], val["obj"]))
+    assert len(links) == 2 and set(links) == set(names)
+    pairs = {(links[b], names[b]) for b in links}
+    assert pairs == {("https://e/a", "Ann"), ("https://e/b", "Bob")}
+    assert all(b.startswith("_:") for b in links)
+    pd.testing.assert_frame_equal(out, eval_bgp(t, q))  # deterministic
+
+
+def test_bnode_rejects():
+    """Bad labels and predicate-position template bnodes raise."""
+    t = _triples_table([("https://e/a", "https://e/p", "o", True)])
+    with pytest.raises(ValueError):
+        eval_bgp(t, "?s <https://e/p> _:")
+    with pytest.raises(ValueError):
+        eval_bgp(t, "?s <https://e/p> _:a__b")
+    with pytest.raises(ValueError):
+        eval_bgp(
+            t, "CONSTRUCT { ?s _:x ?o } WHERE { ?s <https://e/p> ?o }"
+        )
