@@ -635,3 +635,121 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
         )
 
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ Bloom filter --
+def _ngram_strings(texts: "pd.Series", ngram: int):
+    """Vectorized per-document token n-grams: one flat string array of
+    space-joined n-grams plus each n-gram's document ordinal. Documents
+    shorter than ``ngram`` tokens contribute none."""
+    import numpy as np
+    import pandas as pd
+
+    toks = texts.fillna("").str.findall(TOKEN_PATTERN)
+    lens = toks.str.len().to_numpy("int64")
+    ex = toks.explode()
+    flat = ex[ex.notna()].to_numpy(dtype=object)
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    n = len(flat)
+    if n < ngram:
+        return np.empty(0, object), np.empty(0, np.int64)
+    # valid n-gram starts = positions whose whole window stays in-doc
+    ok = doc_of[: n - ngram + 1] == doc_of[ngram - 1:]
+    grams = pd.Series(flat[: n - ngram + 1])
+    for i in range(1, ngram):
+        grams = grams + " " + pd.Series(flat[i: n - ngram + 1 + i])
+    return grams.to_numpy(dtype=object)[ok], doc_of[: n - ngram + 1][ok]
+
+
+def _bloom_positions(grams, n_bits: int, n_hashes: int):
+    """(n_hashes, n) bit positions via double hashing over two stable
+    64-bit hashes (same construction as the Count-Min sketch above)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(grams, dtype=str)
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy("uint64")
+    h2 = pd.util.hash_pandas_object(s + "\x00bloom", index=False).to_numpy(
+        "uint64"
+    )
+    return np.stack(
+        [((h1 + np.uint64(d) * h2) % np.uint64(n_bits)).astype(np.int64)
+         for d in range(n_hashes)]
+    )
+
+
+def bloom_build(ds, *, text_col: str = "text", ngram: int = 3,
+                n_bits: int = 1 << 20, n_hashes: int = 4) -> bytes:
+    """Build a Bloom filter over every token ``ngram`` of ``text_col``
+    — the mergeable MEMBERSHIP sketch beside HLL (distinct), Count-Min
+    (frequency) and the quantile sample: each batch emits ONE packed
+    ``n_bits/8``-byte bitmap partial, and the driver ORs them — a
+    tree-reduce of fixed-size opaque blobs, never an element shuffle,
+    so the build cost is independent of element cardinality. Returns
+    the packed little-endian bitmap."""
+    import numpy as np
+
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        grams, _ = _ngram_strings(batch[text_col].to_pandas(), ngram)
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        if len(grams):
+            pos = _bloom_positions(pd.unique(grams), n_bits, n_hashes)
+            flat = pos.ravel()
+            np.bitwise_or.at(
+                bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    folded = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_rows():
+        folded |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return folded.tobytes()
+
+
+def bloom_probe(docs_ds, bloom: bytes, *, id_col: str = "doc_id",
+                text_col: str = "text", ngram: int = 3,
+                n_bits: int = 1 << 20, n_hashes: int = 4):
+    """Probe every document's token n-grams against a built Bloom
+    filter → (id, n_ngrams, n_hits, flagged). The filter is broadcast
+    ONCE via ``ray.put`` and read per batch; membership tests are
+    vectorized bit loads. No false negatives (every true member hits);
+    false positives bounded by the standard (1-e^{-kn/m})^k rate, so
+    ``flagged`` over-approximates — callers needing exactness re-verify
+    flagged docs against the source set (bounded by the hit count)."""
+    import numpy as np
+    import ray
+
+    bloom_ref = ray.put(np.frombuffer(bloom, dtype=np.uint8))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        grams, doc_of = _ngram_strings(batch[text_col].to_pandas(), ngram)
+        nd = batch.num_rows
+        n_ngrams = np.bincount(doc_of, minlength=nd).astype("int64")
+        if len(grams):
+            pos = _bloom_positions(grams, n_bits, n_hashes)
+            member = np.ones(len(grams), dtype=bool)
+            for d in range(n_hashes):
+                member &= (bits[pos[d] >> 3] >> (pos[d] & 7)) & 1 == 1
+            n_hits = np.bincount(
+                doc_of[member], minlength=nd
+            ).astype("int64")
+        else:
+            n_hits = np.zeros(nd, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_ngrams": pa.array(n_ngrams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "flagged": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

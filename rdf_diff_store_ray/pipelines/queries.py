@@ -789,6 +789,35 @@ FROM documents d WHERE doc_id >= 20
 """
 
 
+def bloom_decontam(sf_dir: str, n_bench: int = 20):
+    """Bloom-filter decontamination — the SCALE path beside the exact
+    :func:`decontaminate` entry: the benchmark side's token 3-grams are
+    folded into one fixed-size bitmap (per-batch partials ORed on the
+    driver, never an element shuffle), broadcast once, and probed per
+    corpus batch with vectorized bit loads. At 100 TB the exact entry's
+    per-phrase substring scan is O(phrases x corpus); the Bloom probe is
+    O(corpus) with a constant-size filter — the standard trade: flagged
+    docs over-approximate (bounded false-positive rate, zero false
+    negatives), so exact pipelines re-verify only the flagged docs."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..functions.text import bloom_build, bloom_probe
+
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filter=pads.field("doc_id") < n_bench,
+    )
+    bloom = bloom_build(bench, ngram=3)
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") >= n_bench,
+    )
+    return bloom_probe(corpus, bloom, ngram=3).sort("doc_id")
+
+
 def pack_sequences_q(sf_dir: str, capacity: int = 256):
     """GPT-style training-sequence packing of the documents table:
     concatenate the whitespace-token stream in doc_id order and split at
@@ -3134,6 +3163,7 @@ def dedup_suite(sf_dir: str):
     entries stay registered after the driver-cap watermark."""
     return _digest_forms(
         {
+            "bloom_decontam": bloom_decontam,
             "embedding_dupes": embedding_dupes,
             "incremental_dedup": incremental_dedup,
             "line_dedup": line_dedup_corpus,
@@ -3313,6 +3343,7 @@ def registry():
         "ann_index_topk": ann_index_topk_q,
         "approx_quantiles_price": rel.approx_quantiles_price,
         "weighted_sample_docs": weighted_sample_docs,
+        "bloom_decontam": bloom_decontam,
     }
 
 

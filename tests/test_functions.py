@@ -1320,3 +1320,68 @@ def test_weighted_sample_statistics_and_determinism(ray_session):
         counts[got["doc_id"].to_numpy()] += 1
     # expectation 6 per row over 30 draws of 20/100; loose 0-count check
     assert counts.min() >= 1 and counts.max() <= 15, counts
+
+
+def test_bloom_filter_membership(ray_session):
+    """Bloom build/probe: zero false negatives (every doc containing a
+    bench 3-gram is flagged), false positives within the sizing bound,
+    deterministic across runs, and short docs contribute no n-grams."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+    bench_texts = [
+        " ".join(rng.choice(vocab, size=12)) for _ in range(10)
+    ]
+    clean = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(60)
+    ]
+    # plant a bench 3-gram inside some corpus docs
+    planted_ids = [3, 17, 41]
+    corpus = list(clean)
+    for i, did in enumerate(planted_ids):
+        toks = bench_texts[i].split()
+        corpus[did] = corpus[did] + " " + " ".join(toks[4:7])
+    corpus.append("one two")  # < ngram tokens → no n-grams, never flagged
+    ids = list(range(len(corpus)))
+
+    bloom = bloom_build(
+        rd.from_pandas(pd.DataFrame({"text": bench_texts})), ngram=3
+    )
+    assert bloom == bloom_build(  # deterministic build
+        rd.from_pandas(pd.DataFrame({"text": bench_texts})), ngram=3
+    )
+    out = (
+        bloom_probe(
+            rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": corpus})),
+            bloom, ngram=3,
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    # exact oracle: does the doc contain any bench 3-gram as tokens?
+    bench_grams = set()
+    for t in bench_texts:
+        tk = t.split()
+        bench_grams |= {
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        }
+    truth = []
+    for t in corpus:
+        tk = t.split()
+        grams = {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+        truth.append(bool(grams & bench_grams))
+    truth = pd.Series(truth)
+    flagged = out.set_index("doc_id")["flagged"].reindex(ids)
+    # no false negatives
+    assert bool((flagged[truth.values]).all())
+    assert set(np.flatnonzero(truth.values)) >= set(planted_ids)
+    # false positives bounded: with m=2^20 bits, k=4, ~100 elements the
+    # fp rate is ~(kn/m)^k ≈ 1e-14 — none expected at this size
+    assert flagged[~truth.values].sum() == 0
+    short = out[out["doc_id"] == ids[-1]].iloc[0]
+    assert short["n_ngrams"] == 0 and not short["flagged"]
+    assert (out["n_hits"] <= out["n_ngrams"]).all()
