@@ -789,6 +789,102 @@ FROM documents d WHERE doc_id >= 20
 """
 
 
+def collocations(sf_dir: str, k: int = 25):
+    """Top-k adjacent token bigrams with their unigram counts — the
+    collocation / PMI primitive (PMI itself is a float ratio derivable
+    downstream; the entry emits only integers so values hash-stably
+    against the oracle). Three bounded stages: per-batch bigram partial
+    counts (the shuffle carries one row per distinct pair per batch,
+    never token streams), keyed sum + bounded top-k, then unigram
+    counts ONLY for the <= 2k tokens the top pairs mention — the corpus
+    streams twice, the driver holds k pairs and their vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern_regex(
+            batch["text"].combine_chunks(), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks_list).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks_list).to_numpy(
+            zero_copy_only=False
+        )
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        if len(flat) >= 2:
+            ok = parent[:-1] == parent[1:]
+            keyed = pc.binary_join_element_wise(
+                pa.array(flat[:-1][ok], pa.string()),
+                pa.array(flat[1:][ok], pa.string()),
+                "\x00",
+            )
+        else:
+            keyed = pa.array([], pa.string())
+        vc = pc.value_counts(keyed)
+        split = pc.split_pattern(vc.field("values"), "\x00", max_splits=1)
+        return pa.table(
+            {
+                "w1": pc.list_element(split, 0),
+                "w2": pc.list_element(split, 1),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    top = (
+        _docs(sf_dir, ["text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="pair_n"))
+        .sort([("pair_n"), ("w1"), ("w2")], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    needed = sorted(set(top["w1"]) | set(top["w2"]))
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        )
+        toks = toks.filter(pc.is_in(toks, value_set=pa.array(needed)))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "w": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    uni = (
+        _docs(sf_dir, ["text"])
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .set_index("w")["n"]
+    )
+    top["w1_n"] = top["w1"].map(uni).astype("int64")
+    top["w2_n"] = top["w2"].map(uni).astype("int64")
+    return pa.Table.from_pandas(
+        top[["w1", "w2", "pair_n", "w1_n", "w2_n"]], preserve_index=False
+    )
+
+
+COLLOCATIONS_SQL = r"""
+WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS l FROM documents),
+idx AS (SELECT l, unnest(range(1, len(l))) AS i FROM tok),
+pair_counts AS (
+  SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS pair_n
+  FROM idx GROUP BY 1, 2),
+top AS (SELECT * FROM pair_counts ORDER BY pair_n DESC, w1, w2 LIMIT 25),
+uni AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM
+    (SELECT unnest(regexp_extract_all(text, '\S+')) AS t FROM documents)
+  GROUP BY 1)
+SELECT t.w1, t.w2, t.pair_n, u1.n AS w1_n, u2.n AS w2_n
+FROM top t JOIN uni u1 ON u1.w = t.w1 JOIN uni u2 ON u2.w = t.w2
+ORDER BY t.pair_n DESC, t.w1, t.w2
+"""
+
+
 def bloom_decontam(sf_dir: str, n_bench: int = 20):
     """Bloom-filter decontamination — the SCALE path beside the exact
     :func:`decontaminate` entry: the benchmark side's token 3-grams are
@@ -3206,6 +3302,7 @@ def embed_text_suite(sf_dir: str):
             "ann_index_topk": ann_index_topk_q,
             "approx_quantiles_price": rel.approx_quantiles_price,
             "weighted_sample_docs": weighted_sample_docs,
+            "collocations": collocations,
         },
         sf_dir,
     )
@@ -3344,6 +3441,7 @@ def registry():
         "approx_quantiles_price": rel.approx_quantiles_price,
         "weighted_sample_docs": weighted_sample_docs,
         "bloom_decontam": bloom_decontam,
+        "collocations": collocations,
     }
 
 
@@ -3396,4 +3494,5 @@ def oracles():
         "pair_ngram_overlap": PAIR_NGRAM_OVERLAP_SQL,
         "source_mix_sample": SOURCE_MIX_SAMPLE_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
+        "collocations": COLLOCATIONS_SQL,
     }
