@@ -336,3 +336,267 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, *, damping: float,
         pa.table({"node": pa.array(node_arr, pa.string()),
                   "rank": pa.array(np.round(r, round_to))})
     )
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (bijective on uint64) — the same stream the
+    shard shuffler uses (`shards._mix64`), duplicated here to keep the
+    module import-light."""
+    x = x.astype(np.uint64, copy=True)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _walk_salt(seed: int, walk: int, step: int) -> np.uint64:
+    return _mix64(np.array(
+        [np.uint64(seed) ^ (np.uint64(walk) << np.uint64(40))
+         ^ (np.uint64(step) << np.uint64(20))], np.uint64
+    ))[0]
+
+
+def _start_hash(starts: pd.Series) -> np.ndarray:
+    """Stable 64-bit content hash per start node (pandas siphash with
+    its fixed key — process-independent)."""
+    return pd.util.hash_pandas_object(
+        starts.reset_index(drop=True), index=False
+    ).to_numpy("uint64")
+
+
+def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
+                 seed: int = 7, method: str = "auto",
+                 num_partitions: int = 32,
+                 broadcast_threshold: int = 2_000_000):
+    """DeepWalk-style uniform random walks over a directed edge Dataset
+    ``(src, dst)`` (Perozzi et al. 2014; node2vec with p=q=1) — the
+    corpus generator for graph-embedding training. Every node starts
+    ``walks_per_node`` walks of up to ``walk_len`` steps; a walk
+    reaching a dangling node stops early. Returns a Dataset
+    ``(start, walk, step, node)`` with step 0 = the start itself.
+
+    Deterministic by construction: the step-``t`` choice of walk
+    ``(start, r)`` is ``splitmix64(h(start) ^ mix(seed, r, t)) %
+    out_deg(cur)`` over the dst-sorted out-edge list — a pure function
+    of the start node's CONTENT, the seed and the position, never of
+    batch boundaries, partition counts or arrival order, so both
+    execution paths emit identical walks.
+
+    Paths (the `pagerank` dual-path precedent):
+
+    - ``broadcast`` (edge count ≤ ``broadcast_threshold``): the
+      dst-sorted CSR adjacency is built once and broadcast via
+      ``ray.put``; each batch of start nodes advances all its walks
+      through every step with vectorized gathers — ONE Ray job total.
+    - ``copartition`` (the 100×-scale path): edges are hash-partitioned
+      by src ONCE; each step co-partitions the walk frontier with the
+      edge partitions by the walk's current node, advances it with an
+      in-partition vectorized merge, and re-shuffles — the frontier
+      (not the adjacency) moves, one shuffle per step.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    edges = (
+        edges_ds.select_columns(["src", "dst"])
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    n_edges = edges.count()
+    nodes = (
+        _rename(edges.select_columns(["src"]), {"src": "node"})
+        .union(_rename(edges.select_columns(["dst"]), {"dst": "node"}))
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    empty = pa.table({
+        "start": pa.array([], pa.string()),
+        "walk": pa.array([], pa.int64()),
+        "step": pa.array([], pa.int64()),
+        "node": pa.array([], pa.string()),
+    })
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if method == "auto":
+        method = ("broadcast" if n_edges <= broadcast_threshold
+                  else "copartition")
+
+    if method == "broadcast":
+        ed = edges.to_pandas().sort_values(
+            ["src", "dst"], ignore_index=True
+        )
+        node_arr = np.sort(
+            nodes.to_pandas()["node"].to_numpy(dtype=object)
+        )
+        src_idx = np.searchsorted(node_arr, ed["src"].to_numpy(object))
+        dst_idx = np.searchsorted(node_arr, ed["dst"].to_numpy(object))
+        offsets = np.concatenate(
+            [[0], np.cumsum(np.bincount(src_idx, minlength=len(node_arr)))]
+        ).astype(np.int64)
+        csr_ref = ray.put((node_arr, offsets, dst_idx))
+
+        def walk_batch(batch: pa.Table) -> pa.Table:
+            narr, off, dst = ray.get(csr_ref)
+            starts = batch["node"].to_pandas()
+            s_np = starts.to_numpy(dtype=object)
+            h0 = _start_hash(starts)
+            cur0 = np.searchsorted(narr, s_np)
+            out_start, out_walk, out_step, out_node = [], [], [], []
+            for r in range(walks_per_node):
+                cur, alive = cur0.copy(), np.ones(len(s_np), bool)
+                out_start.append(s_np)
+                out_walk.append(np.full(len(s_np), r, np.int64))
+                out_step.append(np.zeros(len(s_np), np.int64))
+                out_node.append(s_np)
+                for t in range(1, walk_len):
+                    deg = off[cur + 1] - off[cur]
+                    alive = alive & (deg > 0)
+                    if not alive.any():
+                        break
+                    rnd = _mix64(h0 ^ _walk_salt(seed, r, t))
+                    pick = off[cur] + (
+                        rnd % np.maximum(deg, 1).astype(np.uint64)
+                    ).astype(np.int64)
+                    cur = np.where(alive, dst[np.minimum(
+                        pick, len(dst) - 1 if len(dst) else 0)], cur)
+                    out_start.append(s_np[alive])
+                    out_walk.append(np.full(alive.sum(), r, np.int64))
+                    out_step.append(np.full(alive.sum(), t, np.int64))
+                    out_node.append(narr[cur[alive]])
+            return pa.table({
+                "start": pa.array(np.concatenate(out_start), pa.string()),
+                "walk": pa.array(np.concatenate(out_walk), pa.int64()),
+                "step": pa.array(np.concatenate(out_step), pa.int64()),
+                "node": pa.array(np.concatenate(out_node), pa.string()),
+            })
+
+        return nodes.map_batches(walk_batch, batch_format="pyarrow")
+
+    # ---- copartition path: the frontier moves, the adjacency doesn't
+    tagged_edges = _copartition(
+        _rename(edges, {"src": "node"}), "node", num_partitions, "rw_pid"
+    ).map_batches(
+        lambda b: b.append_column(
+            "_side", pa.array(np.zeros(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def seed_frontier(batch: pa.Table) -> pa.Table:
+        starts = batch["node"].to_pandas()
+        n = len(starts)
+        h0 = _start_hash(starts)
+        s_np = starts.to_numpy(dtype=object)
+        reps = np.repeat(np.arange(walks_per_node), n)
+        return pa.table({
+            "start": pa.array(np.tile(s_np, walks_per_node), pa.string()),
+            "walk": pa.array(reps, pa.int64()),
+            "h": pa.array(np.tile(h0, walks_per_node), pa.uint64()),
+            "node": pa.array(np.tile(s_np, walks_per_node), pa.string()),
+        })
+
+    frontier = nodes.map_batches(
+        seed_frontier, batch_format="pyarrow"
+    ).materialize()
+
+    def emit(step_no: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "start": batch["start"],
+                "walk": batch["walk"],
+                "step": pa.array(
+                    np.full(batch.num_rows, step_no, np.int64)
+                ),
+                "node": batch["node"],
+            })
+        fn.__name__ = f"emit_{step_no}"
+        return fn
+
+    outputs = [frontier.map_batches(emit(0), batch_format="pyarrow")]
+    for t in range(1, walk_len):
+        def advance(group: pd.DataFrame, _t=t) -> pd.DataFrame:
+            ed = group[group["_side"] == 0]
+            fr = group[group["_side"] == 1]
+            if not len(fr) or not len(ed):
+                return pd.DataFrame({
+                    "start": pd.Series([], dtype=object),
+                    "walk": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="uint64"),
+                    "node": pd.Series([], dtype=object),
+                })
+            ed = ed.sort_values(["node", "dst"], ignore_index=True)
+            u, starts_i, counts = np.unique(
+                ed["node"].to_numpy(object), return_index=True,
+                return_counts=True,
+            )
+            pos = np.searchsorted(u, fr["node"].to_numpy(object))
+            pos = np.clip(pos, 0, len(u) - 1)
+            ok = u[pos] == fr["node"].to_numpy(object)
+            fr = fr[ok]
+            pos = pos[ok]
+            if not len(fr):
+                return pd.DataFrame({
+                    "start": pd.Series([], dtype=object),
+                    "walk": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="uint64"),
+                    "node": pd.Series([], dtype=object),
+                })
+            h = fr["h"].to_numpy("uint64")
+            walks = fr["walk"].to_numpy("int64")
+            salts = np.array(
+                [_walk_salt(seed, int(r), _t) for r in
+                 range(walks_per_node)], np.uint64
+            )
+            rnd = _mix64(h ^ salts[walks])
+            deg = counts[pos].astype(np.uint64)
+            pick = starts_i[pos] + (rnd % deg).astype(np.int64)
+            nxt = ed["dst"].to_numpy(object)[pick]
+            return pd.DataFrame({
+                "start": fr["start"].to_numpy(object),
+                "walk": walks,
+                "h": h,
+                "node": nxt,
+            })
+
+        fr_tagged = _copartition(
+            frontier, "node", num_partitions, "rw_pid"
+        ).map_batches(
+            lambda b: b.append_column(
+                "_side", pa.array(np.ones(b.num_rows, np.int8))
+            ).append_column(
+                "dst", pa.array([None] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        ed_for_union = tagged_edges.map_batches(
+            lambda b: b.append_column(
+                "start", pa.array([None] * b.num_rows, pa.string())
+            ).append_column(
+                "walk", pa.array(np.zeros(b.num_rows, np.int64))
+            ).append_column(
+                "h", pa.array(np.zeros(b.num_rows, np.uint64)),
+            ),
+            batch_format="pyarrow",
+        )
+        cols = ["start", "walk", "h", "node", "dst", "_side", "rw_pid"]
+        frontier = (
+            ed_for_union.select_columns(cols)
+            .union(fr_tagged.select_columns(cols))
+            .groupby("rw_pid")
+            .map_groups(advance, batch_format="pandas")
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        outputs.append(
+            frontier.map_batches(emit(t), batch_format="pyarrow")
+        )
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

@@ -3180,6 +3180,32 @@ def kg_pagerank(sf_dir: str, k: int = 20):
     )
 
 
+def kg_random_walks(sf_dir: str):
+    """DeepWalk corpus over the end-state KG entity graph: 2 walks of
+    up to 6 steps from every IRI node (literals are not nodes), the
+    training input for graph-embedding skip-gram models. Deterministic
+    — step choices are pure functions of (start content, seed, walk,
+    step) — so the digest-slot check pins exact walk values."""
+    from ..functions.graph import random_walks
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["obj_is_literal"].combine_chunks())
+        t = batch.filter(keep)
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    return random_walks(
+        triples.map_batches(edges, batch_format="pyarrow"),
+        walk_len=6, walks_per_node=2, seed=13,
+    ).sort(["start", "walk", "step"])
+
+
 def _digest_forms(forms: dict, sf_dir: str) -> pa.Table:
     """Run each named registry callable and emit one (form, rows,
     digest) row — sha256 over the sorted stringified result, so a value
@@ -3240,6 +3266,7 @@ def kg_analytics(sf_dir: str):
             "metadata": kg_metadata,
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
+            "random_walks": kg_random_walks,
             "state_at_mid": kg_state_at_mid,
             "triple_pr": kg_triple_pr,
             "triples": kg_triples,
@@ -3442,6 +3469,7 @@ def registry():
         "weighted_sample_docs": weighted_sample_docs,
         "bloom_decontam": bloom_decontam,
         "collocations": collocations,
+        "kg_random_walks": kg_random_walks,
     }
 
 

@@ -75,3 +75,83 @@ def test_pagerank_star_and_empty(ray_session):
         assert ranks[n] == pytest.approx(want[n], abs=1e-9)
     empty = _edges_ds([]).filter(lambda r: False)
     assert pagerank(empty, n_iter=2).count() == 0
+
+
+def _walk_edges():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 40
+    ed = pd.DataFrame({
+        "src": [f"n{rng.integers(n)}" for _ in range(150)],
+        "dst": [f"n{rng.integers(n)}" for _ in range(150)],
+    })
+    ed.loc[len(ed)] = ["n40", "n41"]  # n41 dangles
+    return ed
+
+
+def test_random_walks_paths_agree_and_are_valid(ray_session):
+    """Broadcast CSR and copartitioned frontier paths emit IDENTICAL
+    walks (the step choice is a pure content function), every transition
+    is a real edge, and dangling nodes stop at step 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import random_walks
+
+    ed = _walk_edges()
+    key = ["start", "walk", "step", "node"]
+    b = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=9, method="broadcast").to_pandas()
+    c = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=9, method="copartition",
+                     num_partitions=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        b[key].sort_values(key, ignore_index=True),
+        c[key].sort_values(key, ignore_index=True),
+    )
+    eset = set(zip(ed["src"], ed["dst"]))
+    for (_, _), g in b.groupby(["start", "walk"]):
+        nodes = g.sort_values("step")["node"].tolist()
+        assert all((a, z) in eset for a, z in zip(nodes[:-1], nodes[1:]))
+    assert len(b[b["start"] == "n41"]) == 2  # step-0 rows only
+    assert (b[b["start"] == "n41"]["step"] == 0).all()
+
+
+def test_random_walks_deterministic_and_seed_sensitive(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import random_walks
+
+    ed = _walk_edges()
+    key = ["start", "walk", "step", "node"]
+    a = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=9).to_pandas()[key].sort_values(
+        key, ignore_index=True)
+    b = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=9).to_pandas()[key].sort_values(
+        key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    c = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=10).to_pandas()[key].sort_values(
+        key, ignore_index=True)
+    assert not a.equals(c)  # different seed, different walks
+
+
+def test_random_walks_empty_edges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import random_walks
+
+    out = random_walks(
+        rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype=object),
+                                     "dst": pd.Series([], dtype=object)})),
+        walk_len=4,
+    )
+    assert out.count() == 0
+    # Ray's to_pandas drops columns on an empty dataset; the schema
+    # is the stable surface
+    assert out.schema().names == ["start", "walk", "step", "node"]
