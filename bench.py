@@ -163,7 +163,8 @@ def run_bench() -> dict:
             "bpe_tokenize", "span_dedup", "lm_perplexity",
             "pack_sequences", "train_shards", "shard_epoch_order",
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
-            "weighted_sample_docs",
+            "weighted_sample_docs", "bloom_decontam", "collocations",
+            "kg_random_walks",
         ):
             timed(name, q.registry()[name])
 
