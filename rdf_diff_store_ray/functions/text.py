@@ -232,11 +232,10 @@ def heavy_hitters(docs_ds, k: int = 50, depth: int = 4, width: int = 8192,
     import pandas as pd
 
     def _cms_rows(tokens: pd.Series):
-        h1 = pd.util.hash_pandas_object(tokens, index=False).to_numpy(
-            "uint64"
-        )
-        h2 = pd.util.hash_pandas_object(tokens + "\x00cms", index=False
-                                        ).to_numpy("uint64")
+        h1 = pd.util.hash_pandas_object(tokens, index=False,
+                                        categorize=False).to_numpy("uint64")
+        h2 = pd.util.hash_pandas_object(tokens + "\x1fcms", index=False,
+                                        categorize=False).to_numpy("uint64")
         return np.stack(
             [((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
              for d in range(depth)]
@@ -289,7 +288,8 @@ def _line_hashes(lines: "pd.Series") -> "np.ndarray":
     fixed default key — deterministic across processes, vectorized)."""
     import pandas as pd
 
-    return pd.util.hash_pandas_object(lines, index=False).to_numpy("uint64")
+    return pd.util.hash_pandas_object(lines, index=False,
+                                      categorize=False).to_numpy("uint64")
 
 
 def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
@@ -554,7 +554,8 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
         toks = texts.fillna("").str.split()
         lens = toks.str.len().fillna(0).to_numpy("int64")
         flat = toks.explode().dropna()
-        th = pd.util.hash_pandas_object(flat, index=False).to_numpy(
+        th = pd.util.hash_pandas_object(flat, index=False,
+                                        categorize=False).to_numpy(
             "uint64"
         )
         starts = np.zeros(len(lens), np.int64)
@@ -668,10 +669,10 @@ def _bloom_positions(grams, n_bits: int, n_hashes: int):
     import pandas as pd
 
     s = pd.Series(grams, dtype=str)
-    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy("uint64")
-    h2 = pd.util.hash_pandas_object(s + "\x00bloom", index=False).to_numpy(
-        "uint64"
-    )
+    h1 = pd.util.hash_pandas_object(s, index=False,
+                                    categorize=False).to_numpy("uint64")
+    h2 = pd.util.hash_pandas_object(s + "\x1fbloom", index=False,
+                                    categorize=False).to_numpy("uint64")
     return np.stack(
         [((h1 + np.uint64(d) * h2) % np.uint64(n_bits)).astype(np.int64)
          for d in range(n_hashes)]

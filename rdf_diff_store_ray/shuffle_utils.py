@@ -20,10 +20,21 @@ def stable_hash_str(s: str) -> int:
 
 
 def stable_hash_array(values) -> np.ndarray:
-    """Vectorized stable uint64 hash of a string column (Arrow or numpy)."""
+    """Vectorized stable uint64 hash of a string column (Arrow or numpy).
+
+    ``categorize=False`` is REQUIRED for correctness, not a tuning knob:
+    pandas' default categorize path factorizes through a C-string hash
+    table that truncates at the first NUL byte, so ``"a\\x00x"`` and
+    ``"a\\x00y"`` collapse to one key — and whether truncation happens
+    depends on array size, making the same value hash differently in
+    different batches (measured: co-partitioned ``\\x00``-composite keys
+    landed on different partitions per branch). The non-categorize path
+    siphashes the full UTF-8 bytes and returns identical values for
+    NUL-free strings, so existing partition layouts are unaffected."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_numpy(zero_copy_only=False)
-    return pd.util.hash_array(np.asarray(values, dtype=object))
+    return pd.util.hash_array(np.asarray(values, dtype=object),
+                              categorize=False)
 
 
 def partition_ids(urls, num_partitions: int) -> np.ndarray:
