@@ -885,6 +885,74 @@ ORDER BY t.pair_n DESC, t.w1, t.w2
 """
 
 
+def triangle_counts_q(sf_dir: str, k: int = 20):
+    """Per-node triangle counts over the order–part–supplier
+    co-occurrence graph (every lineitem row contributes the three
+    undirected edges of its (order, part, supplier) triple): the
+    graph-pattern-mining operator with an EXACT SQL oracle — top-k
+    nodes by triangle participation. Ray side = the degree-ordered
+    wedge-join in :func:`..functions.graph.triangle_counts` (Latapy
+    2008); oracle = the canonical u<v<w three-way self-join."""
+    import ray.data as rd
+
+    from ..functions.graph import triangle_counts
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            pa.array(["o"] * batch.num_rows),
+            pc.cast(batch["l_orderkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            pa.array(["p"] * batch.num_rows),
+            pc.cast(batch["l_partkey"], pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * batch.num_rows),
+            pc.cast(batch["l_suppkey"], pa.string()), "")
+        return pa.table({
+            "src": pa.concat_arrays(
+                [c.combine_chunks() for c in (o, p, s)]),
+            "dst": pa.concat_arrays(
+                [c.combine_chunks() for c in (p, s, o)]),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).map_batches(edges, batch_format="pyarrow")
+    return (
+        triangle_counts(ds)
+        .sort([("n_tri"), ("node")], descending=[True, False])
+        .limit(k)
+    )
+
+
+TRIANGLE_COUNTS_SQL = r"""
+WITH e_raw AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS u,
+         'p' || CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'p' || CAST(l_partkey AS VARCHAR),
+         's' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+         'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+), ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e_raw WHERE u <> v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b
+), tri_nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM tri_nodes GROUP BY node ORDER BY n_tri DESC, node LIMIT 20
+"""
+
+
 def bloom_decontam(sf_dir: str, n_bench: int = 20):
     """Bloom-filter decontamination — the SCALE path beside the exact
     :func:`decontaminate` entry: the benchmark side's token 3-grams are
@@ -3267,6 +3335,7 @@ def kg_analytics(sf_dir: str):
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
             "random_walks": kg_random_walks,
+            "triangle_counts": triangle_counts_q,
             "state_at_mid": kg_state_at_mid,
             "triple_pr": kg_triple_pr,
             "triples": kg_triples,
@@ -3470,6 +3539,7 @@ def registry():
         "bloom_decontam": bloom_decontam,
         "collocations": collocations,
         "kg_random_walks": kg_random_walks,
+        "triangle_counts": triangle_counts_q,
     }
 
 
@@ -3523,4 +3593,5 @@ def oracles():
         "source_mix_sample": SOURCE_MIX_SAMPLE_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "collocations": COLLOCATIONS_SQL,
+        "triangle_counts": TRIANGLE_COUNTS_SQL,
     }

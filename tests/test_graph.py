@@ -155,3 +155,64 @@ def test_random_walks_empty_edges(ray_session):
     # Ray's to_pandas drops columns on an empty dataset; the schema
     # is the stable surface
     assert out.schema().names == ["start", "walk", "step", "node"]
+
+
+def test_triangle_counts_both_paths_match_bruteforce(ray_session):
+    """Per-node triangle counts: broadcast CSR and copartitioned
+    wedge-join agree with an itertools brute force (this test also
+    guards the NUL-safe hashing contract — the closure join
+    co-partitions \\x00-composite keys)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(5)
+    ed = pd.DataFrame({
+        "src": [f"n{rng.integers(30)}" for _ in range(160)],
+        "dst": [f"n{rng.integers(30)}" for _ in range(160)],
+    })
+    und = {(min(s, d), max(s, d))
+           for s, d in zip(ed["src"], ed["dst"]) if s != d}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    want = pd.DataFrame(sorted(want.items()), columns=["node", "n_tri"])
+    got_b = triangle_counts(
+        rd.from_pandas(ed), method="broadcast"
+    ).to_pandas().sort_values("node", ignore_index=True)
+    got_c = triangle_counts(
+        rd.from_pandas(ed), method="copartition", num_partitions=8
+    ).to_pandas().sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        got_c[["node", "n_tri"]], want, check_dtype=False
+    )
+
+
+def test_triangle_counts_triangle_free_and_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import triangle_counts
+
+    # star graph: no triangles
+    star = pd.DataFrame({"src": ["c"] * 5,
+                         "dst": [f"l{i}" for i in range(5)]})
+    for method in ("broadcast", "copartition"):
+        out = triangle_counts(rd.from_pandas(star), method=method)
+        assert out.count() == 0
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object)})
+    out = triangle_counts(rd.from_pandas(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "n_tri"]
