@@ -3150,7 +3150,10 @@ def kg_bgp_bnode(sf_dir: str):
     """Blank-node labels as query-pattern terms (SPARQL 1.1 §4.1.4): a
     ``_:t`` term is a scoped variable, so this joins acquirer → target →
     target's HQ city without projecting the intermediate — SELECT *
-    must NOT emit the hidden ``__bn_t`` column."""
+    must NOT emit the hidden ``__bn_t`` column. The second query is the
+    anonymous-node sugar form ``[ ... ]`` (plus a predicate-object
+    list), which must desugar to the same shape — both resultsets are
+    asserted equal before returning."""
     from ..corpus import P_ACQUIRED, P_HQ
     from ..query.bgp import DiffStoreReader
     from ..state.reconstruct import metadata_table
@@ -3159,12 +3162,19 @@ def kg_bgp_bnode(sf_dir: str):
     dt = res.delta_table()
     _, hi = metadata_table(dt)
     reader = DiffStoreReader(dt)
+    ts = int(pd.Timestamp(hi).timestamp())
     out = reader.query_at(
-        int(pd.Timestamp(hi).timestamp()),
+        ts,
         f"SELECT * WHERE {{ ?a <{P_ACQUIRED}> _:t . _:t <{P_HQ}> ?city }} "
         "ORDER BY ?a ?city LIMIT 50",
     )
     assert not any(c.startswith("__bn_") for c in out.columns)
+    sugar = reader.query_at(
+        ts,
+        f"SELECT * WHERE {{ ?a <{P_ACQUIRED}> [ <{P_HQ}> ?city ] }} "
+        "ORDER BY ?a ?city LIMIT 50",
+    )
+    pd.testing.assert_frame_equal(sugar, out)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

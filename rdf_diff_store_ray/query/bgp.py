@@ -195,17 +195,32 @@ def parse_query(query: str) -> dict:
     q = _expand_prefixes(query.strip())
     import re as _re
 
-    if _re.match(r"^SELECT\b", q, _re.IGNORECASE):
-        return _parse_select(q)
-    if _re.match(r"^ASK\b", q, _re.IGNORECASE):
-        return _parse_ask(q)
-    if _re.match(r"^CONSTRUCT\b", q, _re.IGNORECASE):
-        return _parse_construct(q)
-    if _re.match(r"^DESCRIBE\b", q, _re.IGNORECASE):
-        return _parse_describe(q)
-    group = _parse_group_body(q)
-    group.update(_NO_MODIFIERS)
-    return group
+    # fresh-label state for [ ... ] anonymous nodes: reset at the
+    # OUTERMOST parse so labels are deterministic per query text and
+    # unique across every nested scope (parse_query recurses for
+    # subgroups; sharing one counter keeps a nested group's anon node
+    # distinct from the outer group's)
+    top_level = _ANON_STATE["depth"] == 0
+    if top_level:
+        _ANON_STATE["n"] = 0
+    _ANON_STATE["depth"] += 1
+    try:
+        if _re.match(r"^SELECT\b", q, _re.IGNORECASE):
+            return _parse_select(q)
+        if _re.match(r"^ASK\b", q, _re.IGNORECASE):
+            return _parse_ask(q)
+        if _re.match(r"^CONSTRUCT\b", q, _re.IGNORECASE):
+            return _parse_construct(q)
+        if _re.match(r"^DESCRIBE\b", q, _re.IGNORECASE):
+            return _parse_describe(q)
+        group = _parse_group_body(q)
+        group.update(_NO_MODIFIERS)
+        return group
+    finally:
+        _ANON_STATE["depth"] -= 1
+
+
+_ANON_STATE = {"depth": 0, "n": 0}
 
 
 def _parse_ask(q: str) -> dict:
@@ -626,17 +641,119 @@ def _parse_group_body(body: str) -> dict:
         elif up.startswith("BIND"):
             group["binds"].append(_parse_bind(clause[len("BIND"):]))
         else:
-            terms = _split_terms(clause)
-            if len(terms) != 3:
-                raise ValueError(f"bad triple pattern: {clause!r}")
-            pat = tuple(_parse_term(t) for t in terms)
-            if pat[0][0] == "path" or pat[2][0] == "path":
-                raise ValueError(
-                    f"property paths are only valid in predicate position: "
-                    f"{clause!r}"
-                )
-            group["patterns"].append(pat)
+            for terms in _expand_triple_sugar(clause):
+                pat = tuple(_parse_term(t) for t in terms)
+                if pat[0][0] == "path" or pat[2][0] == "path":
+                    raise ValueError(
+                        f"property paths are only valid in predicate "
+                        f"position: {clause!r}"
+                    )
+                group["patterns"].append(pat)
     return group
+
+
+def _space_punct(s: str) -> str:
+    """Insert spaces around ``[ ] ; ,`` outside IRIs and quoted
+    literals, so the whitespace tokenizer emits them as standalone
+    tokens even when glued to a term (``?o; <q>``, ``[<p> ?o]``)."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "<" and (j := _iri_end(s, i)) is not None:
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c in "[];,":
+            out.append(f" {c} ")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _expand_triple_sugar(clause: str):
+    """Expand SPARQL triple-pattern abbreviations into plain triples:
+    predicate-object lists (``s p o ; q r``), object lists
+    (``s p o , o2``) and anonymous blank nodes (``[ p o ; ... ]``,
+    recursively) — each ``[`` mints a fresh ``_:genid<n>`` label
+    (deterministic per query text; scoped-variable semantics via
+    :func:`_parse_term`; ``_:genid*`` is effectively reserved).
+    Returns a list of (s, p, o) term-string triples."""
+    toks = _split_terms(_space_punct(clause))
+    if not any(t in ("[", "]", ";", ",") for t in toks):
+        if len(toks) != 3:
+            raise ValueError(f"bad triple pattern: {clause!r}")
+        return [tuple(toks)]
+
+    pos = 0
+    triples: list = []
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of triple pattern: {clause!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_node():
+        t = peek()
+        if t == "[":
+            take()
+            label = f"_:genid{_ANON_STATE['n']}"
+            _ANON_STATE["n"] += 1
+            if peek() != "]":
+                parse_prop_list(label)
+            if take() != "]":
+                raise ValueError(f"unbalanced '[' in: {clause!r}")
+            return label, True
+        if t in ("]", ";", ","):
+            raise ValueError(f"unexpected {t!r} in: {clause!r}")
+        return take(), False
+
+    def parse_prop_list(subj):
+        while True:
+            verb = take()
+            if verb in ("[", "]", ";", ","):
+                raise ValueError(f"expected predicate, got {verb!r} in: "
+                                 f"{clause!r}")
+            while True:
+                obj, _ = parse_node()
+                triples.append((subj, verb, obj))
+                if peek() == ",":
+                    take()
+                    continue
+                break
+            if peek() == ";":
+                take()
+                if peek() in ("]", None):  # trailing ';' is valid
+                    break
+                continue
+            break
+
+    subj, was_bracket = parse_node()
+    if peek() is not None:
+        parse_prop_list(subj)
+    elif not (was_bracket and triples):
+        raise ValueError(f"bad triple pattern: {clause!r}")
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in triple pattern: {clause!r}")
+    return triples
 
 
 def _plain_group(sub: dict, ctx: str) -> dict:

@@ -1817,3 +1817,54 @@ def test_bnode_rejects():
         eval_bgp(
             t, "CONSTRUCT { ?s _:x ?o } WHERE { ?s <https://e/p> ?o }"
         )
+
+
+def test_triple_pattern_sugar():
+    """Predicate-object lists (;), object lists (,) and anonymous
+    blank nodes ([ ... ], nested, glued punctuation) desugar to plain
+    triples with fresh scoped labels."""
+    t = _triples_table([
+        ("https://e/1", "https://e/knows", "https://e/m1", False),
+        ("https://e/2", "https://e/knows", "https://e/m2", False),
+        ("https://e/m1", "https://e/name", "Ann", True),
+        ("https://e/m2", "https://e/name", "Bob", True),
+        ("https://e/m1", "https://e/age", "30", True),
+        ("https://e/1", "https://e/likes", "https://e/m2", False),
+    ])
+    out = eval_bgp(t, "?s <https://e/knows> ?o ; <https://e/likes> ?l")
+    assert out.to_dict("records") == [
+        {"s": "https://e/1", "l": "https://e/m2", "o": "https://e/m1"}
+    ]
+    out = eval_bgp(t, "?s <https://e/knows> ?o , ?l")  # both must hold
+    assert len(out) == 2 and (out["o"] == out["l"]).all()
+    out = eval_bgp(
+        t, "?s <https://e/knows> [ <https://e/name> ?n ; "
+           "<https://e/age> ?a ]"
+    )
+    assert out.to_dict("records") == [
+        {"a": "30", "n": "Ann", "s": "https://e/1"}
+    ]
+    out = eval_bgp(t, "[ <https://e/name> ?n ]")  # bracket as clause
+    assert out["n"].tolist() == ["Ann", "Bob"]
+    # glued punctuation tokenizes correctly
+    out = eval_bgp(t, "?s <https://e/knows> ?o; <https://e/likes> ?l")
+    assert len(out) == 1
+    # CONSTRUCT template brackets mint fresh nodes per solution
+    c = eval_bgp(
+        t, "CONSTRUCT { ?s <https://e/stmt> [ <https://e/v> ?n ] } "
+           "WHERE { ?s <https://e/knows> [ <https://e/name> ?n ] }"
+    )
+    assert (c["subj"].str.startswith("_:").sum() == 2
+            and c["obj"].str.startswith("_:").sum() == 2)
+    # same query parses identically twice (deterministic genid labels)
+    q = "SELECT * WHERE { ?s <https://e/p> [ <https://e/q> ?x ] }"
+    from rdf_diff_store_ray.query.bgp import parse_query
+    assert parse_query(q) == parse_query(q)
+
+
+def test_triple_pattern_sugar_rejects():
+    t = _triples_table([("https://e/a", "https://e/p", "o", True)])
+    for bad in ("?s <https://e/p> [", "?s <https://e/p> ] ?o", "[ ]",
+                "?s <https://e/p> ?o ,", "?s ; <https://e/p> ?o"):
+        with pytest.raises(ValueError):
+            eval_bgp(t, bad)
