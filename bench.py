@@ -164,7 +164,7 @@ def run_bench() -> dict:
             "pack_sequences", "train_shards", "shard_epoch_order",
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
             "weighted_sample_docs", "bloom_decontam", "collocations",
-            "kg_random_walks",
+            "kg_random_walks", "triangle_counts", "khop_sample",
         ):
             timed(name, q.registry()[name])
 

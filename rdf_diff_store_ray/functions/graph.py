@@ -880,3 +880,192 @@ def triangle_counts(edges_ds, *, method: str = "auto",
         .groupby("node")
         .aggregate(Sum("n", alias_name="n_tri"))
     )
+
+
+def khop_neighborhood(edges_ds, seeds, k: int, *, method: str = "auto",
+                      num_partitions: int = 32,
+                      broadcast_threshold: int = 2_000_000):
+    """Minimal-hop BFS labels within ``k`` hops of ``seeds`` over the
+    UNDIRECTED graph of an edge Dataset ``(src, dst)`` — the
+    GraphSAGE-style neighborhood extraction a GNN training pipeline
+    runs per minibatch. Returns a Dataset ``(node, hop)`` with
+    ``hop`` = the minimal distance (0 = seed; seeds not present in the
+    graph still appear at hop 0).
+
+    - ``broadcast`` (≤ ``broadcast_threshold`` edges): driver CSR +
+      vectorized BFS — one pass.
+    - ``copartition`` (the scale path): per hop, the frontier
+      co-partitions with the hash-partitioned adjacency to generate
+      candidates, then anti-joins the visited set in co-partitioned
+      groups — the frontier and visited labels shuffle, the adjacency
+      is partitioned once. k shuffle rounds, each bounded by the
+      frontier, never the graph."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    seeds = sorted(set(seeds))
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hop": pa.array([], pa.int64())})
+    seed_tbl = pa.table({"node": pa.array(seeds, pa.string()),
+                         "hop": pa.array([0] * len(seeds), pa.int64())})
+    if not seeds:
+        return rd.from_arrow(empty)
+
+    # undirected, deduped adjacency (both directions)
+    und = (
+        edges_ds.select_columns(["src", "dst"])
+        .union(
+            edges_ds.select_columns(["src", "dst"]).map_batches(
+                lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+                batch_format="pyarrow",
+            )
+        )
+        .map_batches(
+            lambda b: b.filter(pc.not_equal(b["src"], b["dst"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    n_edges = und.count()
+    if n_edges == 0 or k == 0:
+        return rd.from_arrow(seed_tbl)
+    if method == "auto":
+        method = ("broadcast" if n_edges <= broadcast_threshold
+                  else "copartition")
+
+    if method == "broadcast":
+        ed = und.to_pandas().sort_values(["src", "dst"], ignore_index=True)
+        node_arr = np.unique(
+            np.concatenate([ed["src"].to_numpy(object),
+                            ed["dst"].to_numpy(object)])
+        )
+        s_i = np.searchsorted(node_arr, ed["src"].to_numpy(object))
+        d_i = np.searchsorted(node_arr, ed["dst"].to_numpy(object))
+        offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(s_i, minlength=len(node_arr)))]
+        ).astype(np.int64)
+        hop = np.full(len(node_arr), -1, np.int64)
+        in_graph = [s for s in seeds
+                    if node_arr[min(np.searchsorted(node_arr, s),
+                                    len(node_arr) - 1)] == s]
+        frontier = np.searchsorted(node_arr, np.array(in_graph, object)) \
+            if in_graph else np.empty(0, np.int64)
+        hop[frontier] = 0
+        for h in range(1, k + 1):
+            if not len(frontier):
+                break
+            starts = offs[frontier]
+            counts = (offs[frontier + 1] - starts).astype(np.int64)
+            total = int(counts.sum())
+            if not total:
+                break
+            # vectorized multi-span gather: absolute index = span start
+            # + position within the span
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            idx = (np.arange(total) - np.repeat(cum, counts)
+                   + np.repeat(starts, counts))
+            nxt = np.unique(d_i[idx])
+            nxt = nxt[hop[nxt] < 0]
+            hop[nxt] = h
+            frontier = nxt
+        found = np.nonzero(hop >= 0)[0]
+        out = pd.DataFrame({"node": node_arr[found], "hop": hop[found]})
+        missing = [s for s in seeds if s not in set(out["node"])]
+        if missing:
+            out = pd.concat(
+                [out, pd.DataFrame({"node": missing,
+                                    "hop": [0] * len(missing)})],
+                ignore_index=True,
+            )
+        return rd.from_arrow(pa.Table.from_pandas(
+            out.sort_values(["hop", "node"], ignore_index=True),
+            preserve_index=False,
+        ))
+
+    # ---- copartition path ----
+    adj = _copartition(und, "src", num_partitions, "kh_pid").map_batches(
+        lambda b: b.append_column(
+            "_side", pa.array(np.zeros(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = rd.from_arrow(seed_tbl).materialize()
+    frontier = visited
+
+    def expand(group: pd.DataFrame, _h: int) -> pa.Table:
+        ed_g = group[group["_side"] == 0]
+        fr = group[group["_side"] == 1]
+        if not len(ed_g) or not len(fr):
+            return pa.table({"node": pa.array([], pa.string())})
+        m = fr[["src"]].merge(ed_g[["src", "dst"]], on="src", how="inner")
+        return pa.table({
+            "node": pa.array(m["dst"].unique(), pa.string())
+        })
+
+    for h in range(1, k + 1):
+        fr_tagged = _copartition(
+            _rename(frontier.select_columns(["node"]), {"node": "src"}),
+            "src", num_partitions, "kh_pid",
+        ).map_batches(
+            lambda b: b.append_column(
+                "dst", pa.array([None] * b.num_rows, pa.string())
+            ).append_column(
+                "_side", pa.array(np.ones(b.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        cols = ["src", "dst", "_side", "kh_pid"]
+
+        def expand_h(group: pd.DataFrame, _h=h) -> pa.Table:
+            return expand(group, _h)
+
+        cand = (
+            adj.select_columns(cols).union(fr_tagged.select_columns(cols))
+            .groupby("kh_pid")
+            .map_groups(expand_h, batch_format="pandas")
+            .groupby("node").aggregate(Count(alias_name="_c"))
+            .select_columns(["node"])
+        )
+        # anti-join candidates against visited in co-partitioned groups
+        v_tag = _copartition(
+            visited.select_columns(["node"]), "node", num_partitions,
+            "kh_pid",
+        ).map_batches(
+            lambda b: b.append_column(
+                "_side", pa.array(np.zeros(b.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        c_tag = _copartition(
+            cand, "node", num_partitions, "kh_pid"
+        ).map_batches(
+            lambda b: b.append_column(
+                "_side", pa.array(np.ones(b.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+
+        def fresh_only(group: pd.DataFrame, _h=h) -> pa.Table:
+            seen = set(group[group["_side"] == 0]["node"])
+            new = group[group["_side"] == 1]
+            new = new[~new["node"].isin(seen)]
+            return pa.table({
+                "node": pa.array(new["node"].to_numpy(object), pa.string()),
+                "hop": pa.array(np.full(len(new), _h, np.int64)),
+            })
+
+        vcols = ["node", "_side", "kh_pid"]
+        frontier = (
+            v_tag.select_columns(vcols).union(c_tag.select_columns(vcols))
+            .groupby("kh_pid")
+            .map_groups(fresh_only, batch_format="pandas")
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+    return visited.groupby("node").aggregate(Min("hop", alias_name="hop"))

@@ -885,17 +885,11 @@ ORDER BY t.pair_n DESC, t.w1, t.w2
 """
 
 
-def triangle_counts_q(sf_dir: str, k: int = 20):
-    """Per-node triangle counts over the order–part–supplier
-    co-occurrence graph (every lineitem row contributes the three
-    undirected edges of its (order, part, supplier) triple): the
-    graph-pattern-mining operator with an EXACT SQL oracle — top-k
-    nodes by triangle participation. Ray side = the degree-ordered
-    wedge-join in :func:`..functions.graph.triangle_counts` (Latapy
-    2008); oracle = the canonical u<v<w three-way self-join."""
+def _lineitem_edges(sf_dir: str):
+    """The order–part–supplier co-occurrence graph: every lineitem row
+    contributes its (o, p), (p, s), (s, o) edges. The shared input of
+    the graph-analytics oracle entries (triangles, k-hop)."""
     import ray.data as rd
-
-    from ..functions.graph import triangle_counts
 
     def edges(batch: pa.Table) -> pa.Table:
         o = pc.binary_join_element_wise(
@@ -914,12 +908,81 @@ def triangle_counts_q(sf_dir: str, k: int = 20):
                 [c.combine_chunks() for c in (p, s, o)]),
         })
 
-    ds = rd.read_parquet(
+    return rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey"],
     ).map_batches(edges, batch_format="pyarrow")
+
+
+def khop_sample(sf_dir: str, k: int = 2, n_seeds: int = 2):
+    """GraphSAGE-style k-hop neighborhood extraction over the
+    order–part–supplier graph: minimal hop distance from the
+    ``n_seeds`` lowest order nodes, k=2 — the per-minibatch subgraph a
+    GNN trainer samples, with an exact SQL oracle (two join rounds +
+    anti-joins)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import khop_neighborhood
+
+    import ray.data as rd
+
+    low = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey"])
+        .groupby("l_orderkey").aggregate(Count(alias_name="_c"))
+        .sort("l_orderkey").limit(n_seeds).to_pandas()
+    )
+    seeds = [f"o{int(v)}" for v in low["l_orderkey"]]
     return (
-        triangle_counts(ds)
+        khop_neighborhood(_lineitem_edges(sf_dir), seeds, k)
+        .sort(["hop", "node"])
+    )
+
+
+KHOP_SAMPLE_SQL = r"""
+WITH e_raw AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS u,
+         'p' || CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'p' || CAST(l_partkey AS VARCHAR),
+         's' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+         'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+), und AS (
+  SELECT DISTINCT u AS a, v AS b FROM e_raw WHERE u <> v
+  UNION
+  SELECT DISTINCT v, u FROM e_raw WHERE u <> v
+), seeds AS (
+  SELECT 'o' || CAST(k AS VARCHAR) AS node FROM
+    (SELECT DISTINCT l_orderkey AS k FROM lineitem ORDER BY k LIMIT 2)
+), h1 AS (
+  SELECT DISTINCT und.b AS node FROM und JOIN seeds ON und.a = seeds.node
+  WHERE und.b NOT IN (SELECT node FROM seeds)
+), h2 AS (
+  SELECT DISTINCT und.b AS node FROM und JOIN h1 ON und.a = h1.node
+  WHERE und.b NOT IN (SELECT node FROM seeds)
+    AND und.b NOT IN (SELECT node FROM h1)
+)
+SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds
+UNION ALL SELECT node, CAST(1 AS BIGINT) FROM h1
+UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
+ORDER BY hop, node
+"""
+
+
+def triangle_counts_q(sf_dir: str, k: int = 20):
+    """Per-node triangle counts over the order–part–supplier
+    co-occurrence graph (every lineitem row contributes the three
+    undirected edges of its (order, part, supplier) triple): the
+    graph-pattern-mining operator with an EXACT SQL oracle — top-k
+    nodes by triangle participation. Ray side = the degree-ordered
+    wedge-join in :func:`..functions.graph.triangle_counts` (Latapy
+    2008); oracle = the canonical u<v<w three-way self-join."""
+    from ..functions.graph import triangle_counts
+
+    return (
+        triangle_counts(_lineitem_edges(sf_dir))
         .sort([("n_tri"), ("node")], descending=[True, False])
         .limit(k)
     )
@@ -3346,6 +3409,7 @@ def kg_analytics(sf_dir: str):
             "query_service": kg_query_service,
             "random_walks": kg_random_walks,
             "triangle_counts": triangle_counts_q,
+            "khop_sample": khop_sample,
             "state_at_mid": kg_state_at_mid,
             "triple_pr": kg_triple_pr,
             "triples": kg_triples,
@@ -3550,6 +3614,7 @@ def registry():
         "collocations": collocations,
         "kg_random_walks": kg_random_walks,
         "triangle_counts": triangle_counts_q,
+        "khop_sample": khop_sample,
     }
 
 
@@ -3604,4 +3669,5 @@ def oracles():
         "pack_sequences": PACK_SEQUENCES_SQL,
         "collocations": COLLOCATIONS_SQL,
         "triangle_counts": TRIANGLE_COUNTS_SQL,
+        "khop_sample": KHOP_SAMPLE_SQL,
     }

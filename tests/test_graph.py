@@ -216,3 +216,48 @@ def test_triangle_counts_triangle_free_and_empty(ray_session):
     out = triangle_counts(rd.from_pandas(empty))
     assert out.count() == 0
     assert out.schema().names == ["node", "n_tri"]
+
+
+def test_khop_neighborhood_paths_match_bfs(ray_session):
+    """k-hop labels: both paths equal a dict BFS; absent seeds still
+    appear at hop 0; hop is the MINIMAL distance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import khop_neighborhood
+
+    rng = np.random.default_rng(7)
+    ed = pd.DataFrame({
+        "src": [f"n{rng.integers(40)}" for _ in range(120)],
+        "dst": [f"n{rng.integers(40)}" for _ in range(120)],
+    })
+    adj: dict = {}
+    for s, d in zip(ed["src"], ed["dst"]):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    seeds = ["n0", "n1", "nope"]
+    want = {s: 0 for s in seeds}
+    frontier = [s for s in seeds if s in adj]
+    for h in (1, 2, 3):
+        nxt = {v for u in frontier for v in adj.get(u, ())
+               if v not in want}
+        for v in nxt:
+            want[v] = h
+        frontier = list(nxt)
+    wdf = pd.DataFrame(sorted(want.items()), columns=["node", "hop"])
+    b = khop_neighborhood(
+        rd.from_pandas(ed), seeds, 3, method="broadcast"
+    ).to_pandas().sort_values("node", ignore_index=True)
+    c = khop_neighborhood(
+        rd.from_pandas(ed), seeds, 3, method="copartition",
+        num_partitions=4,
+    ).to_pandas().sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(b[["node", "hop"]], wdf,
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(c[["node", "hop"]], wdf,
+                                  check_dtype=False)
+    # k=0 → seeds only
+    z = khop_neighborhood(rd.from_pandas(ed), ["n0"], 0).to_pandas()
+    assert z.to_dict("records") == [{"node": "n0", "hop": 0}]
