@@ -280,6 +280,57 @@ def cmd_ann_index_query(args) -> int:
     return 0
 
 
+def cmd_text_index_build(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.textindex import build_text_index, extend_text_index
+
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    if args.extend:
+        stats = extend_text_index(docs, args.index)
+    else:
+        stats = build_text_index(
+            docs, args.index, num_partitions=args.partitions,
+        )
+    print(json.dumps({
+        "index": args.index,
+        "partitions_touched": int(len(stats)),
+        "rows": int(stats["rows"].sum()) if len(stats) else 0,
+    }))
+    return 0
+
+
+def cmd_text_index_query(args) -> int:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+
+    from .functions.textindex import query_text_index
+
+    out = query_text_index(args.index, args.terms, mode=args.mode)
+    if args.out:
+        _pq.write_table(out, args.out)
+        print(json.dumps({"rows": out.num_rows, "out": args.out}))
+    else:
+        print(json.dumps({
+            "rows": out.num_rows,
+            "results": out.to_pylist(),
+        }))
+    return 0
+
+
+def cmd_text_index_compact(args) -> int:
+    from .functions.textindex import compact_text_index
+
+    stats = compact_text_index(args.index)
+    print(json.dumps({
+        "partitions_compacted": int(len(stats)),
+        "segments_merged": int(stats["segments_merged"].sum())
+        if len(stats) else 0,
+    }))
+    return 0
+
+
 def cmd_tokenizer_train(args) -> int:
     _ensure_ray()
     import ray.data as rd
@@ -594,6 +645,34 @@ def main(argv=None) -> int:
     )
     acc.add_argument("--index", required=True)
     acc.set_defaults(fn=cmd_ann_index_compact)
+
+    tb = sub.add_parser(
+        "text-index-build",
+        help="build (or --extend) a persisted inverted text index from a docs parquet",
+    )
+    tb.add_argument("--docs", required=True)
+    tb.add_argument("--index", required=True)
+    tb.add_argument("--partitions", type=int, default=64)
+    tb.add_argument("--extend", action="store_true",
+                    help="append postings to an existing index")
+    tb.set_defaults(fn=cmd_text_index_build)
+
+    tq = sub.add_parser(
+        "text-index-query",
+        help="keyword search over a persisted text index (matching partitions only)",
+    )
+    tq.add_argument("--index", required=True)
+    tq.add_argument("terms", nargs="+")
+    tq.add_argument("--mode", choices=("and", "or"), default="and")
+    tq.add_argument("--out", help="write results parquet here")
+    tq.set_defaults(fn=cmd_text_index_query)
+
+    tcc = sub.add_parser(
+        "text-index-compact",
+        help="merge a text index's posting segments (git-gc analog)",
+    )
+    tcc.add_argument("--index", required=True)
+    tcc.set_defaults(fn=cmd_text_index_compact)
 
     tt = sub.add_parser(
         "tokenizer-train",

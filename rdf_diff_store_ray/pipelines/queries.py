@@ -885,6 +885,42 @@ ORDER BY t.pair_n DESC, t.w1, t.w2
 """
 
 
+def text_index_search(sf_dir: str, terms=("window", "sort")):
+    """Keyword search through the persisted inverted index
+    (:mod:`..functions.textindex`): build the index over the documents
+    table (postings partitioned by token hash), then answer an AND
+    query reading ONLY the partitions the terms hash to — file-level
+    pruning, the lexical sibling of `ann_index_topk`. Integer outputs
+    (matched term count + summed tf) hash-stably match the oracle."""
+    import shutil
+    import tempfile
+
+    from ..functions.textindex import build_text_index, query_text_index
+
+    idx = tempfile.mkdtemp(prefix="kg_text_idx_")
+    try:
+        build_text_index(
+            _docs(sf_dir, ["doc_id", "text"]), idx, num_partitions=64
+        )
+        return query_text_index(idx, list(terms), mode="and")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+TEXT_INDEX_SEARCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE t IN ('window', 'sort') GROUP BY doc_id, t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM m GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
+"""
+
+
 def _lineitem_edges(sf_dir: str):
     """The order–part–supplier co-occurrence graph: every lineitem row
     contributes its (o, p), (p, s), (s, o) edges. The shared input of
@@ -3473,6 +3509,7 @@ def embed_text_suite(sf_dir: str):
             "approx_quantiles_price": rel.approx_quantiles_price,
             "weighted_sample_docs": weighted_sample_docs,
             "collocations": collocations,
+            "text_index_search": text_index_search,
         },
         sf_dir,
     )
@@ -3615,6 +3652,7 @@ def registry():
         "kg_random_walks": kg_random_walks,
         "triangle_counts": triangle_counts_q,
         "khop_sample": khop_sample,
+        "text_index_search": text_index_search,
     }
 
 
@@ -3670,4 +3708,5 @@ def oracles():
         "collocations": COLLOCATIONS_SQL,
         "triangle_counts": TRIANGLE_COUNTS_SQL,
         "khop_sample": KHOP_SAMPLE_SQL,
+        "text_index_search": TEXT_INDEX_SEARCH_SQL,
     }
