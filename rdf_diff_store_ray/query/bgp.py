@@ -1980,12 +1980,16 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
 
 def describe_triples(result: pd.DataFrame, describe,
                      pattern_bindings) -> pd.DataFrame:
-    """DESCRIBE resources → their outbound triples as a distinct, sorted
-    ``(subj, pred, obj, obj_is_literal)`` frame (same shape as
-    CONSTRUCT). Resources = the form's IRI constants plus every IRI a
-    described variable binds in the group result; one selective
-    ``<r> ?p ?o`` pattern per resource, so the transfer is bounded by
-    the descriptions' size, never the store's."""
+    """DESCRIBE resources → their Concise Bounded Description as a
+    distinct, sorted ``(subj, pred, obj, obj_is_literal)`` frame (same
+    shape as CONSTRUCT). Resources = the form's IRI constants plus
+    every IRI a described variable binds in the group result; one
+    selective ``<r> ?p ?o`` pattern per resource, then blank-node
+    OBJECTS are followed recursively (the CBD rule — the shape the
+    reference's oxigraph serves, ``src/query.rs:148-169``; meaningful
+    here since stored graphs carry canonical ``_:`` labels). Cycle-safe
+    via the described set; the transfer stays bounded by the
+    descriptions' size, never the store's."""
     resources: set = set()
     for kind, val in describe:
         if kind == "iri":
@@ -1995,25 +1999,41 @@ def describe_triples(result: pd.DataFrame, describe,
             col = result[val].dropna().astype("string")
             resources.update(col[col.str.startswith("I")].str.slice(1))
     frames = []
-    for r in sorted(resources):
-        b = pattern_bindings((("iri", r), ("var", "__dp"), ("var", "__do")))
-        if not len(b):
-            continue
-        dp = b["__dp"].astype("string")
-        do = b["__do"].astype("string")
-        frames.append(
-            pd.DataFrame(
-                {
-                    "subj": pd.Series([r] * len(b), dtype=object),
-                    "pred": dp.str.slice(1).astype(object).to_numpy(),
-                    "obj": do.str.slice(1).astype(object).to_numpy(),
-                    "obj_is_literal": do.str.startswith("L")
-                    .fillna(False)
-                    .astype(bool)
-                    .to_numpy(),
-                }
+    described: set = set()
+    queue = sorted(resources)
+    while queue:
+        nxt: set = set()
+        for r in queue:
+            if r in described:
+                continue
+            described.add(r)
+            b = pattern_bindings(
+                (("iri", r), ("var", "__dp"), ("var", "__do"))
             )
-        )
+            if not len(b):
+                continue
+            dp = b["__dp"].astype("string")
+            do = b["__do"].astype("string")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "subj": pd.Series([r] * len(b), dtype=object),
+                        "pred": dp.str.slice(1).astype(object).to_numpy(),
+                        "obj": do.str.slice(1).astype(object).to_numpy(),
+                        "obj_is_literal": do.str.startswith("L")
+                        .fillna(False)
+                        .astype(bool)
+                        .to_numpy(),
+                    }
+                )
+            )
+            objs = do[~do.str.startswith("L").fillna(False)].str.slice(1)
+            nxt.update(
+                o for o in objs
+                if isinstance(o, str) and o.startswith("_:")
+                and o not in described
+            )
+        queue = sorted(nxt)
     if not frames:
         return pd.DataFrame(
             columns=["subj", "pred", "obj", "obj_is_literal"]

@@ -1868,3 +1868,26 @@ def test_triple_pattern_sugar_rejects():
                 "?s <https://e/p> ?o ,", "?s ; <https://e/p> ?o"):
         with pytest.raises(ValueError):
             eval_bgp(t, bad)
+
+
+def test_describe_cbd_blank_node_closure():
+    """DESCRIBE serves the Concise Bounded Description: blank-node
+    OBJECTS are followed recursively (cycle-safe), other resources'
+    triples are not pulled in."""
+    t = _triples_table([
+        ("https://e/r", "https://e/p", "_:b1", False),
+        ("_:b1", "https://e/q", "_:b2", False),
+        ("_:b2", "https://e/v", "val", True),
+        ("_:b2", "https://e/back", "_:b1", False),  # cycle
+        ("https://e/other", "https://e/p", "zzz", True),
+    ])
+    out = eval_bgp(t, "DESCRIBE <https://e/r>")
+    assert set(out["subj"]) == {"https://e/r", "_:b1", "_:b2"}
+    assert len(out) == 4
+    # an IRI object is NOT followed (CBD stops at non-blank nodes)
+    t2 = _triples_table([
+        ("https://e/r", "https://e/p", "https://e/other", False),
+        ("https://e/other", "https://e/p", "zzz", True),
+    ])
+    out2 = eval_bgp(t2, "DESCRIBE <https://e/r>")
+    assert set(out2["subj"]) == {"https://e/r"}
