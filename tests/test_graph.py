@@ -251,8 +251,7 @@ def test_khop_neighborhood_paths_match_bfs(ray_session):
         rd.from_pandas(ed), seeds, 3, method="broadcast"
     ).to_pandas().sort_values("node", ignore_index=True)
     c = khop_neighborhood(
-        rd.from_pandas(ed), seeds, 3, method="copartition",
-        num_partitions=4,
+        rd.from_pandas(ed), seeds, 3, method="stream"
     ).to_pandas().sort_values("node", ignore_index=True)
     pd.testing.assert_frame_equal(b[["node", "hop"]], wdf,
                                   check_dtype=False)
