@@ -307,7 +307,8 @@ def cmd_text_index_query(args) -> int:
 
     from .functions.textindex import query_text_index
 
-    out = query_text_index(args.index, args.terms, mode=args.mode)
+    out = query_text_index(args.index, args.terms, mode=args.mode,
+                           score=args.score, limit=args.limit)
     if args.out:
         _pq.write_table(out, args.out)
         print(json.dumps({"rows": out.num_rows, "out": args.out}))
@@ -664,6 +665,9 @@ def main(argv=None) -> int:
     tq.add_argument("--index", required=True)
     tq.add_argument("terms", nargs="+")
     tq.add_argument("--mode", choices=("and", "or"), default="and")
+    tq.add_argument("--score", choices=("bm25",), default=None,
+                    help="rank results (score_micro = bm25 x 1e6)")
+    tq.add_argument("--limit", type=int, default=None)
     tq.add_argument("--out", help="write results parquet here")
     tq.set_defaults(fn=cmd_text_index_query)
 

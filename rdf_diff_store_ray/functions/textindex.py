@@ -15,8 +15,11 @@ query's terms. Layout (the repo's log-structured store pattern):
   any Ray task is scheduled).
 
 Term frequencies are per-document integers, so query results
-hash-stably match a SQL oracle. Document-length tables (for BM25) are
-derivable downstream from `doc_stats`; the index stores postings only.
+hash-stably match a SQL oracle. Each ingest also lands a
+``doclen-<seq>/`` doc-length segment and a ``stats-<seq>.json``
+(n_docs, total_tokens) aggregate, which power ``score="bm25"``
+ranking: exact df from the pruned postings, N/avgdl from the stats
+files, matched docs' lengths from a filtered doc-length scan.
 """
 
 from __future__ import annotations
@@ -125,6 +128,15 @@ def extend_text_index(docs_ds, index_dir: str, *,
                              "rows": pd.Series([len(part)],
                                                dtype="int64")})
 
+    def doclens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "dl": pc.count_substring_regex(
+                text, meta.get("token_pattern", TOKEN_PATTERN)
+            ).cast(pa.int64()),
+        })
+
     # pid cardinality is bounded (= P) so per-pid map_groups is safe;
     # seq claimed inside the lock (cells are late-bound — cloudpickle
     # snapshots at execution)
@@ -140,6 +152,26 @@ def extend_text_index(docs_ds, index_dir: str, *,
         if out.empty:
             return pd.DataFrame({"pid": pd.Series(dtype="int64"),
                                  "rows": pd.Series(dtype="int64")})
+        # doc-length segment + per-ingest corpus stats (the BM25 side
+        # of the index): a second cheap streaming pass (regex COUNT
+        # kernel, no explode). Extension assumes NEW documents — a
+        # re-ingested doc merges its postings but double-counts in
+        # N/avgdl (the standard incremental-index contract; rebuild to
+        # re-baseline).
+        dl_ds = docs_ds.select_columns([id_col, text_col]).map_batches(
+            doclens, batch_format="pyarrow"
+        )
+        dl_dir = os.path.join(index_dir, f"doclen-{seq:06d}")
+        dl_ds.write_parquet(dl_dir)
+        n_docs = 0
+        total = 0
+        for f in globmod.glob(os.path.join(dl_dir, "*.parquet")):
+            t = pq.read_table(f, columns=["dl"])
+            n_docs += t.num_rows
+            total += int(pc.sum(t["dl"]).as_py() or 0)
+        with open(os.path.join(index_dir, f"stats-{seq:06d}.json"),
+                  "w") as f:
+            json.dump({"n_docs": n_docs, "total_tokens": total}, f)
         return out.sort_values("pid", ignore_index=True)
 
 
@@ -207,15 +239,28 @@ def compact_text_index(index_dir: str) -> pd.DataFrame:
         ).astype("int64")
 
 
-def query_text_index(index_dir: str, terms, *, mode: str = "and"):
+def query_text_index(index_dir: str, terms, *, mode: str = "and",
+                     score: str | None = None,
+                     limit: int | None = None):
     """Documents matching the query terms, reading ONLY the partitions
     the terms hash to (file-level pruning, decided on the driver).
     Returns an Arrow table ``(doc_id, n_matched, total_tf)`` — matched
     distinct terms and their summed frequencies, integers only —
     sorted by doc_id; ``mode="and"`` keeps docs matching every term,
-    ``"or"`` any."""
+    ``"or"`` any.
+
+    ``score="bm25"`` additionally ranks: Okapi BM25 (Robertson et al.,
+    k1=1.2, b=0.75, idf floored at 0 via the ln(1+x) form) over exact
+    df from the pruned postings, corpus N/avgdl from the per-ingest
+    stats files, and matched docs' lengths from a column-pruned
+    doc-length scan filtered by the (bounded) matched-id set. Scores
+    are emitted as ``score_micro`` = round(score × 1e6) int64 so
+    results stay hash-stable; rows sort by (-score_micro, doc_id) and
+    ``limit`` bounds them."""
     if mode not in ("and", "or"):
         raise ValueError(f"unknown mode {mode!r}")
+    if score not in (None, "bm25"):
+        raise ValueError(f"unknown score {score!r}")
     meta = _load_meta(index_dir)
     P = int(meta["num_partitions"])
     terms = sorted({t.lower() if meta["lowercase"] else t
@@ -261,6 +306,9 @@ def query_text_index(index_dir: str, terms, *, mode: str = "and"):
         .groupby(["doc_id", "token"])
         .aggregate(Sum("tf", alias_name="tf"))
     )
+    if score == "bm25":
+        return _bm25_rank(index_dir, pairs, terms, mode=mode,
+                          limit=limit, empty=empty)
     agg = (
         pairs.map_batches(
             lambda b: pa.table({
@@ -293,4 +341,113 @@ def query_text_index(index_dir: str, terms, *, mode: str = "and"):
                               pa.int64()),
         "total_tf": pa.array(out["total_tf"].to_numpy("int64"),
                              pa.int64()),
+    })
+
+
+def _bm25_rank(index_dir: str, pairs, terms, *, mode: str,
+               limit: int | None, empty: pa.Table):
+    """Driver-side BM25 over the (bounded) matched-pair frame: exact
+    per-term df from the pruned postings, N/avgdl summed from the
+    per-ingest stats files, matched docs' lengths via an in-stream
+    filtered scan of the doc-length segments (the scan is column-
+    pruned two-int64 rows; only matched rows ever reach the driver)."""
+    import ray
+    import ray.data as rd
+
+    pdf = pairs.to_pandas()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_matched", pa.int64()),
+        ("total_tf", pa.int64()), ("score_micro", pa.int64()),
+    ])
+    if not len(pdf):
+        return empty.cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_matched", pa.int64()),
+            ("total_tf", pa.int64()),
+        ])).append_column("score_micro", pa.array([], pa.int64()))
+    # df per term over EVERY doc containing it — computed before any
+    # AND filtering (document frequency is a corpus property, not a
+    # result-set one)
+    df_per_term = pdf.groupby("token")["doc_id"].nunique()
+    per_doc = pdf.groupby("doc_id", sort=True).agg(
+        n_matched=("token", "nunique"), total_tf=("tf", "sum")
+    ).reset_index()
+    if mode == "and":
+        keep = per_doc[per_doc["n_matched"] == len(terms)]
+    else:
+        keep = per_doc
+    if not len(keep):
+        return pa.table({n: pa.array([], t)
+                         for n, t in zip(out_schema.names,
+                                         out_schema.types)})
+    kept_ids = set(keep["doc_id"].tolist())
+    pdf = pdf[pdf["doc_id"].isin(kept_ids)]
+
+    # corpus stats: O(#ingests) tiny json reads
+    n_docs = 0
+    total_tokens = 0
+    for f in sorted(globmod.glob(os.path.join(index_dir,
+                                              "stats-*.json"))):
+        with open(f) as fh:
+            st = json.load(fh)
+        n_docs += int(st["n_docs"])
+        total_tokens += int(st["total_tokens"])
+    if n_docs == 0:
+        raise ValueError(
+            "index has no doc-length stats (built before BM25 support?) "
+            "— rebuild or re-extend to enable scoring"
+        )
+    avgdl = total_tokens / n_docs
+
+    # matched docs' lengths: filtered streaming scan, never the corpus
+    dl_files = sorted(globmod.glob(os.path.join(
+        index_dir, "doclen-*", "*.parquet"
+    )))
+    ids_arr = np.sort(np.fromiter(kept_ids, np.int64, len(kept_ids)))
+    ids_ref = ray.put(ids_arr)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
+        return batch.filter(pa.array(ids[pos] == d))
+
+    dl_df = (
+        rd.read_parquet(dl_files)
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("doc_id", sort=True)["dl"].sum()  # re-ingest: summed
+    )
+
+    # BM25 (k1=1.2, b=0.75), idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    k1, b = 1.2, 0.75
+    pdf = pdf.sort_values(["doc_id", "token"], ignore_index=True)
+    tf = pdf["tf"].to_numpy("float64")
+    dfv = df_per_term.loc[pdf["token"]].to_numpy("float64")
+    dl = dl_df.reindex(pdf["doc_id"]).to_numpy("float64")
+    if np.isnan(dl).any():
+        raise ValueError("doc-length segment missing matched docs — "
+                         "index is inconsistent")
+    idf = np.log1p((n_docs - dfv + 0.5) / (dfv + 0.5))
+    part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    scores = pd.Series(part).groupby(
+        pdf["doc_id"].to_numpy("int64")
+    ).sum()
+    out = keep.set_index("doc_id")
+    out["score_micro"] = np.round(
+        scores.reindex(out.index) * 1e6
+    ).astype("int64")
+    out = out.reset_index().sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True],
+        ignore_index=True,
+    )
+    if limit is not None:
+        out = out.head(limit)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64()),
+        "n_matched": pa.array(out["n_matched"].to_numpy("int64"),
+                              pa.int64()),
+        "total_tf": pa.array(out["total_tf"].to_numpy("int64"),
+                             pa.int64()),
+        "score_micro": pa.array(out["score_micro"].to_numpy("int64"),
+                                pa.int64()),
     })

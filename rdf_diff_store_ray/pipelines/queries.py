@@ -921,6 +921,29 @@ FROM m GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
 """
 
 
+def text_index_bm25(sf_dir: str, terms=("window", "sort"), k: int = 25):
+    """BM25-ranked keyword search through the persisted inverted index
+    — the ranking layer over `text_index_search`'s membership query.
+    Scores are integer micro-units (round(bm25 × 1e6)) so the digest
+    pins exact values; deterministic on a given platform (single
+    vectorized numpy pass over the bounded matched set)."""
+    import shutil
+    import tempfile
+
+    from ..functions.textindex import build_text_index, query_text_index
+
+    idx = tempfile.mkdtemp(prefix="kg_text_idx_")
+    try:
+        build_text_index(
+            _docs(sf_dir, ["doc_id", "text"]), idx, num_partitions=64
+        )
+        return query_text_index(
+            idx, list(terms), mode="or", score="bm25", limit=k
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _lineitem_edges(sf_dir: str):
     """The order–part–supplier co-occurrence graph: every lineitem row
     contributes its (o, p), (p, s), (s, o) edges. The shared input of
@@ -3510,6 +3533,7 @@ def embed_text_suite(sf_dir: str):
             "weighted_sample_docs": weighted_sample_docs,
             "collocations": collocations,
             "text_index_search": text_index_search,
+            "text_index_bm25": text_index_bm25,
         },
         sf_dir,
     )
@@ -3653,6 +3677,7 @@ def registry():
         "triangle_counts": triangle_counts_q,
         "khop_sample": khop_sample,
         "text_index_search": text_index_search,
+        "text_index_bm25": text_index_bm25,
     }
 
 

@@ -172,3 +172,84 @@ def test_text_index_cli(ray_session, tmp_path, capsys):
     assert q["rows"] == 1 and q["results"][0]["doc_id"] == 0
     comp = json.loads(lines[3])
     assert comp["segments_merged"] >= 2
+
+
+def test_bm25_matches_naive(ray_session, tmp_path):
+    """BM25 scores (integer micro-units) equal a dict-based Okapi
+    implementation for AND and OR modes; ranking is score-desc with
+    doc_id tie-break; limit bounds rows."""
+    import math
+
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["alpha beta beta", "alpha alpha alpha gamma", "beta",
+                 "alpha beta gamma delta epsilon zeta", "gamma gamma"],
+    })
+    idx = str(tmp_path / "idx")
+    build_text_index(rd.from_pandas(docs), idx, num_partitions=8)
+    k1, b = 1.2, 0.75
+    toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    terms = ("alpha", "beta")
+    dft = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+
+    def naive(mode):
+        want = {}
+        for d, tk in toks.items():
+            s, nm, tt = 0.0, 0, 0
+            for t in terms:
+                tf = tk.count(t)
+                if not tf:
+                    continue
+                nm += 1
+                tt += tf
+                idf = math.log1p((N - dft[t] + 0.5) / (dft[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl)
+                )
+            if (mode == "or" and nm) or (mode == "and" and nm == 2):
+                want[d] = (nm, tt, round(s * 1e6))
+        return want
+
+    for mode in ("or", "and"):
+        out = query_text_index(
+            idx, list(terms), mode=mode, score="bm25"
+        ).to_pandas()
+        got = {r.doc_id: (r.n_matched, r.total_tf, r.score_micro)
+               for r in out.itertuples()}
+        assert got == naive(mode), mode
+        assert (out["score_micro"].diff().dropna() <= 0).all()
+    lim = query_text_index(idx, list(terms), mode="or", score="bm25",
+                           limit=2).to_pandas()
+    assert len(lim) == 2
+    # no matches → empty with the scored schema
+    none = query_text_index(idx, ["nosuch"], score="bm25").to_pandas()
+    assert len(none) == 0
+    with pytest.raises(ValueError):
+        query_text_index(idx, ["alpha"], score="cosine")
+
+
+def test_bm25_survives_extend_and_compact(ray_session, tmp_path):
+    """Scores account for extension segments (new docs enter N/avgdl;
+    split pairs merge) and are unchanged by compaction."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["alpha beta", "alpha alpha"]})
+    idx = str(tmp_path / "idx")
+    build_text_index(rd.from_pandas(docs), idx, num_partitions=4)
+    extend_text_index(
+        rd.from_pandas(pd.DataFrame({"doc_id": [2],
+                                     "text": ["beta beta gamma"]})),
+        idx,
+    )
+    before = query_text_index(idx, ["alpha", "beta"], mode="or",
+                              score="bm25").to_pandas()
+    assert set(before["doc_id"]) == {0, 1, 2}
+    compact_text_index(idx)
+    after = query_text_index(idx, ["alpha", "beta"], mode="or",
+                             score="bm25").to_pandas()
+    pd.testing.assert_frame_equal(before, after)
