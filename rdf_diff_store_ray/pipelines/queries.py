@@ -3406,6 +3406,48 @@ def kg_random_walks(sf_dir: str):
     ).sort(["start", "walk", "step"])
 
 
+def kg_churn(sf_dir: str, k: int = 20):
+    """Per-entity CHANGE frequency over the store's full history — the
+    temporal analytic only a versioned store can answer (which entities'
+    facts churn most, the re-crawl/priority signal): one streaming pass
+    over the delta log itself, NO state reconstructions. Every non-
+    delete version's triples explode in-batch; the shuffle carries one
+    (entity, n) partial per batch (entities bounded by the vocabulary,
+    never the log); top-k by (versions touched DESC, entity)."""
+    from ray.data.aggregate import Sum
+
+    res = kg_build_for(sf_dir)
+    log = res.delta_dataset().select_columns(
+        ["graph_id", "warc_ts", "op", "delta_text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..ntriples import parse
+
+        keep = batch.filter(pc.not_equal(batch["op"], "delete"))
+        ents: dict = {}
+        for gid, ts, text in zip(keep["graph_id"].to_pylist(),
+                                 keep["warc_ts"].to_pylist(),
+                                 keep["delta_text"].to_pylist()):
+            seen = set()
+            for s, p, o, lit in parse(text):
+                if s.startswith("http") and s not in seen:
+                    seen.add(s)
+                    ents[s] = ents.get(s, 0) + 1
+        return pa.table({
+            "entity": pa.array(list(ents.keys()), pa.string()),
+            "n": pa.array(list(ents.values()), pa.int64()),
+        })
+
+    return (
+        log.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(Sum("n", alias_name="n_versions"))
+        .sort([("n_versions"), ("entity")], descending=[True, False])
+        .limit(k)
+    )
+
+
 def _digest_forms(forms: dict, sf_dir: str) -> pa.Table:
     """Run each named registry callable and emit one (form, rows,
     digest) row — sha256 over the sorted stringified result, so a value
@@ -3461,6 +3503,7 @@ def kg_analytics(sf_dir: str):
         {
             "blame": kg_blame,
             "blank_nodes": kg_blank_nodes,
+            "churn": kg_churn,
             "diff": kg_diff,
             "entity_degree": kg_entity_degree,
             "metadata": kg_metadata,
@@ -3678,6 +3721,7 @@ def registry():
         "khop_sample": khop_sample,
         "text_index_search": text_index_search,
         "text_index_bm25": text_index_bm25,
+        "kg_churn": kg_churn,
     }
 
 

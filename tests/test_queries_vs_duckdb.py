@@ -146,3 +146,26 @@ def test_digest_suites_execute(ray_session):
     assert len(et) == 21 and et["form"].is_unique
     assert (dd["digest"].str.len() == 16).all()
     assert (et["digest"].str.len() == 16).all()
+
+
+def test_kg_churn_matches_naive_log_replay(ray_session):
+    """kg_churn (per-entity change frequency) equals a driver-side
+    replay of the same delta log: for every non-delete version, each
+    distinct subject entity counts once."""
+    from rdf_diff_store_ray.ntriples import parse
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    res = q.kg_build_for(SF_DIR)
+    want: dict = {}
+    t = res.delta_table()
+    for op, text in zip(t["op"].to_pylist(), t["delta_text"].to_pylist()):
+        if op == "delete":
+            continue
+        for s in {s for s, _, _, _ in parse(text)
+                  if s.startswith("http")}:
+            want[s] = want.get(s, 0) + 1
+    got = q.kg_churn(SF_DIR, k=10_000).to_pandas()
+    assert dict(zip(got["entity"], got["n_versions"])) == want
+    # ordering: versions DESC, entity ASC tie-break
+    key = list(zip(-got["n_versions"], got["entity"]))
+    assert key == sorted(key)
