@@ -1891,3 +1891,35 @@ def test_describe_cbd_blank_node_closure():
     ])
     out2 = eval_bgp(t2, "DESCRIBE <https://e/r>")
     assert set(out2["subj"]) == {"https://e/r"}
+
+
+def test_bnode_sugar_distributed_matches_single_reader(ray_session):
+    """Blank-node pattern terms and the ; , [ ] sugar route through the
+    distributed service identically to the single reader (hidden vars
+    join across per-partition pattern push-downs like any variable)."""
+    from rdf_diff_store_ray.corpus import P_ACQUIRED, P_HQ
+    from rdf_diff_store_ray.pipelines import queries as q
+    from rdf_diff_store_ray.query.service import QueryService
+    from rdf_diff_store_ray.state.reconstruct import metadata_table
+
+    res = q.kg_build_for(SF_DIR)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    ts = int(pd.Timestamp(hi).timestamp())
+    reader = DiffStoreReader(dt)
+    queries = [
+        f"SELECT * WHERE {{ ?a <{P_ACQUIRED}> _:t . "
+        f"_:t <{P_HQ}> ?city }} ORDER BY ?a ?city",
+        f"SELECT * WHERE {{ ?a <{P_ACQUIRED}> [ <{P_HQ}> ?city ] }} "
+        "ORDER BY ?a ?city",
+    ]
+    svc = QueryService(res.delta_dir)
+    try:
+        for query in queries:
+            got = svc.query_at(ts, query)
+            want = reader.query_at(ts, query)
+            pd.testing.assert_frame_equal(got, want)
+            assert len(want) > 0
+            assert not any(c.startswith("__bn_") for c in got.columns)
+    finally:
+        svc.shutdown()
