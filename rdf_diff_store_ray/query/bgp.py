@@ -692,7 +692,7 @@ def _expand_triple_sugar(clause: str):
     :func:`_parse_term`; ``_:genid*`` is effectively reserved).
     Returns a list of (s, p, o) term-string triples."""
     toks = _split_terms(_space_punct(clause))
-    if not any(t in ("[", "]", ";", ",") for t in toks):
+    if not any(t in ("[", "]", ";", ",", "(", ")") for t in toks):
         if len(toks) != 3:
             raise ValueError(f"bad triple pattern: {clause!r}")
         return [tuple(toks)]
@@ -711,17 +711,44 @@ def _expand_triple_sugar(clause: str):
         pos += 1
         return t
 
+    def fresh():
+        label = f"_:genid{_ANON_STATE['n']}"
+        _ANON_STATE["n"] += 1
+        return label
+
     def parse_node():
         t = peek()
         if t == "[":
             take()
-            label = f"_:genid{_ANON_STATE['n']}"
-            _ANON_STATE["n"] += 1
+            label = fresh()
             if peek() != "]":
                 parse_prop_list(label)
             if take() != "]":
                 raise ValueError(f"unbalanced '[' in: {clause!r}")
             return label, True
+        if t == "(":
+            # RDF collection → rdf:first/rest chain over fresh anon
+            # nodes (the Turtle data desugaring, `turtle.py` list
+            # handling); empty list = rdf:nil. Parens must be
+            # whitespace-separated — glued parens parse as property
+            # paths (predicate position only).
+            take()
+            items = []
+            while peek() not in (")", None):
+                node, _ = parse_node()
+                items.append(node)
+            if take() != ")":
+                raise ValueError(f"unbalanced '(' in: {clause!r}")
+            ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            if not items:
+                return f"<{ns}nil>", False
+            labels = [fresh() for _ in items]
+            for i, (lbl, item) in enumerate(zip(labels, items)):
+                triples.append((lbl, f"<{ns}first>", item))
+                nxt = (labels[i + 1] if i + 1 < len(items)
+                       else f"<{ns}nil>")
+                triples.append((lbl, f"<{ns}rest>", nxt))
+            return labels[0], True
         if t in ("]", ";", ","):
             raise ValueError(f"unexpected {t!r} in: {clause!r}")
         return take(), False
@@ -729,7 +756,7 @@ def _expand_triple_sugar(clause: str):
     def parse_prop_list(subj):
         while True:
             verb = take()
-            if verb in ("[", "]", ";", ","):
+            if verb in ("[", "]", ";", ",", "(", ")"):
                 raise ValueError(f"expected predicate, got {verb!r} in: "
                                  f"{clause!r}")
             while True:

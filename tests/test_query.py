@@ -1923,3 +1923,44 @@ def test_bnode_sugar_distributed_matches_single_reader(ray_session):
             assert not any(c.startswith("__bn_") for c in got.columns)
     finally:
         svc.shutdown()
+
+
+def test_collection_sugar_matches_stored_chains():
+    """( ... ) in patterns desugars to rdf:first/rest chains over
+    fresh anon nodes — exact-length matching against stored lists
+    (the Turtle ingestion layout); ( ) is rdf:nil; glued parens still
+    parse as property paths."""
+    ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    t = _triples_table([
+        ("https://e/s", "https://e/p", "_:c0", False),
+        ("_:c0", ns + "first", "a", True),
+        ("_:c0", ns + "rest", "_:c1", False),
+        ("_:c1", ns + "first", "b", True),
+        ("_:c1", ns + "rest", ns + "nil", False),
+        ("https://e/s2", "https://e/p", "_:d0", False),
+        ("_:d0", ns + "first", "x", True),
+        ("_:d0", ns + "rest", ns + "nil", False),
+    ])
+    out = eval_bgp(t, "?s <https://e/p> ( ?a ?b )")
+    assert out.to_dict("records") == [
+        {"a": "a", "b": "b", "s": "https://e/s"}
+    ]
+    out1 = eval_bgp(t, "?s <https://e/p> ( ?only )")
+    assert out1.to_dict("records") == [
+        {"only": "x", "s": "https://e/s2"}
+    ]
+    assert len(eval_bgp(t, "?s <https://e/p> ( )")) == 0
+    # nested: ( ( ?x ) ) matches a list whose sole item is a list
+    t2 = _triples_table([
+        ("https://e/n", "https://e/p", "_:o0", False),
+        ("_:o0", ns + "first", "_:i0", False),
+        ("_:o0", ns + "rest", ns + "nil", False),
+        ("_:i0", ns + "first", "inner", True),
+        ("_:i0", ns + "rest", ns + "nil", False),
+    ])
+    out2 = eval_bgp(t2, "?s <https://e/p> ( ( ?x ) )")
+    assert out2.to_dict("records") == [
+        {"s": "https://e/n", "x": "inner"}
+    ]
+    with pytest.raises(ValueError):
+        eval_bgp(t, "?s <https://e/p> ( ?a")  # unbalanced
