@@ -619,3 +619,85 @@ def test_prefix_expansion_matches_plain(triples, pats):
     a = eval_bgp(table, plain)
     b = eval_bgp(table, pre)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Blank-node pattern terms: scoped variables hidden from the results
+# ---------------------------------------------------------------------------
+
+_BNODES = ["_:b0", "_:b1"]
+_pattern_bn = st.tuples(
+    st.sampled_from(_VARS + _BNODES + [f"<{e}>" for e in _ENTS]),
+    st.sampled_from(_VARS + [f"<{p}>" for p in _PREDS]),
+    st.sampled_from(_VARS + _BNODES + [f"<{e}>" for e in _ENTS]
+                    + [f'"{v}"' for v in _LITS]),
+)
+
+
+@given(
+    triples=st.lists(_triple, min_size=0, max_size=8),
+    pats=st.lists(_pattern_bn, min_size=1, max_size=2),
+)
+@settings(max_examples=200, deadline=None)
+def test_bnode_patterns_match_naive_projection(triples, pats):
+    """A `_:label` term behaves exactly like a variable during matching
+    but is projected OUT of the solutions — fuzzed against the brute-
+    force evaluator run with the labels rewritten to real variables and
+    its solutions projected onto the visible vars."""
+    from hypothesis import assume
+
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    flat = [t for p in pats for t in p]
+    assume(any(t.startswith("_:") for t in flat))
+    assume(any(t.startswith("?") for t in flat))
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    query = " . ".join(" ".join(p) for p in pats)
+    got_df = eval_bgp(table, query)
+    assert not any(c.startswith("__bn_") for c in got_df.columns)
+    visible = sorted({t[1:] for t in flat if t.startswith("?")})
+    assert sorted(got_df.columns) == visible
+    got = {tuple(r[c] for c in visible) for _, r in got_df.iterrows()}
+    # naive: bnode labels become ordinary vars, then project
+    rewritten = [tuple("?__h" + t[2:] if t.startswith("_:") else t
+                       for t in p) for p in pats]
+    want = set()
+
+    def match(pattern, triple, binding):
+        (s, p, o, lit) = triple
+        vals = {"subj": (s, False), "pred": (p, False), "obj": (o, lit)}
+        b = dict(binding)
+        for pos, term in zip(("subj", "pred", "obj"), pattern):
+            val = vals[pos]
+            if term.startswith("?"):
+                var = term[1:]
+                if var in b and b[var] != val:
+                    return None
+                b[var] = val
+            elif term.startswith("<"):
+                if val != (term[1:-1], False):
+                    return None
+            else:
+                if pos != "obj" or val != (term[1:-1], True):
+                    return None
+        return b
+
+    def rec(i, binding):
+        if i == len(rewritten):
+            want.add(tuple(binding.get(v, (None,))[0] for v in visible))
+            return
+        for t in rows:
+            b = match(rewritten[i], t, binding)
+            if b is not None:
+                rec(i + 1, b)
+
+    rec(0, {})
+    assert got == want, (query, rows)
