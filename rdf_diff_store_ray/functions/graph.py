@@ -49,7 +49,8 @@ def _copartition(ds, key: str, num_partitions: int, col: str):
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
              tol: float | None = None, num_partitions: int = 32,
              round_to: int = 10, method: str = "auto",
-             broadcast_threshold: int = 2_000_000):
+             broadcast_threshold: int = 2_000_000,
+             personalization: dict | None = None):
     """PageRank over a directed edge Dataset ``(src, dst)`` (string node
     ids, parallel edges collapse). Returns a Dataset ``(node, rank)``
     with ranks rounded to ``round_to`` decimals so output bytes are
@@ -69,7 +70,17 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
       sandbox scale it is the parity-tested fallback, not the default.
 
     ``tol``: optional early stop on L1 shift (costs one extra pass per
-    iteration on the copartition path)."""
+    iteration on the copartition path).
+
+    ``personalization``: optional {node: weight} restart distribution —
+    Personalized PageRank (Haveliwala 2002, "Topic-sensitive
+    PageRank"): teleport AND dangling mass flow to the seed
+    distribution instead of uniformly, giving entity-relative
+    importance (the entity-similarity / related-items signal). Weights
+    are normalized; seeds absent from the graph are dropped (raises if
+    none remain). Both execution paths carry the restart vector as a
+    per-node column, so uniform is just the special case
+    pers = 1/n."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -102,17 +113,33 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
     if method == "broadcast":
         return _pagerank_broadcast(
             edges, nodes, n_nodes, damping=damping, n_iter=n_iter,
-            tol=tol, round_to=round_to)
+            tol=tol, round_to=round_to, personalization=personalization)
 
-    # state: (node, rank, out_deg) — out_deg 0 for dangling nodes
+    # restart distribution: uniform, or the normalized personalization
+    # weights (seeds absent from the graph drop out). Small by contract
+    # — captured in task closures directly.
+    pers_map = None
+    if personalization is not None:
+        pers_map = {str(k): float(v) for k, v in personalization.items()
+                    if float(v) > 0}
+
+    def pers_of(node_series) -> np.ndarray:
+        if pers_map is None:
+            return np.full(len(node_series), 1.0 / n_nodes)
+        return np.array([pers_map.get(v, 0.0) for v in node_series],
+                        np.float64)
+
+    # state: (node, rank, out_deg, pers) — out_deg 0 for dangling nodes
     def seed(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "rank", pa.array(np.full(batch.num_rows, 1.0 / n_nodes))
+        p0 = pers_of(batch["node"].to_pylist())
+        return batch.append_column("rank", pa.array(p0)).append_column(
+            "pers", pa.array(p0)
         )
 
     def merge_state(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("node", sort=False).agg(
-            rank=("rank", "sum"), out_deg=("out_deg", "sum")
+            rank=("rank", "sum"), out_deg=("out_deg", "sum"),
+            pers=("pers", "sum"),
         ).reset_index()
         return g
 
@@ -123,13 +150,15 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                     "out_deg", pa.array(np.zeros(b.num_rows, np.int64))
                 ),
                 batch_format="pyarrow",
-            ).union(
+            ).select_columns(["node", "rank", "out_deg", "pers"]).union(
                 degrees.map_batches(
                     lambda b: b.append_column(
                         "rank", pa.array(np.zeros(b.num_rows))
+                    ).append_column(
+                        "pers", pa.array(np.zeros(b.num_rows))
                     ),
                     batch_format="pyarrow",
-                ).select_columns(["node", "rank", "out_deg"])
+                ).select_columns(["node", "rank", "out_deg", "pers"])
             ),
             "node", num_partitions, "pr_pid",
         )
@@ -137,8 +166,27 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         .map_groups(merge_state, batch_format="pandas")
         .materialize()
     )
+    if pers_map is not None:
+        total = state.map_batches(
+            lambda b: pa.table({"t": pa.array(
+                [float(np.asarray(b["pers"]).sum())]
+            )}),
+            batch_format="pyarrow",
+        ).sum("t")
+        if not total:
+            raise ValueError(
+                "no personalization seed is present in the graph"
+            )
+        state = state.map_batches(
+            lambda b, _t=total: pa.table({
+                "node": b["node"],
+                "rank": pa.array(np.asarray(b["rank"]) / _t),
+                "out_deg": b["out_deg"],
+                "pers": pa.array(np.asarray(b["pers"]) / _t),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
 
-    eps = (1.0 - damping) / n_nodes
     for _ in range(n_iter):
         # driver scalars: dangling mass + current L1 baseline
         from ray.data.aggregate import Sum as _Sum
@@ -149,7 +197,10 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                          np.asarray(b["rank"]), 0.0).sum())])}),
             batch_format="pyarrow",
         ).sum("m")
-        base = eps + damping * dang / n_nodes
+        # teleport + dangling mass both flow to the restart
+        # distribution: rank = coef*pers + d*inflow (uniform pers is
+        # the classic base scalar)
+        coef = (1.0 - damping) + damping * dang
 
         # contributions: co-partition edges with state by src, emit
         # rank/out_deg per edge, re-aggregate by dst
@@ -203,11 +254,11 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         def apply_update(group: pd.DataFrame) -> pd.DataFrame:
             st = group[group["_side"] == 0]
             infl = group[group["_side"] == 1]
-            m = st[["node", "out_deg", "_old"]].merge(
+            m = st[["node", "out_deg", "pers", "_old"]].merge(
                 infl[["node", "inflow"]], on="node", how="left"
             )
-            m["rank"] = base + damping * m["inflow"].fillna(0.0)
-            return m[["node", "rank", "out_deg", "_old"]]
+            m["rank"] = coef * m["pers"] + damping * m["inflow"].fillna(0.0)
+            return m[["node", "rank", "out_deg", "pers", "_old"]]
 
         old = state.map_batches(
             lambda b: pa.table(
@@ -215,6 +266,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                     "node": b["node"],
                     "rank": b["rank"],
                     "out_deg": b["out_deg"],
+                    "pers": b["pers"],
                     "_old": b["rank"],
                     "inflow": pa.array(np.zeros(b.num_rows)),
                     "_side": pa.array(np.zeros(b.num_rows, np.int8)),
@@ -228,6 +280,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                     "node": b["node"],
                     "rank": pa.array(np.zeros(b.num_rows)),
                     "out_deg": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "pers": pa.array(np.zeros(b.num_rows)),
                     "_old": pa.array(np.zeros(b.num_rows)),
                     "inflow": b["inflow"],
                     "_side": pa.array(np.ones(b.num_rows, np.int8)),
@@ -250,8 +303,9 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                 )])}),
                 batch_format="pyarrow",
             ).sum("d")
-        state = new_state.select_columns(["node", "rank", "out_deg"]) \
-            .materialize()
+        state = new_state.select_columns(
+            ["node", "rank", "out_deg", "pers"]
+        ).materialize()
         if shift is not None and shift < tol:
             break
 
@@ -269,7 +323,8 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
 
 
 def _pagerank_broadcast(edges, nodes, n_nodes: int, *, damping: float,
-                        n_iter: int, tol, round_to: int):
+                        n_iter: int, tol, round_to: int,
+                        personalization: dict | None = None):
     """The bounded-N fold: the rank vector lives on the driver (N ≤
     broadcast_threshold floats) and broadcasts via ``ray.put`` per
     iteration; edges stay distributed as integer-factorized blocks and
@@ -306,7 +361,19 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, *, damping: float,
     for buf in deg_parts["deg"]:
         outdeg += np.frombuffer(buf, dtype=np.int64)
 
-    r = np.full(n_nodes, 1.0 / n_nodes)
+    if personalization is None:
+        pers = np.full(n_nodes, 1.0 / n_nodes)
+    else:
+        pm = {str(k): float(v) for k, v in personalization.items()
+              if float(v) > 0}
+        pers = np.array([pm.get(v, 0.0) for v in node_arr], np.float64)
+        total = pers.sum()
+        if not total:
+            raise ValueError(
+                "no personalization seed is present in the graph"
+            )
+        pers = pers / total
+    r = pers.copy()
     safe_deg = np.maximum(outdeg, 1.0)
     for _ in range(n_iter):
         w_ref = ray.put(r / safe_deg)
@@ -327,8 +394,8 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, *, damping: float,
         for buf in parts["c"]:
             inflow += np.frombuffer(buf)
         dang = float(r[outdeg == 0].sum())
-        new = ((1.0 - damping) / n_nodes
-               + damping * (inflow + dang / n_nodes))
+        new = ((1.0 - damping) * pers
+               + damping * (inflow + dang * pers))
         shift = float(np.abs(new - r).sum())
         r = new
         if tol is not None and shift < tol:

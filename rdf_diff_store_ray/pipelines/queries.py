@@ -3406,6 +3406,48 @@ def kg_random_walks(sf_dir: str):
     ).sort(["start", "walk", "step"])
 
 
+def kg_related_entities(sf_dir: str, k: int = 15):
+    """Related-entity search via Personalized PageRank: restart at the
+    store's highest-degree entity and rank its graph neighborhood —
+    the "more like this" signal (Haveliwala 2002). Seeds come from the
+    data (top-2 subjects by out-edge count, deterministic tie-break)
+    so the entry needs no fixed IRIs."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import pagerank
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["obj_is_literal"].combine_chunks())
+        t = batch.filter(keep)
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    edge_ds = triples.map_batches(
+        edges, batch_format="pyarrow"
+    ).materialize()
+    seeds = (
+        edge_ds.groupby("src").aggregate(Count(alias_name="d"))
+        .sort([("d"), ("src")], descending=[True, False])
+        .limit(2).to_pandas()
+    )
+    ranks = pagerank(
+        edge_ds, n_iter=20,
+        personalization={s: 1.0 for s in seeds["src"]},
+    )
+    return (
+        ranks.sort([("rank"), ("node")], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .assign(rank_pos=lambda d: np.arange(1, len(d) + 1, dtype="int64"))
+    )
+
+
 def kg_churn(sf_dir: str, k: int = 20):
     """Per-entity CHANGE frequency over the store's full history — the
     temporal analytic only a versioned store can answer (which entities'
@@ -3510,6 +3552,7 @@ def kg_analytics(sf_dir: str):
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
             "random_walks": kg_random_walks,
+            "related_entities": kg_related_entities,
             "triangle_counts": triangle_counts_q,
             "khop_sample": khop_sample,
             "state_at_mid": kg_state_at_mid,
@@ -3722,6 +3765,7 @@ def registry():
         "text_index_search": text_index_search,
         "text_index_bm25": text_index_bm25,
         "kg_churn": kg_churn,
+        "kg_related_entities": kg_related_entities,
     }
 
 

@@ -260,3 +260,56 @@ def test_khop_neighborhood_paths_match_bfs(ray_session):
     # k=0 → seeds only
     z = khop_neighborhood(rd.from_pandas(ed), ["n0"], 0).to_pandas()
     assert z.to_dict("records") == [{"node": "n0", "hop": 0}]
+
+
+def _dense_ppr(edges, pers_map, n_iter=30, damping=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    E = sorted({(idx[s], idx[d]) for s, d in edges})
+    N = len(nodes)
+    p = np.array([pers_map.get(n, 0.0) for n in nodes])
+    p = p / p.sum()
+    r = p.copy()
+    outdeg = np.zeros(N)
+    for s, _ in E:
+        outdeg[s] += 1
+    for _ in range(n_iter):
+        new = (1 - damping) * p
+        new += damping * r[outdeg == 0].sum() * p
+        for s, d in E:
+            new[d] += damping * r[s] / outdeg[s]
+        r = new
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_personalized_pagerank_both_paths(ray_session):
+    """PPR: teleport + dangling mass flow to the seed distribution;
+    both paths match a dense reference; seeds absent from the graph
+    raise only when none remain; uniform stays the classic result."""
+    import pytest as _pytest
+
+    from rdf_diff_store_ray.functions.graph import pagerank
+
+    pers = {"a": 3.0, "d": 1.0, "ghost": 2.0}  # ghost: not in graph
+    # broadcast at full depth; copartition parity at 4 iterations (it
+    # pays ~8 Ray jobs per iteration — the pagerank test precedent)
+    for method, iters in (("broadcast", 30), ("copartition", 4)):
+        want = _dense_ppr(EDGES, {"a": 3.0, "d": 1.0}, n_iter=iters)
+        out = pagerank(
+            _edges_ds(EDGES), n_iter=iters, method=method,
+            num_partitions=4, personalization=pers,
+        ).to_pandas()
+        got = dict(zip(out["node"], out["rank"]))
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n] == _pytest.approx(want[n], abs=1e-9), (method, n)
+        assert sum(got.values()) == _pytest.approx(1.0, abs=1e-6)
+    # the seed neighborhood outranks its uniform-pagerank standing
+    uni = pagerank(_edges_ds(EDGES), n_iter=30).to_pandas()
+    u = dict(zip(uni["node"], uni["rank"]))
+    ppr = pagerank(_edges_ds(EDGES), n_iter=30,
+                   personalization=pers).to_pandas()
+    g = dict(zip(ppr["node"], ppr["rank"]))
+    assert g["a"] > u["a"]
+    with _pytest.raises(ValueError):
+        pagerank(_edges_ds(EDGES), personalization={"nope": 1.0})
