@@ -165,7 +165,7 @@ def run_bench() -> dict:
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
             "weighted_sample_docs", "bloom_decontam", "collocations",
             "kg_random_walks", "triangle_counts", "khop_sample",
-            "text_index_search",
+            "text_index_search", "kg_churn",
         ):
             timed(name, q.registry()[name])
 
