@@ -457,11 +457,17 @@ def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
       dst-sorted CSR adjacency is built once and broadcast via
       ``ray.put``; each batch of start nodes advances all its walks
       through every step with vectorized gathers — ONE Ray job total.
-    - ``copartition`` (the 100×-scale path): edges are hash-partitioned
-      by src ONCE; each step co-partitions the walk frontier with the
-      edge partitions by the walk's current node, advances it with an
-      in-partition vectorized merge, and re-shuffles — the frontier
-      (not the adjacency) moves, one shuffle per step.
+    - ``copartition`` (the beyond-broadcast path): each step
+      co-partitions the walk frontier with the (materialized, locally
+      deduped) adjacency by the walk's current node and advances it
+      with an in-partition vectorized merge. Honest cost accounting:
+      Ray Data's groupby cannot reuse a prior partitioning, so the
+      adjacency re-shuffles from its in-memory blocks EVERY step —
+      ~2 corpus-scale exchanges × walk_len. That is the API's
+      expressible shape (pinning adjacency partitions as long-lived
+      named objects is outside Dataset semantics); unlike k-hop, the
+      frontier here is nodes × walks_per_node (corpus-scale), so the
+      broadcast-frontier trick cannot replace it.
     """
     import ray
     import ray.data as rd
@@ -546,7 +552,7 @@ def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
 
         return nodes.map_batches(walk_batch, batch_format="pyarrow")
 
-    # ---- copartition path: the frontier moves, the adjacency doesn't
+    # ---- copartition path (see docstring for the honest cost note)
     tagged_edges = _copartition(
         _rename(edges, {"src": "node"}), "node", num_partitions, "rw_pid"
     ).map_batches(
