@@ -137,11 +137,21 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
         )
 
     def merge_state(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("node", sort=False).agg(
-            rank=("rank", "sum"), out_deg=("out_deg", "sum"),
-            pers=("pers", "sum"),
-        ).reset_index()
-        return g
+        # np.unique-keyed fold (pandas groupby truncates object keys
+        # at NUL bytes)
+        keys = group["node"].to_numpy(object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pd.DataFrame({
+            "node": uniq,
+            "rank": np.bincount(inv, weights=group["rank"].to_numpy(
+                "float64"), minlength=len(uniq)),
+            "out_deg": np.bincount(
+                inv, weights=group["out_deg"].to_numpy("float64"),
+                minlength=len(uniq),
+            ).astype(np.int64),
+            "pers": np.bincount(inv, weights=group["pers"].to_numpy(
+                "float64"), minlength=len(uniq)),
+        })
 
     state = (
         _copartition(
@@ -227,9 +237,14 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                 st[["node", "rank", "out_deg"]], on="node", how="inner"
             )
             m = m[m["out_deg"] > 0]
-            c = (m.assign(contrib=m["rank"] / m["out_deg"])
-                 .groupby("dst", sort=False)["contrib"].sum().reset_index())
-            return c
+            contrib = (m["rank"] / m["out_deg"]).to_numpy("float64")
+            uniq, inv = np.unique(m["dst"].to_numpy(object),
+                                  return_inverse=True)
+            return pd.DataFrame({
+                "dst": uniq,
+                "contrib": np.bincount(inv, weights=contrib,
+                                       minlength=len(uniq)),
+            })
 
         sums = (
             tagged_edges.map_batches(
@@ -736,15 +751,16 @@ def triangle_counts(edges_ds, *, method: str = "auto",
 
     if method == "broadcast":
         ed = canon.to_pandas()
-        # integer-factorize endpoints (C-speed hash table; object-array
-        # searchsorted pays a Python compare per probe)
+        # integer-factorize endpoints via Arrow dictionary_encode:
+        # C-speed AND NUL-safe — pandas factorize routes through a
+        # C-string hash table that truncates at \x00 (same family as
+        # the categorize-hash bug; "a\x00x" and "a\x00y" collapse)
         m_rows = len(ed)
-        codes, node_arr = pd.factorize(
-            np.concatenate([ed["lo"].to_numpy(object),
-                            ed["hi"].to_numpy(object)])
-        )
-        node_arr = node_arr.to_numpy(dtype=object) if hasattr(
-            node_arr, "to_numpy") else np.asarray(node_arr, dtype=object)
+        dic = pc.dictionary_encode(pa.array(np.concatenate(
+            [ed["lo"].to_numpy(object), ed["hi"].to_numpy(object)]
+        ), pa.string()))
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        node_arr = dic.dictionary.to_numpy(zero_copy_only=False)
         n = len(node_arr)
         pair_keys = np.unique(
             codes[:m_rows].astype(np.int64) * n + codes[m_rows:]
@@ -919,13 +935,23 @@ def triangle_counts(edges_ds, *, method: str = "auto",
         # pandas frames break Ray's block size estimation (vectorize
         # on size-0 input) and can poison the downstream union
         us, xs, ys = [], [], []
-        for a_val, g in group.groupby("a", sort=False):
-            nb = g.sort_values(["deg_b", "b"])["b"].to_numpy(object)
+        # sorted-run grouping, not pandas groupby: pandas hashes
+        # object keys through the NUL-truncating table
+        g_all = group.sort_values(["a", "deg_b", "b"], ignore_index=True)
+        a_vals = g_all["a"].to_numpy(object)
+        b_vals = g_all["b"].to_numpy(object)
+        if len(a_vals):
+            breaks = np.nonzero(a_vals[1:] != a_vals[:-1])[0] + 1
+            bounds = np.concatenate([[0], breaks, [len(a_vals)]])
+        else:
+            bounds = np.array([0])
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            nb = b_vals[s0:s1]
             k = len(nb)
             if k < 2:
                 continue
             ii, jj = np.triu_indices(k, 1)
-            us.append(np.full(len(ii), a_val, object))
+            us.append(np.full(len(ii), a_vals[s0], object))
             xs.append(nb[ii])
             ys.append(nb[jj])
         cat = (lambda ls: np.concatenate(ls) if ls
@@ -955,11 +981,13 @@ def triangle_counts(edges_ds, *, method: str = "auto",
         )
         if not len(m):
             return empty_out
-        s = pd.concat([m["u"], m["x"], m["y"]], ignore_index=True)
-        vc = s.value_counts()
+        allv = np.concatenate([m["u"].to_numpy(object),
+                               m["x"].to_numpy(object),
+                               m["y"].to_numpy(object)])
+        uniq, cnt = np.unique(allv, return_counts=True)  # NUL-safe
         return pa.table({
-            "node": pa.array(vc.index.to_numpy(object), pa.string()),
-            "n": pa.array(vc.to_numpy("int64"), pa.int64()),
+            "node": pa.array(uniq, pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
     def key_edges(batch: pa.Table) -> pa.Table:

@@ -244,9 +244,13 @@ def heavy_hitters(docs_ds, k: int = 50, depth: int = 4, width: int = 8192,
     def partial(batch: pa.Table) -> pa.Table:
         s = batch[text_col].to_pandas()
         toks = s.str.findall(TOKEN_PATTERN).explode().dropna()
-        vc = toks.value_counts()
-        tokens = pd.Series(vc.index.astype(str))
-        counts = vc.to_numpy("int64")
+        # np.unique counts (NUL-safe), ordered count-desc like the
+        # value_counts it replaces so candidate picking is unchanged
+        uniq, cnt = np.unique(toks.to_numpy(dtype=object),
+                              return_counts=True)
+        order = np.lexsort((uniq, -cnt))
+        tokens = pd.Series(uniq[order].astype(str))
+        counts = cnt[order].astype("int64")
         mat = np.zeros((depth, width), dtype=np.int64)
         if len(tokens):
             idx = _cms_rows(tokens)
@@ -699,7 +703,10 @@ def bloom_build(ds, *, text_col: str = "text", ngram: int = 3,
         grams, _ = _ngram_strings(batch[text_col].to_pandas(), ngram)
         bits = np.zeros(n_bits // 8, dtype=np.uint8)
         if len(grams):
-            pos = _bloom_positions(pd.unique(grams), n_bits, n_hashes)
+            # np.unique, not pd.unique: pandas' object hash table
+            # truncates at NUL bytes (distinct n-grams would collapse
+            # and some bits never get set -> FALSE NEGATIVES)
+            pos = _bloom_positions(np.unique(grams), n_bits, n_hashes)
             flat = pos.ravel()
             np.bitwise_or.at(
                 bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)

@@ -313,3 +313,60 @@ def test_personalized_pagerank_both_paths(ray_session):
     assert g["a"] > u["a"]
     with _pytest.raises(ValueError):
         pagerank(_edges_ds(EDGES), personalization={"nope": 1.0})
+
+
+def test_graph_ops_with_hostile_node_ids(ray_session):
+    """Node ids containing NUL and unit-separator bytes route correctly
+    through every graph operator — the regression guard for the
+    NUL-truncating pandas-hash fix (categorize=False everywhere): with
+    the truncating hash, "a\\x00x" and "a\\x00y" collapse and
+    co-partitioned joins silently drop matches."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import (
+        khop_neighborhood,
+        pagerank,
+        random_walks,
+        triangle_counts,
+    )
+
+    nodes = ["a\x00x", "a\x00y", "a\x00z", "b\x1fq", "plain"]
+    ed = pd.DataFrame({
+        "src": ["a\x00x", "a\x00y", "a\x00z", "b\x1fq", "plain",
+                "a\x00x"],
+        "dst": ["a\x00y", "a\x00z", "a\x00x", "plain", "a\x00x",
+                "b\x1fq"],
+    })
+    # triangle oracle
+    und = {(min(s, d), max(s, d))
+           for s, d in zip(ed["src"], ed["dst"]) if s != d}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    want = pd.DataFrame(sorted(want.items()), columns=["node", "n_tri"])
+    for method in ("broadcast", "copartition"):
+        got = triangle_counts(
+            rd.from_pandas(ed), method=method, num_partitions=4
+        ).to_pandas().sort_values("node", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["node", "n_tri"]], want, check_dtype=False
+        ), method
+    # khop + walks + pagerank run and keep the distinct ids apart
+    kh = khop_neighborhood(
+        rd.from_pandas(ed), ["a\x00x"], 2, method="stream"
+    ).to_pandas()
+    assert "a\x00y" in set(kh["node"]) and "a\x00z" in set(kh["node"])
+    w = random_walks(rd.from_pandas(ed), walk_len=3,
+                     walks_per_node=1, seed=3).to_pandas()
+    assert set(w["start"]) == set(nodes)
+    pr = pagerank(rd.from_pandas(ed), n_iter=5).to_pandas()
+    assert len(pr) == len(nodes)  # every distinct id keeps its row
