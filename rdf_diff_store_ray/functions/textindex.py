@@ -77,7 +77,12 @@ def extend_text_index(docs_ds, index_dir: str, *,
     lower = bool(meta["lowercase"])
 
     def postings(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
+        # NUL bytes normalize to spaces BEFORE tokenizing: pandas
+        # folds inside the query path hash object keys through a
+        # C-string table that truncates at \x00, so NUL-bearing
+        # tokens could collapse — normalizing keeps postings and
+        # doc lengths consistent with each other
+        text = pc.replace_substring(batch[text_col], "\x00", " ")
         if lower:
             text = pc.utf8_lower(text)
         toks_list = pc.split_pattern_regex(
@@ -129,7 +134,7 @@ def extend_text_index(docs_ds, index_dir: str, *,
                                                dtype="int64")})
 
     def doclens(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
+        text = pc.replace_substring(batch[text_col], "\x00", " ")
         return pa.table({
             "doc_id": batch[id_col].cast(pa.int64()),
             "dl": pc.count_substring_regex(
