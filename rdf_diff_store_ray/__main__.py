@@ -288,10 +288,17 @@ def cmd_text_index_build(args) -> int:
 
     docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
     if args.extend:
+        if args.partitions is not None:
+            raise SystemExit(
+                "--partitions is fixed at build time (pinned in "
+                "index.json); it cannot be changed by --extend"
+            )
         stats = extend_text_index(docs, args.index)
     else:
         stats = build_text_index(
-            docs, args.index, num_partitions=args.partitions,
+            docs, args.index,
+            num_partitions=(64 if args.partitions is None
+                            else args.partitions),
         )
     print(json.dumps({
         "index": args.index,
@@ -653,7 +660,8 @@ def main(argv=None) -> int:
     )
     tb.add_argument("--docs", required=True)
     tb.add_argument("--index", required=True)
-    tb.add_argument("--partitions", type=int, default=64)
+    tb.add_argument("--partitions", type=int, default=None,
+                    help="partition count (build only; default 64)")
     tb.add_argument("--extend", action="store_true",
                     help="append postings to an existing index")
     tb.set_defaults(fn=cmd_text_index_build)

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..shuffle_utils import sort_values_nul_safe
+
 # GPT-2-ish pre-tokenizer: letter runs, digit runs, or punctuation runs
 # (whitespace only separates). Case is preserved.
 _PRETOK_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
@@ -81,11 +83,9 @@ def word_counts(docs_ds, *, text_col: str = "text",
     if "word" not in parts.columns:
         return pd.DataFrame({"word": pd.Series(dtype=object),
                              "n": pd.Series(dtype="int64")})
-    return (
-        parts.sort_values(["n", "word"], ascending=[False, True],
-                          ignore_index=True)
-        .head(max_words)
-    )
+    return sort_values_nul_safe(
+        parts, ["n", "word"], ascending=[False, True], ignore_index=True
+    ).head(max_words)
 
 
 def _merge_word(symbols: tuple, pair: tuple) -> tuple:

@@ -24,6 +24,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# splitmix64 finalizer — ONE definition so the walk and shard-shuffle
+# streams can never drift apart
+from ..shuffle_utils import sort_values_nul_safe
+from .shards import _mix64
+
 
 def _rename(ds, mapping: dict):
     """Column rename that tolerates pandas-formatted blocks (Ray's
@@ -33,6 +38,18 @@ def _rename(ds, mapping: dict):
             [mapping.get(c, c) for c in b.column_names]
         ),
         batch_format="pyarrow",
+    )
+
+
+def _pair_key(a, b):
+    """Unambiguous composite equality key for a node pair: the decimal
+    byte-length prefix pins the first component's boundary, so no byte
+    inside a node id (NUL, the separator itself, anything) can realign
+    it — ``("n\\x00m", "k")`` and ``("n", "m\\x00k")`` get distinct keys,
+    where a plain ``a + sep + b`` join would collide whenever ids may
+    contain the separator."""
+    return pc.binary_join_element_wise(
+        pc.cast(pc.binary_length(a), pa.string()), a, b, "\x1f"
     )
 
 
@@ -421,16 +438,6 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, *, damping: float,
     )
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (bijective on uint64) — the same stream the
-    shard shuffler uses (`shards._mix64`), duplicated here to keep the
-    module import-light."""
-    x = x.astype(np.uint64, copy=True)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
-
-
 def _walk_salt(seed: int, walk: int, step: int) -> np.uint64:
     return _mix64(np.array(
         [np.uint64(seed) ^ (np.uint64(walk) << np.uint64(40))
@@ -619,7 +626,8 @@ def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
                     "h": pd.Series([], dtype="uint64"),
                     "node": pd.Series([], dtype=object),
                 })
-            ed = ed.sort_values(["node", "dst"], ignore_index=True)
+            ed = sort_values_nul_safe(ed, ["node", "dst"],
+                                      ignore_index=True)
             u, starts_i, counts = np.unique(
                 ed["node"].to_numpy(object), return_index=True,
                 return_counts=True,
@@ -936,8 +944,11 @@ def triangle_counts(edges_ds, *, method: str = "auto",
         # on size-0 input) and can poison the downstream union
         us, xs, ys = [], [], []
         # sorted-run grouping, not pandas groupby: pandas hashes
-        # object keys through the NUL-truncating table
-        g_all = group.sort_values(["a", "deg_b", "b"], ignore_index=True)
+        # object keys through the NUL-truncating table — and the
+        # multi-key sort factorizes through the same table, so it must
+        # go through the NUL-safe successive-stable-sort helper
+        g_all = sort_values_nul_safe(group, ["a", "deg_b", "b"],
+                                     ignore_index=True)
         a_vals = g_all["a"].to_numpy(object)
         b_vals = g_all["b"].to_numpy(object)
         if len(a_vals):
@@ -992,9 +1003,7 @@ def triangle_counts(edges_ds, *, method: str = "auto",
 
     def key_edges(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "key": pc.binary_join_element_wise(
-                batch["a"], batch["b"], "\x00"
-            ),
+            "key": _pair_key(batch["a"], batch["b"]),
             "u": pa.array([None] * batch.num_rows, pa.string()),
             "x": pa.array([None] * batch.num_rows, pa.string()),
             "y": pa.array([None] * batch.num_rows, pa.string()),
@@ -1003,9 +1012,7 @@ def triangle_counts(edges_ds, *, method: str = "auto",
 
     def key_wedges(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "key": pc.binary_join_element_wise(
-                batch["x"], batch["y"], "\x00"
-            ),
+            "key": _pair_key(batch["x"], batch["y"]),
             "u": batch["u"], "x": batch["x"], "y": batch["y"],
             "_side": pa.array(np.ones(batch.num_rows, np.int8)),
         })
@@ -1120,7 +1127,8 @@ def khop_neighborhood(edges_ds, seeds, k: int, *, method: str = "auto",
         .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
         .select_columns(["src", "dst"])
     )
-    ed = und.to_pandas().sort_values(["src", "dst"], ignore_index=True)
+    ed = sort_values_nul_safe(und.to_pandas(), ["src", "dst"],
+                              ignore_index=True)
     node_arr = np.unique(
         np.concatenate([ed["src"].to_numpy(object),
                         ed["dst"].to_numpy(object)])
@@ -1164,6 +1172,6 @@ def khop_neighborhood(edges_ds, seeds, k: int, *, method: str = "auto",
             ignore_index=True,
         )
     return rd.from_arrow(pa.Table.from_pandas(
-        out.sort_values(["hop", "node"], ignore_index=True),
+        sort_values_nul_safe(out, ["hop", "node"], ignore_index=True),
         preserve_index=False,
     ))

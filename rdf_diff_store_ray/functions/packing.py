@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..shuffle_utils import sort_values_nul_safe
+
 _TOKEN_RE = r"\S+"
 
 
@@ -89,7 +91,8 @@ def pack_sequences(
 
     def spans_partition(part: pd.DataFrame) -> pd.DataFrame:
         bucket_start = ray.get(starts_ref)
-        part = part.sort_values(["bucket", "doc_id"], ignore_index=True)
+        part = sort_values_nul_safe(part, ["bucket", "doc_id"],
+                                    ignore_index=True)
         n = part["n"].to_numpy(np.int64)
         within = part.groupby("bucket")["n"].cumsum().to_numpy(np.int64) - n
         off = part["bucket"].map(bucket_start).to_numpy(np.int64) + within

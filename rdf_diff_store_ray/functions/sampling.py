@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..shuffle_utils import sort_values_nul_safe
 from .shards import _mix64
 
 
@@ -62,7 +63,9 @@ def weighted_sample(
         )
         df["_es"] = keys
         df = df[np.isfinite(keys)]
-        df = df.sort_values(["_es", key_col], ascending=[False, True]).head(k)
+        df = sort_values_nul_safe(
+            df, ["_es", key_col], ascending=[False, True]
+        ).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()

@@ -15,6 +15,8 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..shuffle_utils import sort_values_nul_safe
+
 # regex classes chosen to behave identically in RE2 (pyarrow) and DuckDB
 TOKEN_PATTERN = r"\S+"
 DIGIT_PATTERN = r"[0-9]"
@@ -443,7 +445,8 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         cnt = frame.groupby(["i", col]).size().reset_index(name="c")
         # (i, col) pairs are unique, so the 3-column sort key is a total
         # order — deterministic winner without relying on sort stability
-        cnt = cnt.sort_values(["i", "c", col], ascending=[True, False, True])
+        cnt = sort_values_nul_safe(cnt, ["i", "c", col],
+                                   ascending=[True, False, True])
         return cnt.drop_duplicates("i").set_index("i")
 
     tt = _top(df, "tok")

@@ -34,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..shuffle_utils import sort_values_nul_safe
+
 TOKEN_PATTERN = r"\S+"
 
 
@@ -114,7 +116,8 @@ def extend_text_index(docs_ds, index_dir: str, *,
 
     def write_partition(part: pd.DataFrame) -> pd.DataFrame:
         pid = int(part["pid"].iloc[0])
-        part = part.sort_values(["token", "doc_id"], ignore_index=True)
+        part = sort_values_nul_safe(part, ["token", "doc_id"],
+                                    ignore_index=True)
         tbl = pa.table(
             {
                 "token": pa.array(part["token"].to_numpy(object),
@@ -425,7 +428,8 @@ def _bm25_rank(index_dir: str, pairs, terms, *, mode: str,
 
     # BM25 (k1=1.2, b=0.75), idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     k1, b = 1.2, 0.75
-    pdf = pdf.sort_values(["doc_id", "token"], ignore_index=True)
+    pdf = sort_values_nul_safe(pdf, ["doc_id", "token"],
+                               ignore_index=True)
     tf = pdf["tf"].to_numpy("float64")
     dfv = df_per_term.loc[pdf["token"]].to_numpy("float64")
     dl = dl_df.reindex(pdf["doc_id"]).to_numpy("float64")

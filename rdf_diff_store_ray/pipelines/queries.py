@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import relational as rel
+from ..shuffle_utils import sort_values_nul_safe
 
 KG_CACHE_ROOT = "/tmp/ray_kg_cache"
 # bump when build outputs change shape/content — /tmp persists across
@@ -265,7 +266,9 @@ def top_terms_per_lang(sf_dir: str, k: int = 5):
         langs = pc.take(batch["lang"].combine_chunks(), parent)
         keep = pc.not_equal(flat, "")
         # one flat composite key so value_counts stays a single Arrow
-        # kernel; \x00 cannot appear in either part
+        # kernel; lang codes are engine-controlled (no \x00) so the
+        # FIRST \x00 is always the boundary — max_splits=1 below keeps
+        # any NUL bytes inside the token itself intact
         keyed = pc.binary_join_element_wise(
             langs.filter(keep), flat.filter(keep), "\x00"
         )
@@ -287,8 +290,8 @@ def top_terms_per_lang(sf_dir: str, k: int = 5):
     )
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n", "token"], ascending=[False, True],
-                              kind="stable").head(k)
+        g = sort_values_nul_safe(group, ["n", "token"],
+                                 ascending=[False, True]).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
         return g[["lang", "token", "n", "rank"]]
 
@@ -801,31 +804,40 @@ def collocations(sf_dir: str, k: int = 25):
     from ray.data.aggregate import Sum
 
     def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
         toks_list = pc.split_pattern_regex(
             batch["text"].combine_chunks(), pattern=r"\s+"
         )
-        flat = pc.list_flatten(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list)
         parent = pc.list_parent_indices(toks_list).to_numpy(
             zero_copy_only=False
         )
-        keep = flat != ""
-        flat, parent = flat[keep], parent[keep]
-        if len(flat) >= 2:
-            ok = parent[:-1] == parent[1:]
-            keyed = pc.binary_join_element_wise(
-                pa.array(flat[:-1][ok], pa.string()),
-                pa.array(flat[1:][ok], pa.string()),
-                "\x00",
-            )
-        else:
-            keyed = pa.array([], pa.string())
-        vc = pc.value_counts(keyed)
-        split = pc.split_pattern(vc.field("values"), "\x00", max_splits=1)
+        keep = pc.not_equal(flat, "")
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        if len(parent) < 2:
+            return empty
+        # integer-code the batch vocabulary once (dictionary_encode is
+        # NUL-safe) and count adjacent-code pairs as ONE int64 key — a
+        # \x00-joined composite string would mis-split on tokens that
+        # themselves contain NUL bytes (\S+ keeps them)
+        enc = pc.dictionary_encode(flat.filter(keep))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vocab = enc.dictionary
+        ok = parent[:-1] == parent[1:]
+        if not ok.any():
+            return empty
+        v = np.int64(len(vocab))
+        key = codes[:-1][ok] * v + codes[1:][ok]
+        uniq, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "w1": pc.list_element(split, 0),
-                "w2": pc.list_element(split, 1),
-                "n": vc.field("counts").cast(pa.int64()),
+                "w1": vocab.take(pa.array(uniq // v, pa.int64())),
+                "w2": vocab.take(pa.array(uniq % v, pa.int64())),
+                "n": pa.array(cnt.astype(np.int64)),
             }
         )
 
@@ -3459,18 +3471,14 @@ def kg_churn(sf_dir: str, k: int = 20):
     from ray.data.aggregate import Sum
 
     res = kg_build_for(sf_dir)
-    log = res.delta_dataset().select_columns(
-        ["graph_id", "warc_ts", "op", "delta_text"]
-    )
+    log = res.delta_dataset().select_columns(["op", "delta_text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         from ..ntriples import parse
 
         keep = batch.filter(pc.not_equal(batch["op"], "delete"))
         ents: dict = {}
-        for gid, ts, text in zip(keep["graph_id"].to_pylist(),
-                                 keep["warc_ts"].to_pylist(),
-                                 keep["delta_text"].to_pylist()):
+        for text in keep["delta_text"].to_pylist():
             seen = set()
             for s, p, o, lit in parse(text):
                 if s.startswith("http") and s not in seen:

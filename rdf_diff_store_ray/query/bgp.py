@@ -341,7 +341,7 @@ def _take_vars(s: str):
         j = 1
         while j < len(s) and not s[j].isspace():
             j += 1
-        names.append(s[1:j])
+        names.append(_check_user_name(s[1:j]))
         s = s[j:].lstrip()
     return names, s
 
@@ -411,7 +411,7 @@ def _parse_select(q: str) -> dict:
                     raise ValueError(
                         f"aggregate needs ') AS ?alias )': {rest[:40]!r}"
                     )
-                alias = am.group(1)
+                alias = _check_user_name(am.group(1))
                 distinct_a = False
                 if dm := _re.match(r"^DISTINCT\s+", inner, _re.IGNORECASE):
                     distinct_a = True
@@ -453,7 +453,7 @@ def _parse_select(q: str) -> dict:
                         f"projection expression needs AS ?alias: {body!r}"
                     )
                 select_exprs.append(
-                    (am.group(1),
+                    (_check_user_name(am.group(1)),
                      _parse_filter_operand(body[:am.start()].strip()))
                 )
                 select.append(am.group(1))
@@ -927,7 +927,8 @@ def _parse_bind(rest: str):
     m = _re.search(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", body, _re.IGNORECASE)
     if not m:
         raise ValueError(f"BIND needs 'expr AS ?var': {body!r}")
-    return (m.group(1), _parse_filter_operand(body[:m.start()].strip()))
+    return (_check_user_name(m.group(1)),
+            _parse_filter_operand(body[:m.start()].strip()))
 
 
 def _split_clauses(s: str):
@@ -1545,11 +1546,24 @@ def _split_terms(s: str):
     return out
 
 
+def _check_user_name(name: str) -> str:
+    """Reject user-written names in the engine's hidden-column
+    namespace: ``__bn_<label>`` (blank-node pattern vars) and
+    ``__aggN`` (aggregate-expression pre-binds) are minted internally,
+    and a user ``?__bn_t`` would silently alias the hidden column for
+    ``_:t`` and then be dropped from ``SELECT *`` projection."""
+    if name.startswith("__"):
+        raise ValueError(
+            f"variable names starting with '__' are reserved: ?{name}"
+        )
+    return name
+
+
 def _parse_term(t: str):
     from ..ntriples import is_decorated_literal, unescape_literal
 
     if t.startswith("?"):
-        return ("var", t[1:])
+        return ("var", _check_user_name(t[1:]))
     if (t.startswith("<") and t.endswith(">")
             and "<" not in t[1:-1] and ">" not in t[1:-1]):
         return ("iri", t[1:-1])
@@ -2035,12 +2049,12 @@ def describe_triples(result: pd.DataFrame, describe,
                 continue
             described.add(r)
             b = pattern_bindings(
-                (("iri", r), ("var", "__dp"), ("var", "__do"))
+                (("iri", r), ("var", "_dp"), ("var", "_do"))
             )
             if not len(b):
                 continue
-            dp = b["__dp"].astype("string")
-            do = b["__do"].astype("string")
+            dp = b["_dp"].astype("string")
+            do = b["_do"].astype("string")
             frames.append(
                 pd.DataFrame(
                     {
@@ -2425,6 +2439,11 @@ def format_term(term) -> str:
 
     kind, val = term
     if kind == "var":
+        if val.startswith("__bn_"):
+            # hidden blank-node vars ship in their PUBLIC surface
+            # syntax — ``?__bn_x`` text would be rejected on re-parse
+            # (the ``__`` namespace is reserved against user aliasing)
+            return "_:" + val[len("__bn_"):]
         return "?" + val
     if kind == "iri":
         return f"<{val}>"

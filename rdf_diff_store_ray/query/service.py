@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..shuffle_utils import sort_values_nul_safe
 from .bgp import DiffStoreReader
 
 
@@ -290,20 +291,20 @@ class QueryService:
                     # store-bound transfer an unrestricted ?s ?p ?o
                     # already has) and drop the named predicates
                     e = gather_pattern(
-                        (("var", "__ps"), ("var", "__pp"), ("var", "__po"))
+                        (("var", "_ps"), ("var", "_pp"), ("var", "_po"))
                     )
                     if not len(e.columns):
                         return pd.DataFrame(columns=["__s", "__o"])
-                    e = e[~e["__pp"].isin(["I" + i for i in iri[1]])]
+                    e = e[~e["_pp"].isin(["I" + i for i in iri[1]])]
                     return e.rename(
-                        columns={"__ps": "__s", "__po": "__o"}
+                        columns={"_ps": "__s", "_po": "__o"}
                     )[["__s", "__o"]].drop_duplicates()
                 e = gather_pattern(
-                    (("var", "__ps"), ("iri", iri), ("var", "__po"))
+                    (("var", "_ps"), ("iri", iri), ("var", "_po"))
                 )
                 if not len(e.columns):
                     return pd.DataFrame(columns=["__s", "__o"])
-                return e.rename(columns={"__ps": "__s", "__po": "__o"})
+                return e.rename(columns={"_ps": "__s", "_po": "__o"})
 
             def nodes_of() -> pd.Series:
                 # zero-length component of */?: union the partitions'
@@ -490,10 +491,9 @@ class QueryService:
             return pd.DataFrame(
                 {"graph_id": [], "line": [], "since_ts": []}
             ).astype({"since_ts": "datetime64[s]"})
-        return (
-            pa.concat_tables(tables)
-            .to_pandas()
-            .sort_values(["graph_id", "line"], ignore_index=True)
+        return sort_values_nul_safe(
+            pa.concat_tables(tables).to_pandas(),
+            ["graph_id", "line"], ignore_index=True,
         )
 
     def metadata(self):

@@ -43,7 +43,7 @@ import pyarrow as pa
 
 from ..ntriples import sha256_bytes
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
-from ..shuffle_utils import partition_ids
+from ..shuffle_utils import partition_ids, sort_values_nul_safe
 
 MANIFEST_NAME = "manifest.json"
 SUCCESS_NAME = "_SUCCESS"
@@ -69,8 +69,8 @@ def derive_partition_deltas(
     suppressed and absence tombstones them), and any derived delta that
     would predate a seeded graph's latest version raises before the
     caller writes anything."""
-    g = group.sort_values(["graph_id", "warc_ts"], kind="stable",
-                          ignore_index=True)
+    g = sort_values_nul_safe(group, ["graph_id", "warc_ts"],
+                             ignore_index=True)
     # last row wins on same-second ties (documented tie-break): dedup to
     # one row per (graph, second) — the per-graph `present` map, batched
     ts_all = g["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schemas import OP_DELETE
+from ..shuffle_utils import sort_values_nul_safe
 from .reconstruct import _ts_pandas, _ts_scalar
 
 _EMPTY = {"graph_id": object, "line": object}
@@ -74,7 +75,7 @@ def blame_frame(group: pd.DataFrame, ts) -> pd.DataFrame:
         return _empty_frame()
     ex = s.reset_index()
     ex.columns = ["graph_id", "vrank", "warc_ts", "line"]
-    ex = ex.sort_values(["graph_id", "line", "vrank"], kind="stable")
+    ex = sort_values_nul_safe(ex, ["graph_id", "line", "vrank"])
 
     gid = ex["graph_id"].to_numpy()
     line = ex["line"].to_numpy()

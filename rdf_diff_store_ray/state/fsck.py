@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..schemas import OP_DELETE, OP_UPDATE
+from ..shuffle_utils import sort_values_nul_safe
 
 _VIOLATION_COLS = (
     "bad_digest", "bad_canonical", "bad_ownership", "bad_seq",
@@ -89,8 +90,8 @@ def _check_partition(delta_dir: str, pid: int, num_partitions: int,
 
     # replay order per graph is (seq): timestamps must be non-decreasing
     # along it (the monotonicity the append path pre-validates)
-    srt = df.sort_values(["graph_id", "seq"],
-                         kind="mergesort", ignore_index=True)
+    srt = sort_values_nul_safe(df, ["graph_id", "seq"],
+                               ignore_index=True)
     same_graph = srt["graph_id"].to_numpy()[1:] == \
         srt["graph_id"].to_numpy()[:-1]
     ts = srt["warc_ts"].astype("int64").to_numpy()

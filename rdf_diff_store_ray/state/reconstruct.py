@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 from .. import ntriples
 from ..schemas import OP_DELETE
+from ..shuffle_utils import sort_values_nul_safe
 
 
 def _ts_scalar(ts) -> pa.Scalar:
@@ -163,7 +164,8 @@ def _diff_live_frames(live1: pd.DataFrame, live2: pd.DataFrame) -> pd.DataFrame:
         }
     )
     out = out[j["_merge"].to_numpy() != "both"]
-    return out.sort_values(["graph_id", "change", "line"], ignore_index=True)
+    return sort_values_nul_safe(out, ["graph_id", "change", "line"],
+                                ignore_index=True)
 
 
 def diff_table(deltas: pa.Table, ts1, ts2) -> pa.Table:
