@@ -1385,3 +1385,40 @@ def test_bloom_filter_membership(ray_session):
     short = out[out["doc_id"] == ids[-1]].iloc[0]
     assert short["n_ngrams"] == 0 and not short["flagged"]
     assert (out["n_hits"] <= out["n_ngrams"]).all()
+
+
+def test_collocations_and_top_terms_nul_tokens(ray_session, tmp_path):
+    """Tokens containing NUL bytes must count as distinct terms through
+    the bigram/dictionary-encode path AND the per-lang top-k tie-break
+    (a NUL-truncating hash or multi-key sort would collapse 'm\\x00k'
+    and 'm\\x00n' into one term)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.pipelines.queries import (
+        collocations, top_terms_per_lang,
+    )
+
+    a, b = "m\x00k", "m\x00n"
+    texts = [f"{a} {b} {a} {b} x", f"{a} plain"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en", "en"])}),
+        tmp_path / "documents.parquet",
+    )
+
+    col = collocations(str(tmp_path), k=10).to_pandas()
+    pairs = {(r.w1, r.w2): (r.pair_n, r.w1_n, r.w2_n)
+             for r in col.itertuples()}
+    assert pairs[(a, b)] == (2, 3, 2)   # a appears 3x overall, b 2x
+    assert pairs[(b, a)] == (1, 2, 3)
+    assert pairs[(b, "x")] == (1, 2, 1)
+    assert pairs[(a, "plain")] == (1, 3, 1)
+    assert len(pairs) == 4
+
+    top = top_terms_per_lang(str(tmp_path), k=10).to_pandas()
+    top = top.sort_values("rank", ignore_index=True)
+    assert list(top["token"]) == [a, b, "plain", "x"]
+    assert list(top["n"]) == [3, 2, 1, 1]
+    assert list(top["rank"]) == [1, 2, 3, 4]
