@@ -191,6 +191,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1")
+        # scaling legs default to the 2x corpus (553,904 pages): at the
+        # 277k-page default, per-leg fixed setup (~8-13 s at 8 CPUs) drags
+        # measured 2->8 efficiency into the 0.67-0.92 noise band.
+        env.setdefault("GRAFT_URLS", "160000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

@@ -3498,6 +3498,70 @@ def kg_churn(sf_dir: str, k: int = 20):
     )
 
 
+def kg_rdfs_entailment(sf_dir: str):
+    """RDFS (ρdf) forward materialization over the store's end state
+    with an out-of-band ontology — the reference's DCAT domain leans on
+    RDFS vocabulary, so a consumer querying the entailed store is the
+    real workload (``/root/reference/src/query.rs:117-145`` answers
+    SPARQL over raw asserted triples; this adds the inference layer a
+    catalog consumer expects). The TBox maps the corpus vocabulary:
+    acquired/partnersWith specialize relatedTo, domain/range type the
+    companies and places, Company ⊑ Organization ⊑ Agent. Result: one
+    (pred, n) row per predicate of the entailed set — asserted facts,
+    inferred relatedTo arcs, and inferred rdf:type rows all land in
+    distinct buckets, so the digest pins the full closure's shape."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.reasoning import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+        materialize_rdfs,
+    )
+    from ..state.reconstruct import state_at
+
+    prop = "https://kg.example/prop/"
+    cls = "https://kg.example/class/"
+    tbox = [
+        (prop + "acquired", RDFS_SUBPROP, prop + "relatedTo"),
+        (prop + "partnersWith", RDFS_SUBPROP, prop + "relatedTo"),
+        (prop + "acquired", RDFS_DOMAIN, cls + "Company"),
+        (prop + "acquired", RDFS_RANGE, cls + "Company"),
+        (prop + "partnersWith", RDFS_DOMAIN, cls + "Company"),
+        (prop + "partnersWith", RDFS_RANGE, cls + "Company"),
+        (prop + "headquarteredIn", RDFS_DOMAIN, cls + "Company"),
+        (prop + "headquarteredIn", RDFS_RANGE, cls + "Place"),
+        (prop + "foundedIn", RDFS_DOMAIN, cls + "Company"),
+        (cls + "Company", RDFS_SUBCLASS, cls + "Organization"),
+        (cls + "Organization", RDFS_SUBCLASS, cls + "Agent"),
+    ]
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj", "obj_is_literal"])
+
+    entailed = materialize_rdfs(triples, tbox=tbox, num_partitions=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # pred vocabulary is bounded (corpus props + rdf:type), so the
+        # shuffle carries a handful of (pred, n) partials per batch
+        counts = pc.value_counts(batch["pred"].combine_chunks())
+        return pa.table({
+            "pred": counts.field("values"),
+            "n": pc.cast(counts.field("counts"), pa.int64()),
+        })
+
+    return (
+        entailed.map_batches(partial, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("pred")
+    )
+
+
 def _digest_forms(forms: dict, sf_dir: str) -> pa.Table:
     """Run each named registry callable and emit one (form, rows,
     digest) row — sha256 over the sorted stringified result, so a value
@@ -3560,6 +3624,7 @@ def kg_analytics(sf_dir: str):
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
             "random_walks": kg_random_walks,
+            "rdfs_entailment": kg_rdfs_entailment,
             "related_entities": kg_related_entities,
             "triangle_counts": triangle_counts_q,
             "khop_sample": khop_sample,
@@ -3773,6 +3838,7 @@ def registry():
         "text_index_search": text_index_search,
         "text_index_bm25": text_index_bm25,
         "kg_churn": kg_churn,
+        "kg_rdfs_entailment": kg_rdfs_entailment,
         "kg_related_entities": kg_related_entities,
     }
 
