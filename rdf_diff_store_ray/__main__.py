@@ -39,7 +39,11 @@ def _ensure_ray() -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def _delta_table(store: str):
+def _delta_table(store: str, upto_ts=None):
+    """Load the store's delta log; with ``upto_ts`` (an as-of read),
+    footer-stat pruning skips log files whose every row postdates the
+    target instant — one file is always kept so the schema survives a
+    pre-history timestamp."""
     import glob
     import os
 
@@ -48,6 +52,10 @@ def _delta_table(store: str):
     files = sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
     if not files:
         raise SystemExit(f"no delta partitions under {store!r}")
+    if upto_ts is not None:
+        from .state.reconstruct import prune_log_files
+
+        files = prune_log_files(files, upto_ts) or files[:1]
     return pads.dataset(files).to_table()
 
 
@@ -411,7 +419,7 @@ def cmd_graphs_at(args) -> int:
         return 0
     from .query.bgp import DiffStoreReader
 
-    reader = DiffStoreReader(_delta_table(args.store))
+    reader = DiffStoreReader(_delta_table(args.store, upto_ts=args.ts))
     text = reader.graphs_at(args.ts)
     if args.turtle:
         from .ntriples import parse
@@ -426,7 +434,7 @@ def cmd_graphs_at(args) -> int:
 def cmd_query(args) -> int:
     from .query.bgp import DiffStoreReader
 
-    reader = DiffStoreReader(_delta_table(args.store))
+    reader = DiffStoreReader(_delta_table(args.store, upto_ts=args.ts))
     fn = {"json": reader.query_at_json, "csv": reader.query_at_csv,
           "tsv": reader.query_at_tsv}[args.format]
     print(fn(args.ts, args.bgp), end="" if args.format != "json" else "\n")
@@ -438,7 +446,10 @@ def cmd_diff(args) -> int:
     namesake op) as JSON lines: {"graph_id", "change", "line"}."""
     from .state.reconstruct import diff_table
 
-    out = diff_table(_delta_table(args.store), args.ts1, args.ts2)
+    out = diff_table(
+        _delta_table(args.store, upto_ts=max(args.ts1, args.ts2)),
+        args.ts1, args.ts2,
+    )
     for r in out.to_pylist():
         print(json.dumps(r))
     return 0
@@ -460,7 +471,7 @@ def cmd_blame(args) -> int:
 
     from .state.blame import blame_table
 
-    out = blame_table(_delta_table(args.store), args.ts)
+    out = blame_table(_delta_table(args.store, upto_ts=args.ts), args.ts)
     for r in out.to_pylist():
         print(json.dumps({
             "graph_id": r["graph_id"], "line": r["line"],

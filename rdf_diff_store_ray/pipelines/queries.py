@@ -1998,7 +1998,10 @@ def kg_state_at_mid(sf_dir: str):
     from ..state.reconstruct import state_at
 
     res = kg_build_for(sf_dir)
-    live = state_at(res.delta_dataset(), EPOCH + 2 * SNAPSHOT_STEP + 1)
+    mid = EPOCH + 2 * SNAPSHOT_STEP + 1
+    # footer-stat pruning: the mid-history read never opens log files
+    # whose every row postdates the target instant
+    live = state_at(res.delta_dataset(upto_ts=mid), mid)
     return (
         live.map_batches(
             functools.partial(_digest_hex_batch, columns=["graph_id"]),

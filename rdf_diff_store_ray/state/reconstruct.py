@@ -43,6 +43,48 @@ def _ts_scalar(ts) -> pa.Scalar:
     return pa.scalar(ts, pa.timestamp("s"))
 
 
+def prune_log_files(files, ts) -> list:
+    """Footer-stat time pruning for as-of reads: drop log files in which
+    EVERY row has ``warc_ts > ts`` — on a log-structured store (base
+    partition file + append segments in write order) a reconstruction at
+    an early instant then opens only the prefix of history that can
+    contribute. Driver-side metadata-only reads (O(files), a few KB per
+    footer, no row data); files without column statistics are kept
+    (pruning is an optimization, never a correctness gate). The min is
+    floored to second grain to match ``state_at``'s
+    ``warc_ts.cast(timestamp('s')) <= ts`` comparison exactly."""
+    import pyarrow.parquet as pq
+
+    bound = pd.Timestamp(_ts_scalar(ts).cast(pa.timestamp("us")).as_py())
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue  # an empty base/segment file contributes nothing
+        try:
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "warc_ts"
+            )
+        except StopIteration:
+            keep.append(f)
+            continue
+        file_min = None
+        has_stats = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                has_stats = False
+                break
+            mn = pd.Timestamp(st.min)
+            file_min = mn if file_min is None else min(file_min, mn)
+        if not has_stats or file_min is None:
+            keep.append(f)
+        elif file_min.floor("s") <= bound:
+            keep.append(f)
+    return keep
+
+
 # ---------------------------------------------------------------- table path
 def state_at_table(deltas: pa.Table, ts) -> pa.Table:
     """Live (graph_id, warc_ts, delta_text, digest) rows at ``ts``."""

@@ -500,3 +500,59 @@ def test_truncate_cli(ray_session, tmp_path, capsys):
                  "--before-ts", str(T2 + 1)]) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["removed_rows"] == 1
+
+
+def test_prune_log_files_time_pruning(store, ray_session):
+    """Footer-stat pruning for as-of reads: (a) files whose every row
+    postdates the target instant are dropped, (b) the pruned file set
+    reconstructs the identical state, (c) a pruned file is genuinely
+    never opened — corrupting it on disk cannot perturb the read."""
+    from rdf_diff_store_ray.state.append import append_graphs
+    from rdf_diff_store_ray.state.reconstruct import (
+        prune_log_files,
+        state_at_table,
+    )
+
+    append_graphs(store, {"g1": G_A, "g2": G_B}, T1)
+    append_graphs(store, {"g1": G_A2}, T2)
+    append_graphs(store, {"g3": G_B}, T3)
+
+    files = sorted(glob.glob(os.path.join(store, "partition=*", "*.parquet")))
+    kept_mid = prune_log_files(files, T1 + 1)
+    assert set(kept_mid) < set(files), "late segments must drop"
+    full = state_at_table(_delta_table(store), T1 + 1)
+    pruned = state_at_table(pads.dataset(kept_mid).to_table(), T1 + 1)
+    assert sorted(full["graph_id"].to_pylist()) == ["g1", "g2"]
+    assert full.sort_by("graph_id").equals(pruned.sort_by("graph_id"))
+
+    # end-of-history read: only empty base files may drop; state identical
+    kept_end = prune_log_files(files, T3)
+    full_end = state_at_table(_delta_table(store), T3)
+    pruned_end = state_at_table(pads.dataset(kept_end).to_table(), T3)
+    assert full_end.sort_by("graph_id").equals(pruned_end.sort_by("graph_id"))
+
+    # pruned files are never opened: corrupt every dropped file, re-read
+    for f in set(files) - set(kept_mid):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")
+    again = state_at_table(pads.dataset(kept_mid).to_table(), T1 + 1)
+    assert again.sort_by("graph_id").equals(pruned.sort_by("graph_id"))
+
+
+def test_delta_files_upto_ts_pre_history_keeps_schema(ray_session, tmp_path):
+    """A pre-history as-of read prunes every file but must keep one so
+    downstream readers see the delta schema (and zero live rows)."""
+    from rdf_diff_store_ray.pipelines.build import BuildResult
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+    from rdf_diff_store_ray.state.reconstruct import state_at
+
+    delta_dir = init_log(str(tmp_path / "out" / "deltas"), num_partitions=2)
+    append_graphs(delta_dir, {"g": G_A}, T2)
+    res = BuildResult(out_dir=str(tmp_path / "out"), num_partitions=2,
+                      manifests=[], canonical_map_size=0, wall_s=0.0,
+                      resumed_partitions=0)
+    assert len(res.delta_files(upto_ts=T1)) == 1
+    live = state_at(res.delta_dataset(upto_ts=T1), T1)
+    assert live.count() == 0
+    # mid/end reads through the same surface stay correct
+    assert state_at(res.delta_dataset(upto_ts=T2), T2).count() == 1
