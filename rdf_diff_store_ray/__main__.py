@@ -441,6 +441,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the reference-wire HTTP server over one store (blocks)."""
+    _ensure_ray()
+    from .server import DiffStoreServer
+
+    srv = DiffStoreServer(
+        args.store, host=args.host, port=args.port,
+        api_key=args.api_key, read_only=args.read_only,
+    )
+    print(json.dumps({"host": args.host, "port": srv.port}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Added/removed triples between two store versions (the diff-store's
     namesake op) as JSON lines: {"graph_id", "change", "line"}."""
@@ -604,6 +621,21 @@ def main(argv=None) -> int:
     m = sub.add_parser("metadata", help="(start_time, end_time) of the store")
     m.add_argument("--store", required=True)
     m.set_defaults(fn=cmd_metadata)
+
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP server mirroring the reference's wire API "
+             "(GET /api/graphs/{ts}, /api/sparql/{ts}, /api/metadata, "
+             "/metrics, /livez, /readyz; POST/DELETE /api/graphs)",
+    )
+    sv.add_argument("--store", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--api-key", dest="api_key",
+                    help="require X-API-KEY on writes")
+    sv.add_argument("--read-only", action="store_true", dest="read_only",
+                    help="serve only the query-cache routes (writes 404)")
+    sv.set_defaults(fn=cmd_serve)
 
     de = sub.add_parser(
         "dedup-index-extend",

@@ -2771,6 +2771,68 @@ def kg_fsck(sf_dir: str):
     )
 
 
+def kg_wire_api(sf_dir: str):
+    """The reference's HTTP wire surface end-to-end in-process
+    (``server.py`` mirrors ``src/bin/rdf-query-cache.rs`` +
+    ``rdf-diff-writer.rs``): POST two graphs at distinct instants over
+    HTTP, then drive every read route — merged + single-graph turtle,
+    SPARQL JSON, metadata, health — and pin (route, status,
+    body_digest) rows. Fixed timestamps and content keep the digests
+    deterministic; the per-sf tmp store isolates parallel runs."""
+    import hashlib
+    import json as _json
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    from ..server import DiffStoreServer
+    from ..state.append import init_log
+
+    t1, t2 = 1_700_000_000, 1_700_000_100
+    with tempfile.TemporaryDirectory() as tmp:
+        store = init_log(os.path.join(tmp, "deltas"), num_partitions=4)
+        srv = DiffStoreServer(store, api_key="k",
+                              now_fn=lambda: t2).start()
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def call(method, path, body=None, auth=False):
+            data = _json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(
+                base + path, data=data, method=method,
+                headers={"X-API-KEY": "k"} if auth else {},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read().decode()
+
+        try:
+            rows = []
+            ga = '<https://x/a> <https://x/p> "1" .\n'
+            gb = '<https://x/b> <https://x/p> "2" .\n'
+            call("POST", "/api/graphs",
+                 {"id": "g-a", "graph": ga, "timestamp": t1}, auth=True)
+            call("POST", "/api/graphs",
+                 {"id": "g-b", "graph": gb, "timestamp": t2}, auth=True)
+            q = urllib.parse.quote(
+                "SELECT ?s ?o WHERE { ?s <https://x/p> ?o }")
+            for route, path in [
+                ("graphs_mid", f"/api/graphs/{t1 + 1}"),
+                ("graphs_end", f"/api/graphs/{t2}"),
+                ("graphs_by_id", f"/api/graphs/{t2}?id=g-b"),
+                ("sparql_end", f"/api/sparql/{t2}?query={q}"),
+                ("metadata", "/api/metadata"),
+                ("livez", "/livez"),
+            ]:
+                status, body = call("GET", path)
+                rows.append({
+                    "route": route, "status": status,
+                    "digest": hashlib.sha256(
+                        body.encode()).hexdigest()[:16],
+                })
+        finally:
+            srv.shutdown()
+    return pa.Table.from_pylist(rows).sort_by("route")
+
+
 def kg_metrics_export(sf_dir: str):
     """Operational metrics artifact (``GET /metrics`` analog,
     ``src/metrics/mod.rs``): build-stage histograms + manifest counters
@@ -3606,6 +3668,7 @@ def kg_lifecycle(sf_dir: str):
             "ntriples_roundtrip": kg_ntriples_roundtrip,
             "sparql_update": kg_sparql_update,
             "turtle_ingest": kg_turtle_ingest,
+            "wire_api": kg_wire_api,
         },
         sf_dir,
     )
@@ -3842,6 +3905,7 @@ def registry():
         "text_index_bm25": text_index_bm25,
         "kg_churn": kg_churn,
         "kg_rdfs_entailment": kg_rdfs_entailment,
+        "kg_wire_api": kg_wire_api,
         "kg_related_entities": kg_related_entities,
     }
 

@@ -1,0 +1,304 @@
+"""HTTP wire surface mirroring the reference's two actix binaries.
+
+The reference ships as HTTP services: a read server (``rdf-query-cache``
+— GET ``/api/graphs/{timestamp}``, ``/api/sparql/{timestamp}``,
+``/api/metadata``, ``/metrics``, ``/livez``, ``/readyz``;
+``src/bin/rdf-query-cache.rs:48-124``) and a write server
+(``rdf-diff-writer`` — ``POST /api/graphs`` with the JSON Graph model,
+``DELETE /api/graphs?id=``, API-key-gated; ``src/bin/rdf-diff-writer.rs:
+45-96``, ``src/models/graph.rs:14-22``, ``openapi.yaml``). This module
+serves both route sets over one delta-log store so a reference client
+can switch endpoints without changing its requests; ``read_only=True``
+reproduces the query-cache role exactly (writes 404).
+
+Semantics mirrored from the reference, not its code:
+
+- reads are unauthenticated (the reference's ``validate_api_key`` calls
+  on GET handlers are commented out, ``rdf-query-cache.rs:56,88``);
+  writes require ``X-API-KEY`` when the server holds a key
+  (``rdf-diff-writer.rs:52,84``; 401 on mismatch, ``api.rs:25-39``).
+- ``GET /api/graphs/{ts}`` returns the merged store as ``text/turtle``
+  with a ``Cache-Level`` response header
+  (``metrics/middleware.rs:12``); ``?id=`` narrows to one graph.
+  Canonical N-Triples is valid Turtle; configure ``prefixes`` to get
+  prefix-compacted output like the reference's prettifier.
+- ``GET /api/sparql/{ts}?query=`` returns SPARQL-results JSON +
+  ``Cache-Level``.
+- errors use the reference's JSON error model ``{"message", "error"}``
+  (``openapi.yaml`` Error schema).
+- writes serialize through the store's single-writer lock
+  (:class:`..state.append.StoreWriteLock` inside ``append_graphs``),
+  the pool-of-one the reference uses for atomicity
+  (``rdf-diff-writer.rs:25-31``). POST bodies may carry an optional
+  ``"timestamp"`` (unix seconds) — an extension for deterministic
+  clients; absent, the server clock is used (the reference commits at
+  wall-clock time too, ``src/git.rs:151-161``).
+
+This is an application entry point like the CLI: it owns no Ray session
+(appends auto-init Ray Data when standalone) and the injectable
+``now_fn`` keeps wall-clock out of everything testable.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class StoreBackend:
+    """Shared state behind the handlers: a lazily (re)loaded reader over
+    the delta log, invalidated after every successful write."""
+
+    def __init__(self, delta_dir: str, *, prefixes: dict | None = None):
+        self.delta_dir = delta_dir
+        self.prefixes = prefixes
+        self._lock = threading.Lock()
+        self._reader = None
+
+    def invalidate(self) -> None:
+        with self._lock:
+            self._reader = None
+
+    def reader(self):
+        from .query.bgp import DiffStoreReader
+
+        with self._lock:
+            if self._reader is None:
+                self._reader = DiffStoreReader(self._load())
+            return self._reader
+
+    def _load(self):
+        import glob
+        import os
+
+        import pyarrow.dataset as pads
+
+        files = sorted(
+            glob.glob(os.path.join(self.delta_dir, "partition=*", "*.parquet"))
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"no delta partitions under {self.delta_dir!r}"
+            )
+        return pads.dataset(files).to_table()
+
+    # ------------------------------------------------------------- reads
+    def graphs_at(self, ts: int, graph_id: str | None) -> tuple[str, str]:
+        """(document, cache_level). Merged store, or one graph when
+        ``graph_id`` is given (absent graph → empty document, matching
+        the reference's empty-result behavior for unknown ids)."""
+        reader = self.reader()
+        if graph_id is None:
+            text = reader.graphs_at(ts)
+            level = reader.last_cache_level
+        else:
+            import pyarrow.compute as pc
+
+            from .state.reconstruct import state_at_table
+
+            live = state_at_table(reader.deltas, ts)
+            hit = live.filter(pc.equal(live["graph_id"], graph_id))
+            text = hit["delta_text"][0].as_py() if hit.num_rows else ""
+            level = "Graph" if hit.num_rows else "Nothing"
+        if self.prefixes is not None and text:
+            from .ntriples import parse
+            from .turtle import serialize_turtle
+
+            text = serialize_turtle(parse(text), self.prefixes)
+        return text, level
+
+    def sparql_at(self, ts: int, query: str) -> tuple[str, str]:
+        reader = self.reader()
+        body = reader.query_at_json(ts, query)
+        return body, reader.last_cache_level
+
+    def metadata(self) -> dict:
+        lo, hi = self.reader().metadata()
+        import pandas as pd
+
+        to_s = lambda v: int(pd.Timestamp(v).timestamp())  # noqa: E731
+        return {"start_time": to_s(lo), "end_time": to_s(hi)}
+
+    # ------------------------------------------------------------ writes
+    def store_graph(self, graph: dict, ts: int) -> int:
+        from .state.append import Graph, append_graphs
+
+        g = Graph(
+            id=graph["id"], graph=graph["graph"], format=graph.get("format")
+        )
+        n = append_graphs(self.delta_dir, {g.id: g}, ts)
+        self.invalidate()
+        return n
+
+    def delete_graph(self, graph_id: str, ts: int) -> int:
+        from .state.append import delete_graphs
+
+        n = delete_graphs(self.delta_dir, [graph_id], ts)
+        self.invalidate()
+        return n
+
+
+def _make_handler(backend: StoreBackend, api_key: str | None,
+                  read_only: bool, now_fn):
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "rdf-diff-store-ray"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        # ------------------------------------------------------ plumbing
+        def _send(self, code: int, body: str, ctype: str,
+                  headers: dict | None = None) -> None:
+            raw = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(raw)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def _error(self, code: int, message: str, error: str = "") -> None:
+            self._send(code, json.dumps(
+                {"message": message, "error": error}), "application/json")
+
+        def _check_key(self) -> bool:
+            if api_key is None:
+                return True
+            token = self.headers.get("X-API-KEY")
+            if token is None:
+                self._error(401, "X-API-KEY header missing")
+                return False
+            if token != api_key:
+                self._error(401, "incorrect api key")
+                return False
+            return True
+
+        def _metrics_record(self, endpoint: str, level: str) -> None:
+            from .metrics import REGISTRY
+
+            REGISTRY.counter_inc(
+                "http_requests",
+                f'endpoint="{endpoint}",cache_level="{level}"',
+            )
+
+        # ------------------------------------------------------- routes
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            q = parse_qs(url.query)
+            try:
+                if url.path in ("/livez", "/readyz"):
+                    self._send(200, "ok", "text/plain")
+                elif url.path == "/metrics":
+                    from .metrics import REGISTRY
+
+                    self._send(200, REGISTRY.render_prometheus(),
+                               "text/plain; version=0.0.4")
+                elif len(parts) == 3 and parts[:2] == ["api", "graphs"]:
+                    ts = int(parts[2])
+                    gid = q.get("id", [None])[0]
+                    text, level = backend.graphs_at(ts, gid)
+                    self._metrics_record("graphs", level)
+                    self._send(200, text, "text/turtle",
+                               {"Cache-Level": level})
+                elif len(parts) == 3 and parts[:2] == ["api", "sparql"]:
+                    if "query" not in q:
+                        return self._error(400, "missing query parameter")
+                    ts = int(parts[2])
+                    body, level = backend.sparql_at(ts, q["query"][0])
+                    self._metrics_record("sparql", level)
+                    self._send(200, body, "application/json",
+                               {"Cache-Level": level})
+                elif url.path == "/api/metadata":
+                    self._send(200, json.dumps(backend.metadata()),
+                               "application/json")
+                else:
+                    self._error(404, f"no such endpoint: {url.path}")
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:  # reference maps internal errors to 500
+                self._error(500, str(e), type(e).__name__)
+
+        def do_POST(self):  # noqa: N802
+            if self.path.split("?")[0] != "/api/graphs" or read_only:
+                return self._error(404, "no such endpoint")
+            if not self._check_key():
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                graph = json.loads(self.rfile.read(n).decode())
+                if not isinstance(graph, dict) or \
+                        {"id", "graph"} - set(graph):
+                    return self._error(400, "Graph model needs id + graph")
+                ts = int(graph.get("timestamp") or now_fn())
+                backend.store_graph(graph, ts)
+                self._send(200, "", "text/plain")
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                self._error(400, f"bad request body: {e}")
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:
+                self._error(500, str(e), type(e).__name__)
+
+        def do_DELETE(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/api/graphs" or read_only:
+                return self._error(404, "no such endpoint")
+            if not self._check_key():
+                return
+            q = parse_qs(url.query)
+            if "id" not in q:
+                return self._error(400, "missing id parameter")
+            try:
+                ts = int(q.get("timestamp", [0])[0] or now_fn())
+                backend.delete_graph(q["id"][0], ts)
+                self._send(200, "", "text/plain")
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:
+                self._error(500, str(e), type(e).__name__)
+
+    return Handler
+
+
+class DiffStoreServer:
+    """Threaded HTTP server over one delta-log store.
+
+    ``api_key=None`` disables write auth (the reference exits at boot
+    without ``API_KEY``, ``src/api.rs:9-13``; a library default of
+    "unauthenticated local dev server" is friendlier and explicit).
+    ``port=0`` binds an ephemeral port (see ``.port`` after start).
+    """
+
+    def __init__(self, delta_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, api_key: str | None = None,
+                 read_only: bool = False, prefixes: dict | None = None,
+                 now_fn=time.time):
+        self.backend = StoreBackend(delta_dir, prefixes=prefixes)
+        handler = _make_handler(self.backend, api_key, read_only, now_fn)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "DiffStoreServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

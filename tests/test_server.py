@@ -1,0 +1,165 @@
+"""HTTP wire surface (server.py) vs the reference's endpoint contract:
+the timestamps/no-diff integration scenarios driven over HTTP, auth
+gating, cache-level headers, error model, read-only role."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+G_A = '<https://x/a> <https://x/p> "1" .\n'
+G_A2 = '<https://x/a> <https://x/p> "changed" .\n'
+G_B = '<https://x/b> <https://x/p> "2" .\n'
+
+T1, T2, T3 = 1_700_000_000, 1_700_000_100, 1_700_000_200
+
+
+def _req(method, url, body=None, headers=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method,
+                               headers=headers or {})
+    with urllib.request.urlopen(r) as resp:
+        return resp.status, dict(resp.headers), resp.read().decode()
+
+
+def _err(method, url, body=None, headers=None):
+    try:
+        _req(method, url, body, headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+    raise AssertionError("expected an HTTP error")
+
+
+@pytest.fixture()
+def server(ray_session, tmp_path):
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import init_log
+
+    store = init_log(str(tmp_path / "deltas"), num_partitions=4)
+    clock = [T3]
+    srv = DiffStoreServer(store, api_key="sesame",
+                          now_fn=lambda: clock[0]).start()
+    yield f"http://127.0.0.1:{srv.port}", clock
+    srv.shutdown()
+
+
+def test_wire_scenario_roundtrip(server):
+    """The reference's `timestamps` scenario (tests/integration_test.rs)
+    over HTTP: store two graphs at distinct instants, read merged and
+    single-graph documents at in-between timestamps, sparql, metadata."""
+    base, _ = server
+    key = {"X-API-KEY": "sesame"}
+
+    st, _, _ = _req("POST", f"{base}/api/graphs",
+                    {"id": "g-a", "graph": G_A, "timestamp": T1}, key)
+    assert st == 200
+    st, _, _ = _req("POST", f"{base}/api/graphs",
+                    {"id": "g-b", "graph": G_B, "timestamp": T2}, key)
+    assert st == 200
+
+    # merged doc between the commits: only g-a
+    st, hdr, body = _req("GET", f"{base}/api/graphs/{T1 + 1}")
+    assert st == 200 and hdr["Content-Type"].startswith("text/turtle")
+    assert body.strip() == G_A.strip()
+    assert hdr["Cache-Level"] in ("Graph", "Prettified", "Nothing", "Store")
+    # merged doc at the end: both
+    _, _, body = _req("GET", f"{base}/api/graphs/{T3}")
+    assert sorted(body.splitlines()) == sorted((G_A + G_B).splitlines())
+    # single graph by id; unknown id is an empty 200 like an empty store
+    _, _, body = _req("GET", f"{base}/api/graphs/{T3}?id=g-b")
+    assert body == G_B
+    _, _, body = _req("GET", f"{base}/api/graphs/{T3}?id=nope")
+    assert body == ""
+    # pre-history is the empty document
+    _, _, body = _req("GET", f"{base}/api/graphs/{T1 - 1}")
+    assert body == ""
+
+    # sparql at end
+    q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <https://x/p> ?o }")
+    st, hdr, body = _req("GET", f"{base}/api/sparql/{T3}?query={q}")
+    res = json.loads(body)
+    vals = sorted(b["o"]["value"] for b in res["results"]["bindings"])
+    assert vals == ["1", "2"] and "Cache-Level" in hdr
+
+    # metadata
+    _, _, body = _req("GET", f"{base}/api/metadata")
+    assert json.loads(body) == {"start_time": T1, "end_time": T2}
+
+
+def test_wire_no_diff_suppression_and_delete(server):
+    """The reference's `test_no_diff` scenario: re-posting identical
+    content writes nothing; delete tombstones the graph; the server
+    clock drives timestamp-less writes."""
+    base, clock = server
+    key = {"X-API-KEY": "sesame"}
+
+    clock[0] = T1
+    _req("POST", f"{base}/api/graphs", {"id": "g", "graph": G_A}, key)
+    clock[0] = T2
+    # same content, reordered/uncanonical whitespace → suppressed no-op
+    _req("POST", f"{base}/api/graphs",
+         {"id": "g", "graph": '<https://x/a>  <https://x/p>  "1" .'}, key)
+    _, _, body = _req("GET", f"{base}/api/metadata")
+    assert json.loads(body)["end_time"] == T1  # nothing written at T2
+
+    clock[0] = T2
+    _req("POST", f"{base}/api/graphs", {"id": "g", "graph": G_A2}, key)
+    _, _, body = _req("GET", f"{base}/api/graphs/{T2}")
+    assert body == G_A2
+
+    st, _, _ = _req("DELETE", f"{base}/api/graphs?id=g&timestamp={T3}",
+                    headers=key)
+    assert st == 200
+    _, _, body = _req("GET", f"{base}/api/graphs/{T3}")
+    assert body == ""
+    _, _, body = _req("GET", f"{base}/api/graphs/{T2}")
+    assert body == G_A2  # history preserved
+
+
+def test_wire_auth_and_errors(server):
+    base, _ = server
+    code, err = _err("POST", f"{base}/api/graphs",
+                     {"id": "g", "graph": G_A})
+    assert code == 401 and "X-API-KEY" in err["message"]
+    code, err = _err("POST", f"{base}/api/graphs",
+                     {"id": "g", "graph": G_A}, {"X-API-KEY": "wrong"})
+    assert code == 401 and err["message"] == "incorrect api key"
+    # reads stay unauthenticated (reference parity)
+    st, _, _ = _req("GET", f"{base}/api/graphs/{T1}")
+    assert st == 200
+    code, err = _err("POST", f"{base}/api/graphs", {"id": "g"},
+                     {"X-API-KEY": "sesame"})
+    assert code == 400
+    code, err = _err("GET", f"{base}/api/sparql/{T1}")
+    assert code == 400 and "query" in err["message"]
+    code, err = _err("GET", f"{base}/api/nope")
+    assert code == 404
+    # health + metrics
+    st, _, body = _req("GET", f"{base}/livez")
+    assert (st, body) == (200, "ok")
+    st, _, body = _req("GET", f"{base}/metrics")
+    assert st == 200 and "http_requests" in body
+
+
+def test_read_only_role(ray_session, tmp_path):
+    """read_only=True reproduces the query-cache binary: write routes
+    do not exist."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    store = init_log(str(tmp_path / "deltas"), num_partitions=2)
+    append_graphs(store, {"g": G_A}, T1)
+    srv = DiffStoreServer(store, read_only=True).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        _, _, body = _req("GET", f"{base}/api/graphs/{T1}")
+        assert body == G_A
+        code, _ = _err("POST", f"{base}/api/graphs",
+                       {"id": "h", "graph": G_B})
+        assert code == 404
+        code, _ = _err("DELETE", f"{base}/api/graphs?id=g")
+        assert code == 404
+    finally:
+        srv.shutdown()
