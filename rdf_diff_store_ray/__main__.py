@@ -441,6 +441,16 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Replicate a store's delta log (git-fetch analog)."""
+    from .state.sync import sync_store
+
+    out = sync_store(args.src, args.dst, delete=not args.no_delete,
+                     lock_src=args.lock_src)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Run the reference-wire HTTP server over one store (blocks)."""
     _ensure_ray()
@@ -636,6 +646,20 @@ def main(argv=None) -> int:
     sv.add_argument("--read-only", action="store_true", dest="read_only",
                     help="serve only the query-cache routes (writes 404)")
     sv.set_defaults(fn=cmd_serve)
+
+    sy = sub.add_parser(
+        "sync",
+        help="replicate a store's delta log into a read replica "
+             "(git-fetch analog; rsync quick-check, deletes compacted "
+             "files)",
+    )
+    sy.add_argument("--src", required=True)
+    sy.add_argument("--dst", required=True)
+    sy.add_argument("--no-delete", action="store_true", dest="no_delete",
+                    help="keep replica files the source no longer has")
+    sy.add_argument("--lock-src", action="store_true", dest="lock_src",
+                    help="hold the source writer lock for a quiescent copy")
+    sy.set_defaults(fn=cmd_sync)
 
     de = sub.add_parser(
         "dedup-index-extend",
