@@ -459,6 +459,7 @@ def cmd_serve(args) -> int:
     srv = DiffStoreServer(
         args.store, host=args.host, port=args.port,
         api_key=args.api_key, read_only=args.read_only,
+        distributed=args.distributed,
     )
     print(json.dumps({"host": args.host, "port": srv.port}), flush=True)
     try:
@@ -645,6 +646,10 @@ def main(argv=None) -> int:
                     help="require X-API-KEY on writes")
     sv.add_argument("--read-only", action="store_true", dest="read_only",
                     help="serve only the query-cache routes (writes 404)")
+    sv.add_argument("--distributed", action="store_true",
+                    help="serve reads from one partition-reader actor "
+                         "per delta partition (store never loads into "
+                         "the HTTP process)")
     sv.set_defaults(fn=cmd_serve)
 
     sy = sub.add_parser(

@@ -62,6 +62,9 @@ class StoreBackend:
         with self._lock:
             self._reader = None
 
+    def close(self) -> None:
+        pass
+
     def reader(self):
         from .query.bgp import DiffStoreReader
 
@@ -139,6 +142,73 @@ class StoreBackend:
         n = delete_graphs(self.delta_dir, [graph_id], ts)
         self.invalidate()
         return n
+
+
+class DistributedStoreBackend(StoreBackend):
+    """Same handler contract served by :class:`..query.service.
+    QueryService` — one partition-reader actor per delta partition, so
+    the HTTP process never holds the store (the 100× role split: this
+    process is the reference's thin actix layer, the actors are its
+    repo pool of 32 readers, ``src/bin/rdf-query-cache.rs:137,170``).
+    Point reads prune to the owning actor; writes invalidate by
+    restarting the actor pool (the next read reloads the log, the
+    fetch-updates analog)."""
+
+    def __init__(self, delta_dir: str, *, prefixes: dict | None = None):
+        super().__init__(delta_dir, prefixes=prefixes)
+        self._svc = None
+
+    def _service(self):
+        from .query.service import QueryService
+
+        with self._lock:
+            if self._svc is None:
+                self._svc = QueryService(self.delta_dir)
+            return self._svc
+
+    def invalidate(self) -> None:
+        with self._lock:
+            if self._svc is not None:
+                self._svc.shutdown()
+                self._svc = None
+
+    def close(self) -> None:
+        self.invalidate()
+
+    def _level(self, svc) -> str:
+        levels = set(svc.cache_levels())
+        # the most informative level any partition reached this request
+        for lv in ("Prettified", "Query", "Graph", "Store"):
+            if lv in levels:
+                return lv
+        return "Nothing"
+
+    def graphs_at(self, ts: int, graph_id: str | None) -> tuple[str, str]:
+        svc = self._service()
+        if graph_id is None:
+            text = svc.graphs_at(ts)
+            level = self._level(svc)
+        else:
+            text = svc.graph_at(graph_id, ts) or ""
+            level = "Graph" if text else "Nothing"
+        if self.prefixes is not None and text:
+            from .ntriples import parse
+            from .turtle import serialize_turtle
+
+            text = serialize_turtle(parse(text), self.prefixes)
+        return text, level
+
+    def sparql_at(self, ts: int, query: str) -> tuple[str, str]:
+        svc = self._service()
+        body = svc.query_at_json(ts, query)
+        return body, self._level(svc)
+
+    def metadata(self) -> dict:
+        import pandas as pd
+
+        lo, hi = self._service().metadata()
+        to_s = lambda v: int(pd.Timestamp(v).timestamp())  # noqa: E731
+        return {"start_time": to_s(lo), "end_time": to_s(hi)}
 
 
 def _make_handler(backend: StoreBackend, api_key: str | None,
@@ -277,8 +347,9 @@ class DiffStoreServer:
     def __init__(self, delta_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, api_key: str | None = None,
                  read_only: bool = False, prefixes: dict | None = None,
-                 now_fn=time.time):
-        self.backend = StoreBackend(delta_dir, prefixes=prefixes)
+                 distributed: bool = False, now_fn=time.time):
+        cls = DistributedStoreBackend if distributed else StoreBackend
+        self.backend = cls(delta_dir, prefixes=prefixes)
         handler = _make_handler(self.backend, api_key, read_only, now_fn)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None
@@ -302,3 +373,4 @@ class DiffStoreServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        self.backend.close()

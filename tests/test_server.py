@@ -163,3 +163,44 @@ def test_read_only_role(ray_session, tmp_path):
         assert code == 404
     finally:
         srv.shutdown()
+
+
+def test_distributed_backend_parity(ray_session, tmp_path):
+    """distributed=True (QueryService actors behind the same handlers)
+    answers every read route identically to the single-reader backend,
+    and write-invalidation restarts the actor pool."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    store = init_log(str(tmp_path / "deltas"), num_partitions=4)
+    append_graphs(store, {"g-a": G_A, "g-b": G_B}, T1)
+    append_graphs(store, {"g-a": G_A2}, T2)
+
+    single = DiffStoreServer(store, api_key="k",
+                             now_fn=lambda: T3).start()
+    dist = DiffStoreServer(store, api_key="k", distributed=True,
+                           now_fn=lambda: T3).start()
+    b1 = f"http://127.0.0.1:{single.port}"
+    b2 = f"http://127.0.0.1:{dist.port}"
+    q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <https://x/p> ?o }")
+    try:
+        for path in [
+            f"/api/graphs/{T1}", f"/api/graphs/{T3}",
+            f"/api/graphs/{T3}?id=g-a", f"/api/graphs/{T3}?id=nope",
+            f"/api/graphs/{T1 - 1}", f"/api/sparql/{T3}?query={q}",
+            "/api/metadata", "/livez",
+        ]:
+            s1, _, body1 = _req("GET", b1 + path)
+            s2, _, body2 = _req("GET", b2 + path)
+            assert (s1, body1) == (s2, body2), path
+
+        # a write through the distributed server restarts the pool and
+        # the next read sees it
+        _req("POST", f"{b2}/api/graphs",
+             {"id": "g-new", "graph": G_B, "timestamp": T3},
+             {"X-API-KEY": "k"})
+        _, _, body = _req("GET", f"{b2}/api/graphs/{T3}?id=g-new")
+        assert body == G_B
+    finally:
+        single.shutdown()
+        dist.shutdown()
