@@ -53,6 +53,29 @@ FROM documents
 """
 
 
+def chunk_docs(sf_dir: str):
+    """Overlapping fixed-size chunking of the documents table (RAG /
+    context-window preparation): 200-char chunks every 150 chars with
+    (doc_id, chunk_id, off) provenance. Streaming explode, no shuffle."""
+    from ..functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           size=200, stride=150)
+
+
+CHUNK_DOCS_SQL = r"""
+WITH c AS (
+    SELECT doc_id, text,
+           unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT)))
+               AS chunk_id
+    FROM documents
+)
+SELECT doc_id, chunk_id, chunk_id * 150 AS off,
+       substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200) AS chunk
+FROM c
+"""
+
+
 def quality_score(sf_dir: str):
     from ..functions.text import quality_score_batch
 
@@ -2833,6 +2856,64 @@ def kg_wire_api(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("route")
 
 
+def kg_sync(sf_dir: str):
+    """Store replication lifecycle (git-fetch analog,
+    ``state/sync.py``): build a source log, sync a fresh replica,
+    append, re-sync incrementally, compact, re-sync with deletion —
+    digesting replica state and transfer accounting at each step so the
+    consolidated entry pins the whole fetch protocol."""
+    import glob as _glob
+    import hashlib
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..state.append import append_graphs, compact_log, init_log
+    from ..state.reconstruct import state_at_table
+    from ..state.sync import sync_store
+
+    t1, t2, t3 = 1_700_000_000, 1_700_000_100, 1_700_000_200
+
+    def replica_digest(d, ts):
+        files = sorted(
+            _glob.glob(os.path.join(d, "partition=*", "*.parquet")))
+        live = state_at_table(pads.dataset(files).to_table(), ts)
+        payload = "\n".join(sorted(
+            f"{g}\t{t}" for g, t in zip(live["graph_id"].to_pylist(),
+                                        live["delta_text"].to_pylist())
+        ))
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        src = init_log(os.path.join(tmp, "src"), num_partitions=4)
+        dst = os.path.join(tmp, "dst")
+        append_graphs(src, {
+            "g1": '<https://x/a> <https://x/p> "1" .\n',
+            "g2": '<https://x/b> <https://x/p> "2" .\n',
+        }, t1)
+        out = sync_store(src, dst)
+        rows.append({"step": "fresh", "copied": out["copied"],
+                     "removed": out["removed"],
+                     "digest": replica_digest(dst, t3)})
+        append_graphs(src, {"g1": '<https://x/a> <https://x/p> "3" .\n'},
+                      t2)
+        out = sync_store(src, dst)
+        rows.append({"step": "incremental", "copied": out["copied"],
+                     "removed": out["removed"],
+                     "digest": replica_digest(dst, t3)})
+        compact_log(src)
+        out = sync_store(src, dst)
+        rows.append({"step": "compacted", "copied": out["copied"],
+                     "removed": out["removed"],
+                     "digest": replica_digest(dst, t3)})
+        out = sync_store(src, dst)
+        rows.append({"step": "noop", "copied": out["copied"],
+                     "removed": out["removed"],
+                     "digest": replica_digest(dst, t1 + 1)})
+    return pa.Table.from_pylist(rows)
+
+
 def kg_metrics_export(sf_dir: str):
     """Operational metrics artifact (``GET /metrics`` analog,
     ``src/metrics/mod.rs``): build-stage histograms + manifest counters
@@ -3667,6 +3748,7 @@ def kg_lifecycle(sf_dir: str):
             "nquads_roundtrip": kg_nquads_roundtrip,
             "ntriples_roundtrip": kg_ntriples_roundtrip,
             "sparql_update": kg_sparql_update,
+            "sync": kg_sync,
             "turtle_ingest": kg_turtle_ingest,
             "wire_api": kg_wire_api,
         },
@@ -3741,6 +3823,7 @@ def embed_text_suite(sf_dir: str):
             "ann_topk_lsh": ann_topk_lsh,
             "approx_distinct_users": rel.approx_distinct_users,
             "bpe_tokenize": bpe_tokenize,
+            "chunk_docs": chunk_docs,
             "curate_corpus": curate_corpus,
             "lm_perplexity": lm_perplexity_docs,
             "heavy_hitters": heavy_hitters_docs,
@@ -3906,6 +3989,8 @@ def registry():
         "kg_churn": kg_churn,
         "kg_rdfs_entailment": kg_rdfs_entailment,
         "kg_wire_api": kg_wire_api,
+        "kg_sync": kg_sync,
+        "chunk_docs": chunk_docs,
         "kg_related_entities": kg_related_entities,
     }
 
@@ -3946,6 +4031,7 @@ def oracles():
         "events_quantiles": rel.EVENTS_QUANTILES_SQL,
         "events_range_join": rel.EVENTS_RANGE_JOIN_SQL,
         "doc_stats": DOC_STATS_SQL,
+        "chunk_docs": CHUNK_DOCS_SQL,
         "quality_score": QUALITY_SCORE_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,

@@ -113,10 +113,12 @@ class StoreBackend:
             text = serialize_turtle(parse(text), self.prefixes)
         return text, level
 
-    def sparql_at(self, ts: int, query: str) -> tuple[str, str]:
+    def sparql_at(self, ts: int, query: str,
+                  fmt: str = "json") -> tuple[str, str]:
         reader = self.reader()
-        body = reader.query_at_json(ts, query)
-        return body, reader.last_cache_level
+        fn = {"json": reader.query_at_json, "csv": reader.query_at_csv,
+              "tsv": reader.query_at_tsv}[fmt]
+        return fn(ts, query), reader.last_cache_level
 
     def metadata(self) -> dict:
         lo, hi = self.reader().metadata()
@@ -198,10 +200,12 @@ class DistributedStoreBackend(StoreBackend):
             text = serialize_turtle(parse(text), self.prefixes)
         return text, level
 
-    def sparql_at(self, ts: int, query: str) -> tuple[str, str]:
+    def sparql_at(self, ts: int, query: str,
+                  fmt: str = "json") -> tuple[str, str]:
         svc = self._service()
-        body = svc.query_at_json(ts, query)
-        return body, self._level(svc)
+        fn = {"json": svc.query_at_json, "csv": svc.query_at_csv,
+              "tsv": svc.query_at_tsv}[fmt]
+        return fn(ts, query), self._level(svc)
 
     def metadata(self) -> dict:
         import pandas as pd
@@ -279,10 +283,19 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                     if "query" not in q:
                         return self._error(400, "missing query parameter")
                     ts = int(parts[2])
-                    body, level = backend.sparql_at(ts, q["query"][0])
+                    # content negotiation over the W3C result formats
+                    # (the reference serves JSON only; CSV/TSV are the
+                    # SPARQL 1.1 standard siblings)
+                    accept = self.headers.get("Accept", "")
+                    fmt, ctype = "json", "application/json"
+                    if "text/csv" in accept:
+                        fmt, ctype = "csv", "text/csv"
+                    elif "text/tab-separated-values" in accept:
+                        fmt, ctype = "tsv", "text/tab-separated-values"
+                    body, level = backend.sparql_at(ts, q["query"][0],
+                                                    fmt=fmt)
                     self._metrics_record("sparql", level)
-                    self._send(200, body, "application/json",
-                               {"Cache-Level": level})
+                    self._send(200, body, ctype, {"Cache-Level": level})
                 elif url.path == "/api/metadata":
                     self._send(200, json.dumps(backend.metadata()),
                                "application/json")

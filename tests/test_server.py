@@ -204,3 +204,28 @@ def test_distributed_backend_parity(ray_session, tmp_path):
     finally:
         single.shutdown()
         dist.shutdown()
+
+
+def test_sparql_content_negotiation(server):
+    """Accept: text/csv and text/tab-separated-values serve the W3C
+    sibling result formats; default stays SPARQL JSON."""
+    base, _ = server
+    key = {"X-API-KEY": "sesame"}
+    _req("POST", f"{base}/api/graphs",
+         {"id": "g", "graph": G_A, "timestamp": T1}, key)
+    q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <https://x/p> ?o }")
+    url = f"{base}/api/sparql/{T1}?query={q}"
+
+    st, hdr, body = _req("GET", url)
+    assert hdr["Content-Type"].startswith("application/json")
+    assert json.loads(body)["results"]["bindings"]
+
+    st, hdr, body = _req("GET", url, headers={"Accept": "text/csv"})
+    assert hdr["Content-Type"].startswith("text/csv")
+    assert body.splitlines()[0] == "s,o"
+    assert "https://x/a" in body
+
+    st, hdr, body = _req("GET", url,
+                         headers={"Accept": "text/tab-separated-values"})
+    assert hdr["Content-Type"].startswith("text/tab-separated-values")
+    assert body.splitlines()[0] == "?s\t?o"
