@@ -1175,3 +1175,215 @@ def khop_neighborhood(edges_ds, seeds, k: int, *, method: str = "auto",
         sort_values_nul_safe(out, ["hop", "node"], ignore_index=True),
         preserve_index=False,
     ))
+
+
+def connected_components(edges_ds, *, method: str = "auto",
+                         num_partitions: int = 32,
+                         broadcast_threshold: int = 2_000_000,
+                         max_iters: int | None = None):
+    """Connected components of the undirected graph ``(src, dst)`` —
+    the canonical entity-consolidation reduce (which IRIs describe one
+    thing once same-as edges exist). Returns ``(node, component)``
+    where ``component`` is the lexicographically smallest node in the
+    component — a content-derived, rename-stable label.
+
+    Dual path like :func:`pagerank`/:func:`triangle_counts`:
+
+    - ``broadcast`` (≤ ``broadcast_threshold`` locally-deduped edges):
+      min-root union-find on the driver over the edge list only —
+      the "smaller root wins" orientation makes the root the component
+      minimum by construction (same machinery as the dedup family,
+      ``stages/canonicalize.py:169``).
+    - ``copartition`` (the 100×-scale path): distributed min-label
+      propagation over the STRING labels. Per iteration the label
+      table co-partitions with the symmetric edges on the source node
+      (bounded-partition hash routing; `stable_hash_array` is NUL-safe)
+      and each partition merges + emits neighbor messages; the fold to
+      a per-node minimum uses NUL-safe primitives only (single-key
+      stable sorts + ``drop_duplicates`` — pandas groupby on object
+      keys folds distinct NUL-carrying keys, see CLAUDE.md). Converges
+      in ≤ diameter iterations, witnessed by an exact changed-count;
+      a finite ``max_iters`` raises rather than returning unmerged
+      components (mirrors ``dedup.label_propagation_components``).
+
+    Self-loops are dropped; isolated nodes don't appear in an edge
+    list, so they are their own components by definition and callers
+    union them in if needed.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..shuffle_utils import sort_values_nul_safe, stable_hash_array
+
+    canon = (
+        edges_ds.select_columns(["src", "dst"])
+        .map_batches(
+            lambda b: (lambda lo, hi, keep: pa.table(
+                {"lo": pc.array_filter(lo, keep),
+                 "hi": pc.array_filter(hi, keep)}
+            ))(
+                pc.min_element_wise(b["src"], b["dst"]),
+                pc.max_element_wise(b["src"], b["dst"]),
+                pc.not_equal(b["src"], b["dst"]),
+            ).group_by(["lo", "hi"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "component": pa.array([], pa.string())})
+    n_edges = canon.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if method == "auto":
+        method = ("broadcast" if n_edges <= broadcast_threshold
+                  else "copartition")
+
+    if method == "broadcast":
+        from ..stages.canonicalize import UnionFind
+
+        uf = UnionFind()
+        for b in canon.iter_batches(batch_format="pyarrow"):
+            for a_, b_ in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
+                uf.union(a_, b_)
+        nodes = sorted(uf.parent)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "component": pa.array([uf.find(x) for x in nodes],
+                                  pa.string()),
+        }))
+
+    # ----------------------------------------------- copartition path
+    def sym(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_pylist()
+        hi = batch["hi"].to_pylist()
+        return pa.table({
+            "src": pa.array(lo + hi, pa.string()),
+            "dst": pa.array(hi + lo, pa.string()),
+        })
+
+    def pid_of(batch: pa.Table, col: str, out: str) -> pa.Table:
+        h = stable_hash_array(batch[col]) % num_partitions
+        return batch.append_column(out, pa.array(h.astype("int32")))
+
+    edges = (
+        canon.map_batches(sym, batch_format="pyarrow")
+        .map_batches(lambda b: pid_of(b, "src", "cc_pid"),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # distinct endpoints of this partition's out-edges = exactly the
+        # nodes whose label rows this partition must hold
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(src)  # object ==, NUL-safe
+        return pa.table({
+            "node": pa.array(uniq, pa.string()),
+            "label": pa.array(uniq, pa.string()),
+        })
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(lambda b: pid_of(b, "node", "cc_pid"),
+                     batch_format="pyarrow")
+        .groupby("cc_pid")
+        .map_groups(_cc_dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    it = 0
+    while True:
+        it += 1
+        if max_iters is not None and it > max_iters:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations; raise max_iters or pass max_iters=None"
+            )
+        # ONE co-partitioned pass sends all messages: label rows and
+        # edge rows share the source-node hash partition, so the merge
+        # happens inside the group — no driver-side label state, ever
+        label_rows = labels.map_batches(
+            lambda b: pa.table({
+                "key": b["node"],
+                "dst": pa.array([None] * b.num_rows, pa.string()),
+                "label": b["label"],
+                "cc_pid": b["cc_pid"],
+            }), batch_format="pyarrow",
+        )
+        edge_rows = edges.map_batches(
+            lambda b: pa.table({
+                "key": b["src"], "dst": b["dst"],
+                "label": pa.array([None] * b.num_rows, pa.string()),
+                "cc_pid": b["cc_pid"],
+            }), batch_format="pyarrow",
+        )
+        msgs = (
+            label_rows.union(edge_rows)
+            .groupby("cc_pid")
+            .map_groups(_cc_send_messages, batch_format="pandas")
+            .map_batches(lambda b: pid_of(b, "node", "cc_mpid"),
+                         batch_format="pyarrow")
+        )
+        new_labels = (
+            msgs.groupby("cc_mpid")
+            .map_groups(_cc_fold_min, batch_format="pandas")
+            .materialize()
+        )
+        changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"]
+        labels = new_labels.map_batches(
+            lambda b: pid_of(
+                b.select(["node", "label"]), "node", "cc_pid"),
+            batch_format="pyarrow",
+        ).materialize()
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "component": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _cc_send_messages(group: pd.DataFrame) -> pd.DataFrame:
+    """One partition's message pass: label rows (dst null) build the
+    lookup, edge rows emit (dst, label-of-src) candidates; self
+    messages carry the old label for the convergence witness. Python
+    dict lookups on string keys — NUL-safe by construction."""
+    lab = group[group["dst"].isna()]
+    edg = group[group["dst"].notna()]
+    lookup = dict(zip(lab["key"], lab["label"]))
+    node = list(lab["key"]) + list(edg["dst"])
+    cand = list(lab["label"]) + [lookup[k] for k in edg["key"]]
+    old = list(lab["label"]) + [None] * len(edg)
+    return pd.DataFrame({
+        "node": pd.Series(node, dtype=object),
+        "cand": pd.Series(cand, dtype=object),
+        "old": pd.Series(old, dtype=object),
+    })
+
+
+def _cc_dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+    # drop_duplicates is NUL-safe (no C-string factorize)
+    return df.drop_duplicates(subset=["node"], ignore_index=True)[
+        ["node", "label", "cc_pid"]]
+
+
+def _cc_fold_min(df: pd.DataFrame) -> pd.DataFrame:
+    """Min label per node from (node, cand, old) messages using only
+    NUL-safe primitives: stable single-key sorts + drop_duplicates
+    (pandas groupby-min on object KEYS folds distinct NUL-carrying
+    keys — see CLAUDE.md)."""
+    from ..shuffle_utils import sort_values_nul_safe
+
+    s = sort_values_nul_safe(df[["node", "cand"]], ["node", "cand"],
+                             ignore_index=True)
+    best = s.drop_duplicates(subset=["node"], keep="first",
+                             ignore_index=True)
+    olds = df.loc[df["old"].notna(), ["node", "old"]].drop_duplicates(
+        subset=["node"], ignore_index=True)
+    m = best.merge(olds, on="node", how="left")  # merge is NUL-safe
+    m["changed"] = (m["old"] != m["cand"]).astype("int64")
+    return pd.DataFrame({"node": m["node"], "label": m["cand"],
+                         "changed": m["changed"]})

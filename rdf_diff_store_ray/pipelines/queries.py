@@ -3564,6 +3564,36 @@ def kg_random_walks(sf_dir: str):
     ).sort(["start", "walk", "step"])
 
 
+def kg_entity_components(sf_dir: str):
+    """Connected components of the end-state entity graph — which
+    entities form one connected knowledge neighborhood (the same-as /
+    consolidation reduce, `functions/graph.py:connected_components`,
+    dual-path). Returns (component, n_nodes) per component, the
+    size distribution a curation pass ranks by."""
+    from ray.data.aggregate import Count
+
+    from ..functions.graph import connected_components
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["obj_is_literal"].combine_chunks())
+        t = batch.filter(keep)
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    comp = connected_components(
+        triples.map_batches(edges, batch_format="pyarrow"))
+    return (
+        comp.groupby("component").aggregate(Count(alias_name="n_nodes"))
+        .sort([("n_nodes"), ("component")], descending=[True, False])
+    )
+
+
 def kg_related_entities(sf_dir: str, k: int = 15):
     """Related-entity search via Personalized PageRank: restart at the
     store's highest-degree entity and rank its graph neighborhood —
@@ -3767,6 +3797,7 @@ def kg_analytics(sf_dir: str):
             "blank_nodes": kg_blank_nodes,
             "churn": kg_churn,
             "diff": kg_diff,
+            "entity_components": kg_entity_components,
             "entity_degree": kg_entity_degree,
             "metadata": kg_metadata,
             "pagerank": kg_pagerank,
@@ -3991,6 +4022,7 @@ def registry():
         "kg_wire_api": kg_wire_api,
         "kg_sync": kg_sync,
         "chunk_docs": chunk_docs,
+        "kg_entity_components": kg_entity_components,
         "kg_related_entities": kg_related_entities,
     }
 

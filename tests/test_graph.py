@@ -370,3 +370,81 @@ def test_graph_ops_with_hostile_node_ids(ray_session):
     assert set(w["start"]) == set(nodes)
     pr = pagerank(rd.from_pandas(ed), n_iter=5).to_pandas()
     assert len(pr) == len(nodes)  # every distinct id keeps its row
+
+
+def _cc_oracle(edge_pairs):
+    """Brute-force components: dict BFS; label = min member."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set = set()
+    out = {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            comp.append(n)
+            stack.extend(adj[n])
+        lab = min(comp)
+        for n in comp:
+            out[n] = lab
+    return out
+
+
+def test_connected_components_paths_match_oracle(ray_session):
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import connected_components
+
+    rnd = random.Random(3)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    pairs = [tuple(rnd.sample(nodes, 2)) for _ in range(140)]
+    pairs += [("x1", "x1")]  # self-loop drops
+    pairs += [(f"c{i}", f"c{i+1}") for i in range(25)]  # long chain
+    ed = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    want = _cc_oracle(pairs)
+
+    got_b = connected_components(ed, method="broadcast").to_pandas()
+    got_c = connected_components(ed, method="copartition",
+                                 num_partitions=8).to_pandas()
+    for got in (got_b, got_c):
+        assert dict(zip(got["node"], got["component"])) == want
+
+
+def test_connected_components_hostile_ids_and_empty(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import connected_components
+
+    pairs = [("a\x00x", "a\x00y"), ("a\x00z", "a\x00z"),
+             ("b\x1fq", "plain"), ("a\x00y", "a\x00w")]
+    ed = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    want = _cc_oracle(pairs)
+    for method in ("broadcast", "copartition"):
+        got = connected_components(ed, method=method,
+                                   num_partitions=4).to_pandas()
+        assert dict(zip(got["node"], got["component"])) == want
+
+    empty = rd.from_pandas(pd.DataFrame({"src": ["s"], "dst": ["s"]}))
+    assert connected_components(empty).count() == 0
+
+    # a finite cap below the chain diameter raises instead of returning
+    # unmerged components
+    chain = [(f"c{i}", f"c{i+1}") for i in range(12)]
+    ch = rd.from_pandas(pd.DataFrame(chain, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(ch, method="copartition", max_iters=2,
+                             num_partitions=4)
