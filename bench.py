@@ -165,7 +165,8 @@ def run_bench() -> dict:
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
             "weighted_sample_docs", "bloom_decontam", "collocations",
             "kg_random_walks", "triangle_counts", "khop_sample",
-            "text_index_search", "kg_churn",
+            "text_index_search", "kg_churn", "chunk_docs",
+            "kg_rdfs_entailment", "kg_entity_components",
         ):
             timed(name, q.registry()[name])
 
