@@ -441,6 +441,14 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Cheap store summary (no Ray, no row reads)."""
+    from .state.stats import store_stats
+
+    print(json.dumps(store_stats(args.store), sort_keys=True))
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Replicate a store's delta log (git-fetch analog)."""
     from .state.sync import sync_store
@@ -632,6 +640,14 @@ def main(argv=None) -> int:
     m = sub.add_parser("metadata", help="(start_time, end_time) of the store")
     m.add_argument("--store", required=True)
     m.set_defaults(fn=cmd_metadata)
+
+    stp = sub.add_parser(
+        "stats",
+        help="store summary from manifests + parquet footers only "
+             "(rows, graphs, segments, bytes, ts range; no row data read)",
+    )
+    stp.add_argument("--store", required=True)
+    stp.set_defaults(fn=cmd_stats)
 
     sv = sub.add_parser(
         "serve",

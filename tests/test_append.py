@@ -556,3 +556,25 @@ def test_delta_files_upto_ts_pre_history_keeps_schema(ray_session, tmp_path):
     assert live.count() == 0
     # mid/end reads through the same surface stay correct
     assert state_at(res.delta_dataset(upto_ts=T2), T2).count() == 1
+
+
+def test_store_stats_counts_and_ts_range(store, ray_session):
+    """store_stats reads only manifests + parquet footers and reports
+    exact rows/files/ts-range across base + segment files."""
+    from rdf_diff_store_ray.state.append import append_graphs, compact_log
+    from rdf_diff_store_ray.state.stats import store_stats
+
+    append_graphs(store, {"g1": G_A, "g2": G_B}, T1)
+    append_graphs(store, {"g1": G_A2}, T2)
+    s = store_stats(store)
+    assert s["partitions"] == 4
+    assert s["rows"] == 3
+    assert s["segment_files"] >= 1 and s["base_files"] == 4
+    assert s["ts_min"].startswith("2023-11-14") and s["ts_max"] > s["ts_min"]
+    assert s["locked"] is False
+
+    compact_log(store)
+    s2 = store_stats(store)
+    assert s2["rows"] == 3 and s2["segment_files"] == 0
+    assert s2["graphs_base"] == 2  # g1 + g2 in the compacted bases
+    assert (s2["ts_min"], s2["ts_max"]) == (s["ts_min"], s["ts_max"])

@@ -1422,3 +1422,50 @@ def test_collocations_and_top_terms_nul_tokens(ray_session, tmp_path):
     assert list(top["token"]) == [a, b, "plain", "x"]
     assert list(top["n"]) == [3, 2, 1, 1]
     assert list(top["rank"]) == [1, 2, 3, 4]
+
+
+def test_chunk_documents_batch_reconstruction_property():
+    """Property: stride-prefixes of the chunks concatenate back to the
+    document (the overlap invariant), offsets/ids are consistent, and
+    chunk sizes are bounded. Pure-kernel test — no Ray."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.chunking import chunk_documents_batch
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        texts=st.lists(st.text(max_size=120), min_size=1, max_size=6),
+        size=st.integers(2, 40),
+        over=st.integers(0, 30),
+    )
+    def prop(texts, size, over):
+        stride = max(1, size - over)
+        b = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        t = chunk_documents_batch(b, size=size, stride=stride)
+        by_doc: dict = {}
+        for d, cid, off, chunk in zip(
+            t["doc_id"].to_pylist(), t["chunk_id"].to_pylist(),
+            t["off"].to_pylist(), t["chunk"].to_pylist(),
+        ):
+            assert off == cid * stride
+            assert 0 < len(chunk) <= size
+            by_doc.setdefault(d, []).append((cid, chunk))
+        for d, text in enumerate(texts):
+            chunks = [c for _, c in sorted(by_doc.get(d, []))]
+            if not text:
+                assert chunks == []
+                continue
+            # overlap removal: stride-prefix of every chunk but the
+            # last, then the whole last chunk
+            rebuilt = "".join(c[:stride] for c in chunks[:-1]) + chunks[-1]
+            assert rebuilt == text
+            assert chunks == [text[i * stride:i * stride + size]
+                              for i in range(len(chunks))]
+
+    prop()
