@@ -76,6 +76,50 @@ FROM c
 """
 
 
+def chunk_embed_search(sf_dir: str, k: int = 5):
+    """The composed RAG indexing path end-to-end: chunk the documents
+    (overlapping windows), embed every chunk with the deterministic
+    hashing-trick embedder (`functions/embedding.py`), and answer three
+    fixed text queries by exact cosine top-k (`brute_force_topk` — the
+    per-batch local-top-k scorer; embeddings never reach the driver).
+    Chunk provenance survives: vec_id = doc_id * 2^20 + chunk_id.
+    Integer micro-cosines keep the digest float-order-proof."""
+    import numpy as np
+
+    from ..functions.chunking import chunk_documents
+    from ..functions.embedding import hash_embed, hash_embed_batch
+    from ..functions.similarity import brute_force_topk
+
+    chunks = chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                             size=200, stride=150)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        vid = pc.add(pc.multiply(batch["doc_id"], 1 << 20),
+                     batch["chunk_id"])
+        return pa.table({"doc_id": vid, "text": batch["chunk"]})
+
+    emb = hash_embed(chunks.map_batches(keyed, batch_format="pyarrow"),
+                     dim=64)
+    queries = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "machine learning model training data",
+            "stock market quarterly earnings report",
+        ]),
+    })
+    qvecs = np.array(
+        hash_embed_batch(queries, dim=64)["embedding"].to_pylist())
+    top = brute_force_topk(emb, qvecs, k=k).to_pandas()
+    return pd.DataFrame({
+        "query_id": top["query_id"].astype("int64"),
+        "rank": top["rank"].astype("int64"),
+        "doc_id": (top["vec_id"] // (1 << 20)).astype("int64"),
+        "chunk_id": (top["vec_id"] % (1 << 20)).astype("int64"),
+        "cos_micro": (top["cosine"] * 1e6).round().astype("int64"),
+    })
+
+
 def quality_score(sf_dir: str):
     from ..functions.text import quality_score_batch
 
@@ -3855,6 +3899,7 @@ def embed_text_suite(sf_dir: str):
             "approx_distinct_users": rel.approx_distinct_users,
             "bpe_tokenize": bpe_tokenize,
             "chunk_docs": chunk_docs,
+            "chunk_embed_search": chunk_embed_search,
             "curate_corpus": curate_corpus,
             "lm_perplexity": lm_perplexity_docs,
             "heavy_hitters": heavy_hitters_docs,
@@ -4023,6 +4068,7 @@ def registry():
         "kg_sync": kg_sync,
         "chunk_docs": chunk_docs,
         "kg_entity_components": kg_entity_components,
+        "chunk_embed_search": chunk_embed_search,
         "kg_related_entities": kg_related_entities,
     }
 

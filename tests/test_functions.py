@@ -1469,3 +1469,52 @@ def test_chunk_documents_batch_reconstruction_property():
                               for i in range(len(chunks))]
 
     prop()
+
+
+def test_hash_embed_and_chunk_search_planted_relevance(ray_session):
+    """The composed chunk→embed→top-k path surfaces a planted relevant
+    chunk at rank 1; the embedder is batch-boundary invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.chunking import chunk_documents
+    from rdf_diff_store_ray.functions.embedding import (
+        hash_embed,
+        hash_embed_batch,
+    )
+    from rdf_diff_store_ray.functions.similarity import brute_force_topk
+
+    probe = "zebra quagga okapi wildebeest gnu antelope"
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"filler text number {i} about nothing much" * 3
+                 for i in range(39)] + [(probe + " ") * 4],
+    })
+    chunks = chunk_documents(rd.from_pandas(docs), size=120, stride=90)
+
+    def keyed(b):
+        vid = b["doc_id"].to_pandas() * 1000 + b["chunk_id"].to_pandas()
+        return pa.table({"doc_id": pa.array(vid, pa.int64()),
+                         "text": b["chunk"]})
+
+    emb = hash_embed(chunks.map_batches(keyed, batch_format="pyarrow"),
+                     dim=64)
+    q = np.array(hash_embed_batch(
+        pa.table({"doc_id": [0], "text": [probe]}),
+        dim=64)["embedding"].to_pylist())
+    top = brute_force_topk(emb, q, k=3).to_pandas()
+    best = top[top["rank"] == 1].iloc[0]
+    assert int(best["vec_id"]) // 1000 == 39
+    assert best["cosine"] > 0.5
+
+    # batch-boundary invariance: 1-row batches embed identically
+    one = rd.from_pandas(docs).repartition(20)
+    m_a = hash_embed(rd.from_pandas(docs), dim=32).to_pandas()
+    m_b = hash_embed(one, dim=32).to_pandas()
+    a = {r["vec_id"]: r["embedding"] for _, r in m_a.iterrows()}
+    b = {r["vec_id"]: r["embedding"] for _, r in m_b.iterrows()}
+    assert a.keys() == b.keys()
+    for kk in a:
+        assert np.allclose(a[kk], b[kk])
