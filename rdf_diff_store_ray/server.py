@@ -129,12 +129,19 @@ class StoreBackend:
 
     # ------------------------------------------------------------ writes
     def store_graph(self, graph: dict, ts: int) -> int:
+        return self.store_graphs([graph], ts)
+
+    def store_graphs(self, graphs: list, ts: int) -> int:
+        """One atomic multi-graph commit (append_graphs pre-validates
+        all-or-nothing under the writer lock)."""
         from .state.append import Graph, append_graphs
 
-        g = Graph(
-            id=graph["id"], graph=graph["graph"], format=graph.get("format")
-        )
-        n = append_graphs(self.delta_dir, {g.id: g}, ts)
+        batch = {
+            g["id"]: Graph(id=g["id"], graph=g["graph"],
+                           format=g.get("format"))
+            for g in graphs
+        }
+        n = append_graphs(self.delta_dir, batch, ts)
         self.invalidate()
         return n
 
@@ -259,6 +266,18 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                 f'endpoint="{endpoint}",cache_level="{level}"',
             )
 
+        def _sparql_now(self, query: str) -> None:
+            ts = backend.metadata()["end_time"]
+            accept = self.headers.get("Accept", "")
+            fmt, ctype = "json", "application/json"
+            if "text/csv" in accept:
+                fmt, ctype = "csv", "text/csv"
+            elif "text/tab-separated-values" in accept:
+                fmt, ctype = "tsv", "text/tab-separated-values"
+            body, level = backend.sparql_at(ts, query, fmt=fmt)
+            self._metrics_record("sparql", level)
+            self._send(200, body, ctype, {"Cache-Level": level})
+
         # ------------------------------------------------------- routes
         def do_GET(self):  # noqa: N802 (stdlib casing)
             url = urlparse(self.path)
@@ -299,6 +318,14 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                 elif url.path == "/api/metadata":
                     self._send(200, json.dumps(backend.metadata()),
                                "application/json")
+                elif url.path == "/sparql":
+                    # W3C SPARQL-protocol endpoint: GET ?query= against
+                    # the store's LATEST state (the time-travel form
+                    # stays at /api/sparql/{ts}); standard clients need
+                    # no timestamp concept
+                    if "query" not in q:
+                        return self._error(400, "missing query parameter")
+                    self._sparql_now(q["query"][0])
                 else:
                     self._error(404, f"no such endpoint: {url.path}")
             except ValueError as e:
@@ -307,18 +334,42 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                 self._error(500, str(e), type(e).__name__)
 
         def do_POST(self):  # noqa: N802
-            if self.path.split("?")[0] != "/api/graphs" or read_only:
+            path = self.path.split("?")[0]
+            if path == "/sparql":
+                # W3C SPARQL protocol: POST with an
+                # application/sparql-query body (or form-encoded query=)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n).decode()
+                    ctype = self.headers.get("Content-Type", "")
+                    if "application/x-www-form-urlencoded" in ctype:
+                        form = parse_qs(raw)
+                        if "query" not in form:
+                            return self._error(400, "missing query field")
+                        raw = form["query"][0]
+                    if not raw.strip():
+                        return self._error(400, "empty query body")
+                    return self._sparql_now(raw)
+                except ValueError as e:
+                    return self._error(400, str(e))
+                except Exception as e:
+                    return self._error(500, str(e), type(e).__name__)
+            if path != "/api/graphs" or read_only:
                 return self._error(404, "no such endpoint")
             if not self._check_key():
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                graph = json.loads(self.rfile.read(n).decode())
-                if not isinstance(graph, dict) or \
-                        {"id", "graph"} - set(graph):
+                payload = json.loads(self.rfile.read(n).decode())
+                # a JSON list batches several Graph models in one commit
+                graphs = payload if isinstance(payload, list) else [payload]
+                if not graphs or not all(
+                    isinstance(g, dict) and not ({"id", "graph"} - set(g))
+                    for g in graphs
+                ):
                     return self._error(400, "Graph model needs id + graph")
-                ts = int(graph.get("timestamp") or now_fn())
-                backend.store_graph(graph, ts)
+                ts = int(graphs[0].get("timestamp") or now_fn())
+                backend.store_graphs(graphs, ts)
                 self._send(200, "", "text/plain")
             except (json.JSONDecodeError, UnicodeDecodeError) as e:
                 self._error(400, f"bad request body: {e}")

@@ -229,3 +229,55 @@ def test_sparql_content_negotiation(server):
                          headers={"Accept": "text/tab-separated-values"})
     assert hdr["Content-Type"].startswith("text/tab-separated-values")
     assert body.splitlines()[0] == "?s\t?o"
+
+
+def test_w3c_sparql_protocol_endpoint(server):
+    """/sparql implements the W3C protocol shapes — GET ?query= and
+    POST with an application/sparql-query (or form-encoded) body —
+    against the store's LATEST state, readable by standard clients
+    with no timestamp concept; batch POST commits a list atomically."""
+    base, _ = server
+    key = {"X-API-KEY": "sesame"}
+    # batch ingestion: one commit, two graphs
+    st, _, _ = _req("POST", f"{base}/api/graphs", [
+        {"id": "g-a", "graph": G_A, "timestamp": T1},
+        {"id": "g-b", "graph": G_B, "timestamp": T1},
+    ], key)
+    assert st == 200
+
+    sparql = "SELECT ?s ?o WHERE { ?s <https://x/p> ?o }"
+    st, hdr, body = _req(
+        "GET", f"{base}/sparql?query={urllib.parse.quote(sparql)}")
+    assert st == 200
+    vals = sorted(b["o"]["value"]
+                  for b in json.loads(body)["results"]["bindings"])
+    assert vals == ["1", "2"]
+
+    # POST application/sparql-query
+    r = urllib.request.Request(
+        f"{base}/sparql", data=sparql.encode(), method="POST",
+        headers={"Content-Type": "application/sparql-query"})
+    with urllib.request.urlopen(r) as resp:
+        assert resp.status == 200
+        got = json.loads(resp.read().decode())
+    assert sorted(b["o"]["value"]
+                  for b in got["results"]["bindings"]) == ["1", "2"]
+
+    # POST form-encoded
+    form = urllib.parse.urlencode({"query": sparql}).encode()
+    r = urllib.request.Request(
+        f"{base}/sparql", data=form, method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urllib.request.urlopen(r) as resp:
+        assert json.loads(resp.read().decode())["results"]["bindings"]
+
+    # CSV negotiation works on the protocol endpoint too
+    st, hdr, body = _req(
+        "GET", f"{base}/sparql?query={urllib.parse.quote(sparql)}",
+        headers={"Accept": "text/csv"})
+    assert hdr["Content-Type"].startswith("text/csv")
+    assert body.splitlines()[0] == "s,o"
+
+    code, err = _err("POST", f"{base}/api/graphs",
+                     [{"id": "x"}], {"X-API-KEY": "sesame"})
+    assert code == 400
