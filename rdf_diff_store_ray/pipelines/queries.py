@@ -3470,6 +3470,60 @@ def kg_bgp_terms(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_service(sf_dir: str):
+    """SPARQL 1.1 federation (SERVICE): join the built store against a
+    second, independently-constructed endpoint store that maps
+    properties to human labels. The federated sub-group evaluates on
+    the endpoint reader at the same timestamp; SILENT against an
+    unregistered endpoint contributes the identity solution (checked
+    in-entry)."""
+    from ..query.bgp import DiffStoreReader
+    from ..state.reconstruct import metadata_table
+
+    res = kg_build_for(sf_dir)
+    dt = res.delta_table()
+    _, hi = metadata_table(dt)
+    ts = int(pd.Timestamp(hi).timestamp())
+
+    prop = "https://kg.example/prop/"
+    label = "https://kg.example/meta/label"
+    vocab_doc = "".join(
+        f'<{prop}{p}> <{label}> "{lbl}" .\n'
+        for p, lbl in [("acquired", "acquired"),
+                       ("partnersWith", "partners with"),
+                       ("headquarteredIn", "headquartered in"),
+                       ("foundedIn", "founded in")]
+    )
+    vocab = pa.Table.from_pandas(pd.DataFrame({
+        "graph_id": ["vocab"],
+        "warc_ts": [pd.Timestamp(ts - 1, unit="s")],
+        "op": ["update"],
+        "delta_text": [vocab_doc],
+        "digest": ["v"],
+        "seq": [0],
+    }))
+    reader = DiffStoreReader(
+        dt, services={"https://svc/vocab": DiffStoreReader(vocab)})
+
+    out = reader.query_at(ts, """
+        SELECT ?p ?label (COUNT(?s) AS ?n) WHERE {
+          ?s ?p ?o .
+          SERVICE <https://svc/vocab> {
+            ?p <https://kg.example/meta/label> ?label
+          }
+        } GROUP BY ?p ?label ORDER BY ?p
+    """)
+    silent = reader.query_at(ts, """
+        SELECT ?p (COUNT(?s) AS ?n) WHERE {
+          ?s ?p ?o .
+          SERVICE SILENT <https://svc/absent> { ?p ?q ?x }
+        } GROUP BY ?p ORDER BY ?p
+    """)
+    assert len(silent) >= len(out)  # identity solution kept every ?p
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_bnode(sf_dir: str):
     """Blank-node labels as query-pattern terms (SPARQL 1.1 §4.1.4): a
     ``_:t`` term is a scoped variable, so this joins acquirer → target →
@@ -3529,6 +3583,7 @@ def kg_bgp_features(sf_dir: str):
         "optional": kg_bgp_optional,
         "path": kg_bgp_path,
         "select": kg_bgp_select,
+        "service": kg_bgp_service,
         "star_path": kg_bgp_star_path,
         "subquery": kg_bgp_subquery,
         "terms": kg_bgp_terms,
@@ -4028,6 +4083,7 @@ def registry():
         "kg_bgp_builtins": kg_bgp_builtins,
         "kg_bgp_terms": kg_bgp_terms,
         "kg_bgp_bnode": kg_bgp_bnode,
+        "kg_bgp_service": kg_bgp_service,
         "kg_triple_pr": kg_triple_pr,
         "kg_metrics_export": kg_metrics_export,
         "kg_triples": kg_triples,

@@ -568,7 +568,7 @@ def _parse_group_body(body: str) -> dict:
 
     group = {"patterns": [], "filters": [], "optionals": [], "unions": [],
              "values": [], "binds": [], "minus": [], "exists": [],
-             "graphs": [], "subqueries": []}
+             "graphs": [], "subqueries": [], "services": []}
     for clause in _split_clauses(body):
         up = clause.upper()
         if clause.startswith("{"):
@@ -636,6 +636,29 @@ def _parse_group_body(body: str) -> dict:
             group["minus"].append(
                 _plain_group(parse_query(inner[1:-1].strip()), "MINUS")
             )
+        elif up.startswith("SERVICE"):
+            inner = clause[len("SERVICE"):].strip()
+            silent = False
+            if inner[:6].upper() == "SILENT" and (
+                len(inner) == 6 or not inner[6].strip()
+                or inner[6] in "<{"
+            ):
+                silent = True
+                inner = inner[6:].strip()
+            b = inner.find("{")
+            if b < 0 or not inner.endswith("}") or \
+                    _match_brace(inner, b) != len(inner) - 1:
+                raise ValueError(
+                    f"SERVICE needs an endpoint IRI and braces: {clause!r}"
+                )
+            term = _parse_term(inner[:b].strip())
+            if term[0] != "iri":
+                raise ValueError(
+                    f"SERVICE endpoint must be a constant IRI: {clause!r}"
+                )
+            sub = _plain_group(parse_query(inner[b + 1:-1].strip()),
+                               "SERVICE")
+            group["services"].append((silent, term[1], sub))
         elif up.startswith("VALUES"):
             group["values"].append(_parse_values(clause[len("VALUES"):]))
         elif up.startswith("BIND"):
@@ -1698,7 +1721,8 @@ def _parse_path_token(t: str):
 
 
 def eval_bgp(triples: pa.Table, query: str,
-             quads: "pa.Table | None" = None) -> pd.DataFrame:
+             quads: "pa.Table | None" = None,
+             service_tables: "dict | None" = None) -> pd.DataFrame:
     """Evaluate a SPARQL-subset query against a triple table
     (``subj, pred, obj, obj_is_literal``); returns distinct bindings, one
     column per variable, sorted for determinism. Unbound OPTIONAL
@@ -1711,6 +1735,22 @@ def eval_bgp(triples: pa.Table, query: str,
     a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
     """
     group = parse_query(query)
+
+    # federation: SERVICE <iri> { ... } evaluates against a registered
+    # endpoint's triple table (same endpoint namespace at every nesting
+    # level); the table→pandas conversion is lazy and memoized per iri
+    svc_cache: dict = {}
+
+    def service_eval(iri, sub):
+        tbl = (service_tables or {}).get(iri)
+        if tbl is None:
+            raise ValueError(f"unknown SERVICE endpoint <{iri}>")
+        if iri not in svc_cache:
+            svc_cache[iri] = tbl.to_pandas()
+        sdf = svc_cache[iri]
+        ssource = lambda pat: eval_one_pattern(sdf, pat)  # noqa: E731
+        return eval_group(sub, ssource, None, service_eval)
+
     fg, fn = group.get("from_graphs"), group.get("from_named")
     if fg or fn:
         # explicit dataset: default graph = set-union of the FROM graphs
@@ -1729,8 +1769,9 @@ def eval_bgp(triples: pa.Table, query: str,
         named = qdf[qdf["graph_id"].isin(fn or [])]
         source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
         gsource = lambda pat, gt: eval_pattern_in_graph(named, pat, gt)  # noqa: E731
-        return finish_query(eval_group(group, source, gsource), group,
-                            source)
+        return finish_query(
+            eval_group(group, source, gsource, service_eval), group,
+            source)
     df = triples.to_pandas()
     source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
     # lazy quad source: GRAPH clauses may sit anywhere in the group tree
@@ -1747,7 +1788,8 @@ def eval_bgp(triples: pa.Table, query: str,
             qcache.append(quads.to_pandas())
         return eval_pattern_in_graph(qcache[0], pat, gt)
 
-    return finish_query(eval_group(group, source, gsource), group, source)
+    return finish_query(eval_group(group, source, gsource, service_eval),
+                        group, source)
 
 
 def finish_query(result: pd.DataFrame, group: dict,
@@ -2086,7 +2128,7 @@ def describe_triples(result: pd.DataFrame, describe,
 
 
 def eval_group(group: dict, pattern_bindings,
-               graph_bindings=None) -> pd.DataFrame:
+               graph_bindings=None, service_eval=None) -> pd.DataFrame:
     """Evaluate a parsed group given ``pattern_bindings(pattern) →
     tagged df``. The bindings source is what varies between the local
     evaluator (one triple table) and the distributed service (union of
@@ -2104,7 +2146,29 @@ def eval_group(group: dict, pattern_bindings,
             ignore_index=True
         )
     for sub in group.get("subqueries") or []:
-        sres = eval_subquery(sub, pattern_bindings, graph_bindings)
+        sres = eval_subquery(sub, pattern_bindings, graph_bindings,
+                             service_eval)
+        result = _merge_bindings(result, sres).drop_duplicates(
+            ignore_index=True
+        )
+    for silent, iri, sub in group.get("services") or []:
+        # federation: the sub-group evaluates against ANOTHER store's
+        # registered endpoint; its solutions join like any nested group.
+        # SILENT failure contributes the identity solution (no merge) —
+        # the SPARQL 1.1 federated-query rule
+        if service_eval is None:
+            if silent:
+                continue
+            raise ValueError(
+                "query has a SERVICE clause but no federated endpoints "
+                "are registered for this reader"
+            )
+        try:
+            sres = service_eval(iri, sub)
+        except Exception:
+            if not silent:
+                raise
+            continue
         result = _merge_bindings(result, sres).drop_duplicates(
             ignore_index=True
         )
@@ -2114,12 +2178,13 @@ def eval_group(group: dict, pattern_bindings,
                 "this pattern source does not support GRAPH clauses"
             )
         src = lambda pat, gt=gterm: graph_bindings(pat, gt)  # noqa: E731
-        gres = eval_group(sub, src)
+        gres = eval_group(sub, src, None, service_eval)
         result = _merge_bindings(result, gres).drop_duplicates(
             ignore_index=True
         )
     for branches in group["unions"]:
-        parts = [eval_group(b, pattern_bindings, graph_bindings)
+        parts = [eval_group(b, pattern_bindings, graph_bindings,
+                            service_eval)
                  for b in branches]
         cols: list = []
         for p in parts:
@@ -2135,7 +2200,8 @@ def eval_group(group: dict, pattern_bindings,
         # full recursive evaluation: OPTIONAL groups may carry their own
         # FILTERs, UNIONs and nested OPTIONALs (scoped inside the group)
         result = _merge_optional(
-            result, eval_group(opt, pattern_bindings, graph_bindings)
+            result, eval_group(opt, pattern_bindings, graph_bindings,
+                               service_eval)
         )
     for vname, o in group.get("binds") or []:
         if vname in result.columns:
@@ -2149,11 +2215,13 @@ def eval_group(group: dict, pattern_bindings,
         )
     for mg in group.get("minus") or []:
         result = _apply_minus(
-            result, eval_group(mg, pattern_bindings, graph_bindings)
+            result, eval_group(mg, pattern_bindings, graph_bindings,
+                               service_eval)
         )
     for positive, eg in group.get("exists") or []:
         result = _apply_exists(
-            result, eval_group(eg, pattern_bindings, graph_bindings), positive
+            result, eval_group(eg, pattern_bindings, graph_bindings,
+                               service_eval), positive
         )
     return _apply_filters(result, group["filters"])
 
@@ -2634,7 +2702,7 @@ def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
 
 
 def eval_subquery(sub: dict, pattern_bindings,
-                  graph_bindings=None) -> pd.DataFrame:
+                  graph_bindings=None, service_eval=None) -> pd.DataFrame:
     """A ``{ SELECT ... }`` subquery: evaluate the inner group bottom-up
     (independent of outer bindings, per SPARQL), apply its aggregates and
     solution modifiers IN TAGGED SPACE, and return only the projected
@@ -2642,7 +2710,8 @@ def eval_subquery(sub: dict, pattern_bindings,
     ORDER BY / the deterministic pre-LIMIT sort compare tagged strings
     (tag prefix included), which is deterministic though not identical to
     the final untagged collation."""
-    res = eval_group(sub, pattern_bindings, graph_bindings)
+    res = eval_group(sub, pattern_bindings, graph_bindings,
+                     service_eval)
     if sub.get("aggregates"):
         res = _materialize_agg_exprs(res, sub)
         res = aggregate_bindings(res, sub)
@@ -2690,6 +2759,22 @@ def group_has_graph(group: dict) -> bool:
     subs.extend(eg for _, eg in group.get("exists") or [])
     subs.extend(group.get("subqueries") or [])
     return any(group_has_graph(s) for s in subs)
+
+
+def group_has_service(group: dict) -> bool:
+    """True when any group in the tree carries a SERVICE clause —
+    callers use it to decide whether federated endpoint tables must be
+    reconstructed at all. SERVICE sub-groups themselves count (nested
+    federation shares the endpoint namespace)."""
+    if group.get("services"):
+        return True
+    subs = list(group.get("optionals") or [])
+    subs.extend(b for branches in group.get("unions") or [] for b in branches)
+    subs.extend(group.get("minus") or [])
+    subs.extend(eg for _, eg in group.get("exists") or [])
+    subs.extend(group.get("subqueries") or [])
+    subs.extend(g for _, g in group.get("graphs") or [])
+    return any(group_has_service(s) for s in subs)
 
 
 def eval_pattern_in_graph(qdf: pd.DataFrame, pattern, gterm) -> pd.DataFrame:
@@ -3359,10 +3444,15 @@ class DiffStoreReader:
     "Nothing"."""
 
     def __init__(self, deltas: pa.Table, cache_capacity: int = 1000,
-                 registry=None):
+                 registry=None, services: "dict | None" = None):
         from ..metrics import REGISTRY
 
         self.deltas = deltas
+        # federation endpoints: iri → DiffStoreReader over ANOTHER store;
+        # SERVICE <iri> { ... } evaluates there at the SAME timestamp
+        # (both stores share the version axis — the federated analog of
+        # the reference's one-repo-per-store pool)
+        self.services = services or {}
         self.store_cache = LRU(cache_capacity)  # ts -> triple table
         self.quads_cache = LRU(cache_capacity)  # ts -> quad table (GRAPH)
         self.graphs_cache = LRU(cache_capacity)  # ts -> canonical text
@@ -3446,9 +3536,14 @@ class DiffStoreReader:
         need_quads = (group_has_graph(g) or g.get("from_graphs")
                       or g.get("from_named"))
         quads = self._quads_at(k) if need_quads else None
+        svc = (
+            {iri: r._store_at(k) for iri, r in self.services.items()}
+            if self.services and group_has_service(g) else None
+        )
         _EVAL_NOW[0] = pd.Timestamp(k, unit="s")
         try:
-            res = eval_bgp(self._store_at(k), query, quads=quads)
+            res = eval_bgp(self._store_at(k), query, quads=quads,
+                           service_tables=svc)
         finally:
             _EVAL_NOW[0] = None
         self.query_cache.put((k, query), res)

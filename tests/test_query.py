@@ -1964,3 +1964,93 @@ def test_collection_sugar_matches_stored_chains():
     ]
     with pytest.raises(ValueError):
         eval_bgp(t, "?s <https://e/p> ( ?a")  # unbalanced
+
+
+class TestServiceFederation:
+    """SPARQL 1.1 SERVICE: sub-groups evaluate against another store's
+    registered endpoint at the same timestamp and join like any nested
+    group; SILENT failures contribute the identity solution."""
+
+    def _readers(self):
+        import pyarrow as pa
+
+        from rdf_diff_store_ray.query.bgp import DiffStoreReader
+
+        def store(rows, ts):
+            import pandas as pd
+
+            return pa.Table.from_pandas(pd.DataFrame({
+                "graph_id": ["g"] * 1,
+                "warc_ts": [pd.Timestamp(ts, unit="s")],
+                "op": ["update"],
+                "delta_text": ["".join(rows)],
+                "digest": ["x"],
+                "seq": [0],
+            }))
+
+        local_rows = ['<https://x/a> <https://x/p> <https://x/b> .\n'
+                      '<https://x/c> <https://x/p> <https://x/d> .\n']
+        remote_rows = ['<https://x/b> <https://x/name> "Bee" .\n'
+                       '<https://x/z> <https://x/name> "Zed" .\n']
+        remote = DiffStoreReader(store(remote_rows, 1_700_000_000))
+        local = DiffStoreReader(
+            store(local_rows, 1_700_000_000),
+            services={"https://svc/remote": remote},
+        )
+        return local
+
+    def test_federated_join(self, ray_session):
+        local = self._readers()
+        res = local.query_at(1_700_000_100, """
+            SELECT ?s ?n WHERE {
+              ?s <https://x/p> ?o .
+              SERVICE <https://svc/remote> { ?o <https://x/name> ?n }
+            }""")
+        assert res.to_dict("records") == [
+            {"s": "https://x/a", "n": "Bee"}]
+
+    def test_silent_unknown_endpoint_is_identity(self, ray_session):
+        local = self._readers()
+        res = local.query_at(1_700_000_100, """
+            SELECT ?s WHERE {
+              ?s <https://x/p> ?o .
+              SERVICE SILENT <https://svc/nope> { ?o <https://x/name> ?n }
+            }""")
+        assert sorted(res["s"]) == ["https://x/a", "https://x/c"]
+
+    def test_unknown_endpoint_raises(self, ray_session):
+        import pytest
+
+        local = self._readers()
+        with pytest.raises(Exception, match="SERVICE endpoint"):
+            local.query_at(1_700_000_100, """
+                SELECT ?s WHERE {
+                  ?s <https://x/p> ?o .
+                  SERVICE <https://svc/nope> { ?o ?q ?n }
+                }""")
+
+    def test_service_inside_optional(self, ray_session):
+        local = self._readers()
+        res = local.query_at(1_700_000_100, """
+            SELECT ?s ?n WHERE {
+              ?s <https://x/p> ?o .
+              OPTIONAL {
+                SERVICE <https://svc/remote> { ?o <https://x/name> ?n }
+              }
+            }""")
+        got = {r["s"]: r["n"] for r in res.to_dict("records")}
+        assert got == {"https://x/a": "Bee", "https://x/c": None}
+
+    def test_no_endpoints_registered_raises(self, ray_session):
+        import pytest
+
+        from rdf_diff_store_ray.query.bgp import eval_bgp
+        import pyarrow as pa
+
+        t = pa.table({
+            "subj": ["https://x/a"], "pred": ["https://x/p"],
+            "obj": ["https://x/b"], "obj_is_literal": [False],
+        })
+        with pytest.raises(ValueError, match="SERVICE"):
+            eval_bgp(t, 'SELECT ?s WHERE { SERVICE <https://svc/r> '
+                        '{ ?s ?p ?o } }')
