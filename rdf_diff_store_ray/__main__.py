@@ -431,10 +431,24 @@ def cmd_graphs_at(args) -> int:
     return 0
 
 
+def _parse_services(pairs) -> dict:
+    """``--service iri=path`` flags → {iri: DiffStoreReader} map."""
+    from .query.bgp import DiffStoreReader
+
+    out = {}
+    for kv in pairs or []:
+        if "=" not in kv:
+            raise SystemExit(f"--service needs iri=path, got {kv!r}")
+        iri, path = kv.split("=", 1)
+        out[iri] = DiffStoreReader(_delta_table(path))
+    return out
+
+
 def cmd_query(args) -> int:
     from .query.bgp import DiffStoreReader
 
-    reader = DiffStoreReader(_delta_table(args.store, upto_ts=args.ts))
+    reader = DiffStoreReader(_delta_table(args.store, upto_ts=args.ts),
+                             services=_parse_services(args.service))
     fn = {"json": reader.query_at_json, "csv": reader.query_at_csv,
           "tsv": reader.query_at_tsv}[args.format]
     print(fn(args.ts, args.bgp), end="" if args.format != "json" else "\n")
@@ -464,10 +478,11 @@ def cmd_serve(args) -> int:
     _ensure_ray()
     from .server import DiffStoreServer
 
+    services = dict(kv.split("=", 1) for kv in (args.service or []))
     srv = DiffStoreServer(
         args.store, host=args.host, port=args.port,
         api_key=args.api_key, read_only=args.read_only,
-        distributed=args.distributed,
+        distributed=args.distributed, services=services,
     )
     print(json.dumps({"host": args.host, "port": srv.port}), flush=True)
     try:
@@ -612,6 +627,8 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="BGP query at ts")
     q.add_argument("--store", required=True)
     q.add_argument("--ts", type=int, required=True)
+    q.add_argument("--service", action="append", metavar="IRI=PATH",
+                   help="register a federated SERVICE endpoint store")
     q.add_argument("--bgp", required=True)
     q.add_argument("--format", choices=["json", "csv", "tsv"],
                    default="json",
@@ -662,6 +679,8 @@ def main(argv=None) -> int:
                     help="require X-API-KEY on writes")
     sv.add_argument("--read-only", action="store_true", dest="read_only",
                     help="serve only the query-cache routes (writes 404)")
+    sv.add_argument("--service", action="append", metavar="IRI=PATH",
+                    help="register a federated SERVICE endpoint store")
     sv.add_argument("--distributed", action="store_true",
                     help="serve reads from one partition-reader actor "
                          "per delta partition (store never loads into "

@@ -156,7 +156,7 @@ class PartitionReaderActor:
 class QueryService:
     """Router over one :class:`PartitionReaderActor` per partition."""
 
-    def __init__(self, delta_dir: str):
+    def __init__(self, delta_dir: str, services: "dict | None" = None):
         self.partition_dirs = sorted(
             d for d in glob.glob(os.path.join(delta_dir, "partition=*"))
             if os.path.isdir(d)
@@ -173,6 +173,28 @@ class QueryService:
 
         self._gather_cache = LRU(64)  # ts -> unioned live triple table
         self._query_cache = LRU(1000)  # (ts, query) -> final frame
+        # federation endpoints: iri → DiffStoreReader OR a store dir
+        # path (loaded lazily on the router — endpoint stores are
+        # assumed router-sized vocabularies/metadata; a corpus-scale
+        # endpoint should be its own QueryService behind SERVICE)
+        self._services = dict(services or {})
+
+    def _service_reader(self, iri: str):
+        import pyarrow.dataset as pads
+
+        from .bgp import DiffStoreReader
+
+        r = self._services.get(iri)
+        if r is None:
+            raise ValueError(f"unknown SERVICE endpoint <{iri}>")
+        if isinstance(r, str):
+            files = sorted(
+                glob.glob(os.path.join(r, "partition=*", "*.parquet")))
+            if not files:
+                raise ValueError(f"no delta partitions under {r!r}")
+            r = DiffStoreReader(pads.dataset(files).to_table())
+            self._services[iri] = r
+        return r
 
     def query_at(self, ts, query: str) -> pd.DataFrame:
         from .bgp import parse_query
@@ -395,8 +417,21 @@ class QueryService:
         else:
             graph_bindings = graph_pattern_in
 
+        def service_eval(iri, sub):
+            # the endpoint is ANOTHER store: evaluate its sub-group on
+            # the router via the registered reader at the same ts (a
+            # corpus-scale endpoint would be its own QueryService — the
+            # local evaluator here mirrors the single-reader path)
+            from .bgp import eval_one_pattern
+
+            rdr = self._service_reader(iri)
+            sdf = rdr._store_at(ts).to_pandas()
+            src = lambda pat: eval_one_pattern(sdf, pat)  # noqa: E731
+            return eval_group(sub, src, None, service_eval)
+
         return finish_query(
-            eval_group(group, pattern_bindings, graph_bindings),
+            eval_group(group, pattern_bindings, graph_bindings,
+                       service_eval),
             group, pattern_bindings
         )
 

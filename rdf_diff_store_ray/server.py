@@ -52,9 +52,11 @@ class StoreBackend:
     """Shared state behind the handlers: a lazily (re)loaded reader over
     the delta log, invalidated after every successful write."""
 
-    def __init__(self, delta_dir: str, *, prefixes: dict | None = None):
+    def __init__(self, delta_dir: str, *, prefixes: dict | None = None,
+                 services: dict | None = None):
         self.delta_dir = delta_dir
         self.prefixes = prefixes
+        self.services = dict(services or {})  # iri → store dir path
         self._lock = threading.Lock()
         self._reader = None
 
@@ -70,22 +72,26 @@ class StoreBackend:
 
         with self._lock:
             if self._reader is None:
-                self._reader = DiffStoreReader(self._load())
+                svc = {
+                    iri: DiffStoreReader(self._load(path))
+                    for iri, path in self.services.items()
+                }
+                self._reader = DiffStoreReader(
+                    self._load(self.delta_dir), services=svc)
             return self._reader
 
-    def _load(self):
+    def _load(self, delta_dir: str | None = None):
         import glob
         import os
 
         import pyarrow.dataset as pads
 
+        d = delta_dir or self.delta_dir
         files = sorted(
-            glob.glob(os.path.join(self.delta_dir, "partition=*", "*.parquet"))
+            glob.glob(os.path.join(d, "partition=*", "*.parquet"))
         )
         if not files:
-            raise FileNotFoundError(
-                f"no delta partitions under {self.delta_dir!r}"
-            )
+            raise FileNotFoundError(f"no delta partitions under {d!r}")
         return pads.dataset(files).to_table()
 
     # ------------------------------------------------------------- reads
@@ -163,8 +169,9 @@ class DistributedStoreBackend(StoreBackend):
     restarting the actor pool (the next read reloads the log, the
     fetch-updates analog)."""
 
-    def __init__(self, delta_dir: str, *, prefixes: dict | None = None):
-        super().__init__(delta_dir, prefixes=prefixes)
+    def __init__(self, delta_dir: str, *, prefixes: dict | None = None,
+                 services: dict | None = None):
+        super().__init__(delta_dir, prefixes=prefixes, services=services)
         self._svc = None
 
     def _service(self):
@@ -172,7 +179,8 @@ class DistributedStoreBackend(StoreBackend):
 
         with self._lock:
             if self._svc is None:
-                self._svc = QueryService(self.delta_dir)
+                self._svc = QueryService(self.delta_dir,
+                                         services=dict(self.services))
             return self._svc
 
     def invalidate(self) -> None:
@@ -411,9 +419,10 @@ class DiffStoreServer:
     def __init__(self, delta_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, api_key: str | None = None,
                  read_only: bool = False, prefixes: dict | None = None,
-                 distributed: bool = False, now_fn=time.time):
+                 distributed: bool = False, services: dict | None = None,
+                 now_fn=time.time):
         cls = DistributedStoreBackend if distributed else StoreBackend
-        self.backend = cls(delta_dir, prefixes=prefixes)
+        self.backend = cls(delta_dir, prefixes=prefixes, services=services)
         handler = _make_handler(self.backend, api_key, read_only, now_fn)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None

@@ -281,3 +281,32 @@ def test_w3c_sparql_protocol_endpoint(server):
     code, err = _err("POST", f"{base}/api/graphs",
                      [{"id": "x"}], {"X-API-KEY": "sesame"})
     assert code == 400
+
+
+def test_service_federation_over_http_both_backends(ray_session, tmp_path):
+    """--service endpoints work over HTTP on both backends: the SPARQL
+    endpoint joins the store against a registered vocabulary store."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    store = init_log(str(tmp_path / "main"), num_partitions=2)
+    append_graphs(store, {"g": '<https://x/a> <https://x/p> <https://x/b> .\n'}, T1)
+    vocab = init_log(str(tmp_path / "vocab"), num_partitions=2)
+    append_graphs(vocab, {"v": '<https://x/p> <https://x/label> "pee" .\n'}, T1)
+
+    sparql = ("SELECT ?s ?l WHERE { ?s ?p ?o . "
+              "SERVICE <https://svc/vocab> { ?p <https://x/label> ?l } }")
+    for distributed in (False, True):
+        srv = DiffStoreServer(store, distributed=distributed,
+                              services={"https://svc/vocab": vocab},
+                              now_fn=lambda: T2).start()
+        try:
+            url = (f"http://127.0.0.1:{srv.port}/sparql?query="
+                   f"{urllib.parse.quote(sparql)}")
+            st, _, body = _req("GET", url)
+            assert st == 200, distributed
+            rows = json.loads(body)["results"]["bindings"]
+            assert [(r["s"]["value"], r["l"]["value"]) for r in rows] == [
+                ("https://x/a", "pee")], f"distributed={distributed}"
+        finally:
+            srv.shutdown()
