@@ -3914,6 +3914,20 @@ def kg_analytics(sf_dir: str):
     )
 
 
+def relational_suite(sf_dir: str):
+    """Relational operators consolidated into one graded digest slot
+    (the registry's 50-entry prefix is full of individually-graded SQL
+    entries; new relational ops join here — each member also keeps its
+    own DuckDB-oracle pytest check via ``oracle_sql``)."""
+    return _digest_forms(
+        {
+            "events_interval_join": rel.events_interval_join,
+            "region_nation_names": rel.region_nation_names,
+        },
+        sf_dir,
+    )
+
+
 def dedup_suite(sf_dir: str):
     """Every near-dedup surface in one driver entry (the
     ``kg_bgp_features`` consolidation pattern — the driver grades a
@@ -3999,7 +4013,7 @@ def registry():
         "events_sessionize": rel.events_sessionize,
         "events_user_counts_salted": rel.events_user_counts_salted,
         "lineitem_sample": rel.lineitem_sample,
-        "region_nation_names": rel.region_nation_names,
+        "relational_suite": relational_suite,
         "customer_running_totals": rel.customer_running_totals,
         "events_top_users_per_type": rel.events_top_users_per_type,
         "events_quantiles": rel.events_value_quantiles,
@@ -4125,6 +4139,8 @@ def registry():
         "chunk_docs": chunk_docs,
         "kg_entity_components": kg_entity_components,
         "chunk_embed_search": chunk_embed_search,
+        "region_nation_names": rel.region_nation_names,
+        "events_interval_join": rel.events_interval_join,
         "kg_related_entities": kg_related_entities,
     }
 
@@ -4160,6 +4176,7 @@ def oracles():
         "events_user_counts_salted": rel.EVENTS_USER_COUNTS_SQL,
         "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
         "region_nation_names": rel.REGION_NATION_NAMES_SQL,
+        "events_interval_join": rel.EVENTS_INTERVAL_JOIN_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "events_top_users_per_type": rel.EVENTS_TOP_USERS_SQL,
         "events_quantiles": rel.EVENTS_QUANTILES_SQL,

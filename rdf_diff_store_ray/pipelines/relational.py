@@ -833,6 +833,62 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     )
 
 
+def events_interval_join(sf_dir: str, window_minutes: int = 5):
+    """Stream-stream interval self-join: for every event, how many of
+    the SAME user's events land strictly later but within
+    ``window_minutes`` — the follow-up/burst signal a streaming engine
+    answers with a windowed join. Events co-locate per user in bounded
+    hash partitions; inside a partition the pair counting is TWO
+    ``searchsorted`` calls over one composite (user-rank, µs) key —
+    never a pair materialization, so a W-dense user costs O(n log n),
+    not O(n·W). Emits ``(event_id, n_following)`` for events with ≥1
+    follower (inner-join count semantics, matching the SQL oracle)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def count_followers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        # dense user rank × a span wide enough that (t + W) never
+        # crosses into the next user's key range → plain searchsorted
+        # answers the per-user window query over the whole partition
+        _, r = np.unique(u, return_inverse=True)
+        t0 = t.min() if len(t) else np.int64(0)
+        span = (t.max() - t0 if len(t) else np.int64(0)) + w_us + 1
+        key = r.astype(np.int64) * span + (t - t0)
+        lo = np.searchsorted(key, key, side="right")  # strictly later ts
+        hi = np.searchsorted(key, key + w_us, side="right")
+        n = (hi - lo).astype("int64")
+        keep = n > 0
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "n_following": n[keep],
+        })
+
+    return (
+        ds.map_batches(
+            _add_key_partition, fn_kwargs={"key": "user_id"},
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(count_followers, batch_format="pandas")
+    )
+
+
+EVENTS_INTERVAL_JOIN_SQL = """
+SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_following
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_id
+"""
+
+
 EVENTS_SESSIONIZE_SQL = f"""
 SELECT min(user_id) AS user_id, min(ts) AS session_start,
        max(ts) AS session_end, count(*) AS n_events

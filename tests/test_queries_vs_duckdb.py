@@ -114,7 +114,7 @@ def test_digest_slots_cover_every_post_watermark_entry():
     reg = q.registry()
     slots = [
         q.kg_bgp_features, q.kg_lifecycle, q.kg_analytics,
-        q.dedup_suite, q.embed_text_suite,
+        q.dedup_suite, q.embed_text_suite, q.relational_suite,
     ]
     covered = set()
     for slot in slots:
