@@ -167,6 +167,7 @@ def run_bench() -> dict:
             "kg_random_walks", "triangle_counts", "khop_sample",
             "text_index_search", "kg_churn", "chunk_docs",
             "kg_rdfs_entailment", "kg_entity_components",
+            "events_interval_join", "chunk_embed_search",
         ):
             timed(name, q.registry()[name])
 
