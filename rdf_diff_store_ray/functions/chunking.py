@@ -28,10 +28,12 @@ def chunk_documents_batch(batch: pa.Table, *, size: int = 200,
     the tail chunk may be shorter than ``size``."""
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
-    texts = batch[text_col].to_pylist()
-    n_chars = pc.utf8_length(
-        pc.cast(batch[text_col], pa.string())
-    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text behaves like the empty string (0 chunks) — a null
+    # utf8_length would otherwise become NaN and poison the int cast
+    col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    texts = col.to_pylist()
+    n_chars = pc.utf8_length(col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     n_chunks = -(-n_chars // stride)  # ceil; 0 stays 0
 
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_chunks)

@@ -31,8 +31,10 @@ def hash_embed_batch(batch: pa.Table, *, dim: int = 64,
     from ..shuffle_utils import stable_hash_array
 
     n = batch.num_rows
-    toks = pc.utf8_split_whitespace(
-        pc.utf8_lower(pc.cast(batch[text_col], pa.string())))
+    # null text embeds like the empty string (zero vector) — a null list
+    # would otherwise NaN-poison list_value_length → np.repeat
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(
+        pc.fill_null(pc.cast(batch[text_col], pa.string()), "")))
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False).astype(np.int64)

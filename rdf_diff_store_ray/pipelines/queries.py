@@ -3904,8 +3904,6 @@ def kg_analytics(sf_dir: str):
             "random_walks": kg_random_walks,
             "rdfs_entailment": kg_rdfs_entailment,
             "related_entities": kg_related_entities,
-            "triangle_counts": triangle_counts_q,
-            "khop_sample": khop_sample,
             "state_at_mid": kg_state_at_mid,
             "triple_pr": kg_triple_pr,
             "triples": kg_triples,
@@ -3921,8 +3919,10 @@ def relational_suite(sf_dir: str):
     own DuckDB-oracle pytest check via ``oracle_sql``)."""
     return _digest_forms(
         {
-            "events_interval_join": rel.events_interval_join,
-            "region_nation_names": rel.region_nation_names,
+            "distinct_priorities": rel.distinct_priorities,
+            "events_metadata": rel.events_metadata,
+            "events_version_times": rel.events_version_times,
+            "revenue_q6": rel.revenue_q6,
         },
         sf_dir,
     )
@@ -3967,25 +3967,25 @@ def embed_text_suite(sf_dir: str):
             "ann_topk_lsh": ann_topk_lsh,
             "approx_distinct_users": rel.approx_distinct_users,
             "bpe_tokenize": bpe_tokenize,
-            "chunk_docs": chunk_docs,
             "chunk_embed_search": chunk_embed_search,
             "curate_corpus": curate_corpus,
+            "doc_fingerprints": doc_fingerprints,
             "lm_perplexity": lm_perplexity_docs,
             "heavy_hitters": heavy_hitters_docs,
             "ivf_topk": ivf_topk_q,
             "kmeans_clusters": kmeans_clusters,
+            "label_dist": label_dist,
+            "lang_dist": lang_dist,
             "lang_id": lang_id_docs,
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
-            "pack_sequences": pack_sequences_q,
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
             "ann_index_topk": ann_index_topk_q,
             "approx_quantiles_price": rel.approx_quantiles_price,
+            "top_docs_by_len": top_docs_by_len,
             "weighted_sample_docs": weighted_sample_docs,
-            "collocations": collocations,
-            "text_index_search": text_index_search,
             "text_index_bm25": text_index_bm25,
         },
         sf_dir,
@@ -4004,10 +4004,10 @@ def registry():
         "events_sliding_window": rel.events_sliding_window,
         "events_asof_state": rel.events_asof_state,
         "events_change_log": rel.events_change_log,
-        "events_metadata": rel.events_metadata,
-        "events_version_times": rel.events_version_times,
-        "revenue_q6": rel.revenue_q6,
-        "distinct_priorities": rel.distinct_priorities,
+        "region_nation_names": rel.region_nation_names,
+        "events_interval_join": rel.events_interval_join,
+        "triangle_counts": triangle_counts_q,
+        "khop_sample": khop_sample,
         "customers_without_orders": rel.customers_without_orders,
         "customer_order_counts": rel.customer_order_counts,
         "events_sessionize": rel.events_sessionize,
@@ -4023,10 +4023,10 @@ def registry():
         # documents / embeddings operators (SQL-checked)
         "doc_stats": doc_stats,
         "quality_score": quality_score,
-        "doc_fingerprints": doc_fingerprints,
+        "chunk_docs": chunk_docs,
         "exact_dedup": exact_dedup_docs,
-        "lang_dist": lang_dist,
-        "top_docs_by_len": top_docs_by_len,
+        "pack_sequences": pack_sequences_q,
+        "collocations": collocations,
         "token_frequencies": token_frequencies,
         "fineweb_filter": fineweb_filter_docs,
         "stratified_sample": stratified_sample,
@@ -4036,7 +4036,7 @@ def registry():
         "tfidf_top_terms": tfidf_top_terms,
         "repetition_stats": repetition_stats,
         "ann_topk": ann_topk,
-        "label_dist": label_dist,
+        "text_index_search": text_index_search,
         "top_terms_per_lang": top_terms_per_lang,
         "centroid_outliers": centroid_outliers,
         "train_val_split": train_val_split,
@@ -4057,6 +4057,14 @@ def registry():
         "dedup_suite": dedup_suite,
         "embed_text_suite": embed_text_suite,
         # ---- driver-cap watermark (position 50) ----
+        "revenue_q6": rel.revenue_q6,
+        "distinct_priorities": rel.distinct_priorities,
+        "events_metadata": rel.events_metadata,
+        "events_version_times": rel.events_version_times,
+        "lang_dist": lang_dist,
+        "top_docs_by_len": top_docs_by_len,
+        "label_dist": label_dist,
+        "doc_fingerprints": doc_fingerprints,
         "kg_pagerank": kg_pagerank,
         "kg_diff": kg_diff,
         "kg_blame": kg_blame,
@@ -4118,7 +4126,6 @@ def registry():
         "bpe_tokenize": bpe_tokenize,
         "span_dedup": span_dedup_docs,
         "lm_perplexity": lm_perplexity_docs,
-        "pack_sequences": pack_sequences_q,
         "train_shards": train_shards,
         "shard_epoch_order": shard_epoch_order,
         "incremental_dedup": incremental_dedup,
@@ -4126,21 +4133,14 @@ def registry():
         "approx_quantiles_price": rel.approx_quantiles_price,
         "weighted_sample_docs": weighted_sample_docs,
         "bloom_decontam": bloom_decontam,
-        "collocations": collocations,
         "kg_random_walks": kg_random_walks,
-        "triangle_counts": triangle_counts_q,
-        "khop_sample": khop_sample,
-        "text_index_search": text_index_search,
         "text_index_bm25": text_index_bm25,
         "kg_churn": kg_churn,
         "kg_rdfs_entailment": kg_rdfs_entailment,
         "kg_wire_api": kg_wire_api,
         "kg_sync": kg_sync,
-        "chunk_docs": chunk_docs,
         "kg_entity_components": kg_entity_components,
         "chunk_embed_search": chunk_embed_search,
-        "region_nation_names": rel.region_nation_names,
-        "events_interval_join": rel.events_interval_join,
         "kg_related_entities": kg_related_entities,
     }
 

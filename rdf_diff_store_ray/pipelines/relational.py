@@ -833,6 +833,43 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     )
 
 
+def _interval_followers(group: pd.DataFrame, w_us: np.int64) -> pd.DataFrame:
+    """Per-partition kernel for :func:`events_interval_join` (module
+    level so the int64-overflow fallback is unit-testable)."""
+    g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    u = g["user_id"].to_numpy(np.int64)
+    # dense user rank × a span wide enough that (t + W) never
+    # crosses into the next user's key range → plain searchsorted
+    # answers the per-user window query over the whole partition
+    _, r = np.unique(u, return_inverse=True)
+    t0 = t.min() if len(t) else np.int64(0)
+    span = (t.max() - t0 if len(t) else np.int64(0)) + w_us + 1
+    n_ranks = int(r[-1]) + 1 if len(r) else 0
+    if n_ranks * int(span) < np.iinfo(np.int64).max:
+        key = r.astype(np.int64) * span + (t - t0)
+        lo = np.searchsorted(key, key, side="right")  # strictly later
+        hi = np.searchsorted(key, key + w_us, side="right")
+    else:
+        # rank × span would wrap int64 (many users over a very wide
+        # time range in one partition): per-user searchsorted slices
+        # — same O(n log n), just segmented
+        lo = np.empty(len(t), dtype=np.int64)
+        hi = np.empty(len(t), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        ends = np.r_[starts[1:], len(r)]
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg, side="right")
+            hi[s:e] = s + np.searchsorted(seg, seg + w_us, side="right")
+    n = (hi - lo).astype("int64")
+    keep = n > 0
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(np.int64)[keep],
+        "n_following": n[keep],
+    })
+
+
 def events_interval_join(sf_dir: str, window_minutes: int = 5):
     """Stream-stream interval self-join: for every event, how many of
     the SAME user's events land strictly later but within
@@ -849,24 +886,7 @@ def events_interval_join(sf_dir: str, window_minutes: int = 5):
     w_us = np.int64(window_minutes) * 60 * 1_000_000
 
     def count_followers(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
-        u = g["user_id"].to_numpy(np.int64)
-        # dense user rank × a span wide enough that (t + W) never
-        # crosses into the next user's key range → plain searchsorted
-        # answers the per-user window query over the whole partition
-        _, r = np.unique(u, return_inverse=True)
-        t0 = t.min() if len(t) else np.int64(0)
-        span = (t.max() - t0 if len(t) else np.int64(0)) + w_us + 1
-        key = r.astype(np.int64) * span + (t - t0)
-        lo = np.searchsorted(key, key, side="right")  # strictly later ts
-        hi = np.searchsorted(key, key + w_us, side="right")
-        n = (hi - lo).astype("int64")
-        keep = n > 0
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(np.int64)[keep],
-            "n_following": n[keep],
-        })
+        return _interval_followers(group, w_us)
 
     return (
         ds.map_batches(

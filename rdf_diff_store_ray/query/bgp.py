@@ -41,21 +41,31 @@ from ..state import reconstruct
 
 
 class LRU:
+    """Tiny LRU. Thread-safe: the HTTP server shares one
+    :class:`DiffStoreReader` across handler threads, so get/put must not
+    race a ``move_to_end`` against an eviction (KeyError / corrupted
+    eviction order under concurrent reads)."""
+
     def __init__(self, cap: int = 1000):
+        import threading
+
         self.cap = cap
         self.d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
 
     def get(self, k):
-        if k in self.d:
-            self.d.move_to_end(k)
-            return self.d[k]
-        return None
+        with self._lock:
+            if k in self.d:
+                self.d.move_to_end(k)
+                return self.d[k]
+            return None
 
     def put(self, k, v):
-        self.d[k] = v
-        self.d.move_to_end(k)
-        while len(self.d) > self.cap:
-            self.d.popitem(last=False)
+        with self._lock:
+            self.d[k] = v
+            self.d.move_to_end(k)
+            while len(self.d) > self.cap:
+                self.d.popitem(last=False)
 
 
 def parse_bgp(query: str):

@@ -48,6 +48,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+def _bounds_json(lo, hi) -> dict:
+    """Serialize store time bounds the way the reference's Option fields
+    do: an empty just-initialized store has no versions, so both bounds
+    are JSON null (pd.Timestamp(None) is NaT and would raise on
+    ``.timestamp()``)."""
+    import pandas as pd
+
+    def to_s(v):
+        if v is None or pd.isna(v):
+            return None
+        return int(pd.Timestamp(v).timestamp())
+
+    return {"start_time": to_s(lo), "end_time": to_s(hi)}
+
+
 class StoreBackend:
     """Shared state behind the handlers: a lazily (re)loaded reader over
     the delta log, invalidated after every successful write."""
@@ -127,11 +142,7 @@ class StoreBackend:
         return fn(ts, query), reader.last_cache_level
 
     def metadata(self) -> dict:
-        lo, hi = self.reader().metadata()
-        import pandas as pd
-
-        to_s = lambda v: int(pd.Timestamp(v).timestamp())  # noqa: E731
-        return {"start_time": to_s(lo), "end_time": to_s(hi)}
+        return _bounds_json(*self.reader().metadata())
 
     # ------------------------------------------------------------ writes
     def store_graph(self, graph: dict, ts: int) -> int:
@@ -223,11 +234,7 @@ class DistributedStoreBackend(StoreBackend):
         return fn(ts, query), self._level(svc)
 
     def metadata(self) -> dict:
-        import pandas as pd
-
-        lo, hi = self._service().metadata()
-        to_s = lambda v: int(pd.Timestamp(v).timestamp())  # noqa: E731
-        return {"start_time": to_s(lo), "end_time": to_s(hi)}
+        return _bounds_json(*self._service().metadata())
 
 
 def _make_handler(backend: StoreBackend, api_key: str | None,
@@ -275,7 +282,9 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
             )
 
         def _sparql_now(self, query: str) -> None:
-            ts = backend.metadata()["end_time"]
+            # empty store → no latest version; query at t=0 so standard
+            # clients get an empty result set instead of a 500
+            ts = backend.metadata()["end_time"] or 0
             accept = self.headers.get("Accept", "")
             fmt, ctype = "json", "application/json"
             if "text/csv" in accept:
@@ -376,7 +385,20 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                     for g in graphs
                 ):
                     return self._error(400, "Graph model needs id + graph")
-                ts = int(graphs[0].get("timestamp") or now_fn())
+                # a batch is ONE atomic commit at ONE instant — members
+                # carrying differing explicit timestamps would be
+                # silently re-stamped, so reject instead
+                stamps = {
+                    int(g["timestamp"]) for g in graphs
+                    if g.get("timestamp") is not None
+                }
+                if len(stamps) > 1:
+                    return self._error(
+                        400,
+                        "batch graphs carry differing timestamps; a "
+                        "batch commits atomically at one instant",
+                    )
+                ts = stamps.pop() if stamps else int(now_fn())
                 backend.store_graphs(graphs, ts)
                 self._send(200, "", "text/plain")
             except (json.JSONDecodeError, UnicodeDecodeError) as e:

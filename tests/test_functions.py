@@ -1518,3 +1518,63 @@ def test_hash_embed_and_chunk_search_planted_relevance(ray_session):
     assert a.keys() == b.keys()
     for kk in a:
         assert np.allclose(a[kk], b[kk])
+
+
+def test_chunk_and_embed_null_text_behaves_like_empty():
+    """Null text rows chunk to nothing and embed to the zero vector —
+    a null must not NaN-poison the vectorized length math (ADVICE r3)."""
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.chunking import chunk_documents_batch
+    from rdf_diff_store_ray.functions.embedding import hash_embed_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta gamma", None, ""], pa.string()),
+    })
+    t = chunk_documents_batch(b, size=5, stride=4)
+    assert t["doc_id"].to_pylist() == [1, 1, 1, 1]  # null + empty → 0 chunks
+
+    e = hash_embed_batch(b, dim=8)
+    assert e.num_rows == 3
+    vecs = e["embedding"].to_pylist()
+    assert all(v == 0.0 for v in vecs[1]) and all(v == 0.0 for v in vecs[2])
+    assert any(v != 0.0 for v in vecs[0])
+
+
+def test_interval_followers_overflow_fallback_matches_fast_path():
+    """When user-rank × time-span would wrap int64, the interval-join
+    kernel must fall back to per-user segmented searchsorted and produce
+    the same counts the composite-key fast path gives on a narrow span
+    (ADVICE r3: unguarded overflow corrupted follower counts)."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_diff_store_ray.pipelines.relational import _interval_followers
+
+    w_us = np.int64(5) * 60 * 1_000_000
+    rng = np.random.default_rng(7)
+    n = 400
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    narrow = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 3600 * 1_000_000, n), unit="us"),
+    })
+    fast = _interval_followers(narrow, w_us).sort_values(
+        "event_id", ignore_index=True)
+
+    # same data shifted onto an astronomically wide span per user rank:
+    # force overflow by spreading users across ±250k years
+    wide = narrow.copy()
+    spread = np.int64(2**62 // 20)
+    wide["ts"] = (
+        narrow["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        - base + wide["user_id"].to_numpy(np.int64) * spread
+    ).astype("datetime64[us]")
+    slow = _interval_followers(wide, w_us)
+    # map wide event ids back and compare counts (per-user windows are
+    # unchanged: each user's relative times are identical)
+    slow = slow.sort_values("event_id", ignore_index=True)
+    assert fast.equals(slow)

@@ -310,3 +310,49 @@ def test_service_federation_over_http_both_backends(ray_session, tmp_path):
                 ("https://x/a", "pee")], f"distributed={distributed}"
         finally:
             srv.shutdown()
+
+
+def test_empty_store_metadata_and_sparql(ray_session, tmp_path):
+    """A just-initialized store has no versions: /api/metadata must
+    serve null bounds (the reference's Option fields serialize as JSON
+    null) and the W3C /sparql endpoint must answer with an empty result
+    set instead of a NaT 500."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import init_log
+
+    store = init_log(str(tmp_path / "empty"), num_partitions=2)
+    srv = DiffStoreServer(store, now_fn=lambda: T1).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        st, _, body = _req("GET", f"{base}/api/metadata")
+        assert st == 200
+        assert json.loads(body) == {"start_time": None, "end_time": None}
+        q = urllib.parse.quote("SELECT ?s WHERE { ?s ?p ?o }")
+        st, _, body = _req("GET", f"{base}/sparql?query={q}")
+        assert st == 200
+        assert json.loads(body)["results"]["bindings"] == []
+    finally:
+        srv.shutdown()
+
+
+def test_batch_post_rejects_mixed_timestamps(server):
+    """A JSON-list POST is ONE atomic commit at ONE instant; members
+    carrying differing explicit timestamps are rejected (400), not
+    silently re-stamped to the first graph's instant."""
+    base, _ = server
+    key = {"X-API-KEY": "sesame"}
+    code, body = _err("POST", f"{base}/api/graphs", [
+        {"id": "g-a", "graph": G_A, "timestamp": T1},
+        {"id": "g-b", "graph": G_B, "timestamp": T2},
+    ], key)
+    assert code == 400 and "timestamp" in body["message"]
+
+    # equal explicit stamps (and members without a stamp) commit fine
+    st, _, _ = _req("POST", f"{base}/api/graphs", [
+        {"id": "g-a", "graph": G_A, "timestamp": T1},
+        {"id": "g-b", "graph": G_B, "timestamp": T1},
+        {"id": "g-c", "graph": G_B},
+    ], key)
+    assert st == 200
+    st, _, text = _req("GET", f"{base}/api/graphs/{T1}")
+    assert st == 200 and "https://x/a" in text and "https://x/b" in text
