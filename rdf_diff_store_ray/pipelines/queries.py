@@ -29,10 +29,12 @@ KG_CACHE_VERSION = 3  # v3: DELTAS grew the seq replay-order column
 
 
 # ---------------------------------------------------------- documents -------
-def _docs(sf_dir: str, columns=None):
+def _docs(sf_dir: str, columns=None, filter=None):  # noqa: A002
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns, filter=filter
+    )
 
 
 def doc_stats(sf_dir: str):
@@ -1217,16 +1219,14 @@ FROM spans ORDER BY doc_id, seq_id
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
-    """Per-document top-k TF-IDF terms — the classic two-shuffle text
-    pipeline. tf is exact per batch (a document never spans rows); df is
-    a second streaming pass aggregated per term; idf joins back into the
-    tf rows via an explicit co-partition union keyed by a stable term
-    hash (vocabulary is unbounded on web text — never broadcast), and
-    the per-doc top-k runs in bounded doc-hash partitions. Scores are
+    """Per-document top-k TF-IDF terms in ONE corpus scan. tf is exact
+    per batch (a document never spans rows), so the tf rows are globally
+    unique ``(doc_id, term)`` pairs — df(term) is simply the number of
+    tf rows carrying that term, counted inside the term-hash partition
+    that already co-locates them (vocabulary is unbounded on web text —
+    never broadcast, never a per-key Ray aggregate). The per-doc top-k
+    then runs in bounded doc-hash partitions. Scores are
     ``round(tf·ln(N/df), 6)`` half-away-from-zero to match DuckDB."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
     from ..shuffle_utils import add_partition_id
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -1241,59 +1241,29 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
             .dropna(subset=["term"])
         )
         tf = ex.groupby(["doc_id", "term"]).size().reset_index(name="val")
-        tf["is_df"] = np.int8(0)
         return pa.Table.from_pandas(tf, preserve_index=False)
 
-    def df_rows(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ex = (
-            df.assign(term=df["text"].str.findall(r"\S+"))
-            .loc[:, ["doc_id", "term"]]
-            .explode("term")
-            .dropna(subset=["term"])
-            .drop_duplicates()
-        )
-        out = ex.groupby("term").size().reset_index(name="val")
-        out["doc_id"] = np.int64(-1)
-        out["is_df"] = np.int8(1)
-        return pa.Table.from_pandas(
-            out[["doc_id", "term", "val", "is_df"]], preserve_index=False
-        )
-
-    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
-    df_ds = (
-        docs.map_batches(df_rows, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("val", alias_name="val"))
-        .map_batches(
-            lambda b: b.append_column(
-                "doc_id", pa.array([-1] * b.num_rows, pa.int64())
-            ).append_column(
-                "is_df", pa.array([1] * b.num_rows, pa.int8())
-            ).select(["doc_id", "term", "val", "is_df"]),
-            batch_format="pyarrow",
-        )
-    )
-    unioned = tf_ds.union(df_ds).map_batches(
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow").map_batches(
         lambda b: add_partition_id(b, "term", num_partitions),
         batch_format="pyarrow",
     )
 
     def score_partition(part: pd.DataFrame) -> pd.DataFrame:
-        tf = part[part["is_df"] == 0]
-        dfc = part[part["is_df"] == 1][["term", "val"]].rename(
-            columns={"val": "df"}
-        )
-        m = tf.merge(dfc, on="term", how="inner")
-        raw = m["val"].to_numpy(np.float64) * np.log(
-            n_docs / m["df"].to_numpy(np.float64)
-        )
+        # df = rows per term within this partition (tf pairs are unique
+        # and term-complete here). dictionary_encode, not pd.factorize:
+        # terms are \S+ tokens and may carry NUL bytes (see CLAUDE.md).
+        codes = pc.dictionary_encode(
+            pa.array(part["term"], pa.string())
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dfc = np.bincount(codes)[codes].astype(np.float64)
+        raw = part["val"].to_numpy(np.float64) * np.log(n_docs / dfc)
         # DuckDB round() is half away from zero; scores are >= 0
-        m["score"] = np.floor(raw * 1e6 + 0.5) / 1e6
-        return m[["doc_id", "term", "score"]]
+        out = part[["doc_id", "term"]].copy()
+        out["score"] = np.floor(raw * 1e6 + 0.5) / 1e6
+        return out
 
     scored = (
-        unioned.groupby("partition_id")
+        tf_ds.groupby("partition_id")
         .map_groups(score_partition, batch_format="pandas")
         .map_batches(
             lambda b: add_partition_id(b, "doc_id", num_partitions),
@@ -1789,14 +1759,13 @@ def incremental_dedup(sf_dir: str, min_bands: int = 1):
     split = (n * 3) // 5
 
     def docs_where(lo, hi):
-        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.greater_equal(b["doc_id"], lo),
-                    pc.less(b["doc_id"], hi),
-                )
-            ),
-            batch_format="pyarrow",
+        # pushed into the parquet scan: row groups outside [lo, hi) are
+        # pruned by footer stats and never decoded (VERDICT r3 #9)
+        import pyarrow.dataset as pads
+
+        return _docs(
+            sf_dir, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
         )
 
     idx = tempfile.mkdtemp(prefix="kg_minhash_idx_")
