@@ -72,6 +72,7 @@ def cmd_build(args) -> int:
         num_partitions=args.partitions,
         resume=not args.no_resume,
         use_actor_pools=args.actor_pools,
+        canonical_map=args.canonical_map,
     )
     print(json.dumps({
         "out_dir": res.out_dir,
@@ -90,7 +91,8 @@ def cmd_build_inc(args) -> int:
 
     with open(args.gazetteer) as f:
         gaz = json.load(f)
-    res = build_incremental(args.pages, args.out, gazetteer=gaz)
+    res = build_incremental(args.pages, args.out, gazetteer=gaz,
+                            canonical_map=args.canonical_map)
     print(json.dumps({
         "out_dir": res.out_dir,
         "partitions": res.num_partitions,
@@ -556,6 +558,11 @@ def main(argv=None) -> int:
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--actor-pools", action="store_true")
+    b.add_argument("--canonical-map", choices=["driver", "distributed"],
+                   default="driver",
+                   help="'distributed' = persisted parquet map + "
+                        "co-partition-join resolution (unbounded-"
+                        "vocabulary scale path)")
     b.set_defaults(fn=cmd_build)
 
     bi = sub.add_parser(
@@ -565,6 +572,8 @@ def main(argv=None) -> int:
     bi.add_argument("--pages", required=True)
     bi.add_argument("--out", required=True)
     bi.add_argument("--gazetteer", required=True)
+    bi.add_argument("--canonical-map", choices=["driver", "distributed"],
+                    default="driver")
     bi.set_defaults(fn=cmd_build_inc)
 
     i = sub.add_parser("init", help="create an empty delta log")

@@ -127,6 +127,7 @@ def build(
     enforce_digest: str = "raise",
     write_triples: bool = True,
     use_actor_pools: bool = False,
+    canonical_map: str = "driver",
 ) -> BuildResult:
     """Run the full build. ``pages`` is a Parquet path/dir or a Dataset.
 
@@ -142,6 +143,16 @@ def build(
     Flip to ``True`` when the stage state is genuinely expensive to build
     (model weights, a large candidate index) — then amortizing it across
     an actor's lifetime wins.
+
+    ``canonical_map``: ``"driver"`` (default) reduces the surface
+    vocabulary to a dict on the driver and broadcasts it — right while
+    the vocabulary is bounded (gazetteer-anchored domains). ``"distributed"``
+    is the 100× path (:mod:`..stages.canonmap`): the map is built by
+    distributed min-label propagation, persisted as a hash-partitioned
+    parquet side table under ``out_dir/canonical/``, and resolution
+    happens by co-partition join — the vocabulary is never collected or
+    broadcast. Both paths emit byte-identical delta logs
+    (``test_canonmap.py`` asserts it).
     """
     from .._bootstrap import ensure_importable
 
@@ -155,12 +166,16 @@ def build(
         stage_wall[name] = round(now - _last[0], 3)
         _last[0] = now
 
+    if canonical_map not in ("driver", "distributed"):
+        raise ValueError(f"canonical_map must be 'driver' or "
+                         f"'distributed', got {canonical_map!r}")
     os.makedirs(out_dir, exist_ok=True)
     delta_dir = os.path.join(out_dir, "deltas")
     raw_dir = os.path.join(out_dir, "raw")
     canon_path = os.path.join(out_dir, "canonical_map.json")
+    canon_dir = os.path.join(out_dir, "canonical")
     if not resume:
-        for sub in ("deltas", "raw", "triples"):
+        for sub in ("deltas", "raw", "triples", "canonical"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         if os.path.exists(canon_path):
             os.remove(canon_path)
@@ -206,7 +221,16 @@ def build(
     # computed concurrently with canonicalization so neither waits
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
+    from ..stages import canonmap as canonmap_mod
+
     def _canon():
+        if canonical_map == "distributed":
+            # persisted store (resume-safe: meta.json is written last)
+            if not os.path.exists(os.path.join(canon_dir,
+                                               canonmap_mod.META_NAME)):
+                canonmap_mod.build_canonical_store(raw_ds, gazetteer,
+                                                   canon_dir)
+            return None  # never collected — resolution joins the store
         if os.path.exists(canon_path):
             with open(canon_path) as f:
                 return json.load(f)
@@ -220,13 +244,75 @@ def build(
     with _TPE(max_workers=2) as tpe:
         fut_canon = tpe.submit(_canon)
         fut_snap = tpe.submit(_snapshot_times, raw_ds)
-        canonical_map = fut_canon.result()
+        canon_dict = fut_canon.result()
         snapshot_times = fut_snap.result()
-    gaz_ref = ray.put(gazetteer)
-    canon_ref = ray.put(canonical_map)
+    if canon_dict is None:
+        canon_map_size = canonmap_mod.map_size(canon_dir)
+        gaz_ref = canon_ref = None
+    else:
+        canon_map_size = len(canon_dict)
+        gaz_ref = ray.put(gazetteer)
+        canon_ref = ray.put(canon_dict)
     _mark("canonical_map_and_snapshots")
 
     # -- stage 3: versions → delta log (THE shuffle) -------------------------
+    if canonical_map == "distributed":
+        # resolve by co-partition join; serialization folds into the
+        # delta partition groupby (same graph-hash key end-to-end)
+        resolved = canonmap_mod.resolve_triples(raw_ds, canon_dir)
+        if done:
+            resolved = resolved.map_batches(
+                deltas_mod.filter_completed,
+                fn_kwargs={
+                    "key": "graph_id",
+                    "num_partitions": num_partitions,
+                    "done": frozenset(done),
+                },
+                batch_format="pyarrow",
+            )
+        versions = resolved.map_batches(
+            add_partition_id,
+            fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
+            batch_format="pyarrow",
+        )
+        base_writer = deltas_mod.make_partition_writer(
+            delta_dir, snapshot_times, num_partitions
+        )
+
+        def write_resolved_partition(group):
+            return base_writer(
+                canonmap_mod.serialize_partition_frame(group)
+            )
+
+        def run_delta_log():
+            return (
+                versions.groupby("partition_id")
+                .map_groups(write_resolved_partition, batch_format="pandas")
+                .take_all()
+            )
+
+        def run_triples():
+            if not write_triples:
+                return None
+            triples_dir = os.path.join(out_dir, "triples")
+            shutil.rmtree(triples_dir, ignore_errors=True)
+            canonmap_mod.triples_dataset(
+                canonmap_mod.resolve_triples(raw_ds, canon_dir)
+            ).write_parquet(triples_dir)
+            return None
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool_exec:
+            fut_deltas = pool_exec.submit(run_delta_log)
+            fut_triples = pool_exec.submit(run_triples)
+            manifests = fut_deltas.result()
+            fut_triples.result()
+        _mark("delta_log_and_triples")
+        return _finish_build(out_dir, delta_dir, num_partitions, manifests,
+                             done, snapshot_times, canon_map_size,
+                             stage_wall, t0)
+
     todo_ds = raw_ds
     if done:
         todo_ds = raw_ds.map_batches(
@@ -316,7 +402,14 @@ def build(
         manifests = fut_deltas.result()
         fut_triples.result()
     _mark("delta_log_and_triples")
+    return _finish_build(out_dir, delta_dir, num_partitions, manifests,
+                         done, snapshot_times, canon_map_size,
+                         stage_wall, t0)
 
+
+def _finish_build(out_dir, delta_dir, num_partitions, manifests, done,
+                  snapshot_times, canon_map_size, stage_wall,
+                  t0) -> BuildResult:
     all_manifests = [
         deltas_mod.read_manifest(delta_dir, pid)
         for pid in sorted(deltas_mod.completed_partitions(delta_dir))
@@ -347,7 +440,7 @@ def build(
         out_dir=out_dir,
         num_partitions=num_partitions,
         manifests=all_manifests,
-        canonical_map_size=len(canonical_map),
+        canonical_map_size=canon_map_size,
         wall_s=time.monotonic() - t0,
         resumed_partitions=len(done),
         stage_wall_s=stage_wall,
@@ -362,6 +455,7 @@ def build_incremental(
     batch_size: int = 1024,
     enforce_digest: str = "raise",
     write_triples: bool = True,
+    canonical_map: str = "driver",
 ) -> BuildResult:
     """Append a NEW crawl snapshot batch to an EXISTING store — the
     distributed form of the reference's continuously-running writer
@@ -377,7 +471,11 @@ def build_incremental(
     - the canonical map is EXTENDED, never rewritten
       (:func:`..stages.canonicalize.extend_canonical_map` — old surfaces
       keep their IRIs so unchanged pages stay byte-identical and
-      suppressed);
+      suppressed). With ``canonical_map="distributed"`` (requires a store
+      built the same way) the extension is the O(batch) probe of the
+      persisted band/norm indexes (:func:`..stages.canonmap.
+      extend_canonical_store`) — no per-batch re-cluster of the
+      vocabulary, no driver dict, resolution by co-partition join;
     - each partition derives its delta rows against its existing log
       state (stored digests seed suppression; per-graph monotonicity is
       validated before any byte is written) and appends ONE new log
@@ -457,31 +555,74 @@ def build_incremental(
     raw_ds = rd.read_parquet(raw_dir)
 
     # -- stage 2: extend the canonical map (old assignments immutable) ------
+    from ..stages import canonmap as canonmap_mod
+
+    canon_dir = os.path.join(out_dir, "canonical")
     new_snap = _snapshot_times(raw_ds)
-    canonical_map = extend_canonical_map(old_map, raw_ds, gazetteer)
-    tmp = canon_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(canonical_map, f, sort_keys=True)
-    os.replace(tmp, canon_path)
-    gaz_ref = ray.put(gazetteer)
-    canon_ref = ray.put(canonical_map)
+    if canonical_map == "distributed":
+        if not os.path.exists(os.path.join(canon_dir,
+                                           canonmap_mod.META_NAME)):
+            raise ValueError(
+                f"no persisted canonical store under {canon_dir!r} — "
+                "bootstrap with build(..., canonical_map='distributed')"
+            )
+        canonmap_mod.extend_canonical_store(raw_ds, gazetteer, canon_dir)
+        canon_map_size = canonmap_mod.map_size(canon_dir)
+    else:
+        canon_dict = extend_canonical_map(old_map, raw_ds, gazetteer)
+        tmp = canon_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(canon_dict, f, sort_keys=True)
+        os.replace(tmp, canon_path)
+        gaz_ref = ray.put(gazetteer)
+        canon_ref = ray.put(canon_dict)
+        canon_map_size = len(canon_dict)
     _mark("canonical_map_and_snapshots")
 
     # -- stage 3: versions → per-partition segment appends (locked) ---------
-    serialized = raw_ds.map_batches(
-        link_mod.serialize_versions_batch,
-        fn_kwargs={
-            "gazetteer_ref": gaz_ref,
-            "canonical_map_ref": canon_ref,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    versions = serialized.map_batches(
-        add_partition_id,
-        fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
-        batch_format="pyarrow",
-    ).union(rd.from_arrow(incremental_seed_rows(num_partitions)))
+    if canonical_map == "distributed":
+        resolved = canonmap_mod.resolve_triples(raw_ds, canon_dir)
+        _s_versions_pid = pa.schema(
+            [("graph_id", pa.string()), ("warc_ts", pa.timestamp("s")),
+             ("delta_text", pa.large_string()), ("digest", pa.binary()),
+             ("partition_id", pa.int32())]
+        )
+        serialized = (
+            resolved.map_batches(
+                add_partition_id,
+                fn_kwargs={"key": "graph_id",
+                           "num_partitions": num_partitions},
+                batch_format="pyarrow",
+            )
+            .groupby("partition_id")
+            .map_groups(canonmap_mod.serialize_partition_frame,
+                        batch_format="pandas")
+            .map_batches(
+                lambda b: b.select(_s_versions_pid.names).cast(
+                    _s_versions_pid),
+                batch_format="pyarrow",
+            )
+        )
+        versions = serialized.union(
+            rd.from_arrow(incremental_seed_rows(num_partitions))
+        )
+    else:
+        serialized = raw_ds.map_batches(
+            link_mod.serialize_versions_batch,
+            fn_kwargs={
+                "gazetteer_ref": gaz_ref,
+                "canonical_map_ref": canon_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).map_batches(
+            add_partition_id,
+            fn_kwargs={"key": "graph_id", "num_partitions": num_partitions},
+            batch_format="pyarrow",
+        )
+        versions = serialized.union(
+            rd.from_arrow(incremental_seed_rows(num_partitions))
+        )
 
     with StoreWriteLock(delta_dir):
         rows = (
@@ -505,15 +646,20 @@ def build_incremental(
     if write_triples:
         triples_dir = os.path.join(out_dir, "triples", f"inc_{key}")
         shutil.rmtree(triples_dir, ignore_errors=True)
-        raw_ds.map_batches(
-            link_mod.emit_triples_batch,
-            fn_kwargs={
-                "gazetteer_ref": gaz_ref,
-                "canonical_map_ref": canon_ref,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        ).write_parquet(triples_dir)
+        if canonical_map == "distributed":
+            canonmap_mod.triples_dataset(
+                canonmap_mod.resolve_triples(raw_ds, canon_dir)
+            ).write_parquet(triples_dir)
+        else:
+            raw_ds.map_batches(
+                link_mod.emit_triples_batch,
+                fn_kwargs={
+                    "gazetteer_ref": gaz_ref,
+                    "canonical_map_ref": canon_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            ).write_parquet(triples_dir)
     _mark("delta_log_and_triples")
 
     all_manifests = [
@@ -524,7 +670,7 @@ def build_incremental(
         out_dir=out_dir,
         num_partitions=num_partitions,
         manifests=all_manifests,
-        canonical_map_size=len(canonical_map),
+        canonical_map_size=canon_map_size,
         wall_s=time.monotonic() - t0,
         resumed_partitions=0,
         stage_wall_s=stage_wall,
