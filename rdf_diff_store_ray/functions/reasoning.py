@@ -54,6 +54,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
@@ -244,7 +245,7 @@ def materialize_rdfs(triples, *, tbox: list[tuple[str, str, str]] | None
                                  for c in _COLS})
         out = pd.concat(outs, ignore_index=True)
         # in-batch dedup before the shuffle (drop_duplicates is NUL-safe)
-        return out.drop_duplicates(ignore_index=True)
+        return _ddsafe(out, ignore_index=True)
 
     inferred = triples.map_batches(infer, batch_format="pandas")
     parts = [triples.select_columns(_COLS), inferred]
@@ -270,7 +271,7 @@ def materialize_rdfs(triples, *, tbox: list[tuple[str, str, str]] | None
         return b.drop_columns(["__route_key"])
 
     def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=_COLS,
+        return _ddsafe(df, subset=_COLS,
                                   ignore_index=True)[_COLS]
 
     dedup_partition.__name__ = "dedup_partition"

@@ -38,6 +38,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..state import reconstruct
+from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
 
 
 class LRU:
@@ -1774,8 +1775,8 @@ def eval_bgp(triples: pa.Table, query: str,
                 "was supplied"
             )
         qdf = quads.to_pandas()
-        df = (qdf[qdf["graph_id"].isin(fg or [])]
-              .drop(columns=["graph_id"]).drop_duplicates())
+        df = (_ddsafe(qdf[qdf["graph_id"].isin(fg or [])]
+              .drop(columns=["graph_id"])))
         named = qdf[qdf["graph_id"].isin(fn or [])]
         source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
         gsource = lambda pat, gt: eval_pattern_in_graph(named, pat, gt)  # noqa: E731
@@ -1950,7 +1951,7 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
                 col = sub[var].dropna() if var in sub.columns else \
                     pd.Series(dtype=object)
                 if distinct:
-                    col = col.drop_duplicates()
+                    col = _ddsafe(col)
                 if not len(col):
                     out[alias] = "L"  # empty simple literal per spec
                     continue
@@ -1974,7 +1975,7 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
             col = sub[var] if var in sub.columns else pd.Series(dtype=object)
             nums = _series_parts(col)[1].dropna() if len(col) else col
             if distinct and len(nums):
-                nums = nums.drop_duplicates()
+                nums = _ddsafe(nums)
             if not len(nums):
                 out[alias] = None
             elif func == "SUM":
@@ -2065,9 +2066,7 @@ def construct_triples(result: pd.DataFrame, template) -> pd.DataFrame:
     out = pd.concat(frames, ignore_index=True)
     for c in ("subj", "pred", "obj"):
         out[c] = out[c].astype(object)
-    out = out[["subj", "pred", "obj", "obj_is_literal"]].drop_duplicates(
-        ignore_index=True
-    )
+    out = _ddsafe(out[["subj", "pred", "obj", "obj_is_literal"]], ignore_index=True)
     return out.sort_values(list(out.columns), ignore_index=True)
 
 
@@ -2131,9 +2130,7 @@ def describe_triples(result: pd.DataFrame, describe,
         return pd.DataFrame(
             columns=["subj", "pred", "obj", "obj_is_literal"]
         ).astype({"obj_is_literal": bool})
-    out = pd.concat(frames, ignore_index=True).drop_duplicates(
-        ignore_index=True
-    )
+    out = _ddsafe(pd.concat(frames, ignore_index=True), ignore_index=True)
     return out.sort_values(list(out.columns), ignore_index=True)
 
 
@@ -2149,18 +2146,14 @@ def eval_group(group: dict, pattern_bindings,
     result = _conjoin(group["patterns"], pattern_bindings)
     for varnames, rows in group.get("values") or []:
         vdf = pd.DataFrame(rows, columns=varnames, dtype=object)
-        vdf = vdf.drop_duplicates(ignore_index=True)
+        vdf = _ddsafe(vdf, ignore_index=True)
         # inline data is just another binding set; UNDEF rows route
         # through the unbound-compatible join automatically
-        result = _merge_bindings(result, vdf).drop_duplicates(
-            ignore_index=True
-        )
+        result = _ddsafe(_merge_bindings(result, vdf), ignore_index=True)
     for sub in group.get("subqueries") or []:
         sres = eval_subquery(sub, pattern_bindings, graph_bindings,
                              service_eval)
-        result = _merge_bindings(result, sres).drop_duplicates(
-            ignore_index=True
-        )
+        result = _ddsafe(_merge_bindings(result, sres), ignore_index=True)
     for silent, iri, sub in group.get("services") or []:
         # federation: the sub-group evaluates against ANOTHER store's
         # registered endpoint; its solutions join like any nested group.
@@ -2179,9 +2172,7 @@ def eval_group(group: dict, pattern_bindings,
             if not silent:
                 raise
             continue
-        result = _merge_bindings(result, sres).drop_duplicates(
-            ignore_index=True
-        )
+        result = _ddsafe(_merge_bindings(result, sres), ignore_index=True)
     for gterm, sub in group.get("graphs") or []:
         if graph_bindings is None:
             raise ValueError(
@@ -2189,9 +2180,7 @@ def eval_group(group: dict, pattern_bindings,
             )
         src = lambda pat, gt=gterm: graph_bindings(pat, gt)  # noqa: E731
         gres = eval_group(sub, src, None, service_eval)
-        result = _merge_bindings(result, gres).drop_duplicates(
-            ignore_index=True
-        )
+        result = _ddsafe(_merge_bindings(result, gres), ignore_index=True)
     for branches in group["unions"]:
         parts = [eval_group(b, pattern_bindings, graph_bindings,
                             service_eval)
@@ -2204,8 +2193,8 @@ def eval_group(group: dict, pattern_bindings,
         )
         # variables bound in only some branches are unbound (NaN → None
         # at finalize) elsewhere — SPARQL's UNION shape
-        udf = udf.drop_duplicates(ignore_index=True)
-        result = _merge_bindings(result, udf).drop_duplicates(ignore_index=True)
+        udf = _ddsafe(udf, ignore_index=True)
+        result = _ddsafe(_merge_bindings(result, udf), ignore_index=True)
     for opt in group["optionals"]:
         # full recursive evaluation: OPTIONAL groups may carry their own
         # FILTERs, UNIONs and nested OPTIONALs (scoped inside the group)
@@ -2261,7 +2250,7 @@ def _apply_minus(result: pd.DataFrame, mres: pd.DataFrame) -> pd.DataFrame:
             on = [c for c in shared if not lnull[c] and not rnull[c]]
             if not on:
                 continue
-            m = lg.merge(rg[on].drop_duplicates(), on=on, how="inner")
+            m = lg.merge(_ddsafe(rg[on]), on=on, how="inner")
             drop.update(m["__lid__"].tolist())
     out = left[~left["__lid__"].isin(drop)]
     return out.drop(columns="__lid__").reset_index(drop=True)
@@ -2283,7 +2272,7 @@ def _apply_exists(result: pd.DataFrame, eres: pd.DataFrame,
         return result if has == positive else result.iloc[0:0]
     left = result.reset_index(drop=True)
     left = left.assign(__lid__=np.arange(len(left)))
-    matched = _compat_join(left, eres[shared].drop_duplicates(), shared)
+    matched = _compat_join(left, _ddsafe(eres[shared]), shared)
     ok = left["__lid__"].isin(set(matched["__lid__"]))
     out = left[ok] if positive else left[~ok]
     return out.drop(columns="__lid__").reset_index(drop=True)
@@ -2319,7 +2308,7 @@ def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
     for i in order:
         result = (frames[i] if result is None
                   else _merge_bindings(result, frames[i]))
-        result = result.drop_duplicates(ignore_index=True)
+        result = _ddsafe(result, ignore_index=True)
         if len(result) == 0:  # NOT .empty — a zero-column boolean frame
             break             # with rows still means "matched"
     return result
@@ -2379,15 +2368,11 @@ def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
     if len(ores) == 0:
         for c in new_cols:
             result[c] = None
-        return result.drop_duplicates(ignore_index=True)
+        return _ddsafe(result, ignore_index=True)
     if not shared:
-        return result.merge(ores, how="cross").drop_duplicates(
-            ignore_index=True
-        )
+        return _ddsafe(result.merge(ores, how="cross"), ignore_index=True)
     if result[shared].notna().all().all() and ores[shared].notna().all().all():
-        return result.merge(ores, on=shared, how="left").drop_duplicates(
-            ignore_index=True
-        )
+        return _ddsafe(result.merge(ores, on=shared, how="left"), ignore_index=True)
     # unbound-compatible LEFT join: compat-inner join plus the left rows
     # that matched nothing (kept once, optional vars unbound)
     left = result.reset_index(drop=True)
@@ -2400,7 +2385,7 @@ def _merge_optional(result: pd.DataFrame, ores: pd.DataFrame) -> pd.DataFrame:
         [matched, unmatched.reindex(columns=matched.columns)],
         ignore_index=True,
     )
-    return out.drop(columns="__lid__").drop_duplicates(ignore_index=True)
+    return _ddsafe(out.drop(columns="__lid__"), ignore_index=True)
 
 
 def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
@@ -2422,7 +2407,7 @@ def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
         index=result.index,
     )
     if len(out.columns):
-        out = out.drop_duplicates(ignore_index=True)
+        out = _ddsafe(out, ignore_index=True)
         out = out.sort_values(
             list(out.columns), ignore_index=True, na_position="last"
         )
@@ -2498,7 +2483,7 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
         # scoped to the pattern, not part of the solution sequence)
         df = df[[c for c in df.columns if not c.startswith("__bn_")]]
     if spec.get("distinct"):
-        df = df.drop_duplicates(ignore_index=True)
+        df = _ddsafe(df, ignore_index=True)
     if not order and len(df.columns) and len(df):
         df = df.sort_values(list(df.columns), ignore_index=True,
                             na_position="last")
@@ -2574,10 +2559,10 @@ def graph_node_terms(df: pd.DataFrame, endpoint_terms=()) -> pd.Series:
     ``*``/``?`` (the spec's ALP evaluation starts from a bound endpoint
     even when it does not occur in the graph)."""
     parts = [
-        ("I" + df["subj"]).drop_duplicates(),
-        pd.Series(
+        _ddsafe("I" + df["subj"]),
+        _ddsafe(pd.Series(
             np.where(df["obj_is_literal"], "L" + df["obj"], "I" + df["obj"])
-        ).drop_duplicates(),
+        )),
     ]
     extras = [
         ("I" if kind == "iri" else "L") + val
@@ -2586,7 +2571,7 @@ def graph_node_terms(df: pd.DataFrame, endpoint_terms=()) -> pd.Series:
     ]
     if extras:
         parts.append(pd.Series(extras, dtype=object))
-    return pd.concat(parts, ignore_index=True).drop_duplicates()
+    return _ddsafe(pd.concat(parts, ignore_index=True))
 
 
 def path_edges_from_frame(df: pd.DataFrame, iri) -> pd.DataFrame:
@@ -2597,14 +2582,14 @@ def path_edges_from_frame(df: pd.DataFrame, iri) -> pd.DataFrame:
         sub = df[~df["pred"].isin(iri[1])]
     else:
         sub = df[df["pred"] == iri]
-    return pd.DataFrame(
+    return _ddsafe(pd.DataFrame(
         {
             "__s": ("I" + sub["subj"]).to_numpy(),
             "__o": np.where(
                 sub["obj_is_literal"], "L" + sub["obj"], "I" + sub["obj"]
             ),
         }
-    ).drop_duplicates()
+    ))
 
 
 def _plus_closure(base: pd.DataFrame) -> pd.DataFrame:
@@ -2616,9 +2601,9 @@ def _plus_closure(base: pd.DataFrame) -> pd.DataFrame:
     while len(frontier):
         m = frontier.merge(base, left_on="__o", right_on="__s",
                            suffixes=("_l", "_r"))
-        step = pd.DataFrame(
+        step = _ddsafe(pd.DataFrame(
             {"__s": m["__s_l"], "__o": m["__o_r"]}
-        ).drop_duplicates()
+        ))
         new = step.merge(total, on=["__s", "__o"], how="left", indicator=True)
         new = new[new["_merge"] == "left_only"][["__s", "__o"]]
         if not len(new):
@@ -2661,28 +2646,28 @@ def eval_path_pairs(ast, edges_of, nodes_of=None) -> pd.DataFrame:
             nxt = eval_path_pairs(step, edges_of, nodes_of)
             m = cur.merge(nxt, left_on="__o", right_on="__s",
                           suffixes=("_l", "_r"))
-            cur = pd.DataFrame(
+            cur = _ddsafe(pd.DataFrame(
                 {"__s": m["__s_l"], "__o": m["__o_r"]}
-            ).drop_duplicates()
+            ))
         return cur
     if kind == "alt":
-        return pd.concat(
+        return _ddsafe(pd.concat(
             [eval_path_pairs(b, edges_of, nodes_of) for b in ast[1]],
             ignore_index=True,
-        ).drop_duplicates()
+        ))
     if kind in ("star", "ques"):
         if nodes_of is None:
             raise ValueError(
                 f"'{'*' if kind == 'star' else '?'}' needs a node universe"
             )
-        nodes = pd.Series(nodes_of()).dropna().drop_duplicates()
+        nodes = _ddsafe(pd.Series(nodes_of()).dropna())
         zero = pd.DataFrame({"__s": nodes.to_numpy(),
                              "__o": nodes.to_numpy()})
-        inner = eval_path_pairs(ast[1], edges_of, nodes_of).drop_duplicates()
+        inner = _ddsafe(eval_path_pairs(ast[1], edges_of, nodes_of))
         step = _plus_closure(inner) if kind == "star" else inner
-        return pd.concat([zero, step], ignore_index=True).drop_duplicates()
+        return _ddsafe(pd.concat([zero, step], ignore_index=True))
     # plus
-    base = eval_path_pairs(ast[1], edges_of, nodes_of).drop_duplicates()
+    base = _ddsafe(eval_path_pairs(ast[1], edges_of, nodes_of))
     return _plus_closure(base)
 
 
@@ -2707,7 +2692,7 @@ def bindings_from_pairs(pairs: pd.DataFrame, s_term, o_term) -> pd.DataFrame:
     for var, positions in var_positions.items():
         proj[var] = cur[positions[0]]
     if var_positions:
-        return proj[mask].drop_duplicates()
+        return _ddsafe(proj[mask])
     return proj.head(1) if len(cur) else proj
 
 
@@ -2749,7 +2734,7 @@ def eval_subquery(sub: dict, pattern_bindings,
     if sub.get("select") is not None:
         res = res.reindex(columns=sub["select"])
     if sub.get("distinct"):
-        res = res.drop_duplicates(ignore_index=True)
+        res = _ddsafe(res, ignore_index=True)
     if offset:
         res = res.iloc[offset:]
     if limit is not None:
@@ -2817,9 +2802,7 @@ def eval_pattern_in_graph(qdf: pd.DataFrame, pattern, gterm) -> pd.DataFrame:
             out = eval_one_pattern(qdf.iloc[0:0], pattern)
             out[val] = pd.Series(dtype=object)
             return out
-        return pd.concat(parts, ignore_index=True).drop_duplicates(
-            ignore_index=True
-        )
+        return _ddsafe(pd.concat(parts, ignore_index=True), ignore_index=True)
     return eval_one_pattern(qdf, pattern, graph_var=val)
 
 
@@ -2878,7 +2861,7 @@ def eval_one_pattern(df: pd.DataFrame, pattern,
     for var, positions in var_positions.items():
         proj[var] = tagged[positions[0]]
     if var_positions:
-        return proj[mask].drop_duplicates()
+        return _ddsafe(proj[mask])
     return proj.head(1) if len(cur) else proj  # boolean pattern
 
 

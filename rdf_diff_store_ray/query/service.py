@@ -42,6 +42,7 @@ import ray
 
 from ..shuffle_utils import sort_values_nul_safe
 from .bgp import DiffStoreReader
+from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
 
 
 @ray.remote
@@ -263,9 +264,7 @@ class QueryService:
         if not simple or has_mods or group_has_path(g):
             return self._query_at_distributed(ts, g)
         parts = ray.get([a.query_at.remote(ts, query) for a in self.actors])
-        merged = pd.concat(parts, ignore_index=True).drop_duplicates(
-            ignore_index=True
-        )
+        merged = _ddsafe(pd.concat(parts, ignore_index=True), ignore_index=True)
         return merged.sort_values(list(merged.columns), ignore_index=True)
 
     def _query_at_distributed(self, ts, group: dict) -> pd.DataFrame:
@@ -295,7 +294,7 @@ class QueryService:
             )
             cur = pd.concat(parts, ignore_index=True)
             if len(cur.columns):
-                return cur.drop_duplicates(ignore_index=True)
+                return _ddsafe(cur, ignore_index=True)
             return cur.head(1)  # boolean pattern: any partition matched
 
         def pattern_bindings(pat):
@@ -318,9 +317,9 @@ class QueryService:
                     if not len(e.columns):
                         return pd.DataFrame(columns=["__s", "__o"])
                     e = e[~e["_pp"].isin(["I" + i for i in iri[1]])]
-                    return e.rename(
+                    return _ddsafe(e.rename(
                         columns={"_ps": "__s", "_po": "__o"}
-                    )[["__s", "__o"]].drop_duplicates()
+                    )[["__s", "__o"]])
                 e = gather_pattern(
                     (("var", "_ps"), ("iri", iri), ("var", "_po"))
                 )
@@ -347,7 +346,7 @@ class QueryService:
                         [nodes, pd.Series(extras, dtype=object)],
                         ignore_index=True,
                     )
-                return nodes.drop_duplicates()
+                return _ddsafe(nodes)
 
             return bindings_from_pairs(
                 eval_path_pairs(p[1], edges_of, nodes_of), s, o
@@ -375,7 +374,7 @@ class QueryService:
             ])
             cur = pd.concat(parts, ignore_index=True)
             if len(cur.columns):
-                return cur.drop_duplicates(ignore_index=True)
+                return _ddsafe(cur, ignore_index=True)
             return cur.head(1)
 
         fg = group.get("from_graphs") or []
@@ -400,7 +399,7 @@ class QueryService:
                 parts = [graph_pattern_in(pat, ("iri", g)) for g in fg]
                 cur = pd.concat(parts, ignore_index=True)
                 if len(cur.columns):
-                    return cur.drop_duplicates(ignore_index=True)
+                    return _ddsafe(cur, ignore_index=True)
                 return cur.head(1)
 
             def graph_bindings(pat, gterm):

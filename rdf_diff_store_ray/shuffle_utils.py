@@ -85,3 +85,80 @@ def salt_column(batch: pa.Table, key: str, salt_buckets: int,
     # partial aggregations because the final phase re-merges on the key.
     salts = (np.arange(n) % salt_buckets).astype(np.int32)
     return batch.append_column(col, pa.array(salts, pa.int32()))
+
+
+def _col_codes_nul_safe(col: pd.Series) -> np.ndarray:
+    """Exact integer codes for one column: equal values → equal codes,
+    distinct values → distinct codes, NaN/None → -1. Object columns go
+    through ``np.unique`` (Python ``==``/``<`` — full-byte string
+    comparison, never the C-string table)."""
+    arr = col.to_numpy()
+    n = len(arr)
+    codes = np.empty(n, dtype=np.int64)
+    if arr.dtype == object:
+        na = pd.isna(arr)
+        codes[na] = -1
+        vals = arr[~na]
+        if len(vals):
+            _, inv = np.unique(vals.astype(object), return_inverse=True)
+            codes[~na] = inv
+        return codes
+    na = pd.isna(arr)
+    codes[na] = -1
+    vals = arr[~na]
+    if len(vals):
+        _, inv = np.unique(vals, return_inverse=True)
+        codes[~na] = inv
+    return codes
+
+
+def drop_duplicates_nul_safe(df: pd.DataFrame, subset=None,
+                             keep: str = "first",
+                             ignore_index: bool = False) -> pd.DataFrame:
+    """Multi-key ``DataFrame.drop_duplicates`` that stays correct when
+    string key columns contain NUL bytes.
+
+    pandas' MULTI-column dedup factorizes object columns through the
+    same NUL-truncating C-string hash table as ``pd.factorize``: rows
+    that differ only past a ``\\x00`` collapse into one (measured on
+    pandas 2.2.2: 5,000 rows of two NUL-distinct string columns dedup
+    to ONE row). Single-column ``drop_duplicates`` takes a different
+    path and is safe at every size we measured — so single-key calls
+    delegate straight to pandas.
+
+    For multi-key calls: a fast O(n) scan checks whether any object key
+    actually contains a NUL; the overwhelmingly common NUL-free case
+    delegates to pandas. Otherwise EXACT per-column integer codes
+    (``np.unique`` — full-byte comparison) feed one
+    ``np.unique(axis=0)`` over the code matrix; first/last occurrence
+    indices reproduce pandas' keep semantics in original row order.
+    """
+    if isinstance(df, pd.Series):
+        # single-key dedup is safe in pandas at every size we measured
+        out = df.drop_duplicates(keep=keep)
+        return out.reset_index(drop=True) if ignore_index else out
+    cols = list(subset) if subset is not None else list(df.columns)
+    if len(df) == 0 or len(cols) <= 1:
+        out = df.drop_duplicates(subset=subset, keep=keep)
+        return out.reset_index(drop=True) if ignore_index else out
+    has_nul = False
+    for c in cols:
+        s = df[c]
+        if s.dtype == object:
+            for v in s.to_numpy():
+                if isinstance(v, str) and "\x00" in v:
+                    has_nul = True
+                    break
+        if has_nul:
+            break
+    if not has_nul:
+        out = df.drop_duplicates(subset=subset, keep=keep)
+        return out.reset_index(drop=True) if ignore_index else out
+    codes = np.stack([_col_codes_nul_safe(df[c]) for c in cols], axis=1)
+    if keep == "last":
+        codes = codes[::-1]
+    _, first = np.unique(codes, axis=0, return_index=True)
+    if keep == "last":
+        first = len(df) - 1 - first
+    out = df.iloc[np.sort(first)]
+    return out.reset_index(drop=True) if ignore_index else out

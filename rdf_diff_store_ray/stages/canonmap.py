@@ -788,7 +788,9 @@ def _copartition_lookup(probe_tbl: pa.Table, files: list, on: list,
                 {c: pd.Series([], dtype=object)
                  for c in probe_cols + out_take}
             )
-        j = p.merge(s.drop_duplicates(), left_on=on, right_on=on,
+        from ..shuffle_utils import drop_duplicates_nul_safe
+
+        j = p.merge(drop_duplicates_nul_safe(s), left_on=on, right_on=on,
                     how="inner")
         return j[probe_cols + out_take]
 

@@ -43,7 +43,11 @@ import pyarrow as pa
 
 from ..ntriples import sha256_bytes
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
-from ..shuffle_utils import partition_ids, sort_values_nul_safe
+from ..shuffle_utils import (
+    drop_duplicates_nul_safe,
+    partition_ids,
+    sort_values_nul_safe,
+)
 
 MANIFEST_NAME = "manifest.json"
 SUCCESS_NAME = "_SUCCESS"
@@ -74,8 +78,11 @@ def derive_partition_deltas(
     # last row wins on same-second ties (documented tie-break): dedup to
     # one row per (graph, second) — the per-graph `present` map, batched
     ts_all = g["warc_ts"].to_numpy().astype("datetime64[s]").astype("int64")
-    g = g.assign(_ts_s=ts_all).drop_duplicates(
-        subset=["graph_id", "_ts_s"], keep="last", ignore_index=True
+    # NUL-safe multi-key dedup: pandas' own would collapse two
+    # NUL-distinct graph ids sharing a second (see shuffle_utils)
+    g = drop_duplicates_nul_safe(
+        g.assign(_ts_s=ts_all),
+        subset=["graph_id", "_ts_s"], keep="last", ignore_index=True,
     )
     gids = g["graph_id"].to_numpy()
     ts_s = g["_ts_s"].to_numpy()

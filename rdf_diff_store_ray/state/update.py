@@ -41,6 +41,7 @@ import pyarrow.dataset as pads
 from .. import ntriples
 from . import reconstruct
 from .append import append_graphs, delete_graphs
+from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
 
 _DATA_RE = re.compile(r"(INSERT|DELETE)\s+DATA\s*\{", re.IGNORECASE)
 _WHERE_RE = re.compile(r"DELETE\s+WHERE\s*\{", re.IGNORECASE)
@@ -327,7 +328,7 @@ def _solutions(group: dict, deltas, ts):
     )
 
     qdf = reconstruct.quads_at_table(deltas, ts).to_pandas()
-    merged = qdf.drop(columns=["graph_id"]).drop_duplicates()
+    merged = _ddsafe(qdf.drop(columns=["graph_id"]))
     source = lambda pat: eval_one_pattern(merged, pat)  # noqa: E731
     gsource = lambda pat, gt: eval_pattern_in_graph(qdf, pat, gt)  # noqa: E731
     return eval_group(group, source, gsource).to_dict("records"), qdf

@@ -111,6 +111,15 @@ def test_random_walks_paths_agree_and_are_valid(ray_session):
         b[key].sort_values(key, ignore_index=True),
         c[key].sort_values(key, ignore_index=True),
     )
+    # partition-pinned actors (the no-adjacency-reshuffle scale path)
+    # emit the identical walk set
+    p = random_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                     seed=9, method="pinned",
+                     num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        b[key].sort_values(key, ignore_index=True),
+        p[key].sort_values(key, ignore_index=True),
+    )
     eset = set(zip(ed["src"], ed["dst"]))
     for (_, _), g in b.groupby(["start", "walk"]):
         nodes = g.sort_values("step")["node"].tolist()

@@ -2054,3 +2054,26 @@ class TestServiceFederation:
         with pytest.raises(ValueError, match="SERVICE"):
             eval_bgp(t, 'SELECT ?s WHERE { SERVICE <https://svc/r> '
                         '{ ?s ?p ?o } }')
+
+
+def test_nul_distinct_bindings_survive_distinct_and_union():
+    """Literals differing only past a NUL byte are distinct RDF terms;
+    DISTINCT / UNION dedup must keep them apart (regression for the
+    pandas multi-column drop_duplicates NUL collapse — see
+    shuffle_utils.drop_duplicates_nul_safe)."""
+    # same subject: the binding rows differ ONLY in the literal's
+    # NUL-tail — exactly the shape pandas' multi-column dedup collapses
+    t = _triples_table([
+        ("https://e/a", P_FOUNDED, "v\x00w", True),
+        ("https://e/a", P_FOUNDED, "v\x00x", True),
+        ("https://e/a", P_ACQUIRED, "https://e/b", False),
+    ])
+    out = eval_bgp(t, f"SELECT DISTINCT ?s ?y WHERE {{ ?s <{P_FOUNDED}> ?y }}")
+    assert len(out) == 2
+    assert set(out["y"]) == {"v\x00w", "v\x00x"}
+
+    out2 = eval_bgp(t, (
+        f"SELECT DISTINCT ?s ?y WHERE {{ "
+        f"{{ ?s <{P_FOUNDED}> ?y }} UNION {{ ?s <{P_FOUNDED}> ?y }} }}"
+    ))
+    assert len(out2) == 2

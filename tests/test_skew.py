@@ -75,3 +75,47 @@ def test_skewed_build_delta_log_matches_oracle(skewed_built):
                             dt["warc_ts"].to_pylist(), dt["op"].to_pylist())
     }
     assert got == want
+
+
+def test_drop_duplicates_nul_safe_vs_pandas_hazard():
+    """pandas multi-column drop_duplicates factorizes object columns
+    through the NUL-truncating C-string table: rows differing only past
+    a NUL collapse (measured: 5,000 two-string-column rows dedup to 1).
+    The safe helper is exact, order-preserving, and delegates to pandas
+    on the NUL-free fast path."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_diff_store_ray.shuffle_utils import drop_duplicates_nul_safe
+
+    big = pd.DataFrame({
+        "a": [f"x\x00{i}" for i in range(5000)],
+        "b": [f"y\x00{i}" for i in range(5000)],
+    })
+    assert len(big.drop_duplicates()) == 1  # the pandas hazard, pinned
+    assert len(drop_duplicates_nul_safe(big)) == 5000
+
+    # keep semantics with NULs
+    d = pd.DataFrame({"a": ["x\x00a", "x\x00a", "x\x00b"],
+                      "b": [1, 1, 1], "i": [10, 20, 30]})
+    assert drop_duplicates_nul_safe(
+        d, subset=["a", "b"])["i"].tolist() == [10, 30]
+    assert drop_duplicates_nul_safe(
+        d, subset=["a", "b"], keep="last")["i"].tolist() == [20, 30]
+
+    # NaN rows dedup like pandas; NUL-free path matches pandas exactly
+    rng = np.random.default_rng(1)
+    clean = pd.DataFrame({
+        "a": rng.integers(0, 7, 200).astype(str),
+        "b": rng.integers(0, 7, 200),
+    })
+    for keep in ("first", "last"):
+        pd.testing.assert_frame_equal(
+            drop_duplicates_nul_safe(clean, keep=keep),
+            clean.drop_duplicates(keep=keep),
+        )
+    nan = pd.DataFrame({"a": [None, None, "x"], "b": ["y", "y", None]})
+    assert len(drop_duplicates_nul_safe(nan)) == 2
+    # Series passthrough (single-key is safe in pandas)
+    s = pd.Series(["a\x00x", "a\x00y", "a\x00x"])
+    assert drop_duplicates_nul_safe(s).tolist() == ["a\x00x", "a\x00y"]
