@@ -485,6 +485,7 @@ def cmd_serve(args) -> int:
         args.store, host=args.host, port=args.port,
         api_key=args.api_key, read_only=args.read_only,
         distributed=args.distributed, services=services,
+        replica_of=args.replica_of, sync_every=args.sync_every,
     )
     print(json.dumps({"host": args.host, "port": srv.port}), flush=True)
     try:
@@ -694,6 +695,15 @@ def main(argv=None) -> int:
                     help="serve reads from one partition-reader actor "
                          "per delta partition (store never loads into "
                          "the HTTP process)")
+    sv.add_argument("--replica-of", dest="replica_of", metavar="PRIMARY",
+                    help="serve as a read replica of PRIMARY's delta "
+                         "log: clone at boot, poll for updates, force "
+                         "read-only (the reference's 60s push / "
+                         "fetch-per-read loop)")
+    sv.add_argument("--sync-every", dest="sync_every", type=float,
+                    default=60.0,
+                    help="replica poll period in seconds (default 60, "
+                         "the reference writer's push interval)")
     sv.set_defaults(fn=cmd_serve)
 
     sy = sub.add_parser(

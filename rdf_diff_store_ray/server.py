@@ -429,6 +429,53 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
     return Handler
 
 
+class _ReplicaSyncer(threading.Thread):
+    """Background fetch loop for a read replica — the reference's
+    continuous replication: its writer pushes every 60 s and the
+    query-cache fetches updates per read
+    (``src/bin/rdf-diff-writer.rs:109-123``, ``src/git.rs:88-132``).
+    Here the replica polls the primary's delta log every ``every_s``
+    seconds (file-level rsync, immutable segments) and invalidates the
+    serving backend whenever anything changed, so reads see new commits
+    within one poll with no operator action."""
+
+    def __init__(self, src: str, dst: str, backend, every_s: float):
+        super().__init__(daemon=True)
+        self.src, self.dst = src, dst
+        self.backend = backend
+        self.every_s = every_s
+        self._halt = threading.Event()
+        self.rounds = 0
+        self.last_error: str | None = None
+
+    def sync_once(self) -> bool:
+        from .metrics import REGISTRY
+        from .state.append import LogLockedError
+        from .state.sync import sync_store
+
+        try:
+            res = sync_store(self.src, self.dst)
+        except LogLockedError:
+            return False  # a concurrent sync/writer owns dst; next poll
+        self.rounds += 1
+        changed = bool(res.get("copied") or res.get("removed"))
+        if changed:
+            self.backend.invalidate()
+            REGISTRY.counter_inc("replica_sync_changes")
+        REGISTRY.counter_inc("replica_sync_rounds")
+        return changed
+
+    def run(self) -> None:
+        while not self._halt.wait(self.every_s):
+            try:
+                self.sync_once()
+            except Exception as e:  # keep polling; surface via /metrics
+                self.last_error = f"{type(e).__name__}: {e}"
+
+    def stop(self) -> None:
+        self._halt.set()
+
+
 class DiffStoreServer:
     """Threaded HTTP server over one delta-log store.
 
@@ -436,15 +483,28 @@ class DiffStoreServer:
     without ``API_KEY``, ``src/api.rs:9-13``; a library default of
     "unauthenticated local dev server" is friendlier and explicit).
     ``port=0`` binds an ephemeral port (see ``.port`` after start).
+
+    ``replica_of=<primary delta dir>`` turns the server into a read
+    replica: the local store is fetched from the primary at boot (an
+    empty/missing local dir bootstraps like the reference's
+    clone-if-absent) and re-fetched every ``sync_every`` seconds in the
+    background; writes are disabled (read_only is forced).
     """
 
     def __init__(self, delta_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, api_key: str | None = None,
                  read_only: bool = False, prefixes: dict | None = None,
                  distributed: bool = False, services: dict | None = None,
+                 replica_of: str | None = None, sync_every: float = 60.0,
                  now_fn=time.time):
         cls = DistributedStoreBackend if distributed else StoreBackend
         self.backend = cls(delta_dir, prefixes=prefixes, services=services)
+        self._syncer = None
+        if replica_of is not None:
+            read_only = True
+            self._syncer = _ReplicaSyncer(replica_of, delta_dir,
+                                          self.backend, sync_every)
+            self._syncer.sync_once()  # boot: clone-if-absent
         handler = _make_handler(self.backend, api_key, read_only, now_fn)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None
@@ -454,6 +514,8 @@ class DiffStoreServer:
         return self._httpd.server_address[1]
 
     def start(self) -> "DiffStoreServer":
+        if self._syncer is not None:
+            self._syncer.start()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -461,11 +523,17 @@ class DiffStoreServer:
         return self
 
     def serve_forever(self) -> None:
+        if self._syncer is not None and not self._syncer.is_alive():
+            self._syncer.start()
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:
+        if self._syncer is not None:
+            self._syncer.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self._syncer is not None and self._syncer.is_alive():
+            self._syncer.join(timeout=10)
         self.backend.close()

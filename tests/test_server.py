@@ -356,3 +356,41 @@ def test_batch_post_rejects_mixed_timestamps(server):
     assert st == 200
     st, _, text = _req("GET", f"{base}/api/graphs/{T1}")
     assert st == 200 and "https://x/a" in text and "https://x/b" in text
+
+
+def test_replica_auto_sync_serves_primary_writes(ray_session, tmp_path):
+    """The continuous-replication loop (reference: writer pushes every
+    60s, query-cache fetches per read): a replica booted from an EMPTY
+    directory clones the primary, and a write to the primary becomes
+    visible on the replica within one poll with no operator action.
+    Replica writes are rejected (read-only role is forced)."""
+    import time as _time
+
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    primary = init_log(str(tmp_path / "primary"), num_partitions=2)
+    append_graphs(primary, {"g-a": G_A}, T1)
+
+    replica_dir = str(tmp_path / "replica")  # does not exist yet
+    srv = DiffStoreServer(replica_dir, replica_of=primary,
+                          sync_every=0.2, now_fn=lambda: T3).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        st, _, text = _req("GET", f"{base}/api/graphs/{T1}")
+        assert st == 200 and "https://x/a" in text  # boot clone
+
+        append_graphs(primary, {"g-b": G_B}, T2)
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            _, _, text = _req("GET", f"{base}/api/graphs/{T2}")
+            if "https://x/b" in text:
+                break
+            _time.sleep(0.1)
+        assert "https://x/b" in text, "replica never saw the new commit"
+
+        code, _ = _err("POST", f"{base}/api/graphs",
+                       {"id": "g-c", "graph": G_B})
+        assert code == 404  # replicas are read-only
+    finally:
+        srv.shutdown()
