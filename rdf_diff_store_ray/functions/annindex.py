@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from .. import fs
 from .similarity import (
     _kmeans_centroids,
     _merge_local_topk,
@@ -67,6 +68,7 @@ def compact_ivf_index(index_dir: str) -> pd.DataFrame:
     the NEXT seq, delete the inputs. Single-writer; rows are an
     unordered set, so query results are unchanged. Returns
     (cluster, segments_merged, rows) accounting."""
+    index_dir = fs.local(index_dir)
     _load_meta(index_dir)  # validates the index exists
     seq = _next_seq(index_dir)
     by_cluster: dict[int, list] = {}
@@ -81,9 +83,7 @@ def compact_ivf_index(index_dir: str) -> pd.DataFrame:
         t = pa.concat_tables([pq.read_table(f) for f in files])
         t = t.sort_by([("vec_id", "ascending")])
         path = os.path.join(index_dir, f"list-{cluster:05d}-{seq:06d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        fs.put_table(t, path)
         for f in files:
             os.remove(f)
         out.append((cluster, len(files), t.num_rows))
@@ -97,6 +97,7 @@ def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
     ``list-<cluster>-<seq>.parquet`` segment per touched inverted list
     (existing bytes untouched). Returns per-list (cluster, rows)
     accounting."""
+    index_dir = fs.local(index_dir)
     meta = _load_meta(index_dir)
     Cn = _load_centroids(index_dir)
     cref = ray.put(Cn)
@@ -144,9 +145,7 @@ def extend_ivf_index(emb_ds, index_dir: str) -> pd.DataFrame:
         path = os.path.join(
             index_dir, f"list-{cluster:05d}-{seq:06d}.parquet"
         )
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path)
+        fs.put_table(tbl, path)
         return pd.DataFrame(
             {
                 "cluster": pd.Series([cluster], dtype="int64"),
@@ -186,6 +185,7 @@ def build_ivf_index(
     """Train the coarse quantizer on a bounded driver-side sample (never
     the full corpus), persist it, then ingest the corpus as the first
     extension batch. Refuses to overwrite an existing index."""
+    index_dir = fs.local(index_dir)
     if os.path.exists(os.path.join(index_dir, "index.json")):
         raise ValueError(f"index already exists at {index_dir!r}")
     os.makedirs(index_dir, exist_ok=True)
@@ -236,6 +236,7 @@ def ivf_index_topk(
     pruning, decided on the driver from the tiny centroid table before
     any Ray task is scheduled). Same output schema as
     ``brute_force_topk`` — ``(query_id, vec_id, rank, cosine)``."""
+    index_dir = fs.local(index_dir)
     meta = _load_meta(index_dir)
     Cn = _load_centroids(index_dir)
     q = np.asarray(query_vecs, dtype=np.float64)

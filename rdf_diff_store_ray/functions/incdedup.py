@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .dedup import doc_minhash_batch
+from .. import fs
 
 _NO_MATCH = np.int64(2**62)
 
@@ -115,6 +116,7 @@ def extend_minhash_index(
     the index. Returns per-partition (pid, rows) accounting. The LSH
     knobs must match across every extend/dedup call on one index — they
     are recorded in ``index.json`` on first write and validated after."""
+    index_dir = fs.local(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "index.json")
     import json
@@ -190,6 +192,7 @@ def compact_index(index_dir: str) -> pd.DataFrame:
     like every store write path — do not run concurrently with extend.
     Rows are an unordered set, so reads before and after are identical.
     Returns (pid, segments_merged, rows) accounting."""
+    index_dir = fs.local(index_dir)
     _read_index_meta(index_dir)  # validates the index exists
     from ..state.append import StoreWriteLock
 
@@ -212,9 +215,7 @@ def _compact_index_locked(index_dir: str) -> pd.DataFrame:
              ("doc_id", "ascending")]
         )
         path = os.path.join(index_dir, f"bands-{pid:05d}-{seq:06d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        fs.put_table(t, path)
         for f in files:
             os.remove(f)
         out.append((pid, len(files), t.num_rows))
@@ -252,6 +253,7 @@ def dedup_against_index(
     in one bounded-partition pass, and the per-doc fold is a vectorized
     pandas groupby inside bounded doc-hash partitions (docs and the
     index never co-materialize anywhere)."""
+    index_dir = fs.local(index_dir)
     import ray.data as rd
 
     meta = _read_index_meta(index_dir)

@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+from .. import fs
 
 from .bpe import _PRETOK_RE, bpe_token_counts, encode_word
 
@@ -340,9 +341,7 @@ def write_training_shards(
             )
             # atomic publish: a killed run never leaves a partial shard,
             # so resume=True can trust any file that exists
-            tmp = path + ".tmp"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, path)
+            fs.put_table(tbl, path)
         return pd.DataFrame(
             {
                 "shard_id": pd.Series([shard], dtype="int64"),

@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from .. import fs
 
 from ..shuffle_utils import sort_values_nul_safe
 
@@ -71,6 +72,7 @@ def extend_text_index(docs_ds, index_dir: str, *,
     per-batch term frequencies are then exact, so the shuffle carries
     one (token, doc, tf) row per distinct pair, never token streams.
     Returns per-partition (pid, rows) accounting."""
+    index_dir = fs.local(index_dir)
     from ..shuffle_utils import add_partition_id
     from ..state.append import StoreWriteLock
 
@@ -129,9 +131,7 @@ def extend_text_index(docs_ds, index_dir: str, *,
         )
         path = os.path.join(index_dir,
                             f"post-{pid:05d}-{seq:06d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path)
+        fs.put_table(tbl, path)
         return pd.DataFrame({"pid": pd.Series([pid], dtype="int64"),
                              "rows": pd.Series([len(part)],
                                                dtype="int64")})
@@ -189,6 +189,7 @@ def build_text_index(docs_ds, index_dir: str, *,
                      text_col: str = "text") -> pd.DataFrame:
     """Create the index layout and ingest the corpus as the first
     extension batch. Refuses to overwrite an existing index."""
+    index_dir = fs.local(index_dir)
     if os.path.exists(os.path.join(index_dir, "index.json")):
         raise ValueError(f"index already exists at {index_dir!r}")
     os.makedirs(index_dir, exist_ok=True)
@@ -205,6 +206,7 @@ def compact_text_index(index_dir: str) -> pd.DataFrame:
     summing duplicate (token, doc_id) rows across segments (a document
     re-ingested by a later extension contributes one combined tf).
     Single-writer; returns (pid, segments_merged, rows) accounting."""
+    index_dir = fs.local(index_dir)
     from ..state.append import StoreWriteLock
 
     _load_meta(index_dir)
@@ -236,9 +238,7 @@ def compact_text_index(index_dir: str) -> pd.DataFrame:
             })
             path = os.path.join(index_dir,
                                 f"post-{pid:05d}-{seq:06d}.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, path)
+            fs.put_table(tbl, path)
             for f in files:
                 os.remove(f)
             out.append((pid, len(files), tbl.num_rows))
@@ -265,6 +265,7 @@ def query_text_index(index_dir: str, terms, *, mode: str = "and",
     are emitted as ``score_micro`` = round(score × 1e6) int64 so
     results stay hash-stable; rows sort by (-score_micro, doc_id) and
     ``limit`` bounds them."""
+    index_dir = fs.local(index_dir)
     if mode not in ("and", "or"):
         raise ValueError(f"unknown mode {mode!r}")
     if score not in (None, "bm25"):

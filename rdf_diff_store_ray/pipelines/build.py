@@ -235,10 +235,9 @@ def build(
             with open(canon_path) as f:
                 return json.load(f)
         cm = build_canonical_map(raw_ds, gazetteer)
-        tmp = canon_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cm, f, sort_keys=True)
-        os.replace(tmp, canon_path)
+        from .. import fs as _fs
+
+        _fs.put_text(canon_path, json.dumps(cm, sort_keys=True))
         return cm
 
     with _TPE(max_workers=2) as tpe:
@@ -570,10 +569,9 @@ def build_incremental(
         canon_map_size = canonmap_mod.map_size(canon_dir)
     else:
         canon_dict = extend_canonical_map(old_map, raw_ds, gazetteer)
-        tmp = canon_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(canon_dict, f, sort_keys=True)
-        os.replace(tmp, canon_path)
+        from .. import fs as _fs
+
+        _fs.put_text(canon_path, json.dumps(canon_dict, sort_keys=True))
         gaz_ref = ray.put(gazetteer)
         canon_ref = ray.put(canon_dict)
         canon_map_size = len(canon_dict)

@@ -47,6 +47,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import fs
 from ..corpus import ENTITY_NS, entity_iri
 from ..ntriples import serialize, sha256_text
 from ..schemas import TRIPLES, VERSIONS
@@ -90,10 +91,7 @@ def _write_parts(ds, dir_: str, pid_col: str = "pid", seg: int | None = None):
         t = pa.Table.from_pandas(
             group.drop(columns=[pid_col]), preserve_index=False
         )
-        final = os.path.join(dir_, f"part-{pid:05d}{suffix}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, final)
+        fs.put_table(t, os.path.join(dir_, f"part-{pid:05d}{suffix}.parquet"))
         return pd.DataFrame({"pid": [pid], "rows": [len(group)]})
 
     return ds.groupby(pid_col).map_groups(
@@ -232,6 +230,7 @@ def build_canonical_store(
     vocabulary is never collected: clustering reduces via distributed
     min-label propagation and every derivation below is a co-partition
     pass over bounded hash partitions. Returns summary counts."""
+    canon_dir = fs.local(canon_dir)
     import ray.data as rd
     import shutil
 
@@ -461,10 +460,7 @@ def build_canonical_store(
         "threshold": threshold,
         "segments": 0,
     }
-    tmp = os.path.join(canon_dir, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(canon_dir, META_NAME))
+    fs.put_text(os.path.join(canon_dir, META_NAME), json.dumps(meta))
     return {
         "map_rows": int(sum(r["rows"] for r in map_counts)),
         "band_rows": int(sum(r["rows"] for r in band_counts)),
@@ -473,11 +469,13 @@ def build_canonical_store(
 
 
 def read_meta(canon_dir: str) -> dict:
+    canon_dir = fs.local(canon_dir)
     with open(os.path.join(canon_dir, META_NAME)) as f:
         return json.load(f)
 
 
 def map_files(canon_dir: str) -> list:
+    canon_dir = fs.local(canon_dir)
     return _part_files(os.path.join(canon_dir, "map"))
 
 
@@ -641,6 +639,7 @@ def resolve_triples(raw_ds, canon_dir: str):
     co-partition joins (subject surfaces, then non-literal object
     surfaces). Streaming: no stage holds more than one hash partition of
     (rows + map slice); the map is never broadcast or collected."""
+    canon_dir = fs.local(canon_dir)
     ex = explode_raw(raw_ds)
     s1 = _resolve_stage(
         ex, canon_dir, key_col="subj_surface", out_col="subj",
@@ -830,6 +829,7 @@ def extend_canonical_store(raw_ds, gazetteer: dict, canon_dir: str) -> dict:
     not followed — those can differ only through the hot-bucket chain
     cap, and old assignments are immutable either way.
     """
+    canon_dir = fs.local(canon_dir)
     from .canonicalize import MinHashSignatures, UnionFind
 
     meta = read_meta(canon_dir)
@@ -946,10 +946,7 @@ def extend_canonical_store(raw_ds, gazetteer: dict, canon_dir: str) -> dict:
         os.path.join(canon_dir, "norms"), seg=seg,
     )
     meta["segments"] = seg
-    tmp = os.path.join(canon_dir, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(canon_dir, META_NAME))
+    fs.put_text(os.path.join(canon_dir, META_NAME), json.dumps(meta))
     return {"new_surfaces": len(new_surfaces), "segment": seg,
             "assigned": assigned}
 

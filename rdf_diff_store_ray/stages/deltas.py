@@ -43,6 +43,7 @@ import pyarrow as pa
 
 from ..ntriples import sha256_bytes
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
+from .. import fs
 from ..shuffle_utils import (
     drop_duplicates_nul_safe,
     partition_ids,
@@ -225,7 +226,7 @@ def make_partition_writer(out_dir: str, snapshot_times, num_partitions: int):
 
 
 def partition_dir(out_dir: str, pid: int) -> str:
-    return os.path.join(out_dir, f"partition={pid:05d}")
+    return os.path.join(fs.local(out_dir), f"partition={pid:05d}")
 
 
 def segment_files(out_dir: str, pid: int) -> list:
@@ -240,19 +241,27 @@ def segment_files(out_dir: str, pid: int) -> list:
     return sorted(glob.glob(os.path.join(pdir, "deltas*.parquet")))
 
 
-def write_partition(out_dir: str, pid: int, table: pa.Table, wall_s: float) -> None:
-    """Atomic FULL write: Parquet to a temp name, rename, manifest last. A
-    crash mid-write leaves no manifest → the partition is recomputed on
-    resume. Any append segments from a previous life of this partition are
-    invalidated (a full rewrite supersedes the log)."""
-    import pyarrow.parquet as pq
+def sweep_staging(out_dir: str) -> int:
+    """GC crash-orphaned hidden staging keys across all partitions."""
+    out_dir = fs.local(out_dir)
+    n = fs.sweep_staging(out_dir)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("partition="):
+                n += fs.sweep_staging(os.path.join(out_dir, name))
+    return n
 
+
+def write_partition(out_dir: str, pid: int, table: pa.Table, wall_s: float) -> None:
+    """Atomic FULL write under object-store rules (:mod:`..fs`): the
+    data object publishes as one atomic PUT under its final key, the
+    manifest object commits last. A crash mid-write leaves no manifest →
+    the partition is recomputed on resume. Any append segments from a
+    previous life of this partition are invalidated (a full rewrite
+    supersedes the log)."""
     pdir = partition_dir(out_dir, pid)
     os.makedirs(pdir, exist_ok=True)
-    final = os.path.join(pdir, "deltas.parquet")
-    tmp = final + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, final)
+    fs.put_table(table, os.path.join(pdir, "deltas.parquet"))
     for seg in segment_files(out_dir, pid):
         if os.path.basename(seg) != "deltas.parquet":
             os.remove(seg)
@@ -266,18 +275,13 @@ def append_segment(out_dir: str, pid: int, add: pa.Table, merged: pa.Table,
     reference's O(delta) git commit (``src/git.rs:192-222``) instead of a
     whole-partition rewrite. The manifest is refreshed from the merged
     view so lineage/resume semantics are unchanged."""
-    import pyarrow.parquet as pq
-
     pdir = partition_dir(out_dir, pid)
     os.makedirs(pdir, exist_ok=True)
     n_seg = sum(
         1 for f in segment_files(out_dir, pid)
         if os.path.basename(f) != "deltas.parquet"
     )
-    final = os.path.join(pdir, f"deltas.seg-{n_seg:06d}.parquet")
-    tmp = final + ".tmp"
-    pq.write_table(add, tmp)
-    os.replace(tmp, final)
+    fs.put_table(add, os.path.join(pdir, f"deltas.seg-{n_seg:06d}.parquet"))
     _write_manifest(pdir, pid, merged, wall_s)
 
 
@@ -298,10 +302,8 @@ def _write_manifest(pdir: str, pid: int, table: pa.Table, wall_s: float) -> None
         "wall_s": round(wall_s, 4),
         "format": "deltas-v1",
     }
-    mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+    fs.put_text(os.path.join(pdir, MANIFEST_NAME),
+                json.dumps(manifest, sort_keys=True))
 
 
 def read_manifest(out_dir: str, pid: int):
@@ -315,6 +317,7 @@ def read_manifest(out_dir: str, pid: int):
 def completed_partitions(out_dir: str) -> set:
     """Partitions with a valid manifest + data file (resume skip set)."""
     done = set()
+    out_dir = fs.local(out_dir)
     if not os.path.isdir(out_dir):
         return done
     for name in os.listdir(out_dir):
@@ -342,5 +345,6 @@ def filter_completed(batch: pa.Table, key: str, num_partitions: int,
 
 
 def mark_success(out_dir: str, meta: dict) -> None:
-    with open(os.path.join(out_dir, SUCCESS_NAME), "w") as f:
-        json.dump(meta, f, sort_keys=True)
+    # atomic publish: the _SUCCESS object is the store's commit point
+    fs.put_text(os.path.join(fs.local(out_dir), SUCCESS_NAME),
+                json.dumps(meta, sort_keys=True))

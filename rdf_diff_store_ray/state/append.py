@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 
 from dataclasses import dataclass
 
+from .. import fs
 from ..ntriples import parse, serialize, sha256_text
 from ..schemas import DELTAS, OP_DELETE, OP_UPDATE
 from ..shuffle_utils import partition_ids
@@ -80,7 +81,9 @@ def _graph_triples(text: str, fmt: str | None):
 def init_log(delta_dir: str, num_partitions: int = 8) -> str:
     """Create an EMPTY delta log (the reference's clone-if-absent boot
     path, ``src/git.rs:38-49``): all partitions present with valid empty
-    manifests + the _SUCCESS marker, ready for :func:`append_graphs`."""
+    manifests + the _SUCCESS marker, ready for :func:`append_graphs`.
+    ``delta_dir`` may be a plain path or a ``file://`` URI (:mod:`..fs`)."""
+    delta_dir = fs.local(delta_dir)
     os.makedirs(delta_dir, exist_ok=True)
     for pid in range(num_partitions):
         deltas_mod.write_partition(delta_dir, pid, DELTAS.empty_table(), wall_s=0.0)
@@ -97,7 +100,8 @@ def init_log(delta_dir: str, num_partitions: int = 8) -> str:
 
 
 def _log_num_partitions(delta_dir: str) -> int:
-    with open(os.path.join(delta_dir, deltas_mod.SUCCESS_NAME)) as f:
+    with open(os.path.join(fs.local(delta_dir),
+                           deltas_mod.SUCCESS_NAME)) as f:
         return int(json.load(f)["num_partitions"])
 
 
@@ -240,7 +244,7 @@ class StoreWriteLock:
     lock file records holder pid/host/time for the operator)."""
 
     def __init__(self, delta_dir: str):
-        self.path = os.path.join(delta_dir, ".write.lock")
+        self.path = os.path.join(fs.local(delta_dir), ".write.lock")
         self._fd = None
 
     def _try_acquire(self) -> bool:
@@ -413,6 +417,8 @@ def append_graphs(delta_dir: str, graphs: dict, ts: int) -> int:
     stored as that typed literal (see ``ntriples.format_line``). Pass
     such values through document text (where they arrive escaped) if the
     plain reading is intended."""
+    delta_dir = fs.local(delta_dir)
+
     ids, texts = [], []
     for gid, g in sorted(graphs.items()):
         ids.append(gid)
@@ -470,6 +476,8 @@ def make_incremental_appender(delta_dir: str, snapshot_times):
     all-or-nothing (one atomic segment write); a re-run after a partial
     failure appends exactly the missing partitions' rows and nothing
     else — no markers, the log itself is the ledger."""
+    delta_dir = fs.local(delta_dir)
+
     snap = sorted(int(t) for t in snapshot_times)
 
     def append_incremental_partition(group: pd.DataFrame) -> pd.DataFrame:
@@ -573,6 +581,8 @@ def compact_log(delta_dir: str, min_segments: int = 1) -> int:
     explicit replay-order column) makes the sort a total order, so
     same-second ties resolve identically before and after compaction
     without relying on sort stability; reconstruction is byte-identical."""
+    delta_dir = fs.local(delta_dir)
+
     with StoreWriteLock(delta_dir):
         return _compact_locked(delta_dir, min_segments)
 
@@ -642,6 +652,8 @@ def truncate_log(delta_dir: str, before_ts: int) -> int:
     partition rewritten atomically under the store write lock; ``seq``
     is renumbered in replay order (sorting is total on ``(graph, ts,
     seq)``). Returns the number of rows removed."""
+    delta_dir = fs.local(delta_dir)
+
     with StoreWriteLock(delta_dir):
         return _truncate_locked(delta_dir, int(before_ts))
 
@@ -719,6 +731,8 @@ def _latest_rows(table: pa.Table) -> pa.Table:
 def delete_graphs(delta_dir: str, graph_ids, ts: int) -> int:
     """Tombstone each currently-live graph at ``ts``; absent graphs are
     no-ops. Returns the number of tombstones written."""
+    delta_dir = fs.local(delta_dir)
+
     ids = sorted(set(graph_ids))
     rows = pa.table(
         {

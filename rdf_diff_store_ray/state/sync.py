@@ -31,28 +31,23 @@ from __future__ import annotations
 import os
 import shutil
 
+from .. import fs
 from .append import StoreWriteLock
-
-_SKIP_PREFIXES = (".write.lock",)
 
 
 def _listing(d: str) -> dict:
-    """name → (size, mtime_ns) for regular files in ``d``."""
+    """name → listing signature for visible objects in ``d`` (hidden
+    keys — locks, staging garbage — are not store namespace)."""
     out = {}
-    for name in sorted(os.listdir(d)):
-        if name.startswith(_SKIP_PREFIXES):
-            continue
+    for name in fs.visible_listdir(d):
         p = os.path.join(d, name)
         if os.path.isfile(p):
-            st = os.stat(p)
-            out[name] = (st.st_size, st.st_mtime_ns)
+            out[name] = fs.stat_sig(p)
     return out
 
 
 def _copy_atomic(src: str, dst: str) -> None:
-    tmp = dst + ".sync-tmp"
-    shutil.copy2(src, tmp)  # copy2 preserves mtime (the quick-check key)
-    os.replace(tmp, dst)
+    fs.copy_file(src, dst)  # atomic publish, signature-preserving
 
 
 def _sync_dir(src_d: str, dst_d: str, *, delete: bool) -> dict:
@@ -91,6 +86,7 @@ def sync_store(src: str, dst: str, *, delete: bool = True,
     ``lock_src=True``, ``src``) is locked by a live writer. A second
     sync over an unchanged source copies nothing (quick-check hit).
     """
+    src, dst = fs.local(src), fs.local(dst)
     parts = sorted(
         p for p in os.listdir(src)
         if p.startswith("partition=")
