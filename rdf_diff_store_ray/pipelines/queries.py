@@ -3525,6 +3525,28 @@ def kg_bgp_bnode(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_casts(sf_dir: str):
+    """Round-4 builtin tail in one query (oxigraph parity,
+    ``/root/reference/src/query.rs:102-114``): XPath constructor casts
+    (``xsd:integer``/``xsd:double``), ``TZ()`` over ``NOW()``,
+    expression-level ``EXISTS`` inside a FILTER disjunction, and an
+    ORDER BY on a computed expression."""
+    from ..corpus import P_ACQUIRED, P_FOUNDED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?s (xsd:integer(?y) AS ?yi) (TZ(NOW()) AS ?tz) "
+        f"WHERE {{ ?s <{P_FOUNDED}> ?y . "
+        f"FILTER(EXISTS {{ ?s <{P_ACQUIRED}> ?o }} "
+        f"|| xsd:double(?y) > 1900) }} "
+        f"ORDER BY DESC(xsd:integer(?y)) ?s",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -3542,6 +3564,7 @@ def kg_bgp_features(sf_dir: str):
         "aggregate": kg_bgp_aggregate,
         "bnode": kg_bgp_bnode,
         "builtins": kg_bgp_builtins,
+        "casts": kg_bgp_casts,
         "construct": kg_bgp_construct,
         "dataset": kg_bgp_dataset,
         "describe": kg_bgp_describe,
@@ -4072,6 +4095,7 @@ def registry():
         "kg_bgp_subquery": kg_bgp_subquery,
         "kg_bgp_dataset": kg_bgp_dataset,
         "kg_bgp_builtins": kg_bgp_builtins,
+        "kg_bgp_casts": kg_bgp_casts,
         "kg_bgp_terms": kg_bgp_terms,
         "kg_bgp_bnode": kg_bgp_bnode,
         "kg_bgp_service": kg_bgp_service,

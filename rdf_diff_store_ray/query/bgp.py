@@ -358,8 +358,11 @@ def _take_vars(s: str):
 
 
 def _take_order_keys(s: str):
-    """Leading ``?var`` / ``ASC(?var)`` / ``DESC(?var)`` tokens →
-    ([(name, ascending), ...], rest)."""
+    """Leading order conditions → ([(key, ascending), ...], rest).
+    ``key`` is a variable name, or ``("expr", operand-ast)`` for
+    computed conditions — ``ASC|DESC(<expression>)`` and bracketed
+    ``(<expression>)`` forms (SPARQL's bare-builtin-call condition is
+    written with brackets here)."""
     import re as _re
 
     keys = []
@@ -370,10 +373,21 @@ def _take_order_keys(s: str):
                 j += 1
             keys.append((s[1:j], True))
             s = s[j:].lstrip()
-        elif m := _re.match(r"^(ASC|DESC)\s*\(\s*\?([A-Za-z_]\w*)\s*\)",
-                            s, _re.IGNORECASE):
-            keys.append((m.group(2), m.group(1).upper() == "ASC"))
-            s = s[m.end():].lstrip()
+        elif m := _re.match(r"^(ASC|DESC)\s*\(", s, _re.IGNORECASE):
+            j = _match_paren(s, m.end() - 1)
+            inner = s[m.end():j].strip()
+            asc = m.group(1).upper() == "ASC"
+            if vm := _re.fullmatch(r"\?([A-Za-z_]\w*)", inner):
+                keys.append((vm.group(1), asc))
+            else:
+                keys.append((("expr", _parse_filter_operand(inner)), asc))
+            s = s[j + 1:].lstrip()
+        elif s.startswith("("):
+            j = _match_paren(s, 0)
+            keys.append(
+                (("expr", _parse_filter_operand(s[1:j].strip())), True)
+            )
+            s = s[j + 1:].lstrip()
         else:
             return keys, s
 
@@ -1038,11 +1052,11 @@ def _split_logical(s: str, op: str):
                 j += 1
             buf.append(s[i : j + 1])
             i = j + 1
-        elif c == "(":
+        elif c in "({":
             depth += 1
             buf.append(c)
             i += 1
-        elif c == ")":
+        elif c in ")}":
             depth -= 1
             buf.append(c)
             i += 1
@@ -1145,6 +1159,14 @@ def _parse_filter_atom(s: str):
 
     _ensure_filter_res()
     s = s.strip()
+    if m := re.match(r"^(NOT\s+)?EXISTS\s*\{", s, re.IGNORECASE):
+        # expression-level [NOT] EXISTS { group } (usable inside
+        # &&/||/!/IF — the clause form stays structural)
+        b = s.index("{", m.start())
+        if _match_brace(s, b) != len(s) - 1:
+            raise ValueError(f"EXISTS braces must close the atom: {s!r}")
+        return ("exists", m.group(1) is None,
+                _plain_group(parse_query(s[b + 1:-1].strip()), "EXISTS"))
     if m := re.match(r"^bound\(\s*\?([A-Za-z_]\w*)\s*\)$", s, re.IGNORECASE):
         return ("bound", ("var", m.group(1)))
     if m := _REGEX_CALL_RE.match(s):
@@ -1446,6 +1468,28 @@ def _parse_filter_operand(t: str):
             if len(args) != 1:
                 raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
             return ("dtfn", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
+        if m := re.compile(
+            r"(TIMEZONE|TZ)\s*\(", re.IGNORECASE
+        ).match(s, pos[0]):
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"{m.group(1)} needs one argument: {t!r}")
+            return ("tzfn", m.group(1).lower(),
+                    _parse_filter_operand(args[0]))
+        if m := re.compile(
+            r"(?:xsd:|<http://www\.w3\.org/2001/XMLSchema#)"
+            r"(integer|decimal|double|float|string|boolean|dateTime)"
+            r">?\s*\(",
+            re.IGNORECASE,
+        ).match(s, pos[0]):
+            # XPath constructor casts (oxigraph parity, src/query.rs)
+            pos[0] = m.end() - 1
+            args = call_args()
+            if len(args) != 1:
+                raise ValueError(f"xsd cast needs one argument: {t!r}")
+            return ("cast", m.group(1).lower(),
                     _parse_filter_operand(args[0]))
         if m := re.compile(
             r"(RAND|UUID|STRUUID)\s*\(", re.IGNORECASE
@@ -1818,20 +1862,29 @@ def finish_query(result: pd.DataFrame, group: dict,
         if pattern_bindings is None:
             raise ValueError("DESCRIBE needs a pattern_bindings source")
         return describe_triples(result, group["describe"], pattern_bindings)
-    if group.get("aggregates"):
-        result = _materialize_agg_exprs(result, group)
-        result = aggregate_bindings(result, group)
-        for flt in group.get("having") or []:
-            result = result[[_having_true(row, flt)
-                             for row in result.to_dict("records")]]
-    for name, o in group.get("select_exprs") or []:
-        if name in result.columns:
-            raise ValueError(f"projection alias ?{name} is already bound")
-        s = _operand_tagged(o, result)
-        result = result.assign(
-            **{name: s.astype(object).where(s.notna(), None)}
-        )
-    return finalize_bindings(result, group)
+    # projection / aggregate / ORDER BY expressions may carry EXISTS —
+    # keep a group-evaluation context alive while they materialize
+    if pattern_bindings is not None:
+        _EXISTS_EVAL.append(lambda g: eval_group(g, pattern_bindings))
+    try:
+        if group.get("aggregates"):
+            result = _materialize_agg_exprs(result, group)
+            result = aggregate_bindings(result, group)
+            for flt in group.get("having") or []:
+                result = result[[_having_true(row, flt)
+                                 for row in result.to_dict("records")]]
+        for name, o in group.get("select_exprs") or []:
+            if name in result.columns:
+                raise ValueError(
+                    f"projection alias ?{name} is already bound")
+            s = _operand_tagged(o, result)
+            result = result.assign(
+                **{name: s.astype(object).where(s.notna(), None)}
+            )
+        return finalize_bindings(result, group)
+    finally:
+        if pattern_bindings is not None:
+            _EXISTS_EVAL.pop()
 
 
 def _having_true(row: dict, flt) -> bool:
@@ -2134,8 +2187,29 @@ def describe_triples(result: pd.DataFrame, describe,
     return out.sort_values(list(out.columns), ignore_index=True)
 
 
+_EXISTS_EVAL: list = []  # group-evaluator stack for expression EXISTS
+
+
 def eval_group(group: dict, pattern_bindings,
                graph_bindings=None, service_eval=None) -> pd.DataFrame:
+    """Entry wrapper: pushes this evaluation context so ``EXISTS {..}``
+    appearing INSIDE expressions (boolean combinations, IF conditions)
+    can evaluate its group against the same bindings source — the
+    clause form ``FILTER [NOT] EXISTS`` never needed it because the
+    group is applied structurally."""
+    _EXISTS_EVAL.append(
+        lambda g: eval_group(g, pattern_bindings, graph_bindings,
+                             service_eval)
+    )
+    try:
+        return _eval_group_inner(group, pattern_bindings, graph_bindings,
+                                 service_eval)
+    finally:
+        _EXISTS_EVAL.pop()
+
+
+def _eval_group_inner(group: dict, pattern_bindings,
+                      graph_bindings=None, service_eval=None) -> pd.DataFrame:
     """Evaluate a parsed group given ``pattern_bindings(pattern) →
     tagged df``. The bindings source is what varies between the local
     evaluator (one triple table) and the distributed service (union of
@@ -2266,16 +2340,20 @@ def _apply_exists(result: pd.DataFrame, eres: pd.DataFrame,
     bindings (the same scoping simplification UNION branches make)."""
     if not len(result):
         return result
+    ok = _exists_mask(result, eres)
+    return result[ok if positive else ~ok].reset_index(drop=True)
+
+
+def _exists_mask(result: pd.DataFrame, eres: pd.DataFrame) -> pd.Series:
+    """Per-row EXISTS indicator (aligned to ``result.index``)."""
     shared = [c for c in result.columns if c in eres.columns]
     if not shared:
-        has = len(eres) > 0
-        return result if has == positive else result.iloc[0:0]
+        return pd.Series(len(eres) > 0, index=result.index)
     left = result.reset_index(drop=True)
     left = left.assign(__lid__=np.arange(len(left)))
     matched = _compat_join(left, _ddsafe(eres[shared]), shared)
     ok = left["__lid__"].isin(set(matched["__lid__"]))
-    out = left[ok] if positive else left[~ok]
-    return out.drop(columns="__lid__").reset_index(drop=True)
+    return pd.Series(ok.to_numpy(), index=result.index)
 
 
 def _conjoin(patterns, pattern_bindings) -> pd.DataFrame:
@@ -2402,6 +2480,22 @@ def finalize_bindings(result: pd.DataFrame, spec: dict | None = None
             return float(t)
         return None
 
+    if spec is not None and spec.get("order_by") and len(result):
+        # computed ORDER BY conditions evaluate against the TAGGED frame
+        # (the expression machinery's representation) into hidden sort
+        # columns; the modifier application sorts by them like any var
+        exprs = [(i, k) for i, (k, _a) in enumerate(spec["order_by"])
+                 if isinstance(k, tuple)]
+        if exprs:
+            spec = dict(spec)
+            order = list(spec["order_by"])
+            result = result.copy()
+            for i, k in exprs:
+                col = f"__ordx_{i}"
+                tag, const = _operand_series(k[1], result)
+                result[col] = const if tag is None else tag
+                order[i] = (col, order[i][1])
+            spec["order_by"] = order
     out = pd.DataFrame(
         {c: [untag(t) for t in result[c]] for c in result.columns},
         index=result.index,
@@ -2493,6 +2587,9 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     limit = spec.get("limit")
     if limit is not None:
         df = df.head(limit).reset_index(drop=True)
+    hidden = [c for c in df.columns if c.startswith("__ordx_")]
+    if hidden:  # computed sort keys never project (SELECT * included)
+        df = df.drop(columns=hidden)
     return df
 
 
@@ -3138,6 +3235,86 @@ def _operand_series(o, result: pd.DataFrame):
         )
         tagged = ("L" + out).where(ok)
         return tagged.astype(object).where(tagged.notna(), None), None
+    if kind == "tzfn":
+        name, node = rest
+        lex, _nm, _dt, _lg, is_lit = _series_parts(
+            _operand_tagged(node, result)
+        )
+        parse_ok = pd.to_datetime(
+            lex.where(is_lit), errors="coerce", utc=True
+        ).notna()
+        tzpart = lex.where(is_lit).str.extract(
+            r"(Z|[+-]\d{2}:\d{2})$"
+        )[0]
+        if name == "tz":
+            # simple literal: the timezone designator text, "" when the
+            # dateTime carries none (SPARQL 17.4.5.8)
+            out = tzpart.where(tzpart.notna(), "").where(parse_ok)
+            tok = ("L" + out).where(parse_ok)
+            return tok.astype(object).where(tok.notna(), None), None
+
+        def _as_duration(v):
+            if not isinstance(v, str):
+                return None
+            if v == "Z":
+                return "PT0S"
+            sign = "-" if v.startswith("-") else ""
+            h, mnt = int(v[1:3]), int(v[4:6])
+            if h == 0 and mnt == 0:
+                return "PT0S"
+            return (sign + "PT" + (f"{h}H" if h else "")
+                    + (f"{mnt}M" if mnt else ""))
+
+        dur = tzpart.map(_as_duration)
+        tok = (
+            'L"' + dur + '"^^<http://www.w3.org/2001/XMLSchema#'
+            "dayTimeDuration>"
+        ).where(parse_ok & dur.notna())  # no designator → expr error
+        return tok.astype(object).where(tok.notna(), None), None
+    if kind == "cast":
+        name, node = rest
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        tagged = _operand_tagged(node, result)
+        lex, num, _dt, _lg, is_lit = _series_parts(tagged)
+        if name == "string":
+            # accepts IRIs and literals: the lexical form as a plain
+            # (xsd:string-valued) literal
+            st = tagged.astype("string")
+            ok = st.notna() & ~st.str.startswith("B")
+            tok = ("L" + lex).where(ok)
+            return tok.astype(object).where(tok.notna(), None), None
+        if name == "boolean":
+            low = lex.str.lower()
+            val = pd.Series(pd.NA, index=idx, dtype="string")
+            val = val.mask(num.notna(), (num.fillna(0) != 0).map(
+                {True: "true", False: "false"}))
+            val = val.mask(num.isna() & is_lit & low.isin(["true"]), "true")
+            val = val.mask(num.isna() & is_lit & low.isin(["false"]),
+                           "false")
+            tok = ('L"' + val + f'"^^<{xsd}boolean>').where(val.notna())
+            return tok.astype(object).where(tok.notna(), None), None
+        if name == "datetime":
+            parsed = pd.to_datetime(lex.where(is_lit), errors="coerce")
+            iso = pd.Series(
+                [v.isoformat() if pd.notna(v) else None for v in parsed],
+                index=idx, dtype="string",
+            )
+            tok = ('L"' + iso + f'"^^<{xsd}dateTime>').where(iso.notna())
+            return tok.astype(object).where(tok.notna(), None), None
+        # numeric casts: integer truncates toward zero (XPath); an
+        # unparseable / non-numeric operand is an expression error
+        if name == "integer":
+            sval = num.map(
+                lambda v: str(int(v)) if pd.notna(v) else None
+            ).astype("string")
+        else:
+            sval = num.map(
+                lambda v: repr(float(v)) if pd.notna(v) else None
+            ).astype("string")
+        dt_name = {"integer": "integer", "decimal": "decimal",
+                   "double": "double", "float": "float"}[name]
+        tok = ('L"' + sval + f'"^^<{xsd}{dt_name}>').where(sval.notna())
+        return tok.astype(object).where(tok.notna(), None), None
     if kind == "dtfn":
         name, node = rest
         lex, _nm, _dt, _lg, is_lit = _series_parts(
@@ -3160,7 +3337,13 @@ def _operand_series(o, result: pd.DataFrame):
                 "query_at(ts, ...) (NOW() = the as-of timestamp, so "
                 "results stay deterministic and reproducible)"
             )
-        tok = (f'L"{ts.isoformat()}"'
+        # the as-of instant is an epoch second, i.e. a UTC instant —
+        # XPath fn:current-dateTime (and so SPARQL NOW()) carries an
+        # explicit timezone, canonical designator Z
+        lex = ts.isoformat().replace("+00:00", "Z")
+        if not lex.endswith("Z"):
+            lex += "Z"
+        tok = (f'L"{lex}"'
                "^^<http://www.w3.org/2001/XMLSchema#dateTime>")
         return pd.Series([tok] * n, index=idx, dtype=object), None
     if kind == "numfn":
@@ -3242,6 +3425,16 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
         # collapses to False; this matches !bound/!regex semantics and
         # approximates !(<) as (>=) only when both sides are comparable
         return ~_filter_mask(result, flt[1])
+    if flt[0] == "exists":
+        _, positive, eg = flt
+        if not _EXISTS_EVAL:
+            raise ValueError(
+                "EXISTS inside an expression needs a group-evaluation "
+                "context (evaluate through eval_group/query_at)"
+            )
+        eres = _EXISTS_EVAL[-1](eg)
+        ok = _exists_mask(result, eres)
+        return ok if positive else ~ok
     if flt[0] == "bound":
         var = flt[1][1]
         if var not in result.columns:

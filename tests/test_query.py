@@ -1622,7 +1622,7 @@ def test_now_binds_the_asof_timestamp(built):
         hi, "SELECT DISTINCT ?t WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }"
     )
     k = int(pd.Timestamp(hi).timestamp())
-    expect = (f'"{pd.Timestamp(k, unit="s").isoformat()}"'
+    expect = (f'"{pd.Timestamp(k, unit="s").isoformat()}Z"'
               "^^<http://www.w3.org/2001/XMLSchema#dateTime>")
     assert out["t"].tolist() == [expect]
     # deterministic: asking the same instant again returns the same value
@@ -2077,3 +2077,96 @@ def test_nul_distinct_bindings_survive_distinct_and_union():
         f"{{ ?s <{P_FOUNDED}> ?y }} UNION {{ ?s <{P_FOUNDED}> ?y }} }}"
     ))
     assert len(out2) == 2
+
+
+def test_timezone_tz_builtins():
+    """TZ() returns the designator text ("" when absent... wait, absent
+    gives ""), TIMEZONE() an xsd:dayTimeDuration (expression error when
+    the dateTime carries no designator)."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    t = _triples_table([
+        ("https://e/a", "https://p/w",
+         f'"2024-03-01T10:00:00+05:30"^^<{XSD}dateTime>', True),
+        ("https://e/b", "https://p/w",
+         f'"2024-03-01T10:00:00Z"^^<{XSD}dateTime>', True),
+        ("https://e/c", "https://p/w",
+         f'"2024-03-01T10:00:00"^^<{XSD}dateTime>', True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?s (TZ(?w) AS ?tz) (TIMEZONE(?w) AS ?d) "
+        "WHERE { ?s <https://p/w> ?w } ORDER BY ?s"))
+    recs = out.to_dict("records")
+    assert recs[0]["tz"] == "+05:30"
+    assert recs[0]["d"] == f'"PT5H30M"^^<{XSD}dayTimeDuration>'
+    assert recs[1]["tz"] == "Z" and recs[1]["d"] == \
+        f'"PT0S"^^<{XSD}dayTimeDuration>'
+    assert recs[2]["tz"] is None or recs[2]["tz"] == ""
+    assert recs[2]["d"] is None  # no designator → expression error
+
+
+def test_xsd_constructor_casts():
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    t = _triples_table([
+        ("https://e/a", "https://p/n", "17.9", True),
+        ("https://e/b", "https://p/n", "3", True),
+        ("https://e/c", "https://p/n", "not-a-number", True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?s (xsd:integer(?n) AS ?i) (xsd:double(?n) AS ?f) "
+        "(xsd:boolean(?n) AS ?b) WHERE { ?s <https://p/n> ?n } "
+        "ORDER BY ?s"))
+    recs = out.to_dict("records")
+    assert recs[0]["i"] == f'"17"^^<{XSD}integer>'  # truncates toward 0
+    assert recs[0]["f"] == f'"17.9"^^<{XSD}double>'
+    assert recs[0]["b"] == f'"true"^^<{XSD}boolean>'
+    assert recs[1]["i"] == f'"3"^^<{XSD}integer>'
+    assert recs[2]["i"] is None and recs[2]["f"] is None  # cast error
+    # casts compose with comparison + full-IRI constructor form
+    out2 = eval_bgp(t, (
+        f"SELECT ?s WHERE {{ ?s <https://p/n> ?n . "
+        f"FILTER(<{XSD}double>(?n) > 10) }}"))
+    assert list(out2["s"]) == ["https://e/a"]
+
+
+def test_exists_inside_expressions():
+    """EXISTS as an operand of ||/&&/IF — not just the clause form."""
+    t = _triples_table([
+        ("https://e/a", "https://p/n", "1", True),
+        ("https://e/b", "https://p/n", "2", True),
+        ("https://e/a", "https://p/name", "x", True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?s WHERE { ?s <https://p/n> ?n . "
+        "FILTER(?n > 100 || EXISTS { ?s <https://p/name> ?m }) }"))
+    assert list(out["s"]) == ["https://e/a"]
+    out2 = eval_bgp(t, (
+        'SELECT ?s (IF(NOT EXISTS { ?s <https://p/name> ?m }, '
+        '"anon", "named") AS ?k) '
+        "WHERE { ?s <https://p/n> ?n } ORDER BY ?s"))
+    assert out2.to_dict("records") == [
+        {"s": "https://e/a", "k": "named"},
+        {"s": "https://e/b", "k": "anon"},
+    ]
+
+
+def test_order_by_expressions():
+    t = _triples_table([
+        ("https://e/a", "https://p/name", "a-very-long-name", True),
+        ("https://e/b", "https://p/name", "ab", True),
+        ("https://e/c", "https://p/name", "medium", True),
+        ("https://e/a", "https://p/n", "5", True),
+        ("https://e/b", "https://p/n", "40", True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?s WHERE { ?s <https://p/name> ?m } "
+        "ORDER BY DESC(STRLEN(?m))"))
+    assert list(out["s"]) == ["https://e/a", "https://e/c", "https://e/b"]
+    out2 = eval_bgp(t, (
+        "SELECT ?s ?n WHERE { ?s <https://p/n> ?n } "
+        "ORDER BY (0 - xsd:double(?n))"))
+    assert list(out2["s"]) == ["https://e/b", "https://e/a"]
+    # computed keys never leak into SELECT *
+    out3 = eval_bgp(t, (
+        "SELECT * WHERE { ?s <https://p/n> ?n } "
+        "ORDER BY DESC(STRLEN(?n))"))
+    assert sorted(out3.columns) == ["n", "s"]
