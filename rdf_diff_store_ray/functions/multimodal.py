@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The image/audio codec libraries are not available in this environment, so
-the *decode kernels* are stubbed two ways:
+the *decode kernels* come in three tiers:
 
-- a clearly-marked :class:`NotImplementedError` branch for real codecs
-  (``jpeg``/``png``/``wav``…), and
+- a REAL vendored PNG codec (:mod:`.png`, pure numpy + stdlib zlib) so
+  the real-codec branch executes and is tested, not trusted — PIL takes
+  over transparently when installed;
+- a clearly-marked :class:`NotImplementedError` branch for the codecs
+  that genuinely need native libraries (``jpeg``/``webp``/``wav``…); and
 - a deterministic ``fake-v1`` codec (self-describing header) used by
-  tests and benchmarks so the **Ray-side plumbing is real**: schemas,
-  actor-pool signatures, per-batch memory behavior (small batches for
-  large binary rows), and output layout are all exercised for real.
+  benchmarks so the **Ray-side plumbing is real**: schemas, actor-pool
+  signatures, per-batch memory behavior (small batches for large binary
+  rows), and output layout are all exercised for real.
 
 Stage shapes mirror a production media pipeline:
 ``decode → resize/frame-sample → feature-extract``, each an actor-pool
@@ -91,13 +94,21 @@ def decode_payload(codec: str, payload: bytes) -> np.ndarray:
 
             img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
             return np.asarray(img, dtype=np.uint8)
-        # STUB: libjpeg/libpng decode needs PIL, which is not present in
+        if codec == "png":
+            # real codec, vendored: pure-numpy PNG decode + the same
+            # ITU-R 601-2 luma constants PIL uses, so a later Pillow
+            # install changes nothing observable (functions/png.py)
+            from .png import decode_png, to_grayscale
+
+            return to_grayscale(decode_png(payload))
+        # STUB: jpeg/bmp/webp decode needs PIL, which is not present in
         # this environment. The call signature and batch plumbing are
         # final; installing Pillow lights this path up with no code
         # change (detected at import).
         raise NotImplementedError(
             f"codec {codec!r} requires Pillow, which is not installed; "
-            "use codec='fake-v1' (deterministic test codec)"
+            "use codec='png' (vendored decoder) or 'fake-v1' "
+            "(deterministic test codec)"
         )
     raise NotImplementedError(
         f"codec {codec!r} is not supported (audio/video decode requires "

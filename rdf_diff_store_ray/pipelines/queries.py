@@ -1493,6 +1493,56 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width"])
 
 
+def multimodal_png(sf_dir: str):
+    """REAL-codec decode path (round-4): PNG payloads written by the
+    vendored encoder (every scanline filter type), decoded through the
+    same actor-pool stage as production codecs — no Pillow, no fake
+    header. Mixed with fake-v1 twins carrying identical pixels so the
+    perceptual dedup must pair them across codecs."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        decode_features,
+        encode_fake_image,
+        media_dedup,
+        synthetic_media_table,
+    )
+    from ..functions.png import encode_png
+
+    n = 48
+    fake = synthetic_media_table(n=n, h=32, w=32)
+    pixels = [
+        np.frombuffer(encode_fake_image(i, 32, 32)[13:], np.uint8)
+        .reshape(32, 32)
+        for i in range(n)
+    ]
+    png = pa.table(
+        {
+            "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "codec": pa.array(["png"] * n, pa.string()),
+            "payload": pa.array(
+                [encode_png(p, filter_type=i % 5)
+                 for i, p in enumerate(pixels)],
+                pa.binary(),
+            ),
+        }
+    ).cast(fake.schema)
+    media = pa.concat_tables([fake, png])
+    feats = decode_features(rd.from_arrow(media)).select_columns(
+        ["media_id", "height", "width"]
+    )
+    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
+    out = feats.to_pandas().merge(
+        dedup[["media_id", "keep", "dup_of"]], on="media_id"
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
 def media_dedup_q(sf_dir: str):
     """Perceptual (aHash) media dedup over the synthetic media table
     plus two planted perceptual duplicates — the image-side analog of
@@ -3971,6 +4021,7 @@ def embed_text_suite(sf_dir: str):
             "lang_id": lang_id_docs,
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
+            "multimodal_png": multimodal_png,
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
@@ -4113,6 +4164,7 @@ def registry():
         "lang_id": lang_id_docs,
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
+        "multimodal_png": multimodal_png,
         "media_dedup": media_dedup_q,
         "quantize_embeddings": quantize_embeddings_q,
         "multimodal_frames": multimodal_frames,
