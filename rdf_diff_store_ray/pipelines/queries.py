@@ -3597,6 +3597,25 @@ def kg_bgp_casts(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_group_expr(sf_dir: str):
+    """GROUP BY expressions (SPARQL 1.1 GroupCondition, round-4): an
+    aliased computed key projected beside an aggregate, over the live
+    store."""
+    from ..corpus import P_FOUNDED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?decade (COUNT(?s) AS ?n) "
+        f"WHERE {{ ?s <{P_FOUNDED}> ?y }} "
+        f"GROUP BY (FLOOR(xsd:double(?y) / 10) AS ?decade) "
+        f"ORDER BY ?decade",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -3615,6 +3634,7 @@ def kg_bgp_features(sf_dir: str):
         "bnode": kg_bgp_bnode,
         "builtins": kg_bgp_builtins,
         "casts": kg_bgp_casts,
+        "group_expr": kg_bgp_group_expr,
         "construct": kg_bgp_construct,
         "dataset": kg_bgp_dataset,
         "describe": kg_bgp_describe,
@@ -4147,6 +4167,7 @@ def registry():
         "kg_bgp_dataset": kg_bgp_dataset,
         "kg_bgp_builtins": kg_bgp_builtins,
         "kg_bgp_casts": kg_bgp_casts,
+        "kg_bgp_group_expr": kg_bgp_group_expr,
         "kg_bgp_terms": kg_bgp_terms,
         "kg_bgp_bnode": kg_bgp_bnode,
         "kg_bgp_service": kg_bgp_service,

@@ -392,6 +392,63 @@ def _take_order_keys(s: str):
             return keys, s
 
 
+def _take_group_keys(s: str):
+    """Leading GroupCondition tokens → ([key, ...], rest). A key is a
+    variable name, ``("expr", ast, alias)`` for ``(expr AS ?v)``,
+    ``("expr", ast, None)`` for ``(expr)``, or a bare builtin /
+    constructor call (``STRLEN(?x)``, ``xsd:integer(?x)``) — the
+    SPARQL 1.1 GroupCondition grammar."""
+    import re as _re
+
+    keys = []
+    while s:
+        if s.startswith("?"):
+            j = 1
+            while j < len(s) and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            keys.append(s[1:j])
+            s = s[j:].lstrip()
+        elif s.startswith("("):
+            j = _match_paren(s, 0)
+            inner = s[1:j].strip()
+            key = None
+            if m := _re.search(r"\s+AS\s+\?([A-Za-z_]\w*)$", inner,
+                               _re.IGNORECASE):
+                pre = inner[: m.start()].strip()
+                try:  # AS must be top-level — a pre-part that parses IS
+                    key = ("expr", _parse_filter_operand(pre), m.group(1))
+                except ValueError:
+                    key = None
+            if key is None:
+                key = ("expr", _parse_filter_operand(inner), None)
+            keys.append(key)
+            s = s[j + 1:].lstrip()
+        elif m := _re.match(
+            r"^(?!(?:HAVING|ORDER|LIMIT|OFFSET|VALUES)\b)"
+            r"(?:[A-Za-z_]\w*:)?[A-Za-z_]\w*\s*\(",
+            s, _re.IGNORECASE,
+        ):
+            p = s.index("(")
+            j = _match_paren(s, p)
+            keys.append(("expr", _parse_filter_operand(s[: j + 1]), None))
+            s = s[j + 1:].lstrip()
+        else:
+            return keys, s
+    return keys, s
+
+
+def _group_key_names(group_by) -> set:
+    """The variable names a GROUP BY binds (plain vars + expr aliases)
+    — what plain projections outside aggregates must draw from."""
+    names = set()
+    for k in group_by or []:
+        if isinstance(k, str):
+            names.add(k)
+        elif k[2] is not None:
+            names.add(k[2])
+    return names
+
+
 _AGG_RE = None
 
 
@@ -505,9 +562,9 @@ def _parse_select(q: str) -> dict:
     having: list = []
     while tail:
         if m := _re.match(r"^GROUP\s+BY\b", tail, _re.IGNORECASE):
-            group_by, tail = _take_vars(tail[m.end():].lstrip())
+            group_by, tail = _take_group_keys(tail[m.end():].lstrip())
             if not group_by:
-                raise ValueError("GROUP BY needs ?vars")
+                raise ValueError("GROUP BY needs group conditions")
         elif m := _re.match(r"^HAVING\s*\(", tail, _re.IGNORECASE):
             start = m.end() - 1
             j = _match_paren(tail, start)
@@ -535,17 +592,15 @@ def _parse_select(q: str) -> dict:
         raise ValueError(
             "projection expressions cannot be combined with aggregates"
         )
-    if aggregates:
-        aliases = {a[3] for a in aggregates}
+    if aggregates or group_by:
+        aliases = {a[3] for a in aggregates} if aggregates else set()
         plain = [v for v in (select or []) if v not in aliases]
-        if set(plain) - set(group_by or []):
+        if set(plain) - _group_key_names(group_by):
             raise ValueError(
                 "projected variables outside aggregates must be in GROUP BY"
             )
-    elif group_by:
-        raise ValueError("GROUP BY requires at least one aggregate")
-    if having and not aggregates:
-        raise ValueError("HAVING requires aggregates")
+    if having and not (aggregates or group_by):
+        raise ValueError("HAVING requires aggregates or GROUP BY")
     group.update(select=select, distinct=distinct, order_by=order_by,
                  limit=limit, offset=offset, group_by=group_by,
                  aggregates=aggregates or None, having=having or None,
@@ -1867,7 +1922,7 @@ def finish_query(result: pd.DataFrame, group: dict,
     if pattern_bindings is not None:
         _EXISTS_EVAL.append(lambda g: eval_group(g, pattern_bindings))
     try:
-        if group.get("aggregates"):
+        if group.get("aggregates") or group.get("group_by"):
             result = _materialize_agg_exprs(result, group)
             result = aggregate_bindings(result, group)
             for flt in group.get("having") or []:
@@ -1984,11 +2039,27 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
     (non-numeric terms are ignored, SPARQL's error-skipping). Aggregate
     columns are NATIVE numbers (finalize passes numbers through), so
     downstream sorting is numeric, not lexical."""
-    by = group.get("group_by") or []
-    for v in by:
-        if v not in result.columns:
-            result = result.assign(**{v: None})
-    aggs = group["aggregates"]
+    by_spec = group.get("group_by") or []
+    by = []
+    for i, k in enumerate(by_spec):
+        if isinstance(k, str):
+            if k not in result.columns:
+                result = result.assign(**{k: None})
+            by.append(k)
+            continue
+        # computed GroupCondition: (expr [AS ?alias]) / bare call —
+        # evaluate on the tagged pre-aggregation frame; aliased keys
+        # are projectable, anonymous ones group then drop
+        _tag, node, alias = k
+        col = alias or f"__grp_{i}"
+        if col in result.columns:
+            raise ValueError(f"GROUP BY alias ?{col} is already bound")
+        s = _operand_tagged(node, result)
+        result = result.assign(
+            **{col: s.astype(object).where(s.notna(), None)}
+        )
+        by.append(col)
+    aggs = group["aggregates"] or []
 
     def one_group(sub: pd.DataFrame) -> dict:
         out = {}
@@ -2043,14 +2114,18 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
 
     if not by:
         return pd.DataFrame([one_group(result)])
+    from ..shuffle_utils import groupby_nul_safe
+
     rows = []
-    for key, sub in result.groupby(by, dropna=False, sort=False):
-        key = key if isinstance(key, tuple) else (key,)
+    for key, sub in groupby_nul_safe(result, by):
         row = {v: (None if pd.isna(k) else k) for v, k in zip(by, key)}
         row.update(one_group(sub))
         rows.append(row)
     if not rows:
         return pd.DataFrame(columns=by + [a[3] for a in aggs])
+    # anonymous (hidden __grp_) key columns stay through finalize — they
+    # keep distinct groups with equal aggregate values from collapsing
+    # in the bindings dedup — and drop in apply_result_modifiers
     return pd.DataFrame(rows)
 
 
@@ -2587,8 +2662,9 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     limit = spec.get("limit")
     if limit is not None:
         df = df.head(limit).reset_index(drop=True)
-    hidden = [c for c in df.columns if c.startswith("__ordx_")]
-    if hidden:  # computed sort keys never project (SELECT * included)
+    hidden = [c for c in df.columns
+              if c.startswith("__ordx_") or c.startswith("__grp_")]
+    if hidden:  # computed sort/group keys never project (SELECT * incl.)
         df = df.drop(columns=hidden)
     return df
 
@@ -2804,7 +2880,7 @@ def eval_subquery(sub: dict, pattern_bindings,
     the final untagged collation."""
     res = eval_group(sub, pattern_bindings, graph_bindings,
                      service_eval)
-    if sub.get("aggregates"):
+    if sub.get("aggregates") or sub.get("group_by"):
         res = _materialize_agg_exprs(res, sub)
         res = aggregate_bindings(res, sub)
         for flt in sub.get("having") or []:

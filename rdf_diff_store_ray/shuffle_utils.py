@@ -162,3 +162,40 @@ def drop_duplicates_nul_safe(df: pd.DataFrame, subset=None,
         first = len(df) - 1 - first
     out = df.iloc[np.sort(first)]
     return out.reset_index(drop=True) if ignore_index else out
+
+
+def _keys_have_nul(df: pd.DataFrame, cols) -> bool:
+    for c in cols:
+        s = df[c]
+        if s.dtype == object:
+            for v in s.to_numpy():
+                if isinstance(v, str) and "\x00" in v:
+                    return True
+    return False
+
+
+def groupby_nul_safe(df: pd.DataFrame, by):
+    """Iterate ``(key_tuple, sub_df)`` like ``df.groupby(by,
+    dropna=False, sort=False)`` but exact for NUL-carrying object keys.
+
+    pandas groupby factorizes object key columns — SINGLE column
+    included — through the NUL-truncating C-string table, so groups
+    whose keys differ only past a ``\\x00`` silently merge (measured on
+    pandas 2.2.2). The NUL-free common case delegates to pandas;
+    otherwise exact per-column integer codes feed one
+    ``np.unique(axis=0)`` and groups yield in first-occurrence order
+    (pandas ``sort=False`` semantics). Keys always yield as tuples."""
+    cols = list(by)
+    if not _keys_have_nul(df, cols):
+        for key, sub in df.groupby(cols, dropna=False, sort=False):
+            yield (key if isinstance(key, tuple) else (key,)), sub
+        return
+    codes = np.stack([_col_codes_nul_safe(df[c]) for c in cols], axis=1)
+    _, first, inv = np.unique(
+        codes, axis=0, return_index=True, return_inverse=True
+    )
+    inv = inv.reshape(-1)
+    for g in np.argsort(first, kind="stable"):
+        rows = np.flatnonzero(inv == g)
+        sub = df.iloc[rows]
+        yield tuple(df[c].iloc[rows[0]] for c in cols), sub

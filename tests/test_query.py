@@ -660,11 +660,78 @@ def test_aggregate_grammar_errors():
     t = _agg_table()
     for bad in (
         "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }",
-        "SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s",
+        "SELECT ?o WHERE { ?s <p> ?o } GROUP BY ?s",  # ?o not grouped
         "SELECT (SUM(*) AS ?x) WHERE { ?s <p> ?o }",
     ):
         with pytest.raises(ValueError):
             eval_bgp(t, bad)
+
+
+def test_group_by_without_aggregates_is_one_row_per_group():
+    # legal SPARQL 1.1: grouping with no aggregates projects group keys
+    t = _agg_table()
+    out = eval_bgp(t, "SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s "
+                      "ORDER BY ?s")
+    assert out["s"].tolist() == sorted(set(out["s"])) and len(out) >= 2
+
+
+def test_group_by_expressions():
+    t = _triples_table([
+        ("https://e/a", "https://p/name", "apple", True),
+        ("https://e/b", "https://p/name", "pear", True),
+        ("https://e/c", "https://p/name", "melon", True),
+        ("https://e/d", "https://p/name", "fig", True),
+    ])
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+
+    def ilit(n):  # aliased keys look like projection expressions
+        return f'"{n}"^^<{XSD}integer>'
+
+    # aliased condition: the alias is a projectable group variable
+    out = eval_bgp(t, (
+        "SELECT ?len (COUNT(?s) AS ?n) WHERE { ?s <https://p/name> ?m } "
+        "GROUP BY (STRLEN(?m) AS ?len) ORDER BY ?len"))
+    assert out.values.tolist() == [[ilit(3), 1], [ilit(4), 1],
+                                   [ilit(5), 2]]
+    # anonymous bracketed + bare-builtin-call conditions group the same
+    # way but never project
+    for q in (
+        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <https://p/name> ?m } "
+        "GROUP BY (STRLEN(?m)) ORDER BY ?n",
+        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <https://p/name> ?m } "
+        "GROUP BY STRLEN(?m) ORDER BY ?n",
+    ):
+        out2 = eval_bgp(t, q)
+        assert list(out2.columns) == ["n"]
+        assert sorted(out2["n"]) == [1, 1, 2]
+    # mixed plain + aliased keys; HAVING over the alias, no aggregates
+    out3 = eval_bgp(t, (
+        "SELECT ?s ?len WHERE { ?s <https://p/name> ?m } "
+        "GROUP BY ?s (STRLEN(?m) AS ?len) HAVING(?len > 3) ORDER BY ?s"))
+    assert out3["s"].tolist() == ["https://e/a", "https://e/b",
+                                  "https://e/c"]
+    # subquery form
+    out4 = eval_bgp(t, (
+        "SELECT ?len WHERE { { SELECT ?len WHERE "
+        "{ ?s <https://p/name> ?m } GROUP BY (STRLEN(?m) AS ?len) } } "
+        "ORDER BY ?len"))
+    assert out4["len"].tolist() == [ilit(3), ilit(4), ilit(5)]
+
+
+def test_group_by_aggregate_nul_distinct_keys():
+    """Aggregate grouping is NUL-safe: keys differing only past \\x00
+    are distinct groups (pandas groupby factorizes object keys through
+    the NUL-truncating C-string table — see shuffle_utils)."""
+    t = _triples_table([
+        ("https://e/a", "https://p/v", "k\x00x", True),
+        ("https://e/b", "https://p/v", "k\x00x", True),
+        ("https://e/c", "https://p/v", "k\x00y", True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s <https://p/v> ?o } "
+        "GROUP BY ?o ORDER BY ?n"))
+    assert sorted(out["n"]) == [1, 2]
+    assert set(out["o"]) == {"k\x00x", "k\x00y"}
 
 
 def test_aggregate_distributed_matches_single_reader(ray_session):
