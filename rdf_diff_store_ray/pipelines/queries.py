@@ -3611,6 +3611,7 @@ def kg_bgp_group_expr(sf_dir: str):
         f"SELECT ?decade (COUNT(?s) AS ?n) "
         f"WHERE {{ ?s <{P_FOUNDED}> ?y }} "
         f"GROUP BY (FLOOR(xsd:double(?y) / 10) AS ?decade) "
+        f"HAVING(MIN(xsd:double(?y)) > 0) "  # inline HAVING aggregate
         f"ORDER BY ?decade",
     )
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -437,6 +437,60 @@ def _take_group_keys(s: str):
     return keys, s
 
 
+def _hoist_having_aggs(expr: str, aggregates: list, agg_exprs: list) -> str:
+    """Aggregate calls appearing INSIDE a HAVING expression (legal
+    SPARQL 1.1 — ``HAVING(COUNT(?o) > 1)`` needs no SELECT alias) hoist
+    into the query's aggregate list under hidden ``__hagg`` aliases;
+    the returned expression references the alias variable instead (the
+    spec's own rewrite, 18.2.4.1). Quote-aware: calls inside string
+    literals stay text."""
+    import re as _re
+
+    pat = _re.compile(
+        r"\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(",
+        _re.IGNORECASE,
+    )
+    out, i = [], 0
+    while m := pat.search(expr, i):
+        if expr.count('"', 0, m.start()) % 2 == 1:  # inside a literal
+            out.append(expr[i:m.end()])
+            i = m.end()
+            continue
+        func = m.group(1).upper()
+        open_i = m.end() - 1
+        j = _match_paren(expr, open_i)
+        inner = expr[open_i + 1:j].strip()
+        distinct_a = False
+        if dm := _re.match(r"^DISTINCT\s+", inner, _re.IGNORECASE):
+            distinct_a = True
+            inner = inner[dm.end():].strip()
+        sep = " "
+        if sm := _re.search(r';\s*SEPARATOR\s*=\s*"([^"]*)"\s*$', inner,
+                            _re.IGNORECASE):
+            if func != "GROUP_CONCAT":
+                raise ValueError(
+                    f"SEPARATOR is only valid in GROUP_CONCAT, not {func}"
+                )
+            sep = sm.group(1)
+            inner = inner[:sm.start()].strip()
+        if inner == "*":
+            if func != "COUNT":
+                raise ValueError(f"{func}(*) is not valid SPARQL")
+            var = None
+        elif vm := _re.fullmatch(r"\?([A-Za-z_]\w*)", inner):
+            var = vm.group(1)
+        else:
+            var = f"__agg{len(agg_exprs)}"
+            agg_exprs.append((var, _parse_filter_operand(inner)))
+        alias = f"__hagg{len(aggregates)}"
+        aggregates.append((func, var, distinct_a, alias, sep))
+        out.append(expr[i:m.start()])
+        out.append(f"?{alias}")
+        i = j + 1
+    out.append(expr[i:])
+    return "".join(out)
+
+
 def _group_key_names(group_by) -> set:
     """The variable names a GROUP BY binds (plain vars + expr aliases)
     — what plain projections outside aggregates must draw from."""
@@ -568,7 +622,10 @@ def _parse_select(q: str) -> dict:
         elif m := _re.match(r"^HAVING\s*\(", tail, _re.IGNORECASE):
             start = m.end() - 1
             j = _match_paren(tail, start)
-            having.append(_parse_filter(tail[start + 1:j].strip()))
+            hexpr = _hoist_having_aggs(
+                tail[start + 1:j].strip(), aggregates, agg_exprs
+            )
+            having.append(_parse_filter(hexpr))
             tail = tail[j + 1:].strip()
         elif m := _re.match(r"^ORDER\s+BY\b", tail, _re.IGNORECASE):
             order_by, tail = _take_order_keys(tail[m.end():].lstrip())
@@ -2663,8 +2720,8 @@ def apply_result_modifiers(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
     if limit is not None:
         df = df.head(limit).reset_index(drop=True)
     hidden = [c for c in df.columns
-              if c.startswith("__ordx_") or c.startswith("__grp_")]
-    if hidden:  # computed sort/group keys never project (SELECT * incl.)
+              if c.startswith(("__ordx_", "__grp_", "__hagg"))]
+    if hidden:  # computed sort/group/having keys never project
         df = df.drop(columns=hidden)
     return df
 

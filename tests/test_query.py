@@ -718,6 +718,34 @@ def test_group_by_expressions():
     assert out4["len"].tolist() == [ilit(3), ilit(4), ilit(5)]
 
 
+def test_having_with_inline_aggregates():
+    """Aggregate calls directly inside HAVING (no SELECT alias) —
+    hoisted under hidden aliases per SPARQL 18.2.4.1."""
+    t = _agg_table()
+    out = eval_bgp(t, (
+        "SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s "
+        "HAVING(COUNT(?o) > 1) ORDER BY ?s"))
+    assert list(out.columns) == ["s"]
+    assert out["s"].tolist() == ["a", "b"]
+    # expression aggregate + group-key condition in one HAVING
+    out2 = eval_bgp(t, (
+        "SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s "
+        "HAVING(SUM(xsd:double(?o) * 2) >= 6 && ?s != <b>) ORDER BY ?s"))
+    assert out2["s"].tolist() == ["a"]
+    # aggregates in HAVING beside aggregates in SELECT
+    out3 = eval_bgp(t, (
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } GROUP BY ?s "
+        "HAVING(MIN(xsd:double(?o)) >= 3) ORDER BY ?s"))
+    # group c's only value is non-numeric -> the cast errors -> MIN is
+    # unbound -> the HAVING expression errors -> the group drops
+    assert out3.values.tolist() == [["b", 2]]
+    # "COUNT(" inside a string literal is text, not an aggregate
+    out4 = eval_bgp(t, (
+        'SELECT ?s WHERE { ?s <p> ?o } GROUP BY ?s '
+        'HAVING(COUNT(?o) > 1 && ?s != "COUNT(x") ORDER BY ?s'))
+    assert out4["s"].tolist() == ["a", "b"]
+
+
 def test_group_by_aggregate_nul_distinct_keys():
     """Aggregate grouping is NUL-safe: keys differing only past \\x00
     are distinct groups (pandas groupby factorizes object keys through
