@@ -455,63 +455,17 @@ def _start_hash(starts: pd.Series) -> np.ndarray:
     ).to_numpy("uint64")
 
 
-def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
-                 seed: int = 7, method: str = "auto",
-                 num_partitions: int = 32,
-                 broadcast_threshold: int = 2_000_000):
-    """DeepWalk-style uniform random walks over a directed edge Dataset
-    ``(src, dst)`` (Perozzi et al. 2014; node2vec with p=q=1) — the
-    corpus generator for graph-embedding training. Every node starts
-    ``walks_per_node`` walks of up to ``walk_len`` steps; a walk
-    reaching a dangling node stops early. Returns a Dataset
-    ``(start, walk, step, node)`` with step 0 = the start itself.
-
-    Deterministic by construction: the step-``t`` choice of walk
-    ``(start, r)`` is ``splitmix64(h(start) ^ mix(seed, r, t)) %
-    out_deg(cur)`` over the dst-sorted out-edge list — a pure function
-    of the start node's CONTENT, the seed and the position, never of
-    batch boundaries, partition counts or arrival order, so both
-    execution paths emit identical walks.
-
-    Paths (the `pagerank` dual-path precedent):
-
-    - ``broadcast`` (edge count ≤ ``broadcast_threshold``): the
-      dst-sorted CSR adjacency is built once and broadcast via
-      ``ray.put``; each batch of start nodes advances all its walks
-      through every step with vectorized gathers — ONE Ray job total.
-    - ``pinned`` (the beyond-broadcast default): the adjacency is
-      sharded ONCE into ``num_partitions`` long-lived actors (the
-      ``QueryService`` pattern — the documented escape hatch for
-      semantics the Dataset API can't express); every step routes only
-      the FRONTIER between actors by ``hash(node) % P``, object-store
-      ref to object-store ref, so the per-step exchange is
-      O(frontier), never O(edges). Emitted rows accumulate inside each
-      actor and come back as one zero-copy Dataset at the end.
-    - ``copartition`` (kept for parity testing): each step
-      co-partitions the walk frontier with the (materialized, locally
-      deduped) adjacency by the walk's current node and advances it
-      with an in-partition vectorized merge. Honest cost accounting:
-      Ray Data's groupby cannot reuse a prior partitioning, so the
-      adjacency re-shuffles from its in-memory blocks EVERY step —
-      ~2 corpus-scale exchanges × walk_len. ``pinned`` exists exactly
-      to remove that per-step reshuffle (VERDICT r3).
-    """
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
-    if walk_len < 1:
-        raise ValueError("walk_len must be >= 1")
-    # exact distinct via bounded hash partitions — NEVER a per-key Ray
-    # aggregate (it pays ~ms per distinct key; 200k edges would stall
-    # for minutes, see CLAUDE.md / ray-data-perf-pitfalls)
+def _prep_walk_graph(edges_ds, num_partitions: int):
+    """Shared walk preamble: exact-dedup the edge list and derive the
+    node set, both via bounded hash partitions (NEVER a per-key Ray
+    aggregate — ~ms per distinct key) and NUL-safe dedup. Returns
+    materialized ``(edges, nodes, n_edges)``."""
+    from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
     from ..shuffle_utils import stable_hash_array as _sha
 
     def _pid_src(batch: pa.Table) -> pa.Table:
         h = _sha(batch["src"]) % np.uint64(num_partitions)
         return batch.append_column("pid", pa.array(h.astype("int32")))
-
-    from ..shuffle_utils import drop_duplicates_nul_safe as _ddsafe
 
     def _dedup_edges(group: pd.DataFrame) -> pd.DataFrame:
         # NUL-safe: MULTI-column drop_duplicates factorizes through the
@@ -567,12 +521,67 @@ def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
         )
         .materialize()
     )
-    empty = pa.table({
+    return edges, nodes, n_edges
+
+
+def _empty_walks_table() -> pa.Table:
+    return pa.table({
         "start": pa.array([], pa.string()),
         "walk": pa.array([], pa.int64()),
         "step": pa.array([], pa.int64()),
         "node": pa.array([], pa.string()),
     })
+
+
+def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
+                 seed: int = 7, method: str = "auto",
+                 num_partitions: int = 32,
+                 broadcast_threshold: int = 2_000_000):
+    """DeepWalk-style uniform random walks over a directed edge Dataset
+    ``(src, dst)`` (Perozzi et al. 2014; node2vec with p=q=1) — the
+    corpus generator for graph-embedding training. Every node starts
+    ``walks_per_node`` walks of up to ``walk_len`` steps; a walk
+    reaching a dangling node stops early. Returns a Dataset
+    ``(start, walk, step, node)`` with step 0 = the start itself.
+
+    Deterministic by construction: the step-``t`` choice of walk
+    ``(start, r)`` is ``splitmix64(h(start) ^ mix(seed, r, t)) %
+    out_deg(cur)`` over the dst-sorted out-edge list — a pure function
+    of the start node's CONTENT, the seed and the position, never of
+    batch boundaries, partition counts or arrival order, so both
+    execution paths emit identical walks.
+
+    Paths (the `pagerank` dual-path precedent):
+
+    - ``broadcast`` (edge count ≤ ``broadcast_threshold``): the
+      dst-sorted CSR adjacency is built once and broadcast via
+      ``ray.put``; each batch of start nodes advances all its walks
+      through every step with vectorized gathers — ONE Ray job total.
+    - ``pinned`` (the beyond-broadcast default): the adjacency is
+      sharded ONCE into ``num_partitions`` long-lived actors (the
+      ``QueryService`` pattern — the documented escape hatch for
+      semantics the Dataset API can't express); every step routes only
+      the FRONTIER between actors by ``hash(node) % P``, object-store
+      ref to object-store ref, so the per-step exchange is
+      O(frontier), never O(edges). Emitted rows accumulate inside each
+      actor and come back as one zero-copy Dataset at the end.
+    - ``copartition`` (kept for parity testing): each step
+      co-partitions the walk frontier with the (materialized, locally
+      deduped) adjacency by the walk's current node and advances it
+      with an in-partition vectorized merge. Honest cost accounting:
+      Ray Data's groupby cannot reuse a prior partitioning, so the
+      adjacency re-shuffles from its in-memory blocks EVERY step —
+      ~2 corpus-scale exchanges × walk_len. ``pinned`` exists exactly
+      to remove that per-step reshuffle (VERDICT r3).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    edges, nodes, n_edges = _prep_walk_graph(edges_ds, num_partitions)
+    empty = _empty_walks_table()
     if n_edges == 0:
         return rd.from_arrow(empty)
     if method == "auto":
@@ -586,9 +595,11 @@ def random_walks(edges_ds, *, walk_len: int = 8, walks_per_node: int = 2,
         )
 
     if method == "broadcast":
-        ed = edges.to_pandas().sort_values(
-            ["src", "dst"], ignore_index=True
-        )
+        # NUL-safe sort: pandas MULTI-column sort_values factorizes
+        # object columns through the truncating C-string table, so
+        # NUL-distinct srcs interleave and the CSR grouping breaks
+        ed = sort_values_nul_safe(edges.to_pandas(), ["src", "dst"],
+                                  ignore_index=True)
         node_arr = np.sort(
             nodes.to_pandas()["node"].to_numpy(dtype=object)
         )
@@ -941,6 +952,326 @@ def _random_walks_pinned(edges, nodes, *, walk_len: int,
     for a in actors:
         ray.kill(a)
     return out
+
+
+def _nv_pick(row_starts, row_deg, dst, dst_h, prev, prev_h_flat,
+             prev_h_counts, rnd_u64, inv_p, inv_q):
+    """Second-order (node2vec) transition for F frontier rows, fully
+    vectorized (Grover & Leskovec 2016 §3.2): candidate x of current
+    node v gets unnormalized weight 1/p if x == prev, 1 if x is a
+    neighbor of prev, else 1/q; the pick is the first candidate whose
+    cumulative weight passes ``rnd01 × total`` — deterministic over the
+    dst-sorted candidate order. Membership "x ∈ adj(prev)" tests
+    64-bit content hashes (each row's prev-adjacency rides with the
+    frontier as a hash list; a per-row salt XOR makes one global
+    ``np.isin`` respect row windows — cross-row false positives are
+    2^-64 events). Callers pre-filter rows with zero out-degree.
+
+    Returns ``(next_nodes, cand_h, seg_starts, deg)`` — the candidate
+    hash windows double as each row's NEXT prev-adjacency list."""
+    deg = row_deg.astype(np.int64)
+    F = len(deg)
+    ends = np.cumsum(deg)
+    total = int(ends[-1]) if F else 0
+    seg_starts = ends - deg
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, deg)
+    idx = np.repeat(row_starts.astype(np.int64), deg) + within
+    cand = dst[idx]
+    cand_h = dst_h[idx]
+    seg = np.repeat(np.arange(F, dtype=np.int64), deg)
+    prev_eq = cand == np.repeat(prev, deg)
+    salt = _mix64(
+        np.arange(F, dtype=np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
+    )
+    flat_rows = np.repeat(np.arange(F, dtype=np.int64),
+                          prev_h_counts.astype(np.int64))
+    memb = prev_h_flat ^ salt[flat_rows]
+    in_prev = np.isin(cand_h ^ salt[seg], memb)
+    w = np.where(prev_eq, inv_p, np.where(in_prev, 1.0, inv_q))
+    cw = np.cumsum(w)
+    base = cw[seg_starts] - w[seg_starts]
+    cum_within = cw - np.repeat(base, deg)
+    seg_total = np.add.reduceat(w, seg_starts)
+    rnd01 = rnd_u64.astype(np.float64) / 2.0 ** 64
+    target = np.repeat(rnd01 * seg_total, deg)
+    first = np.where(cum_within > target, np.arange(total), total)
+    pick = np.minimum(np.minimum.reduceat(first, seg_starts), ends - 1)
+    return cand[pick], cand_h, seg_starts, deg
+
+
+def _nv_ph_list(cand_h, seg_starts, deg) -> pa.ListArray:
+    """Arrow ``list<uint64>`` of per-row candidate-hash windows (the
+    next step's prev-adjacency column)."""
+    offsets = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(cand_h, pa.uint64())
+    )
+
+
+class _Node2VecShardActor:
+    """Partition-pinned second-order walk shard: holds its dst-sorted
+    adjacency slice (+ precomputed dst content hashes) for the walk's
+    lifetime; frontiers route between shards by ``hash(node) % P`` and
+    CARRY each row's prev node + prev-adjacency hash list, so the
+    biased transition needs no extra exchange — the per-step wire cost
+    is O(sum of frontier degrees), the node2vec floor (every candidate
+    must be weighted). Decorated with ``ray.remote`` lazily."""
+
+    def __init__(self, pid: int, num_partitions: int, seed: int,
+                 walks_per_node: int, p: float, q: float):
+        self.pid = pid
+        self.P = num_partitions
+        self.seed = seed
+        self.walks_per_node = walks_per_node
+        self.inv_p = 1.0 / float(p)
+        self.inv_q = 1.0 / float(q)
+        self.emitted: list = []
+        self.frontier = None
+
+    _owned = _WalkShardActor._owned
+    load = _WalkShardActor.load
+    take_emitted = _WalkShardActor.take_emitted
+
+    def _post_load(self) -> int:
+        from ..shuffle_utils import stable_hash_array
+
+        self.dst_h = (stable_hash_array(pd.Series(self.dst, dtype=object))
+                      if len(self.dst) else np.zeros(0, np.uint64))
+        return len(self.dst)
+
+    def seed_walks(self) -> int:
+        n = len(self.nodes)
+        h0 = _start_hash(self.nodes)
+        s_np = self.nodes.to_numpy(dtype=object)
+        r = self.walks_per_node
+        self.frontier = pa.table({
+            "start": pa.array(np.tile(s_np, r), pa.string()),
+            "walk": pa.array(np.repeat(np.arange(r, dtype=np.int64), n)),
+            "h": pa.array(np.tile(h0, r), pa.uint64()),
+            "node": pa.array(np.tile(s_np, r), pa.string()),
+            "prev": pa.array(np.tile(s_np, r), pa.string()),
+            "ph": _nv_ph_list(np.zeros(0, np.uint64),
+                              np.zeros(n * r, np.int64),
+                              np.zeros(n * r, np.int64)),
+        })
+        self.emitted.append(pa.table({
+            "start": self.frontier["start"],
+            "walk": self.frontier["walk"],
+            "step": pa.array(np.zeros(n * r, np.int64)),
+            "node": self.frontier["node"],
+        }))
+        return n * r
+
+    def step(self, t: int, *incoming):
+        from ..shuffle_utils import stable_hash_array
+
+        if t == 1:
+            fr = self.frontier
+        else:
+            live = [x for x in incoming if x is not None and x.num_rows]
+            fr = (pa.concat_tables(live) if live
+                  else self.frontier.slice(0, 0))
+        empty = self.frontier.slice(0, 0)
+        if fr.num_rows == 0 or len(self.u) == 0:
+            return (0, *([empty] * self.P))
+        cur = fr["node"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(self.u, cur), 0, len(self.u) - 1)
+        ok = self.u[pos] == cur
+        if not ok.any():
+            return (0, *([empty] * self.P))
+        fr = fr.filter(pa.array(ok))
+        pos = pos[ok]
+        h = fr["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        walks = fr["walk"].to_numpy(zero_copy_only=False)
+        salts = np.array(
+            [_walk_salt(self.seed, int(r), t)
+             for r in range(self.walks_per_node)], np.uint64,
+        )
+        rnd = _mix64(h ^ salts[walks])
+        ph = fr["ph"].combine_chunks()
+        ph_flat = ph.flatten().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        ph_counts = pc.list_value_length(ph).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # step 1 is the uniform first hop: neutral weights
+        inv_p = self.inv_p if t > 1 else 1.0
+        inv_q = self.inv_q if t > 1 else 1.0
+        nxt, cand_h, seg_starts, deg = _nv_pick(
+            self.starts_i[pos], self.counts[pos], self.dst, self.dst_h,
+            fr["prev"].to_numpy(zero_copy_only=False), ph_flat,
+            ph_counts, rnd, inv_p, inv_q,
+        )
+        out = pa.table({
+            "start": fr["start"],
+            "walk": fr["walk"],
+            "h": fr["h"],
+            "node": pa.array(nxt, pa.string()),
+            "prev": fr["node"],
+            "ph": _nv_ph_list(cand_h, seg_starts, deg),
+        })
+        self.emitted.append(pa.table({
+            "start": out["start"],
+            "walk": out["walk"],
+            "step": pa.array(np.full(out.num_rows, t, np.int64)),
+            "node": out["node"],
+        }))
+        owner = (stable_hash_array(nxt) % np.uint64(self.P)).astype(
+            np.int64)
+        order = np.argsort(owner, kind="stable")
+        bounds = np.searchsorted(owner[order], np.arange(self.P + 1))
+        splits = [
+            out.take(pa.array(order[bounds[k]:bounds[k + 1]]))
+            for k in range(self.P)
+        ]
+        return (out.num_rows, *splits)
+
+
+def node2vec_walks(edges_ds, *, walk_len: int = 8,
+                   walks_per_node: int = 2, p: float = 1.0,
+                   q: float = 1.0, seed: int = 7, method: str = "auto",
+                   num_partitions: int = 32,
+                   broadcast_threshold: int = 2_000_000):
+    """Second-order biased random walks (node2vec, Grover & Leskovec
+    2016) over a directed edge Dataset ``(src, dst)`` — the return
+    parameter ``p`` and in-out parameter ``q`` interpolate between
+    BFS-like (q > 1: stay local) and DFS-like (q < 1: push outward)
+    exploration; ``p = q = 1`` is an unbiased walk. Returns
+    ``(start, walk, step, node)`` like :func:`random_walks` (step 0 =
+    the start; the first hop is uniform, per the paper).
+
+    Deterministic by construction (same content-hash randomness as
+    :func:`random_walks`); the weighted pick is a cumulative-sum
+    threshold over dst-sorted candidates, identical code on both paths:
+
+    - ``broadcast``: CSR + per-walk state advanced with the shared
+      vectorized kernel — ONE Ray job.
+    - ``pinned`` (beyond-broadcast default): the :func:`random_walks`
+      shard-actor pattern, with each frontier row CARRYING its prev
+      node and prev-adjacency 64-bit hash list (attached for free by
+      the shard that owned prev's edges on the previous step). Per-step
+      wire cost is O(sum of frontier degrees) — the node2vec floor,
+      since every candidate must be weighted against adj(prev); no
+      adjacency ever re-shuffles.
+    """
+    import ray
+    import ray.data as rd
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec p and q must be > 0")
+    edges, nodes, n_edges = _prep_walk_graph(edges_ds, num_partitions)
+    if n_edges == 0:
+        return rd.from_arrow(_empty_walks_table())
+    if method == "auto":
+        method = ("broadcast" if n_edges <= broadcast_threshold
+                  else "pinned")
+    if method == "pinned":
+        P = int(num_partitions)
+        Shard = ray.remote(_Node2VecShardActor)
+        actors = [
+            Shard.remote(pid, P, seed, walks_per_node, p, q)
+            for pid in range(P)
+        ]
+        edge_tables = edges.to_arrow_refs()
+        node_tables = nodes.to_arrow_refs()
+        ray.get([a.load.remote(edge_tables, node_tables) for a in actors])
+        ray.get([a._post_load.remote() for a in actors])
+        ray.get([a.seed_walks.remote() for a in actors])
+        incoming: list = [[] for _ in range(P)]
+        for t in range(1, walk_len):
+            count_refs, out_refs = [], []
+            for pid, a in enumerate(actors):
+                rets = a.step.options(num_returns=P + 1).remote(
+                    t, *incoming[pid]
+                )
+                count_refs.append(rets[0])
+                out_refs.append(rets[1:])
+            incoming = [
+                [out_refs[src][k] for src in range(P)] for k in range(P)
+            ]
+            if sum(ray.get(count_refs)) == 0:
+                break
+        emitted = [a.take_emitted.remote() for a in actors]
+        out = rd.from_arrow_refs(emitted).materialize()
+        for a in actors:
+            ray.kill(a)
+        return out
+
+    if method != "broadcast":
+        raise ValueError(f"unknown node2vec method {method!r}")
+    from ..shuffle_utils import stable_hash_array
+
+    # NUL-safe sort: pandas MULTI-column sort_values factorizes object
+    # columns through the truncating C-string table, so NUL-distinct
+    # srcs interleave and the CSR grouping silently breaks
+    ed = sort_values_nul_safe(edges.to_pandas(), ["src", "dst"],
+                              ignore_index=True)
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=object))
+    node_h = stable_hash_array(pd.Series(node_arr, dtype=object))
+    src_idx = np.searchsorted(node_arr, ed["src"].to_numpy(object))
+    dst_idx = np.searchsorted(node_arr, ed["dst"].to_numpy(object))
+    deg_all = np.bincount(src_idx, minlength=len(node_arr))
+    offsets = np.concatenate([[0], np.cumsum(deg_all)]).astype(np.int64)
+    csr_ref = ray.put((node_arr, node_h, offsets,
+                       node_arr[dst_idx], node_h[dst_idx]))
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+
+    def walk_batch(batch: pa.Table) -> pa.Table:
+        narr, nh, off, dst_o, dst_h = ray.get(csr_ref)
+        starts = batch["node"].to_pandas()
+        s_np = starts.to_numpy(dtype=object)
+        h0 = _start_hash(starts)
+        cur0 = np.searchsorted(narr, s_np)
+        o_start, o_walk, o_step, o_node = [], [], [], []
+        for r in range(walks_per_node):
+            n = len(s_np)
+            o_start.append(s_np)
+            o_walk.append(np.full(n, r, np.int64))
+            o_step.append(np.zeros(n, np.int64))
+            o_node.append(s_np)
+            alive = np.arange(n)
+            cur = cur0.copy()
+            prev = s_np.copy()
+            ph_flat = np.zeros(0, np.uint64)
+            ph_counts = np.zeros(n, np.int64)
+            for t in range(1, walk_len):
+                deg = off[cur[alive] + 1] - off[cur[alive]]
+                keep = deg > 0
+                if not keep.any():
+                    break
+                alive = alive[keep]
+                # prune the carried prev-adjacency windows to survivors
+                # (vectorized window gather — no per-row loop)
+                if ph_flat.size:
+                    w_start = np.cumsum(ph_counts) - ph_counts
+                    kc = ph_counts[keep]
+                    within_k = (np.arange(int(kc.sum()), dtype=np.int64)
+                                - np.repeat(np.cumsum(kc) - kc, kc))
+                    ph_flat = ph_flat[np.repeat(w_start[keep], kc)
+                                      + within_k]
+                ph_counts = ph_counts[keep]
+                rnd = _mix64(h0[alive] ^ _walk_salt(seed, r, t))
+                nxt, cand_h, seg_starts, degk = _nv_pick(
+                    off[cur[alive]], deg[keep], dst_o, dst_h,
+                    prev[alive], ph_flat, ph_counts, rnd,
+                    inv_p if t > 1 else 1.0, inv_q if t > 1 else 1.0,
+                )
+                prev[alive] = narr[cur[alive]]
+                cur[alive] = np.searchsorted(narr, nxt)
+                ph_flat, ph_counts = cand_h, degk
+                o_start.append(s_np[alive])
+                o_walk.append(np.full(len(alive), r, np.int64))
+                o_step.append(np.full(len(alive), t, np.int64))
+                o_node.append(nxt)
+        return pa.table({
+            "start": pa.array(np.concatenate(o_start), pa.string()),
+            "walk": pa.array(np.concatenate(o_walk), pa.int64()),
+            "step": pa.array(np.concatenate(o_step), pa.int64()),
+            "node": pa.array(np.concatenate(o_node), pa.string()),
+        })
+
+    return nodes.map_batches(walk_batch, batch_format="pyarrow")
 
 
 def triangle_counts(edges_ds, *, method: str = "auto",

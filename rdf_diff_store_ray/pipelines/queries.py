@@ -3737,6 +3737,33 @@ def kg_random_walks(sf_dir: str):
     ).sort(["start", "walk", "step"])
 
 
+def kg_node2vec(sf_dir: str):
+    """Second-order biased walk corpus over the end-state KG entity
+    graph (node2vec, Grover & Leskovec 2016; round-4): p=0.5 favors
+    returns, q=2.0 keeps walks local — the BFS-flavored setting that
+    embeds structural-equivalence neighborhoods. Deterministic like
+    `kg_random_walks`, so the digest pins exact walks; the broadcast
+    and partition-pinned paths emit identical output (parity-tested)."""
+    from ..functions.graph import node2vec_walks
+    from ..state.reconstruct import state_at
+
+    res = kg_build_for(sf_dir)
+    live = state_at(res.delta_dataset(), _store_end_ts(res))
+    triples = live.select_columns(["graph_id", "delta_text"]).map_batches(
+        _explode_delta_text, batch_format="pyarrow"
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(batch["obj_is_literal"].combine_chunks())
+        t = batch.filter(keep)
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    return node2vec_walks(
+        triples.map_batches(edges, batch_format="pyarrow"),
+        walk_len=6, walks_per_node=2, p=0.5, q=2.0, seed=13,
+    ).sort(["start", "walk", "step"])
+
+
 def kg_entity_components(sf_dir: str):
     """Connected components of the end-state entity graph — which
     entities form one connected knowledge neighborhood (the same-as /
@@ -3975,6 +4002,7 @@ def kg_analytics(sf_dir: str):
             "metadata": kg_metadata,
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
+            "node2vec": kg_node2vec,
             "random_walks": kg_random_walks,
             "rdfs_entailment": kg_rdfs_entailment,
             "related_entities": kg_related_entities,
@@ -4211,6 +4239,7 @@ def registry():
         "approx_quantiles_price": rel.approx_quantiles_price,
         "weighted_sample_docs": weighted_sample_docs,
         "bloom_decontam": bloom_decontam,
+        "kg_node2vec": kg_node2vec,
         "kg_random_walks": kg_random_walks,
         "text_index_bm25": text_index_bm25,
         "kg_churn": kg_churn,

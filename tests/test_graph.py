@@ -457,3 +457,123 @@ def test_connected_components_hostile_ids_and_empty(ray_session):
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(ch, method="copartition", max_iters=2,
                              num_partitions=4)
+
+
+# ------------------------------------------------------------ node2vec ------
+def test_node2vec_paths_agree_and_are_valid(ray_session):
+    """Broadcast and partition-pinned node2vec emit IDENTICAL biased
+    walks (shared weighted-pick kernel over dst-sorted candidates,
+    content-hash randomness; the pinned frontier carries prev +
+    prev-adjacency hashes), every transition is a real edge, and
+    dangling nodes stop at step 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import node2vec_walks
+
+    ed = _walk_edges()
+    key = ["start", "walk", "step", "node"]
+    b = node2vec_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                       p=0.5, q=2.0, seed=9,
+                       method="broadcast").to_pandas()
+    p = node2vec_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                       p=0.5, q=2.0, seed=9, method="pinned",
+                       num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        b[key].sort_values(key, ignore_index=True),
+        p[key].sort_values(key, ignore_index=True),
+    )
+    eset = set(zip(ed["src"], ed["dst"]))
+    for (_, _), g in b.groupby(["start", "walk"]):
+        nodes = g.sort_values("step")["node"].tolist()
+        assert all((a, z) in eset for a, z in zip(nodes[:-1], nodes[1:]))
+    assert (b[b["start"] == "n41"]["step"] == 0).all()
+    # deterministic across runs; seed-sensitive
+    b2 = node2vec_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                        p=0.5, q=2.0, seed=9,
+                        method="broadcast").to_pandas()
+    pd.testing.assert_frame_equal(
+        b[key].sort_values(key, ignore_index=True),
+        b2[key].sort_values(key, ignore_index=True),
+    )
+    b3 = node2vec_walks(rd.from_pandas(ed), walk_len=5, walks_per_node=2,
+                        p=0.5, q=2.0, seed=10,
+                        method="broadcast").to_pandas()
+    assert not b[key].sort_values(key, ignore_index=True).equals(
+        b3[key].sort_values(key, ignore_index=True))
+
+
+def test_node2vec_bias_semantics(ray_session):
+    """The return parameter p controls 2-hop returns (Grover & Leskovec
+    2016): small p -> walks revisit the previous node often, large p ->
+    almost never. Measured on a symmetric random graph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import node2vec_walks
+
+    rng = np.random.default_rng(11)
+    n, m = 80, 900
+    src = [f"n{int(i)}" for i in rng.integers(0, n, m)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, n, m)]
+    ed = rd.from_pandas(
+        pd.DataFrame({"src": src + dst, "dst": dst + src}))
+
+    def return_rate(p):
+        w = node2vec_walks(ed, walk_len=8, walks_per_node=3, p=p, q=1.0,
+                           seed=9, method="broadcast").to_pandas()
+        w = w.sort_values(["start", "walk", "step"], ignore_index=True)
+        ret = tot = 0
+        for (_s, _r), g in w.groupby(["start", "walk"]):
+            ns = g["node"].tolist()
+            for i in range(2, len(ns)):
+                tot += 1
+                ret += ns[i] == ns[i - 2]
+        return ret / max(tot, 1)
+
+    lo, hi = return_rate(0.05), return_rate(20.0)
+    assert lo > 2.5 * hi, (lo, hi)
+
+
+def test_node2vec_edges_and_validation(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.graph import node2vec_walks
+
+    empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []}).astype(
+        {"src": object, "dst": object}))
+    assert node2vec_walks(empty).count() == 0
+    ed = rd.from_pandas(pd.DataFrame({"src": ["a"], "dst": ["b"]}))
+    with pytest.raises(ValueError, match="p and q"):
+        node2vec_walks(ed, p=0.0)
+    with pytest.raises(ValueError, match="walk_len"):
+        node2vec_walks(ed, walk_len=0)
+    # walk_len=1 emits step-0 rows only
+    w = node2vec_walks(ed, walk_len=1, walks_per_node=2).to_pandas()
+    assert (w["step"] == 0).all() and len(w) == 4
+    # hostile NUL-bearing node ids survive both paths identically
+    pairs = [("a\x00x", "a\x00y"), ("a\x00y", "a\x00x"),
+             ("a\x00x", "b"), ("b", "a\x00y")]
+    hostile = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    key = ["start", "walk", "step", "node"]
+    hb = node2vec_walks(hostile, walk_len=4, p=0.5, q=2.0,
+                        method="broadcast").to_pandas()
+    hp = node2vec_walks(hostile, walk_len=4, p=0.5, q=2.0,
+                        method="pinned", num_partitions=4).to_pandas()
+    # the comparison sort must itself be NUL-safe (pandas multi-column
+    # sort interleaves NUL-distinct keys)
+    from rdf_diff_store_ray.shuffle_utils import sort_values_nul_safe
+    pd.testing.assert_frame_equal(
+        sort_values_nul_safe(hb[key], key, ignore_index=True),
+        sort_values_nul_safe(hp[key], key, ignore_index=True),
+    )
+    es = set(pairs)
+    # pandas groupby on object keys is NUL-unsafe too — code the starts
+    # through a Python dict (full-byte hashing) before grouping
+    scode = {s: i for i, s in enumerate(set(hb["start"]))}
+    for (_, _), g in hb.groupby([hb["start"].map(scode), "walk"]):
+        ns = g.sort_values("step")["node"].tolist()
+        assert all((a, z) in es for a, z in zip(ns[:-1], ns[1:]))
