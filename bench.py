@@ -164,7 +164,8 @@ def run_bench() -> dict:
             "pack_sequences", "train_shards", "shard_epoch_order",
             "incremental_dedup", "ann_index_topk", "approx_quantiles_price",
             "weighted_sample_docs", "bloom_decontam", "collocations",
-            "kg_random_walks", "triangle_counts", "khop_sample",
+            "kg_random_walks", "kg_node2vec", "triangle_counts",
+            "khop_sample",
             "text_index_search", "kg_churn", "chunk_docs",
             "kg_rdfs_entailment", "kg_entity_components",
             "events_interval_join", "chunk_embed_search",

@@ -2946,11 +2946,33 @@ def eval_subquery(sub: dict, pattern_bindings,
     order = sub.get("order_by")
     limit, offset = sub.get("limit"), sub.get("offset") or 0
     if order and len(res):
-        keys = [c for c, _ in order if c in res.columns]
-        asc = [a for c, a in order if c in res.columns]
-        rest = [c for c in res.columns if c not in keys]
+        # computed ORDER BY conditions → hidden sort columns on the
+        # tagged frame (the finalize_bindings mechanism, subquery form)
+        drop_ord, norm = [], []
+        for i, (k, a) in enumerate(order):
+            if isinstance(k, tuple):
+                col = f"__sordx_{i}"
+                tag, const = _operand_series(k[1], res)
+                vals = const if tag is None else tag
+                if tag is not None:
+                    # all-numeric keys sort by VALUE (the main path's
+                    # apply_result_modifiers rule), mixed by codepoint
+                    nums = _series_parts(tag)[1]
+                    if bool((tag.isna() | nums.notna()).all()):
+                        vals = nums
+                res = res.assign(**{col: vals})
+                drop_ord.append(col)
+                norm.append((col, a))
+            else:
+                norm.append((k, a))
+        keys = [c for c, _ in norm if c in res.columns]
+        asc = [a for c, a in norm if c in res.columns]
+        rest = [c for c in res.columns
+                if c not in keys and c not in drop_ord]
         res = res.sort_values(keys + rest, ascending=asc + [True] * len(rest),
                               ignore_index=True, na_position="last")
+        if drop_ord:
+            res = res.drop(columns=drop_ord)
     elif (limit is not None or offset) and len(res) and len(res.columns):
         # LIMIT without ORDER BY: sort all columns so the pick is
         # deterministic (SPARQL leaves it implementation-defined)

@@ -2265,3 +2265,10 @@ def test_order_by_expressions():
         "SELECT * WHERE { ?s <https://p/n> ?n } "
         "ORDER BY DESC(STRLEN(?n))"))
     assert sorted(out3.columns) == ["n", "s"]
+    # ...and the subquery form applies the computed key before LIMIT
+    # (all-numeric keys sort by value, the main-path rule)
+    out4 = eval_bgp(t, (
+        "SELECT ?s WHERE { { SELECT ?s ?m WHERE "
+        "{ ?s <https://p/name> ?m } "
+        "ORDER BY DESC(STRLEN(?m)) LIMIT 2 } }"))
+    assert sorted(out4["s"]) == ["https://e/a", "https://e/c"]
