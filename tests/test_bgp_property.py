@@ -701,3 +701,64 @@ def test_bnode_patterns_match_naive_projection(triples, pats):
 
     rec(0, {})
     assert got == want, (query, rows)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY (plain var and computed condition) vs a pandas-side oracle
+# ---------------------------------------------------------------------------
+@given(
+    triples=st.lists(_triple_ext, min_size=0, max_size=8),
+    pats=st.lists(_pattern_ext, min_size=1, max_size=2),
+    key=st.sampled_from(["s", "o"]),
+    by_expr=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_group_by_aggregate_matches_pandas(triples, pats, key, by_expr):
+    """GROUP BY ?k (COUNT(*) AS ?n) — and the computed-condition form
+    GROUP BY (STRLEN(?k) AS ?len) — must equal counting the bare
+    group's bindings pandas-side (lexical-length key for the computed
+    form; unbound keys form their own group / error out of STRLEN)."""
+    import collections
+    import re
+
+    from rdf_diff_store_ray.query.bgp import eval_bgp
+
+    rows = [(s, p, o, lit) for (s, p, (o, lit)) in triples]
+    table = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+    body = " . ".join(" ".join(p) for p in pats)
+    if not any(t == "?" + key for p in pats for t in p):
+        return
+    base = eval_bgp(table, body)
+    if by_expr:
+        # STR() first: bare STRLEN over an IRI is a type error per spec
+        got = eval_bgp(
+            table,
+            f"SELECT ?len (COUNT(*) AS ?n) WHERE {{ {body} }} "
+            f"GROUP BY (STRLEN(STR(?{key})) AS ?len)",
+        )
+        want = collections.Counter(
+            len(v) for v in base[key] if v is not None
+        )
+        got_map = {}
+        for _, r in got.iterrows():
+            if r["len"] is None:
+                continue  # unbound key -> STRLEN error -> null key group
+            m = re.match(r'^"(\d+)"', r["len"])
+            got_map[int(m.group(1))] = r["n"]
+        assert got_map == dict(want)
+    else:
+        got = eval_bgp(
+            table,
+            f"SELECT ?{key} (COUNT(*) AS ?n) WHERE {{ {body} }} "
+            f"GROUP BY ?{key}",
+        )
+        want = collections.Counter(base[key].tolist())
+        got_map = dict(zip(got[key], got["n"]))
+        assert got_map == dict(want)
