@@ -743,8 +743,15 @@ def test_group_by_aggregate_matches_pandas(triples, pats, key, by_expr):
             f"SELECT ?len (COUNT(*) AS ?n) WHERE {{ {body} }} "
             f"GROUP BY (STRLEN(STR(?{key})) AS ?len)",
         )
+        from rdf_diff_store_ray.ntriples import _DECORATED_RE
+
+        def lex(v):  # STR() = the lexical form of decorated literals
+            if _DECORATED_RE.match(v):
+                return v[1:v.rindex('"')]
+            return v
+
         want = collections.Counter(
-            len(v) for v in base[key] if v is not None
+            len(lex(v)) for v in base[key] if v is not None
         )
         got_map = {}
         for _, r in got.iterrows():
