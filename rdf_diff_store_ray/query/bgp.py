@@ -3189,6 +3189,118 @@ _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
+_XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+_XSD_DUR = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+_DUR_LEX_RE = (r"^(-)?P(?:(\d+)D)?"
+               r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+
+def _dur_seconds(lex: pd.Series) -> pd.Series:
+    """xsd:dayTimeDuration lexical → signed seconds (Float64; <NA> on
+    invalid forms — ``P``/``PT`` alone carry no component and are
+    invalid per XSD)."""
+    ex = lex.str.extract(_DUR_LEX_RE)
+    comp = ex[[1, 2, 3, 4]].notna().any(axis=1)
+    valid = lex.str.match(_DUR_LEX_RE).fillna(False) & comp
+    secs = (
+        pd.to_numeric(ex[1], errors="coerce").fillna(0) * 86400.0
+        + pd.to_numeric(ex[2], errors="coerce").fillna(0) * 3600.0
+        + pd.to_numeric(ex[3], errors="coerce").fillna(0) * 60.0
+        + pd.to_numeric(ex[4], errors="coerce").fillna(0)
+    )
+    neg = (ex[0] == "-").fillna(False)  # NA sign must read as positive
+    secs = secs.where(~neg, -secs)
+    return secs.astype("Float64").where(valid)
+
+
+def _dur_lex(v) -> str | None:
+    """Signed seconds → canonical xsd:dayTimeDuration lexical form."""
+    if pd.isna(v):
+        return None
+    sign = "-" if v < 0 else ""
+    v = abs(float(v))
+    d = int(v // 86400)
+    v -= d * 86400
+    h = int(v // 3600)
+    v -= h * 3600
+    m = int(v // 60)
+    s = v - m * 60
+    date = f"{d}D" if d else ""
+    time = ""
+    if h:
+        time += f"{h}H"
+    if m:
+        time += f"{m}M"
+    if s:
+        slex = f"{s:.6f}".rstrip("0").rstrip(".")
+        time += f"{slex}S"
+    if not date and not time:
+        return "PT0S"
+    return f"{sign}P{date}" + (f"T{time}" if time else "")
+
+
+def _temporal_arith(tl: pd.Series, tr: pd.Series, op: str, idx):
+    """XSD temporal ``+``/``-`` over tagged operands, or ``None`` when
+    no row pairs temporal datatypes. UTC semantics: zoneless dateTimes
+    count as UTC (the store's as-of instants are epoch seconds) and
+    results carry the canonical ``Z``."""
+    ll, _ln, ldt, _llg, _li = _series_parts(tl)
+    rl, _rn, rdt, _rlg, _ri = _series_parts(tr)
+    l_dt = (ldt == _XSD_DT).fillna(False)
+    r_dt = (rdt == _XSD_DT).fillna(False)
+    l_du = (ldt == _XSD_DUR).fillna(False)
+    r_du = (rdt == _XSD_DUR).fillna(False)
+    pairs = ((l_dt & r_dt) | (l_dt & r_du) | (l_du & r_dt)
+             | (l_du & r_du))
+    if not bool(pairs.any()):
+        return None
+    out = pd.Series(None, index=idx, dtype=object)
+
+    def dts(lex, mask):
+        # format="ISO8601": without it pandas infers the format from the
+        # first element and coerces mixed-precision rows to NaT
+        return pd.to_datetime(lex.where(mask), errors="coerce",
+                              utc=True, format="ISO8601")
+
+    def dt_tok(ts):
+        if pd.isna(ts):
+            return None
+        lex = ts.isoformat().replace("+00:00", "Z")
+        return f'L"{lex}"^^<{_XSD_DT}>'
+
+    def dur_tok(v):
+        lex = _dur_lex(v)
+        return None if lex is None else f'L"{lex}"^^<{_XSD_DUR}>'
+
+    if op == "-":
+        m = l_dt & r_dt  # dateTime − dateTime → dayTimeDuration
+        if m.any():
+            secs = (dts(ll, m) - dts(rl, m)).dt.total_seconds()
+            out.loc[m] = secs[m].map(dur_tok)
+    m = l_dt & r_du  # dateTime ± duration → dateTime
+    if m.any():
+        delta = pd.to_timedelta(
+            _dur_seconds(rl.where(m)).astype("float64"), unit="s"
+        )
+        res = dts(ll, m) + (delta if op == "+" else -delta)
+        out.loc[m] = res[m].map(dt_tok)
+    if op == "+":
+        m = l_du & r_dt  # duration + dateTime commutes
+        if m.any():
+            delta = pd.to_timedelta(
+                _dur_seconds(ll.where(m)).astype("float64"), unit="s"
+            )
+            res = dts(rl, m) + delta
+            out.loc[m] = res[m].map(dt_tok)
+    m = l_du & r_du  # duration ± duration → duration
+    if m.any():
+        a = _dur_seconds(ll.where(m))
+        b = _dur_seconds(rl.where(m))
+        v = a + b if op == "+" else a - b
+        out.loc[m] = v[m].map(dur_tok)
+    return out
+
+
 def _operand_numeric(o, result: pd.DataFrame) -> pd.Series:
     """SPARQL-numeric value series of an operand (<NA> = error)."""
     s, const = _operand_series(o, result)
@@ -3244,6 +3356,18 @@ def _operand_series(o, result: pd.DataFrame):
     if kind == "arith":
         op, left, right = rest
         ln, rn = _operand_numeric(left, result), _operand_numeric(right, result)
+        if op in "+-" and bool((ln.isna() | rn.isna()).all()) and n:
+            # nothing numeric: XSD temporal arithmetic (oxigraph parity)
+            # — dateTime-dateTime → dayTimeDuration, dateTime ±
+            # dayTimeDuration → dateTime, duration ± duration.
+            # Mixed numeric/temporal columns stay expression errors on
+            # the temporal rows (scope limit, documented in README).
+            temporal = _temporal_arith(
+                _operand_tagged(left, result),
+                _operand_tagged(right, result), op, idx,
+            )
+            if temporal is not None:
+                return temporal, None
         if op == "+":
             out = ln + rn
         elif op == "-":
@@ -3685,16 +3809,24 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
     lhs, op, rhs = flt
     ls, lconst = _operand_series(lhs, result)
     rs, rconst = _operand_series(rhs, result)
+    ldt = rdt = None
     if ls is None:
         ln = pd.Series(lconst, index=idx, dtype="Float64")
         llex = None
     else:
-        llex, ln = _series_parts(ls)[:2]
+        llex, ln, ldt = _series_parts(ls)[:3]
     if rs is None:
         rn = pd.Series(rconst, index=idx, dtype="Float64")
         rlex = None
     else:
-        rlex, rn = _series_parts(rs)[:2]
+        rlex, rn, rdt = _series_parts(rs)[:3]
+    if ldt is not None and rdt is not None and op not in ("=", "!="):
+        # dayTimeDuration ordering compares by VALUE (seconds), not by
+        # lexical form — "P1D" > "PT2H" even though "P1" < "PT"
+        both_dur = ((ldt == _XSD_DUR) & (rdt == _XSD_DUR)).fillna(False)
+        if bool(both_dur.any()):
+            ln = ln.mask(both_dur, _dur_seconds(llex))
+            rn = rn.mask(both_dur, _dur_seconds(rlex))
     both_num = (ln.notna() & rn.notna()).astype(bool)
     num_cmp = _cmp(ln.astype("Float64"), rn.astype("Float64"), op)
     if ls is None or rs is None:

@@ -2223,6 +2223,48 @@ def test_xsd_constructor_casts():
     assert list(out2["s"]) == ["https://e/a"]
 
 
+def test_xsd_temporal_arithmetic():
+    """XSD dateTime/dayTimeDuration arithmetic (oxigraph parity):
+    dateTime - dateTime -> dayTimeDuration, dateTime ± duration ->
+    dateTime, duration ± duration (negatives canonical), and duration
+    comparisons order by VALUE, not lexical form."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    DUR = f"{XSD}dayTimeDuration"
+    t = _triples_table([
+        ("https://e/a", "https://p/b", f'"2024-03-01T10:00:00Z"^^<{XSD}dateTime>', True),
+        ("https://e/a", "https://p/e", f'"2024-03-02T12:30:00Z"^^<{XSD}dateTime>', True),
+        ("https://e/b", "https://p/b", f'"2024-03-01T00:00:00Z"^^<{XSD}dateTime>', True),
+        ("https://e/b", "https://p/e", f'"2024-03-01T00:00:45.5Z"^^<{XSD}dateTime>', True),
+    ])
+    out = eval_bgp(t, (
+        'SELECT ?s ((?e - ?b) AS ?dur) '
+        f'((?b + "P1D"^^<{DUR}>) AS ?next) '
+        "WHERE { ?s <https://p/b> ?b . ?s <https://p/e> ?e } ORDER BY ?s"))
+    recs = out.to_dict("records")
+    assert recs[0]["dur"] == f'"P1DT2H30M"^^<{DUR}>'
+    assert recs[0]["next"] == f'"2024-03-02T10:00:00Z"^^<{XSD}dateTime>'
+    assert recs[1]["dur"] == f'"PT45.5S"^^<{DUR}>'
+    # duration ordering is by value ("P1D" > "PT2H" despite "P1" < "PT")
+    out2 = eval_bgp(t, (
+        "SELECT ?s WHERE { ?s <https://p/b> ?b . ?s <https://p/e> ?e . "
+        f'FILTER((?e - ?b) > "PT1H"^^<{DUR}>) }}'))
+    assert list(out2["s"]) == ["https://e/a"]
+    # duration - duration, negative canonical form; + commutes with a
+    # dateTime on the right
+    out3 = eval_bgp(t, (
+        f'SELECT ?s (("PT1H"^^<{DUR}> - "PT90M"^^<{DUR}>) AS ?d) '
+        f'(("P1D"^^<{DUR}> + ?b) AS ?n) '
+        "WHERE { ?s <https://p/b> ?b } ORDER BY ?s"))
+    recs3 = out3.to_dict("records")
+    assert recs3[0]["d"] == f'"-PT30M"^^<{DUR}>'
+    assert recs3[0]["n"] == f'"2024-03-02T10:00:00Z"^^<{XSD}dateTime>'
+    # invalid duration lexicals ("P"/"PT" have no component) error out
+    out4 = eval_bgp(t, (
+        f'SELECT ?s ((?b + "P"^^<{DUR}>) AS ?bad) '
+        "WHERE { ?s <https://p/b> ?b } ORDER BY ?s"))
+    assert out4["bad"].isna().all()
+
+
 def test_exists_inside_expressions():
     """EXISTS as an operand of ||/&&/IF — not just the clause form."""
     t = _triples_table([
