@@ -3628,6 +3628,31 @@ def kg_bgp_group_expr(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kg_bgp_temporal(sf_dir: str):
+    """XSD temporal arithmetic over the live store (round-4, oxigraph
+    parity): age of each founding year's entity versus the as-of
+    instant is not expressible without dateTime support, so this form
+    derives per-entity spans from synthetic dateTimes built with
+    STRDT + CONCAT, subtracts them, and orders by the resulting
+    dayTimeDuration VALUE."""
+    from ..corpus import P_FOUNDED
+    from ..query.bgp import DiffStoreReader
+
+    res = kg_build_for(sf_dir)
+    reader = DiffStoreReader(res.delta_table())
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    out = reader.query_at(
+        _store_end_ts(res),
+        f"SELECT ?s ?age WHERE {{ ?s <{P_FOUNDED}> ?y . "
+        f'BIND(STRDT(CONCAT(STR(?y), "-01-01T00:00:00Z"), '
+        f"<{xsd}dateTime>) AS ?t0) . "
+        f"BIND((NOW() - ?t0) AS ?age) . "
+        f'FILTER(?age > "P0D"^^<{xsd}dayTimeDuration>) }} '
+        f"ORDER BY ?s LIMIT 40",
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def kg_bgp_features(sf_dir: str):
     """EVERY BGP/query-form feature in one driver entry: each named form
     runs its own registry callable (the exact code the individual
@@ -3647,6 +3672,7 @@ def kg_bgp_features(sf_dir: str):
         "builtins": kg_bgp_builtins,
         "casts": kg_bgp_casts,
         "group_expr": kg_bgp_group_expr,
+        "temporal": kg_bgp_temporal,
         "construct": kg_bgp_construct,
         "dataset": kg_bgp_dataset,
         "describe": kg_bgp_describe,
@@ -4208,6 +4234,7 @@ def registry():
         "kg_bgp_builtins": kg_bgp_builtins,
         "kg_bgp_casts": kg_bgp_casts,
         "kg_bgp_group_expr": kg_bgp_group_expr,
+        "kg_bgp_temporal": kg_bgp_temporal,
         "kg_bgp_terms": kg_bgp_terms,
         "kg_bgp_bnode": kg_bgp_bnode,
         "kg_bgp_service": kg_bgp_service,
