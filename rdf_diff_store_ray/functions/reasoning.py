@@ -210,8 +210,12 @@ def materialize_rdfs(triples, *, tbox: list[tuple[str, str, str]] | None
     tables_ref = ray.put((sp_df, dom_df, range_df, sc_df))
 
     def infer(batch: pd.DataFrame) -> pd.DataFrame:
+        # emits the INPUT rows too: the entailed set is input ∪
+        # inferred, and emitting both from one pass keeps the input
+        # lineage single-consumer (a Dataset consumed twice re-executes
+        # its whole upstream lineage twice — the pack_sequences lesson)
         sp, dm, rg, sc = ray.get(tables_ref)
-        outs = []
+        outs = [batch[_COLS]]
         if len(sp):
             m = batch.merge(sp, on="pred", how="inner")
             if len(m):
@@ -239,20 +243,14 @@ def materialize_rdfs(triples, *, tbox: list[tuple[str, str, str]] | None
                 outs.append(pd.DataFrame({
                     "subj": m["subj"], "pred": RDF_TYPE,
                     "obj": m["super_cls"], "obj_is_literal": False}))
-        if not outs:
-            return pd.DataFrame({c: pd.Series([], dtype=object if
-                                 c != "obj_is_literal" else bool)
-                                 for c in _COLS})
         out = pd.concat(outs, ignore_index=True)
-        # in-batch dedup before the shuffle (drop_duplicates is NUL-safe)
+        # in-batch dedup before the shuffle (NUL-safe)
         return _ddsafe(out, ignore_index=True)
 
-    inferred = triples.map_batches(infer, batch_format="pandas")
-    parts = [triples.select_columns(_COLS), inferred]
+    unioned = triples.map_batches(infer, batch_format="pandas")
     if schema_rows:
-        parts.append(rd.from_pandas(
+        unioned = unioned.union(rd.from_pandas(
             pd.DataFrame(schema_rows, columns=_COLS)))
-    unioned = parts[0].union(*parts[1:])
 
     # exact global dedup: route by a deterministic composite key into
     # bounded partitions (equal triples always share a key; unequal
