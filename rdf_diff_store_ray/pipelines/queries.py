@@ -2556,8 +2556,10 @@ def kg_turtle_ingest(sf_dir: str):
     def digest_partition(df):
         import pandas as pdd
 
+        from ..shuffle_utils import groupby_nul_safe
+
         out_g, out_d = [], []
-        for gid, g in df.groupby("graph_id", sort=False):
+        for (gid,), g in groupby_nul_safe(df, ["graph_id"]):
             text = serialize(
                 zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
             )
@@ -2785,8 +2787,10 @@ def kg_blank_nodes(sf_dir: str):
         def per_part(df):
             import pandas as pdd
 
+            from ..shuffle_utils import groupby_nul_safe
+
             out_g, out_h, out_f = [], [], []
-            for gid, g in df.groupby("graph_id", sort=False):
+            for (gid,), g in groupby_nul_safe(df, ["graph_id"]):
                 text = serialize(
                     zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
                 )

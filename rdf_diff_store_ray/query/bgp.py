@@ -3040,8 +3040,14 @@ def eval_pattern_in_graph(qdf: pd.DataFrame, pattern, gterm) -> pd.DataFrame:
         # a path inside GRAPH never crosses graphs, so evaluate it once
         # per graph present in the quad frame and tag the graph id —
         # per-graph work is bounded by that graph's own edge count
+        from ..shuffle_utils import groupby_nul_safe
+
         parts = []
-        for gid, sub in qdf.groupby("graph_id", sort=True):
+        # single-column sort is NUL-safe; pandas OBJECT-key groupby is
+        # not (NUL-distinct graph ids would fold into one graph)
+        for (gid,), sub in groupby_nul_safe(
+            qdf.sort_values("graph_id", kind="stable"), ["graph_id"]
+        ):
             res = eval_one_pattern(sub, pattern)
             if len(res):
                 res = res.copy()

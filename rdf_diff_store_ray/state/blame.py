@@ -56,8 +56,15 @@ def blame_frame(group: pd.DataFrame, ts) -> pd.DataFrame:
     if g.empty:
         return _empty_frame()
     keys = ["graph_id", "warc_ts"] + (["seq"] if "seq" in g.columns else [])
-    g = g.sort_values(keys, kind="stable").reset_index(drop=True)
-    g["vrank"] = g.groupby("graph_id").cumcount()
+    # NUL-safe: pandas multi-key sort AND object-key groupby both
+    # factorize through the truncating C-string table — NUL-distinct
+    # graph ids would interleave / share one vrank stream
+    from ..shuffle_utils import _col_codes_nul_safe
+
+    g = sort_values_nul_safe(g, keys, ignore_index=True)
+    g["vrank"] = g.groupby(
+        _col_codes_nul_safe(g["graph_id"])
+    ).cumcount()
     last = g.drop_duplicates(subset=["graph_id"], keep="last")
     live = last[last["op"] != OP_DELETE]
     if live.empty:
@@ -65,16 +72,23 @@ def blame_frame(group: pd.DataFrame, ts) -> pd.DataFrame:
     last_rank = dict(zip(live["graph_id"], live["vrank"]))
 
     sub = g[g["graph_id"].isin(last_rank)]
-    s = (
-        sub.set_index(["graph_id", "vrank", "warc_ts"])["delta_text"]
-        .str.split("\n")
-        .explode()
-    )
-    s = s[s.notna() & (s != "")]
-    if s.empty:
+    # explode via repeat, NOT set_index(...).explode(): a multi-key
+    # pandas MultiIndex FACTORIZES object levels through the same
+    # NUL-truncating C-string table, so reset_index() hands back the
+    # first NUL-twin's graph_id for every twin (measured)
+    parts = sub["delta_text"].str.split("\n")
+    lens = parts.str.len().to_numpy()
+    ex = pd.DataFrame({
+        "graph_id": np.repeat(sub["graph_id"].to_numpy(object), lens),
+        "vrank": np.repeat(sub["vrank"].to_numpy(), lens),
+        "warc_ts": np.repeat(sub["warc_ts"].to_numpy(), lens),
+        "line": np.concatenate([np.asarray(p, dtype=object)
+                                for p in parts.to_numpy()])
+        if len(sub) else np.array([], dtype=object),
+    })
+    ex = ex[ex["line"].notna() & (ex["line"] != "")]
+    if ex.empty:
         return _empty_frame()
-    ex = s.reset_index()
-    ex.columns = ["graph_id", "vrank", "warc_ts", "line"]
     ex = sort_values_nul_safe(ex, ["graph_id", "line", "vrank"])
 
     gid = ex["graph_id"].to_numpy()
@@ -106,9 +120,8 @@ def blame_table(deltas: pa.Table, ts) -> pa.Table:
     from ..schemas import ensure_seq
 
     df = ensure_seq(deltas).to_pandas()
-    out = blame_frame(df, ts).sort_values(
-        ["graph_id", "line"], ignore_index=True
-    )
+    out = sort_values_nul_safe(blame_frame(df, ts), ["graph_id", "line"],
+                               ignore_index=True)
     return pa.table(
         {
             "graph_id": pa.array(out["graph_id"], pa.string()),

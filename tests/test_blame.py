@@ -220,3 +220,27 @@ def test_blame_matches_naive_oracle_randomized(store, ray_session):
     got_ds = _blame_dict(blame(ds, t + 1, num_partitions=8).to_pandas())
     # to_pandas of the distributed path loses no rows; compare as dicts
     assert got_ds == _naive_blame(hist, t + 1)
+
+
+def test_blame_nul_distinct_graph_ids(store, ray_session):
+    """NUL-distinct graph ids keep separate blame streams: pandas'
+    object-key groupby/multi-key sort factorize through the truncating
+    C-string table, so "g\\x00a" and "g\\x00b" would otherwise share one
+    vrank stream and corrupt runs (see shuffle_utils)."""
+    from rdf_diff_store_ray.state.blame import blame_table
+
+    ga, gb = "g\x00a", "g\x00b"
+    history = [
+        (ga, T0, "update", _doc(1, 2)),
+        (gb, T0, "update", _doc(1, 3)),
+        (ga, T0 + 60, "update", _doc(1, 2, 4)),  # line 1 run started T0
+        (gb, T0 + 120, "update", _doc(3)),       # line 1 dropped
+    ]
+    _apply(store, history)
+    got = _blame_dict(blame_table(_delta_table(store), T0 + 200))
+    want = _naive_blame(history, T0 + 200)
+    assert got == want
+    # both graphs present, line 1 blames T0 on ga only
+    assert (ga, _line(1)) in got and got[(ga, _line(1))] == T0
+    assert (gb, _line(1)) not in got
+    assert got[(gb, _line(3))] == T0

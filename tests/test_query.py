@@ -1135,6 +1135,32 @@ def test_graph_select_projection():
     assert sorted(out["g"]) == ["https://g/1", "https://g/2"]
 
 
+def test_graph_path_nul_distinct_graph_ids():
+    """Property paths inside GRAPH ?g evaluate per graph — NUL-distinct
+    graph ids must stay distinct graphs (pandas object-key groupby
+    folds them; the evaluator routes through groupby_nul_safe). The
+    a->b->c chain spans the two NUL-twin graphs, so ?s path+ ?o inside
+    one graph must NOT see the cross-graph composition."""
+    rows = [
+        ("g\x00p", "https://e/a", P_ACQUIRED, "https://e/b", False),
+        ("g\x00q", "https://e/b", P_ACQUIRED, "https://e/c", False),
+    ]
+    quads = pa.table({
+        "graph_id": pa.array([r[0] for r in rows], pa.string()),
+        "subj": pa.array([r[1] for r in rows], pa.string()),
+        "pred": pa.array([r[2] for r in rows], pa.string()),
+        "obj": pa.array([r[3] for r in rows], pa.string()),
+        "obj_is_literal": pa.array([r[4] for r in rows], pa.bool_()),
+    })
+    out = eval_bgp(BASE, f"GRAPH ?g {{ ?s <{P_ACQUIRED}>+ ?o }}",
+                   quads=quads)
+    got = {(r["g"], r["s"], r["o"]) for r in out.to_dict("records")}
+    assert got == {
+        ("g\x00p", "https://e/a", "https://e/b"),
+        ("g\x00q", "https://e/b", "https://e/c"),
+    }  # no a->c composition across the NUL-twin graphs
+
+
 def test_graph_without_quads_raises():
     with pytest.raises(ValueError, match="quad table"):
         eval_bgp(BASE, "GRAPH ?g { ?s ?p ?o }")
