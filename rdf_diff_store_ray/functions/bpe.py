@@ -42,7 +42,12 @@ def _word_partial_counts(batch: pa.Table, text_col: str) -> pa.Table:
     carries vocabulary, never text."""
     s = batch[text_col].to_pandas().fillna("")
     words = s.str.findall(_PRETOK_RE).explode().dropna()
-    vc = words.value_counts()
+    # NUL-safe value_counts: the pandas path folds words differing only
+    # past \x00 above a size threshold (CLAUDE.md); np.unique compares
+    # full bytes
+    vals, counts = np.unique(words.to_numpy(dtype=object),
+                             return_counts=True)
+    vc = pd.Series(counts, index=vals)
     return pa.table(
         {
             "word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
@@ -191,7 +196,11 @@ def bpe_token_counts(docs_ds, merges: list, *, text_col: str = "text"):
         ranks, memo = memo_cache[key]
         s = batch[text_col].to_pandas().fillna("")
         words = s.str.findall(_PRETOK_RE).explode().dropna()
-        vc = words.value_counts()
+        # NUL-safe value_counts (np.unique full-byte compare; the
+        # pandas path folds NUL-twin words above a size threshold)
+        _vals, _counts = np.unique(words.to_numpy(dtype=object),
+                                   return_counts=True)
+        vc = pd.Series(_counts, index=_vals)
         token_counts: dict = {}
         for word, n in vc.items():
             toks = memo.get(word)

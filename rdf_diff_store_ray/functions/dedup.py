@@ -685,7 +685,13 @@ class DocSimHash:
         for toks in toks_per_doc:
             flat[pos : pos + len(toks)] = toks
             pos += len(toks)
-        codes, uniques = pd.factorize(flat)
+        # NUL-safe factorize: pd.factorize folds tokens differing only
+        # past \x00 through the truncating C-string table (CLAUDE.md)
+        import pyarrow.compute as _pc
+
+        enc = _pc.dictionary_encode(pa.array(flat, pa.string()))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = enc.dictionary.to_numpy(zero_copy_only=False)
         tok_hashes = self._hash_tokens(uniques)[codes]
         nonempty = np.flatnonzero(lens)
         ne_lens = lens[nonempty]
