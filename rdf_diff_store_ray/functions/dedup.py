@@ -755,25 +755,26 @@ def simhash_signatures(docs_ds, batch_size: int = 2048):
     )
 
 
-def simhash_near_pairs(docs_ds, max_hamming: int = 3):
-    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``. Candidates
-    via the 4×16-bit-chunk pigeonhole (any pair within distance 3 shares a
-    chunk); verified exactly."""
-    sigs = simhash_signatures(docs_ds)
+def hamming_near_pairs(sigs_ds, *, max_hamming: int = 3,
+                       id_col: str = "doc_id", sig_col: str = "simhash"):
+    """Near-dup pairs with Hamming(64-bit signature) ≤ ``max_hamming``,
+    over any ``(id_col, sig_col)`` dataset — SimHash docs and audio
+    fingerprints share this kernel. Candidates via the 4×16-bit-chunk
+    pigeonhole (any pair within distance 3 shares a chunk); verified
+    exactly. Returns ``(a, b, hamming)`` with ``a < b``."""
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        # explode each doc into its 4 chunk-bucket rows, fully vectorized
-        n = batch.num_rows
-        doc_ids = np.repeat(batch["doc_id"].to_numpy(), 4)
-        hashes = np.repeat(batch["simhash"].to_numpy(), 4)
-        chunks = np.stack(
-            [batch[f"chunk{c}"].to_numpy().astype(np.int64) for c in range(4)],
-            axis=1,
-        )  # (n, 4)
+        # explode each row into its 4 chunk-bucket rows, fully vectorized
+        ids = np.repeat(batch[id_col].to_numpy(), 4)
+        sig64 = batch[sig_col].to_numpy().astype(np.uint64, copy=False)
+        hashes = np.repeat(sig64.view(np.int64), 4)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        chunks = ((sig64[:, None] >> shifts)
+                  & np.uint64(0xFFFF)).astype(np.int64)  # (n, 4)
         keys = (np.arange(4, dtype=np.int64)[None, :] << 16) | chunks
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
                 "chunk_key": pa.array(keys.reshape(-1), pa.int64()),
                 "simhash": pa.array(hashes, pa.int64()),
             }
@@ -814,16 +815,31 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
         return batch.append_column("partition_id", pid)
 
     pairs = (
-        sigs.map_batches(chunk_rows, batch_format="pyarrow")
+        sigs_ds.map_batches(chunk_rows, batch_format="pyarrow")
         .map_batches(add_pid, batch_format="pyarrow")
         .groupby("partition_id")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
     from ray.data.aggregate import Min
 
-    return (
+    out = (
         pairs.groupby(["a", "b"])
         .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    if id_col == "doc_id":
+        return out
+    return out.map_batches(
+        lambda t: t.rename_columns([f"{id_col}_a", f"{id_col}_b", "hamming"]),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_near_pairs(docs_ds, max_hamming: int = 3):
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``. Candidates
+    via the 4×16-bit-chunk pigeonhole (any pair within distance 3 shares a
+    chunk); verified exactly."""
+    return hamming_near_pairs(
+        simhash_signatures(docs_ds), max_hamming=max_hamming
     )
 
 

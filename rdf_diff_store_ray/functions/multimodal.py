@@ -321,10 +321,13 @@ class AHashStage:
         )
 
 
-def media_dedup(media_ds, batch_size: int = 64, concurrency=(1, 4)):
-    """Perceptual dedup over a media Dataset: aHash each payload, then
-    one bounded ``groupby(ahash)`` — colliding hashes form a duplicate
-    group whose lowest ``media_id`` is the keeper. Returns
+def media_dedup(media_ds, batch_size: int = 64, concurrency=(1, 4),
+                hash_stage=AHashStage):
+    """Perceptual dedup over a media Dataset: fingerprint each payload
+    (``hash_stage``: image aHash by default, the audio Haitsma-Kalker
+    hash via :func:`.audio.audio_dedup`), then one bounded
+    ``groupby(ahash)`` — colliding hashes form a duplicate group whose
+    lowest ``media_id`` is the keeper. Returns
     ``(media_id, ahash, keep, dup_of)`` with ``dup_of = -1`` on kept
     rows. The shuffle carries (media_id, ahash) pairs only — payloads
     never move after the hash stage — and the hash key is folded into a
@@ -333,7 +336,7 @@ def media_dedup(media_ds, batch_size: int = 64, concurrency=(1, 4)):
     import pandas as pd
 
     hashed = media_ds.map_batches(
-        AHashStage,
+        hash_stage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1554,6 +1554,61 @@ def multimodal_png(sf_dir: str):
     )
 
 
+def multimodal_audio(sf_dir: str):
+    """REAL-codec audio path (round-4): WAV clips decoded through the
+    stdlib RIFF parser (a genuine container codec, like the vendored
+    PNG on the image side), feature-extracted (RMS / zero-crossing /
+    spectral centroid, integer columns), exact-fingerprint-deduped
+    against fake-container twins carrying identical samples (so the
+    dedup must pair them ACROSS codecs), and Hamming-matched
+    (Haitsma-Kalker) against a planted noisy re-record."""
+    import ray.data as rd
+
+    from ..functions.audio import (
+        audio_dedup,
+        audio_features,
+        audio_near_pairs,
+        encode_wav,
+        synth_tone,
+        synthetic_audio_table,
+    )
+
+    n = 40
+    wav = synthetic_audio_table(n, codec="wav")
+    fake = synthetic_audio_table(n, codec="fake-audio-v1", id_base=1000)
+    # planted noisy near-dup of clip 5: seeded ±20-step sample noise —
+    # a re-record, not a byte copy, so only Hamming matching finds it
+    s = synth_tone(5)
+    rng = np.random.default_rng(99)
+    noisy = np.clip(
+        s.astype(np.int32) + rng.integers(-20, 21, s.shape[0]),
+        -32768, 32767,
+    ).astype(np.int16)
+    extra = pa.table(
+        {
+            "media_id": pa.array([2000], pa.int64()),
+            "media_type": pa.array(["audio"], pa.string()),
+            "codec": pa.array(["wav"], pa.string()),
+            "payload": pa.array([encode_wav(noisy)], pa.binary()),
+        }
+    ).cast(wav.schema)
+    media = pa.concat_tables([wav, fake, extra])
+    feats = audio_features(rd.from_arrow(media)).to_pandas()
+    dd = audio_dedup(rd.from_arrow(media)).to_pandas()
+    pairs = audio_near_pairs(rd.from_arrow(media), max_hamming=3).to_pandas()
+    deg = pd.concat(
+        [pairs["media_id_a"], pairs["media_id_b"]]
+    ).value_counts()
+    out = feats.merge(dd[["media_id", "keep", "dup_of"]], on="media_id")
+    out["near_deg"] = (
+        out["media_id"].map(deg).fillna(0).astype("int64")
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
 def media_dedup_q(sf_dir: str):
     """Perceptual (aHash) media dedup over the synthetic media table
     plus two planted perceptual duplicates — the image-side analog of
@@ -4112,6 +4167,7 @@ def embed_text_suite(sf_dir: str):
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
             "multimodal_png": multimodal_png,
+            "multimodal_audio": multimodal_audio,
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
@@ -4257,6 +4313,7 @@ def registry():
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_audio": multimodal_audio,
         "media_dedup": media_dedup_q,
         "quantize_embeddings": quantize_embeddings_q,
         "multimodal_frames": multimodal_frames,
