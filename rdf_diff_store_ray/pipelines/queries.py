@@ -3305,6 +3305,22 @@ def kg_sparql_update(sf_dir: str):
         ("clear", f"CLEAR GRAPH <{g1}>"),
         ("drop", f"DROP GRAPH <{g2}>"),
     ]
+    # graph management tail (SPARQL 1.1 §3.2): CREATE → LOAD a local
+    # document → COPY → ADD → MOVE, all deterministic
+    g3, g4 = "https://upd.example/g3", "https://upd.example/g4"
+    doc = os.path.join(os.path.dirname(delta_dir), "load_doc.nt")
+    with open(doc, "w", encoding="utf-8") as f:
+        f.write('<https://upd.example/p/l1> <https://upd.example/p/p> '
+                '"7" .\n'
+                '<https://upd.example/p/l2> <https://upd.example/p/q> '
+                '<https://upd.example/p/l1> .\n')
+    steps += [
+        ("create", f"CREATE GRAPH <{g3}>"),
+        ("load", f"LOAD <file://{doc}> INTO GRAPH <{g3}>"),
+        ("copy", f"COPY GRAPH <{g3}> TO GRAPH <{g4}>"),
+        ("add", f"ADD <{g3}> TO <{g4}>"),  # suppressed no-op (same text)
+        ("move", f"MOVE <{g3}> TO <{g1}>"),
+    ]
     rows = []
     for i, (name, upd) in enumerate(steps, 1):
         summary = sparql_update(delta_dir, upd, hi_s + 10 * i)

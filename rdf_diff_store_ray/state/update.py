@@ -22,6 +22,14 @@ single-writer lock):
 - ``CLEAR GRAPH <g>`` — the graph becomes the empty graph (a new empty
   version; the id stays live). ``DROP GRAPH <g>`` — delete tombstone
   (the reference's ``DELETE /api/graphs?id=``).
+- Graph management: ``CREATE [SILENT] GRAPH <g>`` (new empty graph —
+  this store records empty graphs, so CREATE on a live graph errors
+  unless SILENT), ``COPY/MOVE/ADD [SILENT] <g1> TO <g2>`` (replace /
+  replace-then-drop-source / union; ``DEFAULT`` is rejected — the
+  store's default graph is the read-only union of the named graphs),
+  and ``LOAD [SILENT] <file:doc> INTO GRAPH <g>`` (local N-Triples or
+  Turtle document inserted into the graph; no network in a store
+  deployment, so ``file://``/plain paths only).
 
 Scale note: updates are the low-rate interactive write surface — the
 same role the reference's pool-of-one writer plays — so the apply step
@@ -47,6 +55,21 @@ _DATA_RE = re.compile(r"(INSERT|DELETE)\s+DATA\s*\{", re.IGNORECASE)
 _WHERE_RE = re.compile(r"DELETE\s+WHERE\s*\{", re.IGNORECASE)
 _GRAPH_RE = re.compile(
     r"(CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^<>\s]+)>\s*$", re.IGNORECASE
+)
+_CREATE_RE = re.compile(
+    r"CREATE\s+(SILENT\s+)?GRAPH\s*<([^<>\s]+)>\s*$", re.IGNORECASE
+)
+# COPY/MOVE/ADD GraphOrDefault TO GraphOrDefault (SPARQL 1.1 §3.2.3-5).
+# DEFAULT is matched so it can be rejected with a store-specific message.
+_XFER_RE = re.compile(
+    r"(COPY|MOVE|ADD)\s+(SILENT\s+)?"
+    r"(DEFAULT|(?:GRAPH\s+)?<[^<>\s]+>)\s+TO\s+"
+    r"(DEFAULT|(?:GRAPH\s+)?<[^<>\s]+>)\s*$",
+    re.IGNORECASE,
+)
+_LOAD_RE = re.compile(
+    r"LOAD\s+(SILENT\s+)?<([^<>\s]+)>\s+INTO\s+GRAPH\s*<([^<>\s]+)>\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -284,9 +307,36 @@ def parse_update(update: str) -> dict:
                 "group": group}
     if m := _GRAPH_RE.match(q):
         return {"form": f"{m.group(1).lower()}_graph", "graph": m.group(2)}
+    if m := _CREATE_RE.match(q):
+        return {"form": "create_graph", "graph": m.group(2),
+                "silent": bool(m.group(1))}
+    if m := _XFER_RE.match(q):
+        def _graph_ref(tok: str) -> str:
+            if tok.upper() == "DEFAULT":
+                raise ValueError(
+                    "COPY/MOVE/ADD DEFAULT is not supported — the store's "
+                    "default graph is the read-only union of the named "
+                    "graphs (one named graph per source id); name a graph"
+                )
+            return tok[tok.index("<") + 1: -1]
+
+        return {"form": f"{m.group(1).lower()}_graph",
+                "silent": bool(m.group(2)),
+                "src": _graph_ref(m.group(3)),
+                "dst": _graph_ref(m.group(4))}
+    if m := _LOAD_RE.match(q):
+        return {"form": "load", "silent": bool(m.group(1)),
+                "doc": m.group(2), "graph": m.group(3)}
+    if re.match(r"LOAD\b", q, re.IGNORECASE):
+        raise ValueError(
+            "LOAD needs an explicit INTO GRAPH <g> — there is no default "
+            "graph to load into (one named graph per source id)"
+        )
     raise ValueError(
         "unsupported update form (supported: INSERT DATA, DELETE DATA, "
-        f"DELETE WHERE, CLEAR GRAPH, DROP GRAPH): {update[:80]!r}"
+        "DELETE WHERE, DELETE/INSERT...WHERE, CLEAR GRAPH, DROP GRAPH, "
+        "CREATE GRAPH, COPY/MOVE/ADD ... TO ..., LOAD ... INTO GRAPH): "
+        f"{update[:80]!r}"
     )
 
 
@@ -372,6 +422,93 @@ def _template_quads(tmpl: dict, rows: list, qdf) -> list:
     return out
 
 
+def _load_document(doc_iri: str) -> list:
+    """``LOAD`` source document → parsed triples. Local documents only
+    (``file://`` URI or a plain path — a store deployment has no
+    network fetcher); format by extension: ``.ttl``/``.turtle`` parse
+    as Turtle, everything else as N-Triples."""
+    path = doc_iri
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    elif re.match(r"[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise ValueError(
+            f"LOAD supports only local documents (file:// or a plain "
+            f"path), got {doc_iri!r}"
+        )
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if path.endswith((".ttl", ".turtle")):
+        from ..turtle import parse_turtle
+
+        return parse_turtle(text)
+    return ntriples.parse(text)
+
+
+def _graph_management(store: str, u: dict, deltas, ts: int) -> dict:
+    """Apply CREATE / COPY / MOVE / ADD / LOAD. All mutation goes
+    through :func:`append_graphs` / :func:`delete_graphs`, so digest
+    no-op suppression applies (e.g. COPY onto an identical target
+    writes nothing)."""
+    form, silent = u["form"], u.get("silent", False)
+    live = reconstruct.state_at_table(deltas, ts)
+    cur_text = dict(zip(live["graph_id"].to_pylist(),
+                        live["delta_text"].to_pylist()))
+
+    def _noop():
+        return {"form": form, "graphs": 0, "added": 0, "removed": 0}
+
+    if form == "create_graph":
+        gid = u["graph"]
+        if gid in cur_text:
+            if silent:
+                return _noop()
+            raise ValueError(
+                f"CREATE GRAPH: graph already exists: {gid!r} "
+                "(this store records empty graphs, so CREATE on a live "
+                "graph is an error; use SILENT to ignore)"
+            )
+        n = append_graphs(store, {gid: []}, ts)
+        return {"form": form, "graphs": n, "added": 0, "removed": 0}
+
+    if form == "load":
+        try:
+            triples = _load_document(u["doc"])
+        except (OSError, ValueError):
+            if silent:
+                return _noop()
+            raise
+        gid = u["graph"]
+        cur = set(ntriples.parse(cur_text.get(gid, "")))
+        new = cur | set(triples)
+        if new == cur:
+            return _noop()
+        n = append_graphs(store, {gid: sorted(new)}, ts)
+        return {"form": form, "graphs": n, "added": len(new) - len(cur),
+                "removed": 0}
+
+    # COPY / MOVE / ADD <src> TO <dst>
+    src, dst = u["src"], u["dst"]
+    if src not in cur_text:
+        if silent:
+            return _noop()
+        raise ValueError(f"{form.split('_')[0].upper()}: source graph "
+                         f"does not exist: {src!r}")
+    if src == dst:
+        return _noop()  # same-graph transfer is a no-op, per spec
+    src_set = set(ntriples.parse(cur_text[src]))
+    dst_set = set(ntriples.parse(cur_text.get(dst, "")))
+    new = dst_set | src_set if form == "add_graph" else src_set
+    added = len(new) - len(dst_set & new)
+    removed = len(dst_set) - len(dst_set & new)
+    graphs = 0
+    if new != dst_set or dst not in cur_text:
+        graphs += append_graphs(store, {dst: sorted(new)}, ts)
+    if form == "move_graph":
+        graphs += delete_graphs(store, [src], ts)
+    return {"form": form, "graphs": graphs, "added": added,
+            "removed": removed}
+
+
 def sparql_update(store: str, update: str, ts: int) -> dict:
     """Apply one SPARQL-Update request to the store at unix-seconds
     ``ts``. Returns a summary ``{"form", "graphs", "added", "removed"}``.
@@ -388,6 +525,9 @@ def sparql_update(store: str, update: str, ts: int) -> dict:
         return {"form": form, "graphs": n, "added": 0, "removed": 0}
 
     deltas = _store_table(store)
+    if form in ("create_graph", "copy_graph", "move_graph", "add_graph",
+                "load"):
+        return _graph_management(store, u, deltas, ts)
     if form == "delete_where":
         rows, qdf = _solutions(u["group"], deltas, ts)
         del_quads = _template_quads(u["group"], rows, qdf)

@@ -166,8 +166,10 @@ def test_update_grammar_errors(store):
         parse_update(
             "DELETE WHERE { ?s <https://x/p> ?o . FILTER(?o > 1) }"
         )
-    with pytest.raises(ValueError, match="unsupported update form"):
+    with pytest.raises(ValueError, match="INTO GRAPH"):
         parse_update("LOAD <https://remote/data.ttl>")
+    with pytest.raises(ValueError, match="unsupported update form"):
+        parse_update("ASK { ?s ?p ?o }")
     with pytest.raises(ValueError, match="undefined prefix"):
         parse_update('PREFIX x: <https://x/> '
                      'INSERT DATA { GRAPH <g> { nope:a x:p "1" } }')
@@ -318,3 +320,117 @@ def test_update_roundtrip_property(ray_session, tmp_path):
         assert quads_at_table(_delta_table(store), T2).num_rows == 0
 
     check()
+
+
+def test_create_graph(store):
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    res = sparql_update(store, "CREATE GRAPH <https://g/3>", T2)
+    assert res == {"form": "create_graph", "graphs": 1,
+                   "added": 0, "removed": 0}
+    st = state_at_table(_delta_table(store), T2)
+    texts = dict(zip(st["graph_id"].to_pylist(),
+                     st["delta_text"].to_pylist()))
+    assert texts["https://g/3"] == ""  # live and empty
+    # CREATE on a live graph errors unless SILENT
+    with pytest.raises(ValueError, match="already exists"):
+        sparql_update(store, "CREATE GRAPH <https://g/3>", T3)
+    res = sparql_update(store, "CREATE SILENT GRAPH <https://g/3>", T3)
+    assert res["graphs"] == 0
+
+
+def test_copy_move_add_graphs(store):
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    def texts(ts):
+        st = state_at_table(_delta_table(store), ts)
+        return dict(zip(st["graph_id"].to_pylist(),
+                        st["delta_text"].to_pylist()))
+
+    t0 = texts(T1)
+    res = sparql_update(
+        store, "COPY GRAPH <https://g/1> TO GRAPH <https://g/3>", T2)
+    assert res["form"] == "copy_graph" and res["added"] == 2
+    assert texts(T2)["https://g/3"] == t0["https://g/1"]
+
+    # ADD unions source into destination (GRAPH keyword optional)
+    res = sparql_update(store, "ADD <https://g/2> TO <https://g/3>", T3)
+    t3 = texts(T3)
+    assert res["form"] == "add_graph"
+    lines = set(t3["https://g/3"].split("\n")) - {""}
+    want = (set(t0["https://g/1"].split("\n")) |
+            set(t0["https://g/2"].split("\n"))) - {""}
+    assert lines == want
+    # re-ADD is a suppressed no-op
+    res = sparql_update(store, "ADD <https://g/2> TO <https://g/3>", T3)
+    assert res["graphs"] == 0
+
+    # MOVE replaces the destination and drops the source
+    res = sparql_update(
+        store, "MOVE SILENT <https://g/1> TO <https://g/2>", T4)
+    t4 = texts(T4)
+    assert "https://g/1" not in t4
+    assert t4["https://g/2"] == t0["https://g/1"]
+    assert res["form"] == "move_graph" and res["graphs"] == 2
+
+
+def test_graph_management_errors(store):
+    from rdf_diff_store_ray.state.update import parse_update, sparql_update
+
+    with pytest.raises(ValueError, match="source graph does not exist"):
+        sparql_update(
+            store, "COPY GRAPH <https://nope/> TO GRAPH <https://g/9>", T2)
+    res = sparql_update(
+        store, "COPY SILENT GRAPH <https://nope/> TO GRAPH <https://g/9>",
+        T2)
+    assert res["graphs"] == 0
+    # same-graph transfer is a no-op
+    res = sparql_update(
+        store, "MOVE GRAPH <https://g/1> TO GRAPH <https://g/1>", T2)
+    assert res["graphs"] == 0
+    with pytest.raises(ValueError, match="DEFAULT is not supported"):
+        parse_update("COPY DEFAULT TO GRAPH <https://g/9>")
+    with pytest.raises(ValueError, match="DEFAULT is not supported"):
+        parse_update("ADD GRAPH <https://g/1> TO DEFAULT")
+
+
+def test_load_into_graph(store, tmp_path):
+    from rdf_diff_store_ray.state.reconstruct import state_at_table
+    from rdf_diff_store_ray.state.update import sparql_update
+
+    doc = tmp_path / "doc.nt"
+    doc.write_text('<https://x/l1> <https://x/p> "v" .\n'
+                   "<https://x/l2> <https://x/p> <https://x/o> .\n")
+    res = sparql_update(
+        store, f"LOAD <file://{doc}> INTO GRAPH <https://g/7>", T2)
+    assert res["form"] == "load" and res["added"] == 2
+    st = state_at_table(_delta_table(store), T2)
+    texts = dict(zip(st["graph_id"].to_pylist(),
+                     st["delta_text"].to_pylist()))
+    assert '<https://x/l1> <https://x/p> "v" .' in texts["https://g/7"]
+    # re-LOAD of the same document is a no-op (LOAD inserts, set union)
+    res = sparql_update(
+        store, f"LOAD <{doc}> INTO GRAPH <https://g/7>", T3)
+    assert res["graphs"] == 0
+
+    # Turtle documents parse by extension
+    ttl = tmp_path / "doc.ttl"
+    ttl.write_text("@prefix x: <https://x/> . x:t1 x:p x:t2 , x:t3 .\n")
+    res = sparql_update(
+        store, f"LOAD <file://{ttl}> INTO GRAPH <https://g/7>", T4)
+    assert res["added"] == 2
+
+    with pytest.raises(OSError):
+        sparql_update(
+            store, f"LOAD <file://{tmp_path}/missing.nt> "
+                   "INTO GRAPH <https://g/7>", T4)
+    res = sparql_update(
+        store, f"LOAD SILENT <file://{tmp_path}/missing.nt> "
+               "INTO GRAPH <https://g/7>", T4)
+    assert res["graphs"] == 0
+    with pytest.raises(ValueError, match="local documents"):
+        sparql_update(
+            store, "LOAD <https://remote/d.nt> INTO GRAPH <https://g/7>",
+            T4)
