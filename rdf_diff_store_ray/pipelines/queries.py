@@ -4131,6 +4131,183 @@ def relational_suite(sf_dir: str):
     )
 
 
+def _synthetic_urls(batch: pa.Table) -> pa.Array:
+    """Deterministic crawl-frontier URLs from ``doc_id`` (the documents
+    table carries no URL column). Mirrored verbatim in the SQL oracles;
+    every canonicalization rule is exercised: mixed host case, a
+    ``WWW.`` stratum, the https default port, unsorted query params,
+    two tracking-param shapes, and fragments. The OPERATOR under test
+    is the :mod:`..functions.weburl` parse → canonicalize pipeline, not
+    this fixture."""
+    d = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy()
+    dstr = pa.array(d.astype("U"), pa.string())
+    tlds = np.array([".example.com", ".example.co.uk", ".demo.org",
+                     ".blog.github.io"])
+    j = pc.binary_join_element_wise
+    track = pc.if_else(
+        pa.array(d % 3 == 0), "&utm_source=feed",
+        pc.if_else(pa.array(d % 3 == 1), j("&gclid=g", dstr, ""), ""))
+    return j(
+        "https://",
+        pa.array(np.where(d % 6 < 2, "WWW.", "")),
+        pa.array(np.where(d % 2 == 0, "Site", "site")),
+        pa.array((d % 7).astype("U"), pa.string()),
+        pa.array(tlds[d % 4]),
+        pa.array(np.where(d % 5 == 0, ":443", "")),
+        "/docs/", pa.array((d % 10).astype("U"), pa.string()),
+        "?b=", pa.array((d % 3).astype("U"), pa.string()),
+        "&a=", pa.array((d % 2).astype("U"), pa.string()),
+        track,
+        pc.if_else(pa.array(d % 2 == 0), j("#sec", dstr, ""), ""),
+        "",
+    )
+
+
+def url_canonical_dedup(sf_dir: str, k: int = 50):
+    """Canonical-URL dedup — the crawl-frontier pre-keying stage in
+    front of the reference's url-keyed store (``BASELINE.json
+    input_hint``; one graph per url). Vectorized parse → canonicalize
+    per batch (``functions/weburl.py``), per-batch partial counts on
+    dictionary codes (one row per distinct canonical per batch crosses
+    the shuffle), bounded-partition fold, global top-k."""
+    from ..functions.weburl import canonicalize_urls
+    from ..shuffle_utils import add_partition_id
+
+    def partial(batch: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(_synthetic_urls(batch))["canonical"]
+        enc = pc.dictionary_encode(canon.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        doc = pc.cast(batch["doc_id"], pa.int64()).to_numpy()
+        nkeys = len(enc.dictionary)
+        mind = np.full(nkeys, np.iinfo(np.int64).max)
+        np.minimum.at(mind, codes, doc)
+        t = pa.table({
+            "canonical_url": enc.dictionary,
+            "n": np.bincount(codes, minlength=nkeys).astype(np.int64),
+            "min_doc": mind,
+        })
+        return add_partition_id(t, "canonical_url", 16, col="pid")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df["canonical_url"].to_numpy()
+        uniq, inv = np.unique(vals, return_inverse=True)
+        n = np.bincount(inv, weights=df["n"].to_numpy()).astype(np.int64)
+        mind = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mind, inv, df["min_doc"].to_numpy())
+        return pd.DataFrame({"canonical_url": uniq, "n_dupes": n,
+                             "first_doc": mind})
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(fold, batch_format="pandas")
+        .sort(["n_dupes", "canonical_url"], descending=[True, False])
+        .limit(k)
+    )
+
+
+URL_CANONICAL_DEDUP_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk'
+        WHEN 2 THEN '.demo.org' ELSE '.blog.github.io' END)
+    || '/docs/' || CAST(doc_id % 10 AS VARCHAR)
+    || '?' || array_to_string(list_sort(list_filter(string_split(
+         'b=' || CAST(doc_id % 3 AS VARCHAR)
+         || '&a=' || CAST(doc_id % 2 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed'
+             WHEN doc_id % 3 = 1 THEN '&gclid=g' || CAST(doc_id AS VARCHAR)
+             ELSE '' END), '&'),
+         t -> NOT (starts_with(t, 'utm_') OR starts_with(t, 'gclid=')
+                   OR starts_with(t, 'fbclid=') OR starts_with(t, 'msclkid=')
+                   OR starts_with(t, 'ref=')))), '&')
+    AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dupes,
+       min(doc_id) AS first_doc
+FROM c GROUP BY canonical_url
+ORDER BY n_dupes DESC, canonical_url LIMIT 50
+"""
+
+
+def url_domain_stats(sf_dir: str):
+    """Per-registrable-domain corpus stats (eTLD+1 grouping — the
+    standard web-pipeline aggregation unit): docs, distinct hosts,
+    total chars. Parse/canonicalize/domain run vectorized per batch;
+    the shuffle carries one (domain, host) partial per batch; the
+    final per-domain fold is a bounded ``map_groups`` (domain
+    cardinality ~ eTLD count, lang-dist-like)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.weburl import canonicalize_urls, registrable_domains
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = canonicalize_urls(_synthetic_urls(batch))
+        dom = registrable_domains(c["host"])
+        enc = pc.dictionary_encode(c["host"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nkeys = len(enc.dictionary)
+        chars = pc.cast(batch["n_chars"], pa.int64()).to_numpy()
+        first = np.full(nkeys, -1)
+        np.maximum.at(first, codes, np.arange(len(codes)))
+        return pa.table({
+            "domain": pc.take(dom, pa.array(first)),
+            "host": enc.dictionary,
+            "n_docs": np.bincount(codes, minlength=nkeys).astype(np.int64),
+            "sum_chars": np.bincount(
+                codes, weights=chars, minlength=nkeys).astype(np.int64),
+        })
+
+    per_host = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["domain", "host"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": [g["domain"].iloc[0]],
+            "n_docs": [np.int64(g["n_docs"].sum())],
+            "n_hosts": [np.int64(len(g))],
+            "sum_chars": [np.int64(g["sum_chars"].sum())],
+        })
+
+    return per_host.groupby("domain").map_groups(
+        fold, batch_format="pandas").sort("domain")
+
+
+def _registrable_sql_pattern() -> str:
+    from ..functions.weburl import REGISTRABLE_PATTERN
+
+    return REGISTRABLE_PATTERN.replace("(?P<reg>", "(")
+
+
+URL_DOMAIN_STATS_SQL = r"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+    'site' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk'
+        WHEN 2 THEN '.demo.org' ELSE '.blog.github.io' END) AS host
+  FROM documents
+), d AS (
+  SELECT doc_id, n_chars, host,
+         regexp_extract(host, '__REG_PATTERN__', 1) AS domain
+  FROM h
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY domain ORDER BY domain
+"""
+
+
 def dedup_suite(sf_dir: str):
     """Every near-dedup surface in one driver entry (the
     ``kg_bgp_features`` consolidation pattern — the driver grades a
@@ -4150,6 +4327,7 @@ def dedup_suite(sf_dir: str):
             "minhash_dedup": minhash_dedup,
             "minhash_dedup_keep": minhash_dedup_keep,
             "ngram_jaccard_pairs": ngram_jaccard_q,
+            "pair_ngram_overlap": pair_ngram_overlap,
             "rolling_fingerprints": doc_rolling_fingerprints,
             "semdedup_docs": semdedup_docs,
             "simhash_pairs": simhash_pairs,
@@ -4192,6 +4370,7 @@ def embed_text_suite(sf_dir: str):
             "top_docs_by_len": top_docs_by_len,
             "weighted_sample_docs": weighted_sample_docs,
             "text_index_bm25": text_index_bm25,
+            "token_frequencies": token_frequencies,
         },
         sf_dir,
     )
@@ -4232,7 +4411,7 @@ def registry():
         "exact_dedup": exact_dedup_docs,
         "pack_sequences": pack_sequences_q,
         "collocations": collocations,
-        "token_frequencies": token_frequencies,
+        "url_canonical_dedup": url_canonical_dedup,
         "fineweb_filter": fineweb_filter_docs,
         "stratified_sample": stratified_sample,
         "pii_redact": pii_redact_docs,
@@ -4245,7 +4424,7 @@ def registry():
         "top_terms_per_lang": top_terms_per_lang,
         "centroid_outliers": centroid_outliers,
         "train_val_split": train_val_split,
-        "pair_ngram_overlap": pair_ngram_overlap,
+        "url_domain_stats": url_domain_stats,
         "source_mix_sample": source_mix_sample,
         # rows-only (non-SQL-expressible; correctness via pytest oracles).
         # ORDER MATTERS: the driver grades a bounded PREFIX of the
@@ -4262,6 +4441,8 @@ def registry():
         "dedup_suite": dedup_suite,
         "embed_text_suite": embed_text_suite,
         # ---- driver-cap watermark (position 50) ----
+        "token_frequencies": token_frequencies,
+        "pair_ngram_overlap": pair_ngram_overlap,
         "revenue_q6": rel.revenue_q6,
         "distinct_priorities": rel.distinct_priorities,
         "events_metadata": rel.events_metadata,
@@ -4375,6 +4556,9 @@ def oracles():
         "distinct_priorities": rel.DISTINCT_PRIORITIES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "token_frequencies": TOKEN_FREQUENCIES_SQL,
+        "url_canonical_dedup": URL_CANONICAL_DEDUP_SQL,
+        "url_domain_stats": URL_DOMAIN_STATS_SQL.replace(
+            "__REG_PATTERN__", _registrable_sql_pattern()),
         "fineweb_filter": _fineweb_sql(),
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_redact": _pii_sql(),
