@@ -3,9 +3,10 @@
 The image/audio codec libraries are not available in this environment, so
 the *decode kernels* come in three tiers:
 
-- a REAL vendored PNG codec (:mod:`.png`, pure numpy + stdlib zlib) so
-  the real-codec branch executes and is tested, not trusted — PIL takes
-  over transparently when installed;
+- REAL vendored codecs so the real-codec branch executes and is
+  tested, not trusted: PNG (:mod:`.png`, pure numpy + stdlib zlib; PIL
+  takes over transparently when installed), WAV (:mod:`.audio`, stdlib
+  RIFF), and the YUV4MPEG2 video container (:mod:`.y4m`);
 - a clearly-marked :class:`NotImplementedError` branch for the codecs
   that genuinely need native libraries (``jpeg``/``webp``/``wav``…); and
 - a deterministic ``fake-v1`` codec (self-describing header) used by
@@ -58,31 +59,49 @@ def encode_fake_image(media_id: int, h: int, w: int, seed: int = 3) -> bytes:
 _FAKE_VIDEO_MAGIC = b"FAKEV"
 
 
+def fake_video_frames(media_id: int, n_frames: int, h: int, w: int,
+                      seed: int = 3) -> np.ndarray:
+    """The deterministic synthetic frame stack ``(n, h, w)`` u8 shared
+    by every video codec's synthetic table — encoding the SAME frames
+    under different containers is what lets the cross-codec dedup
+    parity tests exist."""
+    rng = np.random.default_rng(seed * 2_000_003 + media_id)
+    return rng.integers(0, 256, size=(n_frames, h, w), dtype=np.uint8)
+
+
 def encode_fake_video(media_id: int, n_frames: int, h: int, w: int,
                       seed: int = 3) -> bytes:
     """Deterministic synthetic video: header (n, h, w) + n grayscale
     frames of u8 pixels."""
-    rng = np.random.default_rng(seed * 2_000_003 + media_id)
-    frames = rng.integers(0, 256, size=n_frames * h * w, dtype=np.uint8)
+    frames = fake_video_frames(media_id, n_frames, h, w, seed)
     return (_FAKE_VIDEO_MAGIC + struct.pack("<III", n_frames, h, w)
             + frames.tobytes())
 
 
 def decode_video_payload(codec: str, payload: bytes) -> np.ndarray:
-    """(n_frames, h, w) u8 array for the deterministic test codec; real
-    containers (mp4/webm) need ffmpeg-class libraries absent here."""
+    """(n_frames, h, w) u8 luma array. ``y4m`` is a REAL container
+    (YUV4MPEG2, :mod:`.y4m` — pure-numpy parser); ``fake-video-v1`` is
+    the deterministic test codec; compressed containers (mp4/webm) need
+    ffmpeg-class libraries absent here."""
     if codec == "fake-video-v1":
         if payload[:5] != _FAKE_VIDEO_MAGIC:
             raise ValueError("corrupt fake-video-v1 payload (bad magic)")
         n, h, w = struct.unpack("<III", payload[5:17])
         return np.frombuffer(payload[17:], dtype=np.uint8).reshape(n, h, w)
+    if codec == "y4m":
+        from .y4m import decode_y4m
+
+        return decode_y4m(payload)[0]
     raise NotImplementedError(
         f"video codec {codec!r} requires ffmpeg-class libraries not "
-        "present in this environment; use codec='fake-video-v1'"
+        "present in this environment; use codec='y4m' (vendored "
+        "YUV4MPEG2 parser) or 'fake-video-v1' (deterministic test codec)"
     )
 
 
 def decode_payload(codec: str, payload: bytes) -> np.ndarray:
+    if codec in ("fake-video-v1", "y4m"):  # (n, h, w) luma stack
+        return decode_video_payload(codec, payload)
     if codec == "fake-v1":
         if payload[:5] != _FAKE_MAGIC:
             raise ValueError("corrupt fake-v1 payload (bad magic)")
@@ -244,16 +263,31 @@ def sample_frames(video_ds, stride: int = 4, batch_size: int = 16,
 
 
 def synthetic_video_table(n: int, n_frames: int = 16, h: int = 16,
-                          w: int = 16, seed: int = 3) -> pa.Table:
+                          w: int = 16, seed: int = 3,
+                          codec: str = "fake-video-v1",
+                          id_base: int = 0) -> pa.Table:
+    """Synthetic video rows under any supported container. The frames
+    for a given ``(media_id - id_base, seed)`` are identical across
+    codecs (:func:`fake_video_frames`), so tables produced with
+    different ``codec`` values are perceptual twins."""
+    if codec == "y4m":
+        from .y4m import encode_y4m
+
+        payloads = [
+            encode_y4m(fake_video_frames(i, n_frames, h, w, seed))
+            for i in range(n)
+        ]
+    elif codec == "fake-video-v1":
+        payloads = [encode_fake_video(i, n_frames, h, w, seed)
+                    for i in range(n)]
+    else:
+        raise NotImplementedError(f"no synthetic encoder for {codec!r}")
     return pa.table(
         {
-            "media_id": pa.array(range(n), pa.int64()),
+            "media_id": pa.array(range(id_base, id_base + n), pa.int64()),
             "media_type": pa.array(["video"] * n, pa.string()),
-            "codec": pa.array(["fake-video-v1"] * n, pa.string()),
-            "payload": pa.array(
-                [encode_fake_video(i, n_frames, h, w, seed) for i in range(n)],
-                pa.binary(),
-            ),
+            "codec": pa.array([codec] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
         }
     ).cast(MEDIA_SCHEMA)
 

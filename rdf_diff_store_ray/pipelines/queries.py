@@ -2008,6 +2008,40 @@ def multimodal_frames(sf_dir: str):
     return out.select_columns(["media_id", "frame_id", "height", "width"])
 
 
+def multimodal_y4m(sf_dir: str):
+    """REAL-container video path (round-4): the same synthetic frames
+    encoded as YUV4MPEG2 streams (vendored :mod:`..functions.y4m`
+    parser — real header grammar, real plane layout) and as the fake
+    test codec, run through frame sampling + perceptual dedup. The
+    dedup must pair each Y4M video with its fake-codec twin across
+    containers, and the per-frame features must agree exactly."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        decode_features,
+        media_dedup,
+        sample_frames,
+        synthetic_video_table,
+    )
+
+    n = 24
+    fake = synthetic_video_table(n=n, n_frames=8, h=16, w=16)
+    y4m = synthetic_video_table(n=n, n_frames=8, h=16, w=16,
+                                codec="y4m", id_base=1000)
+    media = pa.concat_tables([fake, y4m])
+    frames = decode_features(
+        sample_frames(rd.from_arrow(media), stride=4), batch_size=16
+    ).select_columns(["media_id", "frame_id", "height", "width"])
+    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
+    out = frames.to_pandas().merge(
+        dedup[["media_id", "keep", "dup_of"]], on="media_id"
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["media_id", "frame_id"], ignore_index=True),
+        preserve_index=False,
+    )
+
+
 # ------------------------------------------------------------- KG -----------
 _BUILD_MEMO: dict = {}
 
@@ -4362,6 +4396,7 @@ def embed_text_suite(sf_dir: str):
             "multimodal_frames": multimodal_frames,
             "multimodal_png": multimodal_png,
             "multimodal_audio": multimodal_audio,
+            "multimodal_y4m": multimodal_y4m,
             "quantize_embeddings": quantize_embeddings_q,
             "train_shards": train_shards,
             "shard_epoch_order": shard_epoch_order,
@@ -4511,6 +4546,7 @@ def registry():
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
         "multimodal_audio": multimodal_audio,
+        "multimodal_y4m": multimodal_y4m,
         "media_dedup": media_dedup_q,
         "quantize_embeddings": quantize_embeddings_q,
         "multimodal_frames": multimodal_frames,
