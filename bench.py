@@ -169,7 +169,7 @@ def run_bench() -> dict:
             "text_index_search", "kg_churn", "chunk_docs",
             "kg_rdfs_entailment", "kg_entity_components",
             "events_interval_join", "chunk_embed_search",
-            "url_canonical_dedup", "url_domain_stats",
+            "url_canonical_dedup", "url_domain_stats", "kg_link_graph",
         ):
             timed(name, q.registry()[name])
 

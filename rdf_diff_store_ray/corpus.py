@@ -92,6 +92,7 @@ class Corpus:
     gazetteer: dict
     variant_truth: dict  # unknown surface -> eid
     snapshot_times: list  # unix seconds, ascending
+    links: pa.Table | None = None  # ground truth when n_links > 0
 
     def write(self, out_dir: str) -> None:
         import os
@@ -236,10 +237,15 @@ def _page_facts(primary: _Entity, orgs, cities, rng: np.random.Generator,
     return facts
 
 
-def _render(title: str, sentences, rng: np.random.Generator):
+def _render(title: str, sentences, rng: np.random.Generator,
+            links: list | None = None):
     """Build (html_bytes, ground_truth_text). HTML-side-only noise: entity
     escaping, random double spaces, tab indentation — the extractor must
-    normalize all of it away to reproduce ``text`` byte-identically."""
+    normalize all of it away to reproduce ``text`` byte-identically.
+    ``links`` (hrefs, optional) render inside ``<nav>``, which the
+    extractor drops wholesale — link density never perturbs the
+    extraction ground truth, and ``links=None`` emits byte-identical
+    pages to the pre-knob corpus."""
     text = "\n".join([title] + list(sentences))
 
     def noisy(s: str) -> str:
@@ -248,12 +254,17 @@ def _render(title: str, sentences, rng: np.random.Generator):
             esc = esc.replace(" ", "  ", 1)
         return esc
 
+    nav_links = "".join(
+        f' | <a href="{_htmlmod.escape(h, quote=True)}">ref</a>'
+        for h in (links or [])
+    )
     paras = "\n".join(f"\t<p>{noisy(s)}</p>" for s in sentences)
     doc = (
         "<html><head><title>corpus page</title>"
         "<script>var t=1;</script><style>.x{color:red}</style></head>\n"
         "<body>\n"
-        '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>\n'
+        '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+        f"{nav_links}</nav>\n"
         "<header><h2>site banner</h2></header>\n"
         f"<main>\n<h1>{noisy(title)}</h1>\n{paras}\n</main>\n"
         "<footer>(c) 2024 example.org - generated</footer>\n"
@@ -285,16 +296,31 @@ def _filler_pool(rng: np.random.Generator, size: int = 256) -> list:
     return out
 
 
+def _page_url(u: int) -> str:
+    return f"https://site{u % 7}.example/page{u:06d}"
+
+
 def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
-             filler_sentences: int = 0, entity_skew: float = 0.0) -> Corpus:
+             filler_sentences: int = 0, entity_skew: float = 0.0,
+             n_links: int = 0) -> Corpus:
     """Deterministic corpus. ~``n_urls * n_snapshots * 0.8`` page rows.
     ``filler_sentences`` > 0 pads every page with that many deterministic
     non-fact body sentences (bench realism knob; default 0 keeps the
     small test corpora byte-stable). ``entity_skew`` > 0 draws relation
     partners power-law style (``index = n * u^(1+skew)``): a few head
     entities dominate mentions — the high-degree-node case the north
-    rule's skew handling must survive. 0 keeps the uniform draw."""
+    rule's skew handling must survive. 0 keeps the uniform draw.
+    ``n_links`` > 0 puts that many ``<a href>`` anchors in each rendered
+    page's ``<nav>`` (absolute / root-relative / relative / fragment
+    forms) and fills :attr:`Corpus.links` with the per-page-row ground
+    truth ``(url, warc_ts, href, resolved)`` — ``resolved`` is the
+    CANONICAL absolute target (fragment dropped), i.e. what resolve →
+    canonicalize should produce. The draws come from a SEPARATE rng
+    stream, so the default corpus stays byte-stable."""
     rng = np.random.default_rng(seed)
+    link_rng = (np.random.default_rng(seed * 1_000_003 + 424_243)
+                if n_links else None)
+    lcols: dict = {k: [] for k in ("url", "warc_ts", "href", "resolved")}
     filler = _filler_pool(rng) if filler_sentences else []
     # entity vocabulary grows sublinearly and is capped: a web corpus 10×
     # bigger does not carry 10× more distinct organizations, and the
@@ -327,7 +353,7 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
 
     for u in range(n_urls):
         primary = orgs[u % len(orgs)]
-        url = f"https://site{u % 7}.example/page{u:06d}"
+        url = _page_url(u)
         lang = _LANGS[int(rng.integers(len(_LANGS)))]
         facts = _page_facts(primary, orgs, cities, rng, entity_skew)
         title = f"{primary.name} company profile"
@@ -380,14 +406,38 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
                     )
                 for _ in range(filler_sentences):
                     sent_texts.append(filler[int(rng.integers(len(filler)))])
-                html_b, text = _render(title, sent_texts, rng)
-                rendered = (html_b, text, trips)
-            html_b, text, trips = rendered
+                page_links = []
+                if n_links:
+                    host = f"https://site{u % 7}.example"
+                    for _ in range(n_links):
+                        v = int(link_rng.integers(n_urls))
+                        form = int(link_rng.integers(4))
+                        target = _page_url(v)
+                        if form == 0:  # absolute (often cross-host)
+                            page_links.append((target, target))
+                        elif form == 1:  # root-relative, same host
+                            page_links.append(
+                                (f"/page{v:06d}", f"{host}/page{v:06d}"))
+                        elif form == 2:  # relative (base dir is "/")
+                            page_links.append(
+                                (f"page{v:06d}", f"{host}/page{v:06d}"))
+                        else:  # absolute + fragment (canonicalizer drops)
+                            page_links.append((f"{target}#sec", target))
+                html_b, text = _render(
+                    title, sent_texts, rng,
+                    links=[h for h, _ in page_links] or None)
+                rendered = (html_b, text, trips, page_links)
+            html_b, text, trips, page_links = rendered
             cols["url"].append(url)
             cols["warc_ts"].append(ts)
             cols["html"].append(html_b)
             cols["text"].append(text)
             cols["lang"].append(lang)
+            for href, res in page_links:
+                lcols["url"].append(url)
+                lcols["warc_ts"].append(ts)
+                lcols["href"].append(href)
+                lcols["resolved"].append(res)
             for s, p, o, lit in trips:
                 tcols["subj"].append(s)
                 tcols["pred"].append(p)
@@ -415,4 +465,15 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
             "warc_ts": pa.array(tcols["warc_ts"], pa.timestamp("s")),
         }
     )
-    return Corpus(pages, expected, gazetteer, variant_truth, snapshot_times)
+    links = None
+    if n_links:
+        links = pa.table(
+            {
+                "url": pa.array(lcols["url"], pa.string()),
+                "warc_ts": pa.array(lcols["warc_ts"], pa.timestamp("s")),
+                "href": pa.array(lcols["href"], pa.string()),
+                "resolved": pa.array(lcols["resolved"], pa.string()),
+            }
+        )
+    return Corpus(pages, expected, gazetteer, variant_truth, snapshot_times,
+                  links)

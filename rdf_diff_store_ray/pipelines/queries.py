@@ -3971,6 +3971,88 @@ def kg_related_entities(sf_dir: str, k: int = 15):
     )
 
 
+def _linked_corpus_for(sf_dir: str) -> str:
+    """Pages corpus WITH in-page hyperlinks (``corpus.generate(
+    n_links=5)``), cached beside the kg build cache. The link knob uses
+    a separate RNG stream, so this corpus's facts/HTML noise match the
+    plain kg corpus byte-for-byte except for the extra ``<nav>``
+    anchors. Returns the corpus directory."""
+    import pyarrow.parquet as pq
+
+    from .. import corpus as corpus_mod
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_urls = int(min(400, max(40, n_docs // 12)))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        KG_CACHE_ROOT, f"v{KG_CACHE_VERSION}_{tag}_links_u{n_urls}")
+    corpus_dir = os.path.join(root, "corpus")
+    if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
+        c = corpus_mod.generate(
+            n_urls=n_urls, n_snapshots=5, seed=42, n_links=5)
+        c.write(corpus_dir)
+    return corpus_dir
+
+
+def kg_link_graph(sf_dir: str, k: int = 30):
+    """Web link graph from raw crawl HTML — the stage that connects the
+    reference's one-graph-per-url stores (``src/git.rs:110-120``) into a
+    web: extract every anchor (vectorized, no HTML parser), resolve each
+    href against its page URL (RFC 3986 §5, ``functions/weblinks.py``),
+    canonicalize to hosts, reduce to host-level edges, PageRank the host
+    graph. Per-batch work is a flat-map explode + partial edge counts
+    (one row per distinct edge per batch crosses the shuffle); the fold
+    is a bounded-partition ``map_groups``; only the HOST graph — eTLD
+    cardinality, not page cardinality — reaches the driver for the
+    rank/degree join."""
+    import ray.data as rd
+
+    from ..functions.graph import pagerank
+    from ..functions.weblinks import host_edges, links_batch
+
+    corpus_dir = _linked_corpus_for(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus_dir, "pages.parquet"), columns=["url", "html"])
+    partials = pages.map_batches(
+        links_batch, batch_format="pyarrow"
+    ).map_batches(host_edges, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_host"].to_numpy()
+        dst = df["dst_host"].to_numpy()
+        pair = np.char.add(np.char.add(src.astype("U"), "\x1f"),
+                           dst.astype("U"))
+        uniq, first, inv = np.unique(
+            pair, return_index=True, return_inverse=True)
+        n = np.bincount(inv, weights=df["n"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"src_host": src[first], "dst_host": dst[first],
+                             "n": n})
+
+    edges = (
+        partials.groupby("pid")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # host-cardinality table, re-read by rank + degree
+    )
+    ranks = pagerank(
+        edges.map_batches(
+            lambda b: pa.table({"src": b["src_host"], "dst": b["dst_host"]}),
+            batch_format="pyarrow",
+        ),
+        n_iter=20,
+    ).to_pandas()
+    deg = edges.to_pandas()
+    out_links = deg.groupby("src_host")["n"].sum()
+    in_links = deg.groupby("dst_host")["n"].sum()
+    df = ranks.assign(
+        out_links=ranks["node"].map(out_links).fillna(0).astype("int64"),
+        in_links=ranks["node"].map(in_links).fillna(0).astype("int64"),
+    ).rename(columns={"node": "host"})
+    df = df.sort_values(["rank", "host"], ascending=[False, True],
+                        ignore_index=True).head(k)
+    return df.assign(
+        rank_pos=np.arange(1, len(df) + 1, dtype="int64"))
+
+
 def kg_churn(sf_dir: str, k: int = 20):
     """Per-entity CHANGE frequency over the store's full history — the
     temporal analytic only a versioned store can answer (which entities'
@@ -4134,6 +4216,7 @@ def kg_analytics(sf_dir: str):
             "diff": kg_diff,
             "entity_components": kg_entity_components,
             "entity_degree": kg_entity_degree,
+            "link_graph": kg_link_graph,
             "metadata": kg_metadata,
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
@@ -4570,6 +4653,7 @@ def registry():
         "kg_entity_components": kg_entity_components,
         "chunk_embed_search": chunk_embed_search,
         "kg_related_entities": kg_related_entities,
+        "kg_link_graph": kg_link_graph,
     }
 
 

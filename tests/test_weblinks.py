@@ -1,0 +1,203 @@
+"""Link extraction + RFC 3986 resolution: HTMLParser/urljoin oracles,
+corpus ground-truth parity, host-edge partials."""
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdf_diff_store_ray import corpus
+from rdf_diff_store_ray.functions.weblinks import (
+    extract_hrefs,
+    host_edges,
+    links_batch,
+    resolve_refs,
+)
+from tests.test_graph import _dense_pagerank
+
+
+class _Anchors(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.hrefs = []
+
+    def handle_starttag(self, tag, attrs):
+        for k, v in attrs:
+            if k == "href" and v is not None:
+                self.hrefs.append(v)
+
+
+def _oracle(html: str) -> list:
+    p = _Anchors()
+    p.feed(html)
+    return p.hrefs
+
+
+def test_extract_matches_htmlparser_on_corpus_pages():
+    c = corpus.generate(n_urls=18, n_snapshots=3, seed=9, n_links=4)
+    htmls = [h.decode() for h in c.pages["html"].to_pylist()]
+    rows, hrefs = extract_hrefs(pa.array(htmls))
+    got = {}
+    for r, h in zip(rows.tolist(), hrefs.to_pylist()):
+        got.setdefault(r, []).append(h)
+    for i, html in enumerate(htmls):
+        assert sorted(got[i]) == sorted(_oracle(html)), f"page {i}"
+
+
+def test_extract_quote_styles_and_entities():
+    html = pa.array([
+        '<a href="/a">x</a> <a href=\'/b?x=1&amp;y=2\'>y</a>'
+        '<img src="i.png"><link href="/c.css">',
+        "no links here",
+        None,
+    ])
+    rows, hrefs = extract_hrefs(html)
+    by_row = {}
+    for r, h in zip(rows.tolist(), hrefs.to_pylist()):
+        by_row.setdefault(r, []).append(h)
+    assert sorted(by_row[0]) == ["/a", "/b?x=1&y=2", "/c.css"]
+    assert 1 not in by_row and 2 not in by_row
+
+
+def test_extract_non_utf8_html_is_tolerated():
+    rows, hrefs = extract_hrefs(pa.array(
+        [b'<a href="/ok">x</a>\xff\xfe', b"\xff"], pa.binary()))
+    assert hrefs.to_pylist() == ["/ok"]
+    assert rows.tolist() == [0]
+
+
+RESOLVE_CASES = [
+    ("https://h.example/a/b?q=1#f", "https://x.org/p"),
+    ("https://h.example/a/b?q=1#f", "//x.org/p"),
+    ("https://h.example/a/b?q=1#f", "/p/q"),
+    ("https://h.example/a/b?q=1#f", "p"),
+    ("https://h.example/a/b?q=1#f", "p/q#g"),
+    ("https://h.example/a/b?q=1#f", "?x=2"),
+    ("https://h.example/a/b?q=1#f", "#g"),
+    ("https://h.example/a/b?q=1#f", ""),
+    ("https://h.example/a/b/", "../c"),
+    ("https://h.example/a/b/", "../../c"),
+    ("https://h.example/a/b/", "../../../c"),
+    ("https://h.example/a/b/c", "./d"),
+    ("https://h.example/a/b/c", "."),
+    ("https://h.example/a/b/c", ".."),
+    ("https://h.example:8080/a", "/p"),
+    ("https://h.example/", "a/./b/../c"),
+    ("http://h.example/x", "ftp://f.example/z"),
+]
+
+
+def test_resolve_matches_urljoin_cases():
+    bases = pa.array([b for b, _ in RESOLVE_CASES])
+    refs = pa.array([r for _, r in RESOLVE_CASES])
+    got = resolve_refs(bases, refs).to_pylist()
+    for (b, r), g in zip(RESOLVE_CASES, got):
+        assert g == urljoin(b, r), f"urljoin({b!r}, {r!r})"
+
+
+@given(
+    st.sampled_from(["https://h.example", "http://h.example:81"]),
+    st.lists(st.sampled_from(["a", "b.html", ".", "..", "c-d"]),
+             max_size=4),
+    st.sampled_from(["", "?q=1", "#f", "?q=1#f"]),
+    st.one_of(
+        st.sampled_from(["", "#g", "?y=2", "/abs", "//other.org/p",
+                         "https://abs.org/q"]),
+        st.lists(st.sampled_from(["x", "..", ".", "y.png"]),
+                 min_size=1, max_size=4).map("/".join),
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_resolve_matches_urljoin_property(origin, segs, suffix, ref):
+    base = origin + "/" + "/".join(segs) + suffix
+    got = resolve_refs(pa.array([base]), pa.array([ref])).to_pylist()[0]
+    assert got == urljoin(base, ref), f"urljoin({base!r}, {ref!r})"
+
+
+def test_resolve_invalid_base_is_null():
+    got = resolve_refs(pa.array(["notaurl", None]),
+                       pa.array(["/p", "/p"]))
+    assert got.to_pylist() == [None, None]
+
+
+def test_links_batch_matches_corpus_ground_truth():
+    """End-to-end: extract → resolve → canonicalize equals the corpus
+    links table exactly (the nav's static '/' and '/about' anchors are
+    accounted for separately)."""
+    from rdf_diff_store_ray.functions.weburl import canonicalize_urls
+
+    c = corpus.generate(n_urls=21, n_snapshots=3, seed=5, n_links=3)
+    out = links_batch(c.pages.select(["url", "html"]))
+    canon = canonicalize_urls(out["resolved"])["canonical"]
+    df = out.to_pandas().assign(canonical=canon.to_pylist())
+    static = df[df["href"].isin(["/", "/about"])]
+    assert len(static) == 2 * c.pages.num_rows
+    got = df[~df["href"].isin(["/", "/about"])]
+    truth = c.links.to_pandas()
+    assert len(got) == len(truth)
+    g = got.sort_values(["url", "href", "canonical"], ignore_index=True)
+    t = truth.sort_values(["url", "href", "resolved"], ignore_index=True)
+    assert g["url"].tolist() == t["url"].tolist()
+    assert g["href"].tolist() == t["href"].tolist()
+    assert g["canonical"].tolist() == t["resolved"].tolist()
+
+
+def test_kg_link_graph_matches_dense_oracle(ray_session):
+    """The registry entry end-to-end vs an independent stack:
+    HTMLParser extraction → urljoin resolution → urlsplit hosts →
+    dense numpy PageRank."""
+    from urllib.parse import urlsplit
+
+    import pyarrow.parquet as pq
+
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = q.kg_link_graph(sf_dir)
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    c = corpus.generate(
+        n_urls=int(min(400, max(40, n_docs // 12))), n_snapshots=5,
+        seed=42, n_links=5)
+    edge_n: dict = {}
+    for url, html in zip(c.pages["url"].to_pylist(),
+                         c.pages["html"].to_pylist()):
+        src = urlsplit(url).hostname
+        for href in _oracle(html.decode()):
+            dst = urlsplit(urljoin(url, href)).hostname
+            if src and dst:
+                edge_n[(src, dst)] = edge_n.get((src, dst), 0) + 1
+    ranks = _dense_pagerank(list(edge_n))
+
+    assert list(got.columns) == ["host", "rank", "out_links", "in_links",
+                                 "rank_pos"]
+    exp = sorted(ranks.items(), key=lambda kv: (-round(kv[1], 10), kv[0]))
+    assert got["host"].tolist() == [h for h, _ in exp[: len(got)]]
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), [r for _, r in exp[: len(got)]], atol=1e-8)
+    for _, row in got.iterrows():
+        assert row["out_links"] == sum(
+            n for (s, _), n in edge_n.items() if s == row["host"])
+        assert row["in_links"] == sum(
+            n for (_, d), n in edge_n.items() if d == row["host"])
+    assert got["rank_pos"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_host_edges_partials():
+    rows = pa.table({
+        "url": pa.array(["https://a.example/p1", "https://a.example/p2",
+                         "https://b.example/p", "bad", None]),
+        "href": pa.array(["x"] * 5),
+        "resolved": pa.array(["https://b.example/q", "https://b.example/r",
+                              "https://a.example/s", "https://a.example/t",
+                              None]),
+    })
+    e = host_edges(rows).to_pandas()
+    e = e.set_index(["src_host", "dst_host"])["n"]
+    assert e[("a.example", "b.example")] == 2
+    assert e[("b.example", "a.example")] == 1
+    assert len(e) == 2  # invalid src/dst rows dropped
