@@ -3081,6 +3081,52 @@ def kg_sync(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def kg_warc_roundtrip(sf_dir: str):
+    """WARC container lifecycle (ISO 28500 — the format Common-Crawl
+    pages arrive in, the ``input_hint``'s native serialization): pages →
+    distributed per-partition ``.warc.gz`` sink → streaming datasource
+    read → exact ``(url, warc_ts, html)`` recovery, digested so the
+    driver row pins both directions of the codec."""
+    import hashlib
+    import tempfile
+
+    import ray.data as rd
+
+    from .. import corpus as corpus_mod
+    from ..sources.warc import read_warc, write_warc
+
+    c = corpus_mod.generate(n_urls=24, n_snapshots=4, seed=42)
+    cols = ["url", "warc_ts", "html"]
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "warcs")
+        n = write_warc(rd.from_arrow(c.pages.select(cols)), out,
+                       num_partitions=4)
+        got = read_warc(out).select_columns(cols).to_pandas()
+    got = got.sort_values(["url", "warc_ts"], ignore_index=True)
+    exp = (c.pages.select(cols).to_pandas()
+           .sort_values(["url", "warc_ts"], ignore_index=True))
+    equal = (
+        got["url"].tolist() == exp["url"].tolist()
+        and (got["warc_ts"].astype("datetime64[s]").tolist()
+             == exp["warc_ts"].astype("datetime64[s]").tolist())
+        and got["html"].tolist() == exp["html"].tolist()
+    )
+    payload = "\n".join(
+        f"{u}\t{int(t)}\t{hashlib.sha256(h).hexdigest()[:12]}"
+        for u, t, h in zip(
+            got["url"],
+            got["warc_ts"].astype("datetime64[s]").astype("int64"),
+            got["html"])
+    )
+    return pa.Table.from_pylist([{
+        "step": "roundtrip",
+        "records": int(n),
+        "recovered": int(len(got)),
+        "exact": bool(equal),
+        "digest": hashlib.sha256(payload.encode()).hexdigest()[:16],
+    }])
+
+
 def kg_metrics_export(sf_dir: str):
     """Operational metrics artifact (``GET /metrics`` analog,
     ``src/metrics/mod.rs``): build-stage histograms + manifest counters
@@ -4197,6 +4243,7 @@ def kg_lifecycle(sf_dir: str):
             "sparql_update": kg_sparql_update,
             "sync": kg_sync,
             "turtle_ingest": kg_turtle_ingest,
+            "warc_roundtrip": kg_warc_roundtrip,
             "wire_api": kg_wire_api,
         },
         sf_dir,
@@ -4654,6 +4701,7 @@ def registry():
         "chunk_embed_search": chunk_embed_search,
         "kg_related_entities": kg_related_entities,
         "kg_link_graph": kg_link_graph,
+        "kg_warc_roundtrip": kg_warc_roundtrip,
     }
 
 
