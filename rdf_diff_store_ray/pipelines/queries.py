@@ -3081,6 +3081,117 @@ def kg_sync(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def charset_decode(sf_dir: str):
+    """Crawl-ingestion charset normalization (``functions/charset.py``):
+    a deterministic multi-encoding page table (corpus texts re-encoded
+    in rotating legacy codecs with in-document declarations + BOM
+    variants) → vectorized sniff + grouped decode → per-charset counts
+    and a digest of the recovered texts, which must equal the originals
+    byte-for-byte."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .. import corpus as corpus_mod
+    from ..functions.charset import decode_pages_batch
+
+    c = corpus_mod.generate(n_urls=21, n_snapshots=3, seed=42)
+    texts = c.pages["text"].to_pylist()
+    codecs_cycle = ["utf-8", "latin-1", "cp1251", "shift_jis", "utf-16-le",
+                    "gbk"]
+    rows = {"url": [], "html": [], "want": []}
+    import codecs as _codecs
+
+    for i, t in enumerate(texts):
+        codec = codecs_cycle[i % len(codecs_cycle)]
+        body = t.replace("\n", " ")
+        try:
+            enc = body.encode(codec)
+        except UnicodeEncodeError:
+            codec = "utf-8"
+            enc = body.encode()
+        if codec == "utf-16-le":
+            page = _codecs.BOM_UTF16_LE + f"<p>{body}</p>".encode(codec)
+            want = f"<p>{body}</p>"
+        else:
+            decl = f'<meta charset="{codec}">'.encode("ascii")
+            page = decl + b"<p>" + enc + b"</p>"
+            want = decl.decode() + "<p>" + enc.decode(codec) + "</p>"
+        rows["url"].append(f"https://enc.example/{i}")
+        rows["html"].append(page)
+        rows["want"].append(want)
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(rows["url"]),
+        "html": pa.array(rows["html"], pa.binary()),
+    }))
+    got = (ds.map_batches(decode_pages_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("url", ignore_index=True))
+    import unicodedata
+
+    want_df = pd.DataFrame({"url": rows["url"], "want": [
+        unicodedata.normalize("NFC", w) for w in rows["want"]]}).sort_values(
+        "url", ignore_index=True)
+    exact = bool((got["text_decoded"] == want_df["want"]).all())
+    per_cs = got.groupby("charset", sort=True).size()
+    payload = "\n".join(
+        f"{u}\t{cs}\t{hashlib.sha256(t.encode()).hexdigest()[:12]}"
+        for u, cs, t in zip(got["url"], got["charset"],
+                            got["text_decoded"]))
+    out = [{"charset": k, "n": int(v), "exact": exact,
+            "digest": hashlib.sha256(payload.encode()).hexdigest()[:16]}
+           for k, v in per_cs.items()]
+    return pa.Table.from_pylist(out)
+
+
+def crawl_frontier(sf_dir: str):
+    """Crawl-politeness frontier (``functions/weblinks.py`` →
+    ``functions/robots.py``): extract every anchor from the linked
+    corpus, resolve, then filter under deterministic per-host
+    robots.txt rules (RFC 9309 longest-match) broadcast once via
+    ``ray.put``; returns per-host (allowed, blocked) counts — the
+    fetch-queue accounting a polite crawler runs on."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.robots import compile_rules, frontier_filter_batch
+    from ..functions.weblinks import links_batch
+    from ..functions.weburl import canonicalize_urls
+
+    corpus_dir = _linked_corpus_for(sf_dir)
+    robots = {
+        f"site{i}.example": (
+            "User-agent: graftbot\nDisallow: /page00000\n"
+            f"Allow: /page00000{i}\n"
+            "User-agent: *\nDisallow: /\n")
+        for i in range(7)
+    }
+    rules = compile_rules(robots, agent="graftbot")
+    ref = ray.put(rules)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        out = frontier_filter_batch(batch, ray.get(ref))
+        host = canonicalize_urls(out["resolved"])["host"]
+        allowed = out["crawl_allowed"].combine_chunks() if isinstance(
+            out["crawl_allowed"], pa.ChunkedArray) else out["crawl_allowed"]
+        ok = host.is_valid()
+        t = pa.table({"host": host, "allowed": allowed}).filter(ok)
+        df = t.to_pandas().groupby("host", sort=True)["allowed"].agg(
+            ["sum", "count"]).reset_index()
+        return pa.table({
+            "host": df["host"],
+            "allowed": df["sum"].astype("int64"),
+            "blocked": (df["count"] - df["sum"]).astype("int64"),
+        })
+
+    pages = rd.read_parquet(
+        os.path.join(corpus_dir, "pages.parquet"), columns=["url", "html"])
+    partials = pages.map_batches(
+        links_batch, batch_format="pyarrow"
+    ).map_batches(flt, batch_format="pyarrow")
+    df = partials.to_pandas().groupby("host", sort=True, as_index=False).sum()
+    return df
+
+
 def kg_warc_roundtrip(sf_dir: str):
     """WARC container lifecycle (ISO 28500 — the format Common-Crawl
     pages arrive in, the ``input_hint``'s native serialization): pages →
@@ -4233,6 +4344,8 @@ def kg_lifecycle(sf_dir: str):
     pytest-gated."""
     return _digest_forms(
         {
+            "charset_decode": charset_decode,
+            "crawl_frontier": crawl_frontier,
             "delta_log": kg_delta_log,
             "fsck": kg_fsck,
             "incremental_append": kg_incremental_append,
@@ -4702,6 +4815,8 @@ def registry():
         "kg_related_entities": kg_related_entities,
         "kg_link_graph": kg_link_graph,
         "kg_warc_roundtrip": kg_warc_roundtrip,
+        "charset_decode": charset_decode,
+        "crawl_frontier": crawl_frontier,
     }
 
 
