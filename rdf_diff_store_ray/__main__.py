@@ -65,8 +65,13 @@ def cmd_build(args) -> int:
 
     with open(args.gazetteer) as f:
         gaz = json.load(f)
+    pages = args.pages
+    if args.from_warc:
+        from .pipelines.build import pages_from_warc
+
+        pages = pages_from_warc(args.pages)
     res = build(
-        args.pages,
+        pages,
         args.out,
         gazetteer=gaz,
         num_partitions=args.partitions,
@@ -558,6 +563,10 @@ def main(argv=None) -> int:
     b.add_argument("--gazetteer", required=True)
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--from-warc", action="store_true",
+                   help="--pages is WARC archive(s): stream-parse "
+                        "records, charset-transcode to utf-8, lang-ID "
+                        "(pages_from_warc)")
     b.add_argument("--actor-pools", action="store_true")
     b.add_argument("--canonical-map", choices=["driver", "distributed"],
                    default="driver",

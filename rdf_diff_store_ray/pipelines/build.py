@@ -446,6 +446,71 @@ def _finish_build(out_dir, delta_dir, num_partitions, manifests, done,
     )
 
 
+_INGEST_LANG_ID = None
+
+
+def _ingest_shape_batch(batch):
+    """WARC record batch → build-shaped pages rows (module-level so the
+    task-mode LangId memoizes once per worker, the lang_id_batch
+    pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.charset import decode_html, sniff_charsets
+    from ..functions.text import LangId
+
+    global _INGEST_LANG_ID
+    if _INGEST_LANG_ID is None:
+        _INGEST_LANG_ID = LangId()
+    ct = (batch["content_type"]
+          if "content_type" in batch.column_names else None)
+    cs = sniff_charsets(batch["html"], ct)
+    decoded = decode_html(batch["html"], cs)
+    html8 = pc.cast(pc.fill_null(decoded, ""), pa.binary())
+    langs = [_INGEST_LANG_ID.classify(t or "")
+             for t in decoded.to_pylist()]
+    return pa.table({
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "html": html8,
+        "lang": pa.array(langs, pa.string()),
+        "charset": cs,
+    })
+
+
+def pages_from_warc(warc, *, min_status: int = 200,
+                    max_status: int = 299):
+    """WARC archive(s) → a build-ready pages Dataset — the raw-crawl
+    front door: ``read_warc`` streams records, charset sniff + decode
+    transcodes every page to utf-8 bytes (so the extractor's utf-8
+    decode is exact for shift_jis/windows-125x/utf-16 pages, not
+    replace-mangled), and the n-gram LangId fills ``lang``. Output
+    columns ``(url, warc_ts, html, lang, charset)`` feed
+    :func:`build`/:func:`build_incremental` directly (no ``text``
+    column — real crawls have no extraction ground truth, so digest
+    enforcement is naturally off). Non-2xx responses are dropped (the
+    crawler stored them; the KG should not ingest error pages).
+
+    Everything streams: per-record gzip members never materialize an
+    archive, the charset pass is vectorized per batch, and LangId state
+    memoizes once per worker.
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.warc import read_warc
+
+    ds = warc if hasattr(warc, "map_batches") else read_warc(warc)
+
+    def keep(batch):
+        st = pc.fill_null(batch["http_status"], -1)
+        return batch.filter(pc.and_(
+            pc.greater_equal(st, min_status),
+            pc.less_equal(st, max_status)))
+
+    return (ds.map_batches(keep, batch_format="pyarrow")
+            .map_batches(_ingest_shape_batch, batch_format="pyarrow"))
+
+
 def build_incremental(
     pages,
     out_dir: str,
