@@ -55,6 +55,19 @@ FROM documents
 """
 
 
+def compression_quality(sf_dir: str):
+    """Per-document zlib compression ratio over the documents table —
+    the Gopher-family repetition/boilerplate signal
+    (``functions/text.py:compression_stats_batch``). Rows-only: DuckDB
+    has no compression function, so the oracle is the direct-zlib
+    parity pytest."""
+    from ..functions.text import compression_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_stats_batch, batch_format="pyarrow"
+    )
+
+
 def chunk_docs(sf_dir: str):
     """Overlapping fixed-size chunking of the documents table (RAG /
     context-window preparation): 200-char chunks every 150 chars with
@@ -4626,6 +4639,7 @@ def embed_text_suite(sf_dir: str):
             "approx_distinct_users": rel.approx_distinct_users,
             "bpe_tokenize": bpe_tokenize,
             "chunk_embed_search": chunk_embed_search,
+            "compression_quality": compression_quality,
             "curate_corpus": curate_corpus,
             "doc_fingerprints": doc_fingerprints,
             "lm_perplexity": lm_perplexity_docs,
@@ -4817,6 +4831,7 @@ def registry():
         "kg_warc_roundtrip": kg_warc_roundtrip,
         "charset_decode": charset_decode,
         "crawl_frontier": crawl_frontier,
+        "compression_quality": compression_quality,
     }
 
 
