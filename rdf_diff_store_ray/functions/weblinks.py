@@ -206,6 +206,63 @@ def links_batch(batch: pa.Table, *, url_col: str = "url",
     })
 
 
+def _blocks(xml: pa.Array, tag: str):
+    """(parent_rows, block_texts) for every ``<tag>…`` block, split
+    without an XML parser (sitemaps are machine-generated, one element
+    per line-ish; the split/regroup is the extract_hrefs pattern)."""
+    lists = pc.split_pattern(pc.fill_null(xml, ""), f"<{tag}>")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(xml) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+              out=offsets[1:])
+    keep = np.ones(len(flat), dtype=bool)
+    keep[offsets[:-1][offsets[:-1] < len(flat)]] = False
+    return parent[keep], flat.filter(pa.array(keep))
+
+
+def extract_sitemap_entries(xml) -> pa.Table:
+    """Sitemap / sitemap-index XML column → one row per entry:
+    ``(doc, kind, loc, lastmod)`` — ``kind`` is ``"url"`` (page entry)
+    or ``"sitemap"`` (index entry, the child sitemap to fetch next).
+    Vectorized: per-``<url>``/``<sitemap>`` block split + one
+    ``extract_regex`` per field (each block carries at most one
+    ``<loc>``/``<lastmod>``); URL-legal entities unescaped."""
+    x = _utf8(xml)
+    parts = []
+    for kind in ("url", "sitemap"):
+        rows, blocks = _blocks(x, kind)
+        loc = pc.struct_field(pc.extract_regex(
+            blocks, pattern=r"<loc>\s*(?P<v>[^<]*?)\s*</loc>"), "v")
+        lastmod = pc.struct_field(pc.extract_regex(
+            blocks, pattern=r"<lastmod>\s*(?P<v>[^<]*?)\s*</lastmod>"), "v")
+        ok = loc.is_valid().to_numpy(zero_copy_only=False)
+        vals = loc.drop_null()
+        for ent, ch in _URL_ENTITIES:
+            vals = pc.replace_substring(vals, ent, ch)
+        parts.append(pa.table({
+            "doc": pa.array(rows[ok], pa.int64()),
+            "kind": pa.array([kind] * int(ok.sum()), pa.string()),
+            "loc": vals,
+            "lastmod": lastmod.filter(pa.array(ok)),
+        }))
+    return pa.concat_tables(parts)
+
+
+def sitemap_batch(batch: pa.Table, *, url_col: str = "url",
+                  xml_col: str = "body") -> pa.Table:
+    """``map_batches`` form over fetched sitemap documents → one row
+    per discovered URL: ``(sitemap_url, kind, loc, lastmod)``."""
+    ent = extract_sitemap_entries(batch[xml_col])
+    src = _utf8(batch[url_col]).take(pa.array(ent["doc"]))
+    return pa.table({
+        "sitemap_url": src,
+        "kind": ent["kind"],
+        "loc": ent["loc"],
+        "lastmod": ent["lastmod"],
+    })
+
+
 def host_edges(batch: pa.Table, *, num_partitions: int = 32) -> pa.Table:
     """Resolved-link rows → per-batch PARTIAL host-edge counts
     ``(src_host, dst_host, n, pid)``. Only one row per distinct edge

@@ -187,6 +187,51 @@ def test_kg_link_graph_matches_dense_oracle(ray_session):
     assert got["rank_pos"].tolist() == list(range(1, len(got) + 1))
 
 
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://h.example/a?x=1&amp;y=2</loc>
+       <lastmod>2024-01-02</lastmod></url>
+  <url><loc> https://h.example/b </loc></url>
+  <url><lastmod>2024-01-03</lastmod></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://h.example/sitemap1.xml</loc>
+           <lastmod>2024-02-01</lastmod></sitemap>
+  <sitemap><loc>https://h.example/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_extraction_matches_etree():
+    import xml.etree.ElementTree as ET
+
+    from rdf_diff_store_ray.functions.weblinks import sitemap_batch
+
+    out = sitemap_batch(pa.table({
+        "url": ["https://h.example/sitemap.xml",
+                "https://h.example/sitemap_index.xml"],
+        "body": [SITEMAP, SITEMAP_INDEX],
+    })).to_pandas()
+
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    want = []
+    for src, xml, tag in ((
+            "https://h.example/sitemap.xml", SITEMAP, "url"), (
+            "https://h.example/sitemap_index.xml", SITEMAP_INDEX,
+            "sitemap")):
+        for el in ET.fromstring(xml).findall(f"{ns}{tag}"):
+            loc = el.find(f"{ns}loc")
+            if loc is None:
+                continue
+            lm = el.find(f"{ns}lastmod")
+            want.append((src, tag, loc.text.strip(),
+                         lm.text.strip() if lm is not None else None))
+    got = list(out.itertuples(index=False, name=None))
+    assert sorted(got, key=str) == sorted(want, key=str)
+    assert "https://h.example/a?x=1&y=2" in out["loc"].tolist()
+
+
 def test_host_edges_partials():
     rows = pa.table({
         "url": pa.array(["https://a.example/p1", "https://a.example/p2",
