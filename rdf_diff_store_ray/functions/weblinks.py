@@ -190,20 +190,74 @@ def resolve_refs(bases, hrefs) -> pa.Array:
     return pc.if_else(p["valid"], out, pa.scalar(None, pa.string()))
 
 
+def _nofollow_one_quote(html: pa.Array, quote: str) -> np.ndarray:
+    """Per kept href (same order as :func:`_hrefs_one_quote`): does its
+    anchor tag carry ``rel=…nofollow…``? The tag text around href value
+    k lives in split segments k-1 (opener tail after the last ``<``)
+    and k (attributes after the closing quote, up to ``>``) — both
+    checked vectorized."""
+    lists = pc.split_pattern(pc.fill_null(html, ""), f"href={quote}")
+    flat = pc.list_flatten(lists)
+    offsets = np.zeros(len(html) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+              out=offsets[1:])
+    keep = np.ones(len(flat), dtype=bool)
+    keep[offsets[:-1][offsets[:-1] < len(flat)]] = False
+    vals = pc.extract_regex(
+        flat.filter(pa.array(keep)), pattern=f"^(?P<href>[^{quote}]*){quote}"
+    )
+    ok = pc.struct_field(vals, "href").is_valid().to_numpy(
+        zero_copy_only=False)
+    kept_idx = np.flatnonzero(keep)[ok]
+    # segment k-1's tag-opener tail (we are inside an unclosed tag)
+    pre = pc.extract_regex(
+        flat.take(pa.array(kept_idx - 1)),
+        pattern=r"(?P<t><[^<>]*)$")
+    pre_s = pc.fill_null(pc.struct_field(pre, "t"), "")
+    # segment k's attributes after the closing quote, before ">"
+    rest = pc.extract_regex(
+        flat.take(pa.array(kept_idx)),
+        pattern=f"^[^{quote}]*{quote}(?P<t>[^>]*)")
+    rest_s = pc.fill_null(pc.struct_field(rest, "t"), "")
+    nf = r"""(?i)rel\s*=\s*["']?[^"'>]*nofollow"""
+    return pc.or_(
+        pc.match_substring_regex(pre_s, nf),
+        pc.match_substring_regex(rest_s, nf),
+    ).to_numpy(zero_copy_only=False)
+
+
 def links_batch(batch: pa.Table, *, url_col: str = "url",
-                html_col: str = "html") -> pa.Table:
+                html_col: str = "html",
+                classify: bool = False) -> pa.Table:
     """Page batch → one row per anchor: ``(url, href, resolved)``.
     Flat-map shaped (rows explode); keep batches modest when pages are
-    large."""
-    rows, hrefs = extract_hrefs(batch[html_col])
+    large. ``classify=True`` adds the columns a production link graph
+    filters on: ``nofollow`` (the anchor tag carries
+    ``rel=…nofollow…`` — link-spam hygiene, what PageRank should skip)
+    and ``internal`` (resolved host == page host)."""
+    h = _utf8(batch[html_col])
+    rows, hrefs = extract_hrefs(h)
+    nofollow = None
+    if classify:
+        nofollow = np.concatenate([
+            _nofollow_one_quote(h, '"'), _nofollow_one_quote(h, "'")])
     order = np.argsort(rows, kind="stable")  # document order per page
     rows, hrefs = rows[order], hrefs.take(pa.array(order))
     urls = _utf8(batch[url_col]).take(pa.array(rows))
-    return pa.table({
+    resolved = resolve_refs(urls, hrefs)
+    cols = {
         "url": urls,
         "href": hrefs,
-        "resolved": resolve_refs(urls, hrefs),
-    })
+        "resolved": resolved,
+    }
+    if classify:
+        from .weburl import parse_urls
+
+        cols["nofollow"] = pa.array(nofollow[order])
+        src_host = pc.fill_null(parse_urls(urls)["host"], "")
+        dst_host = pc.fill_null(parse_urls(resolved)["host"], "\x00none")
+        cols["internal"] = pc.equal(src_host, dst_host)
+    return pa.table(cols)
 
 
 def _blocks(xml: pa.Array, tag: str):

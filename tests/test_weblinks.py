@@ -187,6 +187,30 @@ def test_kg_link_graph_matches_dense_oracle(ray_session):
     assert got["rank_pos"].tolist() == list(range(1, len(got) + 1))
 
 
+def test_links_batch_classify_nofollow_and_internal():
+    html = (
+        '<a rel="nofollow" href="/a">pre</a>'
+        '<a href="/b" rel="external nofollow">post</a>'
+        '<a href="/c">plain</a>'
+        "<a rel='nofollow' href='/d'>single</a>"
+        '<a href="https://other.example/e">ext</a>'
+    )
+    out = links_batch(pa.table({
+        "url": ["https://h.example/p"], "html": [html],
+    }), classify=True).to_pandas().set_index("href")
+    assert out.loc["/a", "nofollow"]
+    assert out.loc["/b", "nofollow"]
+    assert not out.loc["/c", "nofollow"]
+    assert out.loc["/d", "nofollow"]
+    assert not out.loc["https://other.example/e", "nofollow"]
+    assert out.loc["/c", "internal"]
+    assert not out.loc["https://other.example/e", "internal"]
+    # default output shape unchanged
+    plain = links_batch(pa.table({
+        "url": ["https://h.example/p"], "html": [html]}))
+    assert plain.column_names == ["url", "href", "resolved"]
+
+
 SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <url><loc>https://h.example/a?x=1&amp;y=2</loc>
