@@ -260,6 +260,85 @@ def links_batch(batch: pa.Table, *, url_col: str = "url",
     return pa.table(cols)
 
 
+def redirect_edges_batch(batch: pa.Table, *, url_col: str = "url",
+                         status_col: str = "http_status",
+                         location_col: str = "location") -> pa.Table:
+    """WARC-page batch → redirect edges ``(src, dst, http_status)``:
+    3xx rows with a ``Location`` header, the target resolved against
+    the source URL (RFC 3986 — relative Locations are legal and
+    common). Feeds URL canonicalization (follow the chain before
+    keying the store) and the link graph (redirects are edges too)."""
+    st = pc.fill_null(batch[status_col], -1)
+    loc = batch[location_col]
+    keep = pc.and_(
+        pc.and_(pc.greater_equal(st, 300), pc.less_equal(st, 399)),
+        pc.and_(loc.is_valid(), pc.not_equal(pc.fill_null(loc, ""), "")),
+    )
+    t = batch.filter(keep)
+    src = _utf8(t[url_col])
+    return pa.table({
+        "src": src,
+        "dst": resolve_refs(src, t[location_col]),
+        "http_status": pc.cast(t[status_col], pa.int32()),
+    })
+
+
+def anchor_texts(html) -> pa.Table:
+    """HTML column → one row per ``<a …>`` anchor: ``(doc, href,
+    anchor_text)`` — the classic relevance/entity-linking signal.
+    Vectorized on the ``<a ``-split segments; documented subset: the
+    anchor's FIRST text node (text up to the next tag), quoted hrefs,
+    whitespace collapsed, URL-legal entities unescaped. Anchors with
+    empty text (image links) keep ``""``."""
+    h = _utf8(html)
+    lists = pc.split_pattern(pc.fill_null(h, ""), "<a ")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(h) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+              out=offsets[1:])
+    keep = np.ones(len(flat), dtype=bool)
+    keep[offsets[:-1][offsets[:-1] < len(flat)]] = False
+    seg = flat.filter(pa.array(keep))
+    got = pc.extract_regex(
+        seg,
+        pattern=(r"""^[^>]*?href=(?:"(?P<h2>[^"]*)"|'(?P<h1>[^']*)')"""
+                 r"""[^>]*>(?P<txt>[^<]*)"""))
+    # Arrow extract_regex yields "" (not null) for a NON-participating
+    # alternation group — ambiguity with a genuinely empty href value
+    # is harmless because then both branches agree on "".
+    h2 = pc.struct_field(got, "h2")
+    h1 = pc.struct_field(got, "h1")
+    href = pc.if_else(pc.not_equal(pc.fill_null(h2, ""), ""), h2, h1)
+    ok = pc.struct_field(got, "txt").is_valid().to_numpy(
+        zero_copy_only=False)
+    txt = pc.fill_null(pc.struct_field(got, "txt"), "").filter(pa.array(ok))
+    txt = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(txt, r"\s+", " "))
+    for ent, ch in _URL_ENTITIES + (("&lt;", "<"), ("&gt;", ">")):
+        txt = pc.replace_substring(txt, ent, ch)
+    hv = href.filter(pa.array(ok))
+    for ent, ch in _URL_ENTITIES:
+        hv = pc.replace_substring(hv, ent, ch)
+    return pa.table({
+        "doc": pa.array(parent[keep][ok], pa.int64()),
+        "href": hv,
+        "anchor_text": txt,
+    })
+
+
+def anchor_text_batch(batch: pa.Table, *, url_col: str = "url",
+                      html_col: str = "html") -> pa.Table:
+    """``map_batches`` form: page batch → ``(url, href, anchor_text)``
+    rows (flat-map shaped)."""
+    ent = anchor_texts(batch[html_col])
+    return pa.table({
+        "url": _utf8(batch[url_col]).take(pa.array(ent["doc"])),
+        "href": ent["href"],
+        "anchor_text": ent["anchor_text"],
+    })
+
+
 def _blocks(xml: pa.Array, tag: str):
     """(parent_rows, block_texts) for every ``<tag>…`` block, split
     without an XML parser (sitemaps are machine-generated, one element

@@ -3219,13 +3219,34 @@ def kg_warc_roundtrip(sf_dir: str):
     from .. import corpus as corpus_mod
     from ..sources.warc import read_warc, write_warc
 
+    from ..functions.weblinks import anchor_text_batch, redirect_edges_batch
+    from ..sources.warc import warc_record_bytes
+
     c = corpus_mod.generate(n_urls=24, n_snapshots=4, seed=42)
     cols = ["url", "warc_ts", "html"]
     with tempfile.TemporaryDirectory() as tmp:
         out = os.path.join(tmp, "warcs")
         n = write_warc(rd.from_arrow(c.pages.select(cols)), out,
                        num_partitions=4)
-        got = read_warc(out).select_columns(cols).to_pandas()
+        # hand-written 3xx records beside the corpus: the redirect-graph
+        # path (Location resolved RFC-3986-style against the source)
+        with open(os.path.join(out, "part-redir.warc"), "wb") as f:
+            f.write(warc_record_bytes(
+                "https://site0.example/old", 1_700_000_000, b"",
+                status=301, location="https://site1.example/new"))
+            f.write(warc_record_bytes(
+                "https://site0.example/dir/a", 1_700_000_000, b"",
+                status=302, location="../b"))
+        raw = read_warc(out)
+        redirects = (raw.map_batches(redirect_edges_batch,
+                                     batch_format="pyarrow")
+                     .to_pandas().sort_values("src", ignore_index=True))
+        got = raw.select_columns(cols + ["http_status"]).to_pandas()
+        got = got[got["http_status"] == 200].drop(columns=["http_status"])
+        anchors = anchor_text_batch(
+            pa.Table.from_pandas(got[["url", "html"]],
+                                 preserve_index=False)
+        ).to_pandas().sort_values(["url", "href"], ignore_index=True)
     got = got.sort_values(["url", "warc_ts"], ignore_index=True)
     exp = (c.pages.select(cols).to_pandas()
            .sort_values(["url", "warc_ts"], ignore_index=True))
@@ -3242,13 +3263,40 @@ def kg_warc_roundtrip(sf_dir: str):
             got["warc_ts"].astype("datetime64[s]").astype("int64"),
             got["html"])
     )
-    return pa.Table.from_pylist([{
-        "step": "roundtrip",
-        "records": int(n),
-        "recovered": int(len(got)),
-        "exact": bool(equal),
-        "digest": hashlib.sha256(payload.encode()).hexdigest()[:16],
-    }])
+    redir_payload = "\n".join(
+        f"{s}\t{d}\t{st}" for s, d, st in zip(
+            redirects["src"], redirects["dst"], redirects["http_status"]))
+    anchor_payload = "\n".join(
+        f"{u}\t{h}\t{t}" for u, h, t in zip(
+            anchors["url"], anchors["href"], anchors["anchor_text"]))
+    return pa.Table.from_pylist([
+        {
+            "step": "roundtrip",
+            "records": int(n),
+            "recovered": int(len(got)),
+            "exact": bool(equal),
+            "digest": hashlib.sha256(payload.encode()).hexdigest()[:16],
+        },
+        {
+            "step": "redirect_edges",
+            "records": int(len(redirects)),
+            "recovered": int(
+                (redirects["dst"] == "https://site0.example/b").sum()
+                + (redirects["dst"] == "https://site1.example/new").sum()),
+            "exact": bool(len(redirects) == 2),
+            "digest": hashlib.sha256(
+                redir_payload.encode()).hexdigest()[:16],
+        },
+        {
+            "step": "anchor_texts",
+            "records": int(len(anchors)),
+            "recovered": int((anchors["anchor_text"] != "").sum()),
+            "exact": bool(set(anchors["anchor_text"]) ==
+                          {"Home", "About"}),
+            "digest": hashlib.sha256(
+                anchor_payload.encode()).hexdigest()[:16],
+        },
+    ])
 
 
 def kg_metrics_export(sf_dir: str):

@@ -45,6 +45,7 @@ PAGES_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("http_status", pa.int32()),
         ("content_type", pa.string()),
+        ("location", pa.string()),
     ]
 )
 
@@ -122,25 +123,29 @@ class _RecordStream:
 
 
 def _parse_http_response(block: bytes):
-    """(status, content_type, payload) from an HTTP response block;
-    (None, None, block) when the block isn't parseable HTTP."""
+    """(status, content_type, location, payload) from an HTTP response
+    block; (None, None, None, block) when the block isn't parseable
+    HTTP. ``location`` is the redirect target header (3xx records —
+    the redirect-graph edge a crawler follows)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, None, block
     head, payload = block[:sep], block[sep + 4 :]
     lines = head.split(_CRLF)
     parts = lines[0].split(b" ", 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
-        return None, None, block
-    ctype = None
+        return None, None, None, block
+    ctype = location = None
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, payload
+        elif key == b"location" and location is None:
+            location = v.strip().decode("latin-1")
+    return status, ctype, location, payload
 
 
 def _warc_ts_seconds(date: str) -> int:
@@ -188,7 +193,7 @@ def iter_warc_records(raw):
 
 def records_to_pages(records) -> pa.Table:
     """``response`` records → a pages block (other types skipped)."""
-    urls, tss, htmls, stats, ctypes = [], [], [], [], []
+    urls, tss, htmls, stats, ctypes, locs = [], [], [], [], [], []
     for rec in records:
         if rec.get("warc-type") != "response":
             continue
@@ -196,12 +201,13 @@ def records_to_pages(records) -> pa.Table:
         date = rec.get("warc-date")
         if not url or not date:
             continue
-        status, ctype, payload = _parse_http_response(rec["block"])
+        status, ctype, location, payload = _parse_http_response(rec["block"])
         urls.append(url)
         tss.append(_warc_ts_seconds(date))
         htmls.append(payload)
         stats.append(status)
         ctypes.append(ctype)
+        locs.append(location)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -209,6 +215,7 @@ def records_to_pages(records) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
             "http_status": pa.array(stats, pa.int32()),
             "content_type": pa.array(ctypes, pa.string()),
+            "location": pa.array(locs, pa.string()),
         }
     )
 
@@ -256,14 +263,17 @@ def read_warc(paths, *, records_per_block: int = 512, **kw):
 
 def warc_record_bytes(url: str, ts_seconds: int, html: bytes,
                       *, status: int = 200,
-                      content_type: str = "text/html") -> bytes:
-    """One deterministic ``response`` record (content-addressed id)."""
+                      content_type: str = "text/html",
+                      location: str | None = None) -> bytes:
+    """One deterministic ``response`` record (content-addressed id).
+    ``location`` adds the redirect-target header (3xx records)."""
     html = html or b""
     date = datetime.fromtimestamp(int(ts_seconds), tz=timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%SZ")
+    loc_hdr = f"Location: {location}\r\n" if location else ""
     http = (
         f"HTTP/1.1 {status} OK\r\n"
-        f"Content-Type: {content_type}\r\n"
+        f"Content-Type: {content_type}\r\n{loc_hdr}"
         f"Content-Length: {len(html)}\r\n\r\n"
     ).encode("latin-1") + html
     rid = hashlib.sha256(

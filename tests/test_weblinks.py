@@ -270,3 +270,54 @@ def test_host_edges_partials():
     assert e[("a.example", "b.example")] == 2
     assert e[("b.example", "a.example")] == 1
     assert len(e) == 2  # invalid src/dst rows dropped
+
+
+def test_anchor_texts_extraction():
+    from rdf_diff_store_ray.functions.weblinks import anchor_text_batch
+
+    html = (
+        '<a href="/a">Read   the\n docs</a>'
+        "<a class='x' href='/b'><img src='i.png'></a>"
+        '<a href="/c">R&amp;D &lt;lab&gt;</a>'
+        '<a name="no-href">skip</a>'
+        '<p>not a link</p>'
+    )
+    out = anchor_text_batch(pa.table({
+        "url": ["https://h.example/p"], "html": [html],
+    })).to_pandas().set_index("href")
+    assert out.loc["/a", "anchor_text"] == "Read the docs"
+    assert out.loc["/b", "anchor_text"] == ""  # image link: first text node empty
+    assert out.loc["/c", "anchor_text"] == "R&D <lab>"
+    assert len(out) == 3  # href-less <a> skipped
+
+
+def test_anchor_texts_on_corpus_nav():
+    from rdf_diff_store_ray.functions.weblinks import anchor_text_batch
+
+    c = corpus.generate(n_urls=6, n_snapshots=2, seed=8, n_links=2)
+    out = anchor_text_batch(c.pages.select(["url", "html"])).to_pandas()
+    by_href = out.groupby("href")["anchor_text"].agg(set)
+    assert by_href["/"] == {"Home"}
+    assert by_href["/about"] == {"About"}
+    # planted n_links anchors render as "ref"
+    planted = out[~out["href"].isin(["/", "/about"])]
+    assert set(planted["anchor_text"]) == {"ref"}
+    assert len(planted) == c.links.num_rows
+
+
+def test_redirect_edges():
+    from rdf_diff_store_ray.functions.weblinks import redirect_edges_batch
+
+    batch = pa.table({
+        "url": ["https://h.example/old", "https://h.example/rel",
+                "https://h.example/ok", "https://h.example/no-loc"],
+        "http_status": pa.array([301, 302, 200, 301], pa.int32()),
+        "location": pa.array(["https://new.example/x", "../v2/page",
+                              None, None]),
+    })
+    out = redirect_edges_batch(batch).to_pandas()
+    assert len(out) == 2
+    assert out.set_index("src").loc[
+        "https://h.example/old", "dst"] == "https://new.example/x"
+    assert out.set_index("src").loc[
+        "https://h.example/rel", "dst"] == "https://h.example/v2/page"
