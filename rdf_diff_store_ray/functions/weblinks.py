@@ -339,6 +339,46 @@ def anchor_text_batch(batch: pa.Table, *, url_col: str = "url",
     })
 
 
+def page_directives_batch(batch: pa.Table, *, url_col: str = "url",
+                          html_col: str = "html",
+                          prefix: int = 4096) -> pa.Table:
+    """Per-page crawl/index directives from the document ``<head>``
+    (bounded prefix): the ``<link rel="canonical">`` target (resolved
+    against the page URL — the duplicate-consolidation signal search
+    pipelines key on) and the ``<meta name="robots">`` ``noindex`` /
+    ``nofollow`` flags. One Arrow regex per field; absent directives →
+    null canonical / false flags."""
+    h = _utf8(batch[html_col])
+    head = pc.utf8_slice_codeunits(pc.fill_null(h, ""), 0, prefix)
+    can = pc.extract_regex(
+        head,
+        pattern=(r"""(?i)<link[^>]{0,512}?rel\s*=\s*["']?canonical["']?"""
+                 r"""[^>]{0,512}?href\s*=\s*["'](?P<v>[^"']*)["']"""))
+    can2 = pc.extract_regex(  # href before rel, the other attribute order
+        head,
+        pattern=(r"""(?i)<link[^>]{0,512}?href\s*=\s*["'](?P<v>[^"']*)["']"""
+                 r"""[^>]{0,512}?rel\s*=\s*["']?canonical"""))
+    v1 = pc.struct_field(can, "v")
+    v2 = pc.struct_field(can2, "v")
+    href = pc.coalesce(v1, v2)
+    for ent, ch in _URL_ENTITIES:
+        href = pc.replace_substring(href, ent, ch)
+    meta = pc.extract_regex(
+        head,
+        pattern=(r"""(?i)<meta[^>]{0,512}?name\s*=\s*["']?robots["']?"""
+                 r"""[^>]{0,512}?content\s*=\s*["'](?P<v>[^"']*)["']"""))
+    content = pc.utf8_lower(pc.fill_null(pc.struct_field(meta, "v"), ""))
+    urls = _utf8(batch[url_col])
+    return pa.table({
+        "url": urls,
+        "canonical_url": pc.if_else(href.is_valid(),
+                                    resolve_refs(urls, href),
+                                    pa.scalar(None, pa.string())),
+        "noindex": pc.match_substring(content, "noindex"),
+        "nofollow": pc.match_substring(content, "nofollow"),
+    })
+
+
 def _blocks(xml: pa.Array, tag: str):
     """(parent_rows, block_texts) for every ``<tag>…`` block, split
     without an XML parser (sitemaps are machine-generated, one element

@@ -321,3 +321,35 @@ def test_redirect_edges():
         "https://h.example/old", "dst"] == "https://new.example/x"
     assert out.set_index("src").loc[
         "https://h.example/rel", "dst"] == "https://h.example/v2/page"
+
+
+def test_page_directives():
+    from rdf_diff_store_ray.functions.weblinks import page_directives_batch
+
+    pages = pa.table({
+        "url": ["https://h.example/a?utm=1", "https://h.example/b",
+                "https://h.example/c", "https://h.example/d"],
+        "html": [
+            '<head><link rel="canonical" href="/a"></head>ok',
+            '<head><link href="https://h.example/B" rel=canonical>'
+            '<meta name="robots" content="NOINDEX, nofollow"></head>',
+            '<head><meta name="robots" content="index, follow"></head>',
+            "no directives at all",
+        ],
+    })
+    out = page_directives_batch(pages).to_pandas().set_index("url")
+    assert out.loc["https://h.example/a?utm=1",
+                   "canonical_url"] == "https://h.example/a"
+    assert out.loc["https://h.example/b",
+                   "canonical_url"] == "https://h.example/B"
+    assert out.loc["https://h.example/b", "noindex"]
+    assert out.loc["https://h.example/b", "nofollow"]
+    assert not out.loc["https://h.example/c", "noindex"]
+    assert out.loc["https://h.example/d", "canonical_url"] is None or \
+        pd_isna(out.loc["https://h.example/d", "canonical_url"])
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
