@@ -127,3 +127,14 @@ def test_read_warc_streams_bounded_blocks(tmp_path):
         tables = list(ds._read_stream(f, str(p)))
     assert [t.num_rows for t in tables] == [7, 7, 7, 2]
     assert sum(t.num_rows for t in tables) == 23
+
+
+def test_write_warc_accepts_file_uri(ray_session, tmp_path):
+    """The sink publishes through the fs shim, so object-store-style
+    file:// URIs work like every other durable write in the repo."""
+    import ray.data as rd
+
+    c = corpus.generate(n_urls=6, n_snapshots=2, seed=4)
+    n = write_warc(rd.from_arrow(c.pages.select(["url", "warc_ts", "html"])),
+                   f"file://{tmp_path}/w", num_partitions=2)
+    assert read_warc(f"{tmp_path}/w").count() == n == c.pages.num_rows
