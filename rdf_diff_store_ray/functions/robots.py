@@ -136,6 +136,52 @@ def allowed_mask(urls, rules: dict) -> np.ndarray:
     return allow
 
 
+def schedule_frontier(frontier_ds, *, url_col: str = "resolved",
+                      per_host_delay_s: int = 1,
+                      num_partitions: int = 32):
+    """Frontier URLs → deterministic polite fetch schedule
+    ``(url, host, slot, fetch_offset_s)``: within each host, URLs take
+    slots in canonical-sort order and fetch ``slot × per_host_delay_s``
+    seconds after the host's crawl start — one request per host per
+    delay window, hosts in parallel (the standard politeness model).
+
+    Scale shape: hosts hash into bounded partitions (a host never
+    splits), ranking inside is one vectorized dictionary-encode +
+    argsort per partition — no global sort, no driver state; total
+    order is deterministic under any batch/partition arrival order."""
+    import pandas as pd
+
+    from ..shuffle_utils import add_partition_id
+    from .weburl import parse_urls
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        host = pc.fill_null(parse_urls(batch[url_col])["host"], "")
+        t = pa.table({"url": batch[url_col], "host": host}).filter(
+            pc.not_equal(host, ""))
+        return add_partition_id(t, "host", num_partitions, col="pid")
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["url"])  # single-col: NUL-safe
+        order = np.lexsort((df["url"].to_numpy(object),
+                            df["host"].to_numpy(object)))
+        df = df.iloc[order].reset_index(drop=True)
+        hosts = df["host"].to_numpy(object)
+        # slot = rank within the (contiguous after sort) host run
+        starts = np.flatnonzero(
+            np.r_[True, hosts[1:] != hosts[:-1]])
+        slot = np.arange(len(df)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(df)]))
+        return pd.DataFrame({
+            "url": df["url"],
+            "host": df["host"],
+            "slot": slot.astype("int64"),
+            "fetch_offset_s": (slot * per_host_delay_s).astype("int64"),
+        })
+
+    return (frontier_ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("pid").map_groups(rank, batch_format="pandas"))
+
+
 def frontier_filter_batch(batch: pa.Table, rules: dict, *,
                           url_col: str = "resolved",
                           out_col: str = "crawl_allowed") -> pa.Table:

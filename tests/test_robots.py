@@ -115,3 +115,30 @@ def test_frontier_filter_in_ray(ray_session):
     assert out["https://site1.example/page0001"]       # Allow beats /
     assert not out["https://site1.example/page0004"]
     assert out["https://site2.example/page0002"]       # no robots
+
+
+def test_schedule_frontier(ray_session):
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.robots import schedule_frontier
+
+    urls = ([f"https://a.example/p{i}" for i in range(5)]
+            + [f"https://b.example/q{i}" for i in range(3)]
+            + ["https://a.example/p0",  # duplicate → one slot
+               "notaurl"])              # invalid host → dropped
+    ds = rd.from_arrow(pa.table({"resolved": urls}))
+    out = (schedule_frontier(ds, per_host_delay_s=2)
+           .to_pandas().sort_values(["host", "slot"], ignore_index=True))
+    assert len(out) == 8
+    a = out[out["host"] == "a.example"]
+    assert a["slot"].tolist() == [0, 1, 2, 3, 4]
+    assert a["fetch_offset_s"].tolist() == [0, 2, 4, 6, 8]
+    assert a["url"].tolist() == sorted(a["url"])  # canonical-sort slots
+    assert out[out["host"] == "b.example"]["slot"].tolist() == [0, 1, 2]
+
+    # arrival-order invariance: reversed input → identical schedule
+    out2 = (schedule_frontier(
+        rd.from_arrow(pa.table({"resolved": urls[::-1]})),
+        per_host_delay_s=2)
+        .to_pandas().sort_values(["host", "slot"], ignore_index=True))
+    assert out.equals(out2)
