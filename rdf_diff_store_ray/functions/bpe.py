@@ -253,7 +253,9 @@ def bpe_tokens_per_doc(docs_ds, merges: list, *, text_col: str = "text",
         ex = df[[id_col]].assign(word=words).explode("word").dropna(
             subset=["word"]
         )
-        uniq = ex["word"].unique()
+        # drop_duplicates, not .unique(): pd.unique collapses NUL-twin
+        # words, so a twin would miss its memo entry (NaN token count)
+        uniq = ex["word"].drop_duplicates()
         for w in uniq:
             if w not in memo:
                 memo[w] = len(encode_word(w, ranks))

@@ -479,8 +479,15 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     # adjacent-token bigrams: shift(-1) within each document
     df["nxt"] = df.groupby("i")["tok"].shift(-1)
 
-    base = df.groupby("i").agg(
-        n_tokens=("tok", "size"), n_distinct_tokens=("tok", "nunique")
+    base = df.groupby("i").agg(n_tokens=("tok", "size"))
+    # distinct per doc via the NUL-safe dedup, not agg("nunique"):
+    # nunique collapses NUL-twin tokens (truncating-hashtable family);
+    # "i" is an integer key, so the follow-up groupby is safe
+    from ..shuffle_utils import drop_duplicates_nul_safe
+
+    base["n_distinct_tokens"] = (
+        drop_duplicates_nul_safe(df[["i", "tok"]])
+        .groupby("i").size().reindex(base.index, fill_value=0)
     )
 
     def _top(frame: pd.DataFrame, col: str) -> pd.DataFrame:

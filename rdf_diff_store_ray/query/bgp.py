@@ -2149,8 +2149,12 @@ def aggregate_bindings(result: pd.DataFrame, group: dict) -> pd.DataFrame:
                         dtype=object
                     )
                     bound = col.dropna()
+                    # NOT nunique(): Series.nunique rides the NUL-
+                    # truncating hashtable (NUL-twin terms collapse at
+                    # every size, measured); Series.drop_duplicates is
+                    # the safe path (CLAUDE.md pitfall census)
                     out[alias] = int(
-                        bound.nunique() if distinct else len(bound)
+                        len(_ddsafe(bound)) if distinct else len(bound)
                     )
                 continue
             col = sub[var] if var in sub.columns else pd.Series(dtype=object)

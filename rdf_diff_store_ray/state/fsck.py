@@ -55,7 +55,9 @@ def _check_partition(delta_dir: str, pid: int, num_partitions: int,
     if t.num_rows == 0:
         return out
     df = t.to_pandas()
-    out["n_graphs"] = int(df["graph_id"].nunique())
+    # len(drop_duplicates), not nunique(): nunique rides the NUL-
+    # truncating hashtable and undercounts NUL-twin graph ids
+    out["n_graphs"] = int(len(df["graph_id"].drop_duplicates()))
 
     is_del = df["op"] == OP_DELETE
     out["bad_op"] = int((~df["op"].isin([OP_UPDATE, OP_DELETE])).sum())

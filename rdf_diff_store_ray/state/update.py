@@ -401,7 +401,9 @@ def _template_quads(tmpl: dict, rows: list, qdf) -> list:
                 (qdf["subj"] == t[0]) & (qdf["pred"] == t[1])
                 & (qdf["obj"] == t[2]) & (qdf["obj_is_literal"] == t[3])
             ]
-            for gid in hit["graph_id"].unique():
+            # drop_duplicates, not .unique(): pd.unique collapses
+            # NUL-twin graph ids (the truncating-hashtable family)
+            for gid in hit["graph_id"].drop_duplicates():
                 out.append((gid,) + t)
     for gterm, sub in tmpl.get("graphs") or []:
         for pat in sub["patterns"]:
