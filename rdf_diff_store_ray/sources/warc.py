@@ -82,13 +82,16 @@ class _RecordStream:
         while True:
             comp = self._carry or self._raw.read(self._chunk)
             self._carry = b""
-            if not comp:
-                tail = self._z.flush()
-                if tail:
-                    self._buf += tail
-                    return True
-                return False
-            out = self._z.decompress(comp)
+            try:
+                if not comp:
+                    tail = self._z.flush()
+                    if tail:
+                        self._buf += tail
+                        return True
+                    return False
+                out = self._z.decompress(comp)
+            except zlib.error as e:  # corrupt member → clean ValueError
+                raise ValueError(f"corrupt gzip member in WARC: {e}") from e
             if self._z.eof:  # next gzip member begins in unused_data
                 rest = self._z.unused_data
                 self._z = zlib.decompressobj(16 + zlib.MAX_WBITS)

@@ -138,3 +138,10 @@ def test_write_warc_accepts_file_uri(ray_session, tmp_path):
     n = write_warc(rd.from_arrow(c.pages.select(["url", "warc_ts", "html"])),
                    f"file://{tmp_path}/w", num_partitions=2)
     assert read_warc(f"{tmp_path}/w").count() == n == c.pages.num_rows
+
+
+def test_corrupt_gzip_member_raises_valueerror():
+    data = bytearray(gzip.compress(warc_record_bytes(*PAGE), mtime=0))
+    data[len(data) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        _records(bytes(data))
