@@ -363,9 +363,13 @@ def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
         lines = lines[lines.str.len() > 0]
         h = pd.Series(_line_hashes(lines))
         vc = h.value_counts()
+        # int64 VIEW of the uint64 hash (a bijection, equality-only use):
+        # values past 2^63 would otherwise force Ray's aggregate output
+        # blocks into the pickled-object fallback path
         return pa.table(
             {
-                "h": pa.array(vc.index.to_numpy("uint64"), pa.uint64()),
+                "h": pa.array(vc.index.to_numpy("uint64").view("int64"),
+                              pa.int64()),
                 "n": pa.array(vc.to_numpy("int64"), pa.int64()),
             }
         )
@@ -384,7 +388,7 @@ def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
             f"{len(dup_tbl)} duplicated lines exceed max_dup_lines="
             f"{max_dup_lines}; raise the cap or min_dup"
         )
-    dup_sorted = np.sort(dup_tbl["h"].to_numpy("uint64"))
+    dup_sorted = np.sort(dup_tbl["h"].to_numpy("int64"))
     dup_ref = ray.put(dup_sorted)
 
     def scrub(batch: pa.Table) -> pa.Table:
@@ -393,7 +397,7 @@ def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
         lines = df[text_col].str.split("\n")
         ex = df[[id_col]].assign(line=lines).explode("line")
         ex = ex[ex["line"].str.len() > 0]
-        h = _line_hashes(ex["line"])
+        h = _line_hashes(ex["line"]).view(np.int64)
         if len(dup):
             pos = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
             is_dup = dup[pos] == h
@@ -622,8 +626,10 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
         th, starts, lens = _doc_token_arrays(batch[text_col].to_pandas())
         wh, _ = _window_hashes(th, starts, lens, window)
         vals, counts = np.unique(wh, return_counts=True)
+        # int64 view: see line_dedup — avoids Ray's pickled-block
+        # fallback on aggregate outputs holding values past 2^63
         return pa.table(
-            {"h": pa.array(vals, pa.uint64()),
+            {"h": pa.array(vals.view(np.int64), pa.int64()),
              "n": pa.array(counts.astype("int64"), pa.int64())}
         )
 
@@ -634,7 +640,7 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
 
     def dup_only(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.uint64())})
+            return pa.table({"h": pa.array([], pa.int64())})
         keep = pc.greater_equal(batch["sum(n)"], min_dup)
         return pa.table({"h": batch.filter(keep)["h"]})
 
@@ -644,8 +650,8 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
             f"{len(dup_tbl)} duplicated windows exceed max_dup_windows="
             f"{max_dup_windows}; raise the cap or min_dup"
         )
-    dup_sorted = np.sort(dup_tbl["h"].to_numpy("uint64")) if len(dup_tbl) \
-        else np.empty(0, np.uint64)
+    dup_sorted = np.sort(dup_tbl["h"].to_numpy("int64")) if len(dup_tbl) \
+        else np.empty(0, np.int64)
     dup_ref = ray.put(dup_sorted)
 
     def scrub(batch: pa.Table) -> pa.Table:
@@ -658,6 +664,7 @@ def span_dedup(docs_ds, *, window: int = 20, min_dup: int = 2,
         n_dup_win = np.zeros(len(df), np.int64)
         if n >= window and len(dup):
             wh, pos = _window_hashes(th, starts, lens, window)
+            wh = wh.view(np.int64)
             loc = np.clip(np.searchsorted(dup, wh), 0, len(dup) - 1)
             hit = dup[loc] == wh
             hit_pos = pos[hit]
