@@ -421,6 +421,187 @@ def line_dedup(docs_ds, min_dup: int = 2, id_col: str = "doc_id",
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def _scoped_key(scope_arr, line_arr, sep: str) -> "np.ndarray":
+    """Exact elementwise ``scope ++ sep ++ line`` as an object array
+    (Python string concat — NUL bytes preserved; numpy 'U' arrays strip
+    trailing NULs and must not be used for keys here)."""
+    import pandas as pd
+
+    return pd.Series(scope_arr, dtype=object).str.cat(
+        pd.Series(line_arr, dtype=object), sep=sep
+    ).to_numpy(dtype=object)
+
+
+def scoped_template_lines(docs_ds, *, scope_col: str = "host",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_docs: int = 3, num_partitions: int = 32):
+    """Per-scope duplicated-line detection — the site-template signal
+    (the host-scoped variant of :func:`line_dedup`, the standard web
+    pipeline's boilerplate stage: a nav bar duplicated across one
+    host's pages is template; the same words on another host are not).
+
+    A line is template for scope S iff it appears in >= ``min_docs``
+    DISTINCT documents of S. One streaming pass: per-batch partial
+    distinct-doc counts per (scope, line) — additive because each
+    document's row lives in exactly one batch and lines are deduped
+    within the document first — shuffled into bounded hash partitions
+    of the (scope, line) key (never a per-key Ray aggregate; the key
+    space is unbounded), folded and thresholded in-partition.
+
+    Returns a Dataset ``(scope, line, n_docs)`` of template lines. The
+    scope/line key uses ``\\x1f`` as the separator (never ``\\x00`` —
+    repo NUL-safety contract) and ``np.unique`` for grouping, so NUL
+    bytes inside lines are handled exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ..shuffle_utils import stable_hash_array
+
+    sep = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([scope_col, id_col, text_col]).to_pandas()
+        s = df[text_col].fillna("")
+        lines = s.str.split("\n")
+        lens = lines.str.len().to_numpy("int64")
+        flat = lines.explode()
+        doc_of = np.repeat(np.arange(len(df)), lens)
+        keep = (flat.str.len() > 0).to_numpy(bool)
+        line_arr = flat.to_numpy(dtype=object)[keep]
+        doc_of = doc_of[keep]
+        if not len(line_arr):
+            return pa.table({
+                "scope": pa.array([], pa.string()),
+                "line": pa.array([], pa.string()),
+                "nd": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int32()),
+            })
+        scope_arr = df[scope_col].to_numpy(dtype=object)[doc_of]
+        # object-dtype concat (exact, incl. NUL bytes — numpy 'U'
+        # arrays strip trailing NULs)
+        key = _scoped_key(scope_arr, line_arr, sep)
+        u, first, inv = np.unique(key, return_index=True,
+                                  return_inverse=True)
+        pair = inv.astype(np.int64) * len(df) + doc_of
+        upair = np.unique(pair)
+        nd = np.bincount((upair // len(df)).astype(np.int64),
+                         minlength=len(u)).astype(np.int64)
+        pid = (stable_hash_array(u) % np.uint64(num_partitions)).astype(
+            "int32")
+        return pa.table({
+            "scope": pa.array(scope_arr[first], pa.string()),
+            "line": pa.array(line_arr[first], pa.string()),
+            "nd": pa.array(nd, pa.int64()),
+            "pid": pa.array(pid, pa.int32()),
+        })
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        key = _scoped_key(group["scope"].to_numpy(object),
+                          group["line"].to_numpy(object), sep)
+        u, first, inv = np.unique(key, return_index=True,
+                                  return_inverse=True)
+        nd = np.bincount(inv, weights=group["nd"].to_numpy()).astype(
+            np.int64)
+        keep = nd >= min_docs
+        first = first[keep]
+        return pd.DataFrame({
+            "scope": pd.Series(group["scope"].to_numpy(object)[first],
+                               dtype=object),
+            "line": pd.Series(group["line"].to_numpy(object)[first],
+                              dtype=object),
+            "n_docs": nd[keep],
+        })
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def scoped_line_dedup(docs_ds, templates_ds=None, *,
+                      scope_col: str = "host", id_col: str = "doc_id",
+                      text_col: str = "text", min_docs: int = 3,
+                      num_partitions: int = 32,
+                      max_template_lines: int = 2_000_000):
+    """Scrub each document's per-scope template lines (detected by
+    :func:`scoped_template_lines`, or pass a precomputed ``templates_ds``).
+    The template set — bounded by the boilerplate vocabulary, capped at
+    ``max_template_lines`` with a hard error — broadcasts once via
+    ``ray.put`` as sorted 64-bit (scope ++ line) hashes; each batch
+    probes it with vectorized ``searchsorted``. Returns
+    (id, scope, clean_text, n_lines, n_dropped) and never materializes
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    sep = "\x1f"
+    if templates_ds is None:
+        templates_ds = scoped_template_lines(
+            docs_ds, scope_col=scope_col, id_col=id_col, text_col=text_col,
+            min_docs=min_docs, num_partitions=num_partitions,
+        )
+
+    def key_hash(scope_vals, line_vals) -> np.ndarray:
+        key = _scoped_key(np.asarray(scope_vals, object),
+                          np.asarray(line_vals, object), sep)
+        return pd.util.hash_array(key, categorize=False).view(np.int64)
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(
+            key_hash(batch["scope"].to_numpy(zero_copy_only=False),
+                     batch["line"].to_numpy(zero_copy_only=False)),
+            pa.int64())})
+
+    tpl = templates_ds.map_batches(to_hash, batch_format="pyarrow") \
+        .to_pandas()
+    if len(tpl) > max_template_lines:
+        raise ValueError(
+            f"{len(tpl)} template lines exceed max_template_lines="
+            f"{max_template_lines}; raise the cap or min_docs"
+        )
+    dup_sorted = np.sort(tpl["h"].to_numpy("int64"))
+    dup_ref = ray.put(dup_sorted)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        df = batch.to_pandas()
+        lines = df[text_col].fillna("").str.split("\n")
+        lens = lines.str.len().to_numpy("int64")
+        flat = lines.explode()
+        doc_of = np.repeat(np.arange(len(df)), lens)
+        keep = (flat.str.len() > 0).to_numpy(bool)
+        line_arr = flat.to_numpy(dtype=object)[keep]
+        doc_of = doc_of[keep]
+        scope_full = df[scope_col].to_numpy(dtype=object)
+        if len(line_arr) and len(dup):
+            h = key_hash(scope_full[doc_of], line_arr)
+            pos = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
+            is_dup = dup[pos] == h
+        else:
+            is_dup = np.zeros(len(line_arr), dtype=bool)
+        n_lines = np.bincount(doc_of, minlength=len(df)).astype(np.int64)
+        kept_doc = doc_of[~is_dup]
+        joined = pd.Series(line_arr[~is_dup]).groupby(
+            kept_doc, sort=False
+        ).agg("\n".join)
+        clean = pd.Series([""] * len(df))
+        clean.update(joined)
+        n_kept = np.bincount(kept_doc, minlength=len(df)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy("int64"), pa.int64()),
+            "scope": pa.array(scope_full, pa.string()),
+            "clean_text": pa.array(clean.tolist(), pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dropped": pa.array(n_lines - n_kept, pa.int64()),
+        })
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def doc_stats(docs_ds):
     return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 

@@ -4463,6 +4463,7 @@ def relational_suite(sf_dir: str):
             "distinct_priorities": rel.distinct_priorities,
             "events_metadata": rel.events_metadata,
             "events_version_times": rel.events_version_times,
+            "json_props_stats": json_props_stats,
             "revenue_q6": rel.revenue_q6,
         },
         sf_dir,
@@ -4646,6 +4647,159 @@ FROM d GROUP BY domain ORDER BY domain
 """
 
 
+def _boilerplate_fixture(batch: pa.Table) -> pa.Table:
+    """(doc_id, host, text with injected site template) — deterministic
+    boilerplate around each document: a per-host header and footer on
+    every page, a promo line on ``doc_id % 3 == 0``, a cookie banner on
+    ``doc_id % 4 == 0`` (which is exactly the ``.example.com`` host
+    stratum, so template SETS differ by host). Mirrored verbatim in
+    ``HOST_BOILERPLATE_SQL``; the OPERATOR under test is the scoped
+    template detection, not this fixture."""
+    from ..functions.weburl import canonicalize_urls
+
+    host = canonicalize_urls(_synthetic_urls(batch))["host"]
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    d = pc.cast(batch["doc_id"], pa.int64()).combine_chunks().to_numpy()
+    j = pc.binary_join_element_wise
+    text = j(
+        "home | about | contact | ", host, "\n",
+        pc.cast(batch["text"], pa.string()), "\n",
+        "(c) 2024 ", host, " all rights reserved",
+        pa.array(np.where(d % 3 == 0, "\nsubscribe to our newsletter", "")),
+        pa.array(np.where(d % 4 == 0, "\ncookie policy banner", "")),
+        "",
+    )
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "host": host,
+        "text": text,
+    })
+
+
+def host_boilerplate(sf_dir: str, min_docs: int = 3):
+    """Per-host site-template detection — the scoped boilerplate stage
+    every web pipeline runs before quality scoring (a nav bar repeated
+    across one host's pages is template; the same words on another host
+    are content). Detection is :func:`..functions.text.scoped_template_lines`
+    (per-batch distinct-doc partials per (host, line), bounded-partition
+    fold); this entry reduces it to one row per host — n_docs,
+    n_template_lines, template_hits — via a host-keyed aggregate (host
+    cardinality ~ site count, lang-dist-like)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import scoped_template_lines
+    from ..functions.weburl import canonicalize_urls
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _boilerplate_fixture, batch_format="pyarrow"
+    )
+    tpl = scoped_template_lines(ds, scope_col="host", min_docs=min_docs)
+
+    def tpl_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "host": batch["scope"],
+            "n_docs": pa.array(np.zeros(n, np.int64)),
+            "n_template_lines": pa.array(np.ones(n, np.int64)),
+            "template_hits": batch["n_docs"].cast(pa.int64()),
+        })
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        c = canonicalize_urls(_synthetic_urls(batch))["host"]
+        enc = pc.dictionary_encode(c.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nkeys = len(enc.dictionary)
+        return pa.table({
+            "host": enc.dictionary,
+            "n_docs": pa.array(
+                np.bincount(codes, minlength=nkeys).astype(np.int64)),
+            "n_template_lines": pa.array(np.zeros(nkeys, np.int64)),
+            "template_hits": pa.array(np.zeros(nkeys, np.int64)),
+        })
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        doc_partial, batch_format="pyarrow"
+    )
+    return (
+        tpl.map_batches(tpl_partial, batch_format="pyarrow")
+        .union(docs)
+        .groupby("host")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_template_lines", alias_name="n_template_lines"),
+            Sum("template_hits", alias_name="template_hits"),
+        )
+        .sort("host")
+    )
+
+
+HOST_BOILERPLATE_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk'
+        WHEN 2 THEN '.demo.org' ELSE '.blog.github.io' END) AS host,
+    text
+  FROM documents
+), f AS (
+  SELECT doc_id, host,
+    'home | about | contact | ' || host || chr(10) || text || chr(10)
+    || '(c) 2024 ' || host || ' all rights reserved'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'subscribe to our newsletter' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+        THEN chr(10) || 'cookie policy banner' ELSE '' END) AS text
+  FROM c
+), l AS (
+  SELECT host, doc_id, unnest(string_split(text, chr(10))) AS line FROM f
+), t AS (
+  SELECT host, line, count(DISTINCT doc_id) AS nd
+  FROM l WHERE line <> '' GROUP BY host, line
+), s AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_template_lines,
+         CAST(sum(nd) AS BIGINT) AS template_hits
+  FROM t WHERE nd >= 3 GROUP BY host
+), h AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY host
+)
+SELECT h.host, h.n_docs,
+       CAST(COALESCE(s.n_template_lines, 0) AS BIGINT) AS n_template_lines,
+       CAST(COALESCE(s.template_hits, 0) AS BIGINT) AS template_hits
+FROM h LEFT JOIN s USING (host) ORDER BY host
+"""
+
+
+def host_boilerplate_scrub(sf_dir: str):
+    """The scrub composition over the same fixture: every detected
+    per-host template line removed from every document of that host
+    (broadcast probe, :func:`..functions.text.scoped_line_dedup`);
+    summarized to integers so the digest is platform-stable."""
+    from ..functions.text import scoped_line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _boilerplate_fixture, batch_format="pyarrow"
+    )
+    out = scoped_line_dedup(ds, min_docs=3)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_lines": pa.array(
+                [pc.sum(batch["n_lines"]).as_py() or 0], pa.int64()),
+            "n_dropped": pa.array(
+                [pc.sum(batch["n_dropped"]).as_py() or 0], pa.int64()),
+        })
+
+    parts = out.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_docs": [int(parts["n_docs"].sum())],
+        "n_lines": [int(parts["n_lines"].sum())],
+        "n_dropped": [int(parts["n_dropped"].sum())],
+    })
+
+
 def dedup_suite(sf_dir: str):
     """Every near-dedup surface in one driver entry (the
     ``kg_bgp_features`` consolidation pattern — the driver grades a
@@ -4670,6 +4824,7 @@ def dedup_suite(sf_dir: str):
             "semdedup_docs": semdedup_docs,
             "simhash_pairs": simhash_pairs,
             "span_dedup": span_dedup_docs,
+            "host_boilerplate_scrub": host_boilerplate_scrub,
         },
         sf_dir,
     )
@@ -4755,7 +4910,7 @@ def registry():
         "fineweb_filter": fineweb_filter_docs,
         "stratified_sample": stratified_sample,
         "pii_redact": pii_redact_docs,
-        "json_props_stats": json_props_stats,
+        "host_boilerplate": host_boilerplate,
         "decontaminate": decontaminate,
         "tfidf_top_terms": tfidf_top_terms,
         "repetition_stats": repetition_stats,
@@ -4782,6 +4937,8 @@ def registry():
         "embed_text_suite": embed_text_suite,
         # ---- driver-cap watermark (position 50) ----
         "token_frequencies": token_frequencies,
+        "json_props_stats": json_props_stats,
+        "host_boilerplate_scrub": host_boilerplate_scrub,
         "pair_ngram_overlap": pair_ngram_overlap,
         "revenue_q6": rel.revenue_q6,
         "distinct_priorities": rel.distinct_priorities,
@@ -4909,6 +5066,7 @@ def oracles():
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "pii_redact": _pii_sql(),
         "json_props_stats": JSON_PROPS_SQL,
+        "host_boilerplate": HOST_BOILERPLATE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "tfidf_top_terms": TFIDF_SQL,
         "repetition_stats": REPETITION_STATS_SQL,

@@ -1578,3 +1578,80 @@ def test_interval_followers_overflow_fallback_matches_fast_path():
     # unchanged: each user's relative times are identical)
     slow = slow.sort_values("event_id", ignore_index=True)
     assert fast.equals(slow)
+
+
+def test_scoped_template_lines_match_naive(ray_session):
+    """Per-scope template detection == a naive per-scope distinct-doc
+    count, on a randomized corpus with cross-scope line collisions (the
+    line is template for ONE host only) and NUL-hostile lines."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import (
+        scoped_line_dedup,
+        scoped_template_lines,
+    )
+
+    rng = np.random.default_rng(11)
+    hosts = ["a.com", "b.org", "c.net"]
+    pool = ["nav menu", "footer (c)", "body line", "promo\x00twin",
+            "promo\x00other", "rare line"]
+    rows = []
+    for i in range(120):
+        h = hosts[rng.integers(0, 3)]
+        k = rng.integers(1, 5)
+        lines = list(rng.choice(pool, size=k, replace=False))
+        if i % 9 == 0:
+            lines.append("")  # empty lines never count
+        rows.append({"doc_id": i, "host": h, "text": "\n".join(lines)})
+    docs = pd.DataFrame(rows)
+
+    naive = defaultdict(set)
+    for r in rows:
+        for ln in set(r["text"].split("\n")):
+            if ln:
+                naive[(r["host"], ln)].add(r["doc_id"])
+    want = {(h, ln): len(d) for (h, ln), d in naive.items() if len(d) >= 4}
+
+    tpl = scoped_template_lines(
+        rd.from_pandas(docs), min_docs=4
+    ).to_pandas()
+    got = {
+        (s, ln): int(n)
+        for s, ln, n in zip(tpl["scope"], tpl["line"], tpl["n_docs"])
+    }
+    assert got == want
+    # NUL twins stay distinct keys
+    assert ("promo\x00twin" in {k[1] for k in got}) or (
+        "promo\x00twin" not in {k[1] for k in want})
+
+    scrubbed = scoped_line_dedup(
+        rd.from_pandas(docs), min_docs=4
+    ).to_pandas().set_index("doc_id")
+    for r in rows:
+        keep = [ln for ln in r["text"].split("\n")
+                if ln and (r["host"], ln) not in want]
+        assert scrubbed.loc[r["doc_id"], "clean_text"] == "\n".join(keep)
+        n_all = sum(1 for ln in r["text"].split("\n") if ln)
+        assert scrubbed.loc[r["doc_id"], "n_lines"] == n_all
+        assert scrubbed.loc[r["doc_id"], "n_dropped"] == n_all - len(keep)
+
+
+def test_scoped_template_scope_isolation(ray_session):
+    """A line duplicated across DIFFERENT scopes but < min_docs within
+    any one scope is NOT template (the whole point of scoping)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import scoped_template_lines
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "host": ["h%d.com" % i for i in range(6)],
+        "text": ["shared everywhere\nbody %d" % i for i in range(6)],
+    })
+    tpl = scoped_template_lines(rd.from_pandas(docs), min_docs=2)
+    assert tpl.to_pandas().empty
