@@ -462,3 +462,115 @@ def host_edges(batch: pa.Table, *, num_partitions: int = 32) -> pa.Table:
         "n": np.bincount(codes, minlength=nkeys).astype(np.int64),
         "pid": pid,
     })
+
+
+def link_diff(pages_ds, t1, t2, *, url_col: str = "url",
+              ts_col: str = "warc_ts", html_col: str = "html",
+              num_partitions: int = 32):
+    """Outlink diff between two as-of instants over a versioned crawl —
+    the temporal analytic the diff-store model makes cheap (the
+    reference answers "graph at t" per url, ``src/git.rs:157-161``; this
+    answers "how did the WEB around each url change between t1 and t2").
+
+    As-of rule per url (identical to the delta store's): the live
+    version at t is the page row with the greatest ``warc_ts`` <= t.
+    An edge is **added** if present in the t2 version but not the t1
+    version (urls first crawled after t1 contribute all their edges),
+    **removed** for the converse. A version with zero anchors still
+    counts as a version (a page that dropped its nav diffs as
+    all-removed, never as unchanged) — each page ships one marker row
+    so version presence survives the link explode.
+
+    One bounded-partition shuffle on ``hash(url)``: per-batch work is
+    the vectorized anchor extract/resolve (:func:`links_batch`) plus
+    markers; in-partition work is two argmax-by-ts selections and one
+    indicator merge (multi-key pandas merge — NUL-safe, measured).
+    Returns ``(src, dst, change)`` with change in {added, removed}."""
+    import pandas as pd
+
+    from ..shuffle_utils import stable_hash_array
+
+    t1_s = int(pd.Timestamp(t1, unit="s").timestamp()) \
+        if not isinstance(t1, (int, np.integer)) else int(t1)
+    t2_s = int(pd.Timestamp(t2, unit="s").timestamp()) \
+        if not isinstance(t2, (int, np.integer)) else int(t2)
+    if t2_s < t1_s:
+        raise ValueError(f"t2 ({t2_s}) must be >= t1 ({t1_s})")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("s")).cast(pa.int64())
+        keep = pc.less_equal(ts, pa.scalar(t2_s, pa.int64()))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "ts": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.string()),
+                "pid": pa.array([], pa.int32()),
+            })
+        from .weburl import canonicalize_urls
+
+        links = links_batch(b, url_col=url_col, html_col=html_col)
+        # edges compare by CANONICAL target (fragments and tracking
+        # params are not distinct links); unresolvable hrefs canonical-
+        # ize to null and drop out of both sides' sets below
+        dst = canonicalize_urls(links["resolved"])["canonical"]
+        # (url, ts) is the version key and a url can appear at several
+        # ts within one batch, so each anchor row must carry ITS page
+        # row's ts: links_batch emits anchors grouped in page order, so
+        # per-page anchor counts recover the alignment
+        n_per_page = np.zeros(b.num_rows, dtype=np.int64)
+        if links.num_rows:
+            rows, _ = extract_hrefs(_utf8(b[html_col]))
+            n_per_page = np.bincount(rows, minlength=b.num_rows)
+        ts_np = b[ts_col].cast(pa.timestamp("s")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        link_ts = np.repeat(ts_np, n_per_page)
+        lt = pa.table({
+            "url": links["url"].cast(pa.string()),
+            "ts": pa.array(link_ts, pa.int64()),
+            "dst": dst if not isinstance(dst, pa.ChunkedArray)
+            else dst.combine_chunks(),
+        })
+        markers = pa.table({
+            "url": b[url_col].cast(pa.string()),
+            "ts": pa.array(ts_np, pa.int64()),
+            "dst": pa.nulls(b.num_rows, pa.string()),
+        })
+        out = pa.concat_tables([lt, markers]).combine_chunks()
+        pid = (stable_hash_array(out["url"]) %
+               np.uint64(num_partitions)).astype("int32")
+        return out.append_column("pid", pa.array(pid))
+
+    def diff_part(group: pd.DataFrame) -> pd.DataFrame:
+        urls = group["url"].to_numpy(object)
+        u, inv = np.unique(urls, return_inverse=True)
+        ts = group["ts"].to_numpy(np.int64)
+        NEG = np.int64(-(1 << 62))
+        v1 = np.full(len(u), NEG)
+        m1 = ts <= t1_s
+        np.maximum.at(v1, inv[m1], ts[m1])
+        v2 = np.full(len(u), NEG)
+        np.maximum.at(v2, inv, ts)  # rows are pre-filtered to <= t2
+        is_link = group["dst"].notna().to_numpy(bool)
+        in1 = is_link & (ts == v1[inv])
+        in2 = is_link & (ts == v2[inv])
+        from ..shuffle_utils import drop_duplicates_nul_safe
+
+        s1 = drop_duplicates_nul_safe(group.loc[in1, ["url", "dst"]])
+        s2 = drop_duplicates_nul_safe(group.loc[in2, ["url", "dst"]])
+        m = s1.merge(s2, on=["url", "dst"], how="outer", indicator=True)
+        changed = m[m["_merge"] != "both"]
+        return pd.DataFrame({
+            "src": changed["url"].to_numpy(object),
+            "dst": changed["dst"].to_numpy(object),
+            "change": np.where(
+                changed["_merge"].to_numpy() == "left_only",
+                "removed", "added"),
+        })
+
+    return (
+        pages_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(diff_part, batch_format="pandas")
+    )

@@ -4271,6 +4271,28 @@ def kg_link_graph(sf_dir: str, k: int = 30):
         rank_pos=np.arange(1, len(df) + 1, dtype="int64"))
 
 
+def kg_link_diff(sf_dir: str, k: int = 200):
+    """Temporal link-graph diff — outlinks added/removed per url between
+    mid- and end-of-history under the store's as-of rule (the web-graph
+    sibling of :func:`kg_diff`: the reference diffs a url's TRIPLES
+    between commits, ``src/git.rs:151-190``; this diffs the url's EDGES
+    between crawl instants). One bounded-partition shuffle
+    (:func:`..functions.weblinks.link_diff`); sorted, capped output."""
+    import ray.data as rd
+
+    from ..corpus import EPOCH, SNAPSHOT_STEP
+    from ..functions.weblinks import link_diff
+
+    corpus_dir = _linked_corpus_for(sf_dir)
+    pages = rd.read_parquet(
+        os.path.join(corpus_dir, "pages.parquet"),
+        columns=["url", "warc_ts", "html"])
+    t1 = EPOCH + 2 * SNAPSHOT_STEP + 1
+    t2 = EPOCH + 4 * SNAPSHOT_STEP + 1
+    return link_diff(pages, t1, t2).sort(
+        ["src", "change", "dst"]).limit(k)
+
+
 def kg_churn(sf_dir: str, k: int = 20):
     """Per-entity CHANGE frequency over the store's full history — the
     temporal analytic only a versioned store can answer (which entities'
@@ -4438,6 +4460,7 @@ def kg_analytics(sf_dir: str):
             "entity_components": kg_entity_components,
             "entity_degree": kg_entity_degree,
             "link_graph": kg_link_graph,
+            "link_diff": kg_link_diff,
             "metadata": kg_metadata,
             "pagerank": kg_pagerank,
             "query_service": kg_query_service,
@@ -5033,6 +5056,7 @@ def registry():
         "chunk_embed_search": chunk_embed_search,
         "kg_related_entities": kg_related_entities,
         "kg_link_graph": kg_link_graph,
+        "kg_link_diff": kg_link_diff,
         "kg_warc_roundtrip": kg_warc_roundtrip,
         "charset_decode": charset_decode,
         "crawl_frontier": crawl_frontier,

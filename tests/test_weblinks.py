@@ -353,3 +353,68 @@ def pd_isna(v):
     import pandas as pd
 
     return pd.isna(v)
+
+
+def test_link_diff_matches_naive_asof_replay(ray_session):
+    """link_diff == a naive per-url as-of replay over the corpus's
+    ground-truth links table (+ the static nav anchors every rendered
+    page carries), at a mid/end instant pair where re-rendered pages
+    genuinely change their anchor sets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.corpus import EPOCH, SNAPSHOT_STEP
+    from rdf_diff_store_ray.functions.weblinks import link_diff
+
+    c = corpus.generate(n_urls=40, n_snapshots=5, seed=13, n_links=4)
+    t1 = EPOCH + 2 * SNAPSHOT_STEP + 1
+    t2 = EPOCH + 4 * SNAPSHOT_STEP + 1
+
+    pages = c.pages.select(["url", "warc_ts", "html"]).to_pandas()
+    pages["ts"] = pages["warc_ts"].astype("datetime64[s]").astype("int64")
+    truth = c.links.to_pandas()
+    truth["ts"] = truth["warc_ts"].astype("datetime64[s]").astype("int64")
+
+    def linkset(url, ts):
+        if ts is None:
+            return set()
+        s = set(truth.loc[
+            (truth["url"] == url) & (truth["ts"] == ts), "resolved"])
+        host = url.rsplit("/", 1)[0]
+        return s | {host + "/", host + "/about"}
+
+    want = set()
+    for url, gp in pages.groupby("url"):
+        tss = sorted(gp["ts"])
+        v1 = max((t for t in tss if t <= t1), default=None)
+        v2 = max((t for t in tss if t <= t2), default=None)
+        s1, s2 = linkset(url, v1), linkset(url, v2)
+        want |= {(url, d, "added") for d in s2 - s1}
+        want |= {(url, d, "removed") for d in s1 - s2}
+
+    out = link_diff(
+        rd.from_arrow(c.pages.select(["url", "warc_ts", "html"])), t1, t2
+    ).to_pandas()
+    got = set(zip(out["src"], out["dst"], out["change"]))
+    assert got == want
+    assert len(want) > 0, "fixture must exercise real churn"
+    assert {"added", "removed"} == set(out["change"].unique())
+
+
+def test_link_diff_zero_anchor_version_counts(ray_session):
+    """A version that dropped every anchor diffs as all-removed (the
+    marker row keeps version presence through the link explode)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.weblinks import link_diff
+
+    pages = pd.DataFrame({
+        "url": ["https://a.com/p", "https://a.com/p"],
+        "warc_ts": pd.to_datetime([100, 200], unit="s"),
+        "html": [b'<a href="https://x.com/">x</a>', b"<html>bare</html>"],
+    })
+    out = link_diff(rd.from_pandas(pages), 100, 200).to_pandas()
+    assert list(zip(out["src"], out["dst"], out["change"])) == [
+        ("https://a.com/p", "https://x.com/", "removed")]
