@@ -5,10 +5,13 @@ the *decode kernels* come in three tiers:
 
 - REAL vendored codecs so the real-codec branch executes and is
   tested, not trusted: PNG (:mod:`.png`, pure numpy + stdlib zlib; PIL
-  takes over transparently when installed), WAV (:mod:`.audio`, stdlib
-  RIFF), and the YUV4MPEG2 video container (:mod:`.y4m`);
+  takes over transparently when installed), baseline JPEG
+  (:mod:`.jpeg`, T.81 SOF0 incl. 4:2:0 and restart markers), WAV
+  (:mod:`.audio`, stdlib RIFF), and the YUV4MPEG2 video container
+  (:mod:`.y4m`);
 - a clearly-marked :class:`NotImplementedError` branch for the codecs
-  that genuinely need native libraries (``jpeg``/``webp``/``wav``…); and
+  that genuinely need native libraries (``webp``/``bmp``, compressed
+  video/audio containers); and
 - a deterministic ``fake-v1`` codec (self-describing header) used by
   benchmarks so the **Ray-side plumbing is real**: schemas, actor-pool
   signatures, per-batch memory behavior (small batches for large binary
@@ -120,13 +123,23 @@ def decode_payload(codec: str, payload: bytes) -> np.ndarray:
             from .png import decode_png, to_grayscale
 
             return to_grayscale(decode_png(payload))
-        # STUB: jpeg/bmp/webp decode needs PIL, which is not present in
+        if codec == "jpeg":
+            # real codec, vendored: baseline T.81 decode
+            # (functions/jpeg.py). JPEG is lossy, so unlike PNG a later
+            # Pillow install may differ sub-LSB (IDCT/upsampling
+            # rounding); perceptual consumers tolerate that by design.
+            from .jpeg import decode_jpeg
+            from .png import to_grayscale
+
+            arr = decode_jpeg(payload)
+            return arr if arr.ndim == 2 else to_grayscale(arr)
+        # STUB: bmp/webp decode needs PIL, which is not present in
         # this environment. The call signature and batch plumbing are
         # final; installing Pillow lights this path up with no code
         # change (detected at import).
         raise NotImplementedError(
             f"codec {codec!r} requires Pillow, which is not installed; "
-            "use codec='png' (vendored decoder) or 'fake-v1' "
+            "use codec='png'/'jpeg' (vendored decoders) or 'fake-v1' "
             "(deterministic test codec)"
         )
     raise NotImplementedError(

@@ -1567,6 +1567,90 @@ def multimodal_png(sf_dir: str):
     )
 
 
+def multimodal_jpeg(sf_dir: str):
+    """REAL-codec JPEG path (round-4; closes the codec family: PNG,
+    WAV, Y4M, now baseline T.81): banded-gradient images encoded by the
+    vendored baseline encoder across ALL its stream shapes — 4:4:4,
+    4:2:0 chroma subsampling, grayscale, restart markers — decoded
+    through the same actor-pool stage as production codecs, mixed with
+    fake-v1 twins carrying the pre-encode pixels. JPEG is lossy, so the
+    twins are not byte-identical after decode; the banded fixture
+    encodes each image id in HIGH(200)/LOW(40) 4-row bands with at
+    least one of each, keeping every ahash cell mean >= 20 grey levels
+    from the global mean (JPEG ringing at q92 moves band means by far
+    less), so the perceptual dedup must pair every twin across codecs
+    and never across ids."""
+    import ray.data as rd
+
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.multimodal import (
+        decode_features,
+        media_dedup,
+        synthetic_media_table,
+    )
+
+    n = 36
+
+    def banded(i: int) -> np.ndarray:
+        bits = ((i + 1) >> np.arange(8)) & 1
+        bits[6], bits[7] = 1, 0  # force >=1 high and >=1 low band
+        v = np.where(bits, 200, 40).astype(np.uint8)
+        return (np.repeat(v, 4)[:, None]
+                * np.ones((1, 32), np.uint8))
+
+    # fake-v1 twins carry the SAME pre-encode pixels
+    import struct as _struct
+
+    from ..functions.multimodal import _FAKE_MAGIC
+
+    fake_payloads = [
+        _FAKE_MAGIC + _struct.pack("<II", 32, 32) + banded(i).tobytes()
+        for i in range(n)
+    ]
+    fake = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "codec": pa.array(["fake-v1"] * n, pa.string()),
+        "payload": pa.array(fake_payloads, pa.binary()),
+    }).cast(synthetic_media_table(1).schema)
+
+    def as_rgb(g: np.ndarray) -> np.ndarray:
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    jpeg_payloads = []
+    for i in range(n):
+        g = banded(i)
+        if i % 4 == 0:
+            jpeg_payloads.append(encode_jpeg(g, quality=92))
+        elif i % 4 == 1:
+            jpeg_payloads.append(
+                encode_jpeg(as_rgb(g), quality=92, subsampling="444"))
+        elif i % 4 == 2:
+            jpeg_payloads.append(
+                encode_jpeg(as_rgb(g), quality=92, subsampling="420"))
+        else:
+            jpeg_payloads.append(
+                encode_jpeg(g, quality=92, restart_interval=2))
+    jp = pa.table({
+        "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "codec": pa.array(["jpeg"] * n, pa.string()),
+        "payload": pa.array(jpeg_payloads, pa.binary()),
+    }).cast(fake.schema)
+    media = pa.concat_tables([fake, jp])
+    feats = decode_features(rd.from_arrow(media)).select_columns(
+        ["media_id", "height", "width"]
+    )
+    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
+    out = feats.to_pandas().merge(
+        dedup[["media_id", "keep", "dup_of"]], on="media_id"
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
 def multimodal_audio(sf_dir: str):
     """REAL-codec audio path (round-4): WAV clips decoded through the
     stdlib RIFF parser (a genuine container codec, like the vendored
@@ -4878,6 +4962,7 @@ def embed_text_suite(sf_dir: str):
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
             "multimodal_png": multimodal_png,
+            "multimodal_jpeg": multimodal_jpeg,
             "multimodal_audio": multimodal_audio,
             "multimodal_y4m": multimodal_y4m,
             "quantize_embeddings": quantize_embeddings_q,
@@ -5030,6 +5115,7 @@ def registry():
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_jpeg": multimodal_jpeg,
         "multimodal_audio": multimodal_audio,
         "multimodal_y4m": multimodal_y4m,
         "media_dedup": media_dedup_q,
