@@ -314,8 +314,16 @@ def test_multimodal_real_codec_routes_or_stubs():
         arr = decode_payload("png", buf.getvalue())
         assert arr.shape == (8, 8)
     else:
+        # jpeg is a vendored real codec now; webp remains the PIL stub
+        import numpy as np
+
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_payload("jpeg", b"\xff\xd8\xff")
+            decode_payload("webp", b"RIFF....WEBP")
+        from rdf_diff_store_ray.functions.jpeg import encode_jpeg
+
+        arr = decode_payload(
+            "jpeg", encode_jpeg(np.full((8, 8), 9, np.uint8)))
+        assert arr.shape == (8, 8)
     with pytest.raises(NotImplementedError, match="not supported"):
         decode_payload("wav", b"RIFF")
 

@@ -121,8 +121,11 @@ def test_decode_payload_routes_png_without_pil():
     out = decode_payload("png", encode_png(rgb))
     np.testing.assert_array_equal(out, to_grayscale(rgb))
     if not pil_available():
+        # jpeg is now a vendored real codec; webp stays the PIL stub
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_payload("jpeg", b"\xff\xd8\xff")
+            decode_payload("webp", b"RIFF....WEBP")
+        with pytest.raises(ValueError, match="truncated|SOS"):
+            decode_payload("jpeg", b"\xff\xd8\xff\xd9")
 
 
 def test_real_png_payloads_through_actor_stages(ray_session):
