@@ -988,10 +988,23 @@ def _nv_pick(row_starts, row_deg, dst, dst_h, prev, prev_h_flat,
     memb = prev_h_flat ^ salt[flat_rows]
     in_prev = np.isin(cand_h ^ salt[seg], memb)
     w = np.where(prev_eq, inv_p, np.where(in_prev, 1.0, inv_q))
-    cw = np.cumsum(w)
-    base = cw[seg_starts] - w[seg_starts]
-    cum_within = cw - np.repeat(base, deg)
-    seg_total = np.add.reduceat(w, seg_starts)
+    # segment-LOCAL prefix scan (Hillis-Steele): a global np.cumsum
+    # minus per-segment baselines carries float error that depends on
+    # which OTHER rows share the batch, so the pick could differ
+    # between the broadcast and pinned layouts (different frontier
+    # batching). This scan reads only same-segment elements — batch-
+    # invariant by construction. log2(max_deg) vectorized passes.
+    cum_within = w.astype(np.float64, copy=True)
+    max_deg = int(deg.max()) if F else 0
+    shift = 1
+    while shift < max_deg:
+        valid = np.flatnonzero(within >= shift)
+        add = np.zeros_like(cum_within)
+        add[valid] = cum_within[valid - shift]
+        cum_within = cum_within + add
+        shift <<= 1
+    ends_idx = ends - 1
+    seg_total = cum_within[ends_idx] if total else np.zeros(0)
     rnd01 = rnd_u64.astype(np.float64) / 2.0 ** 64
     target = np.repeat(rnd01 * seg_total, deg)
     first = np.where(cum_within > target, np.arange(total), total)

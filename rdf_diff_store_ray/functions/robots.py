@@ -94,7 +94,9 @@ def compile_rules(robots: dict, agent: str = "*") -> dict:
         rules = [(_pattern_to_regex(p), allow, spec)
                  for p, allow, spec in parse_robots(text, agent)]
         if rules:
-            out[host] = rules
+            # hostnames are case-insensitive (RFC 4343): key the index
+            # lowercase so a mixed-case frontier URL can't bypass rules
+            out[host.lower()] = rules
     return out
 
 
@@ -104,7 +106,9 @@ def allowed_mask(urls, rules: dict) -> np.ndarray:
     from .weburl import parse_urls
 
     p = parse_urls(urls)
-    host = pc.fill_null(p["host"], "")
+    # lowercase to match the rule index — a fail-open politeness filter
+    # must not be bypassable by host case (RFC 4343)
+    host = pc.utf8_lower(pc.fill_null(p["host"], ""))
     path = pc.binary_join_element_wise(
         pc.if_else(pc.equal(pc.fill_null(p["path"], ""), ""), "/",
                    pc.fill_null(p["path"], "")),

@@ -651,6 +651,7 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     ``map_batches`` — no shuffle at any scale. The explode/groupby work
     is pandas C kernels; the only Python-level step is the initial
     regex split (RE2, matching the oracle's ``\\S+``)."""
+    import numpy as np
     import pandas as pd
 
     toks_list = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
@@ -676,10 +677,19 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
     def _top(frame: pd.DataFrame, col: str) -> pd.DataFrame:
-        cnt = frame.groupby(["i", col]).size().reset_index(name="c")
+        # group on (int doc, int token code), never on the object token:
+        # pandas multi-key groupby factorizes object keys through the
+        # NUL-truncating C-string table (CLAUDE.md contract); np.unique
+        # codes are exact
+        vals = frame[col].to_numpy(dtype=object)
+        uniq, codes = np.unique(vals, return_inverse=True)
+        cnt = pd.DataFrame(
+            {"i": frame["i"].to_numpy(), "code": codes}
+        ).groupby(["i", "code"]).size().reset_index(name="c")
+        cnt[col] = uniq[cnt["code"].to_numpy()]
         # (i, col) pairs are unique, so the 3-column sort key is a total
         # order — deterministic winner without relying on sort stability
-        cnt = sort_values_nul_safe(cnt, ["i", "c", col],
+        cnt = sort_values_nul_safe(cnt[["i", col, "c"]], ["i", "c", col],
                                    ascending=[True, False, True])
         return cnt.drop_duplicates("i").set_index("i")
 

@@ -228,13 +228,17 @@ def _nofollow_one_quote(html: pa.Array, quote: str) -> np.ndarray:
 
 def links_batch(batch: pa.Table, *, url_col: str = "url",
                 html_col: str = "html",
-                classify: bool = False) -> pa.Table:
+                classify: bool = False,
+                with_page_rows: bool = False) -> pa.Table:
     """Page batch → one row per anchor: ``(url, href, resolved)``.
     Flat-map shaped (rows explode); keep batches modest when pages are
     large. ``classify=True`` adds the columns a production link graph
     filters on: ``nofollow`` (the anchor tag carries
     ``rel=…nofollow…`` — link-spam hygiene, what PageRank should skip)
-    and ``internal`` (resolved host == page host)."""
+    and ``internal`` (resolved host == page host).
+    ``with_page_rows=True`` adds ``page_row`` (the anchor's batch row
+    index) so callers that need per-page alignment — e.g. carrying the
+    page's OWN timestamp onto each anchor — don't re-run the extract."""
     h = _utf8(batch[html_col])
     rows, hrefs = extract_hrefs(h)
     nofollow = None
@@ -257,6 +261,8 @@ def links_batch(batch: pa.Table, *, url_col: str = "url",
         src_host = pc.fill_null(parse_urls(urls)["host"], "")
         dst_host = pc.fill_null(parse_urls(resolved)["host"], "\x00none")
         cols["internal"] = pc.equal(src_host, dst_host)
+    if with_page_rows:
+        cols["page_row"] = pa.array(rows.astype(np.int64), pa.int64())
     return pa.table(cols)
 
 
@@ -510,22 +516,20 @@ def link_diff(pages_ds, t1, t2, *, url_col: str = "url",
             })
         from .weburl import canonicalize_urls
 
-        links = links_batch(b, url_col=url_col, html_col=html_col)
+        links = links_batch(b, url_col=url_col, html_col=html_col,
+                            with_page_rows=True)
         # edges compare by CANONICAL target (fragments and tracking
         # params are not distinct links); unresolvable hrefs canonical-
         # ize to null and drop out of both sides' sets below
         dst = canonicalize_urls(links["resolved"])["canonical"]
         # (url, ts) is the version key and a url can appear at several
-        # ts within one batch, so each anchor row must carry ITS page
-        # row's ts: links_batch emits anchors grouped in page order, so
-        # per-page anchor counts recover the alignment
-        n_per_page = np.zeros(b.num_rows, dtype=np.int64)
-        if links.num_rows:
-            rows, _ = extract_hrefs(_utf8(b[html_col]))
-            n_per_page = np.bincount(rows, minlength=b.num_rows)
+        # ts within one batch, so each anchor row carries ITS page
+        # row's ts via the page_row alignment column
         ts_np = b[ts_col].cast(pa.timestamp("s")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        link_ts = np.repeat(ts_np, n_per_page)
+        link_ts = ts_np[
+            links["page_row"].to_numpy(zero_copy_only=False)
+        ] if links.num_rows else np.empty(0, np.int64)
         lt = pa.table({
             "url": links["url"].cast(pa.string()),
             "ts": pa.array(link_ts, pa.int64()),

@@ -3272,12 +3272,19 @@ def crawl_frontier(sf_dir: str):
             out["crawl_allowed"], pa.ChunkedArray) else out["crawl_allowed"]
         ok = host.is_valid()
         t = pa.table({"host": host, "allowed": allowed}).filter(ok)
-        df = t.to_pandas().groupby("host", sort=True)["allowed"].agg(
-            ["sum", "count"]).reset_index()
+        # dictionary codes, not a pandas object-key groupby (the
+        # NUL-truncating factorize table — CLAUDE.md contract)
+        enc = pc.dictionary_encode(t["host"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nk = len(enc.dictionary)
+        a = t["allowed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_all = np.bincount(codes, minlength=nk).astype(np.int64)
+        n_ok = np.bincount(codes, weights=a,
+                           minlength=nk).astype(np.int64)
         return pa.table({
-            "host": df["host"],
-            "allowed": df["sum"].astype("int64"),
-            "blocked": (df["count"] - df["sum"]).astype("int64"),
+            "host": enc.dictionary,
+            "allowed": pa.array(n_ok, pa.int64()),
+            "blocked": pa.array(n_all - n_ok, pa.int64()),
         })
 
     pages = rd.read_parquet(
@@ -3285,8 +3292,16 @@ def crawl_frontier(sf_dir: str):
     partials = pages.map_batches(
         links_batch, batch_format="pyarrow"
     ).map_batches(flt, batch_format="pyarrow")
-    df = partials.to_pandas().groupby("host", sort=True, as_index=False).sum()
-    return df
+    df = partials.to_pandas()
+    hosts = df["host"].to_numpy(dtype=object)
+    u, inv = np.unique(hosts, return_inverse=True)  # NUL-exact + sorted
+    return pd.DataFrame({
+        "host": pd.Series(u, dtype=object),
+        "allowed": np.bincount(
+            inv, weights=df["allowed"].to_numpy()).astype("int64"),
+        "blocked": np.bincount(
+            inv, weights=df["blocked"].to_numpy()).astype("int64"),
+    })
 
 
 def kg_warc_roundtrip(sf_dir: str):
@@ -4320,15 +4335,21 @@ def kg_link_graph(sf_dir: str, k: int = 30):
     ).map_batches(host_edges, batch_format="pyarrow")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        src = df["src_host"].to_numpy()
-        dst = df["dst_host"].to_numpy()
-        pair = np.char.add(np.char.add(src.astype("U"), "\x1f"),
-                           dst.astype("U"))
+        # exact object-dtype pair keys (numpy 'U' arrays strip trailing
+        # NULs — the _scoped_key rule), np.unique grouping
+        src = df["src_host"].to_numpy(dtype=object)
+        dst = df["dst_host"].to_numpy(dtype=object)
+        pair = pd.Series(src, dtype=object).str.cat(
+            pd.Series(dst, dtype=object), sep="\x1f"
+        ).to_numpy(dtype=object)
         uniq, first, inv = np.unique(
             pair, return_index=True, return_inverse=True)
         n = np.bincount(inv, weights=df["n"].to_numpy()).astype(np.int64)
-        return pd.DataFrame({"src_host": src[first], "dst_host": dst[first],
-                             "n": n})
+        return pd.DataFrame({
+            "src_host": pd.Series(src[first], dtype=object),
+            "dst_host": pd.Series(dst[first], dtype=object),
+            "n": n,
+        })
 
     edges = (
         partials.groupby("pid")
@@ -4343,8 +4364,17 @@ def kg_link_graph(sf_dir: str, k: int = 30):
         n_iter=20,
     ).to_pandas()
     deg = edges.to_pandas()
-    out_links = deg.groupby("src_host")["n"].sum()
-    in_links = deg.groupby("dst_host")["n"].sum()
+
+    def _sums(keys: pd.Series, w: pd.Series) -> pd.Series:
+        # np.unique codes, not a pandas object-key groupby (NUL-exact)
+        u, inv = np.unique(keys.to_numpy(dtype=object),
+                           return_inverse=True)
+        return pd.Series(
+            np.bincount(inv, weights=w.to_numpy()).astype("int64"),
+            index=pd.Index(u, dtype=object))
+
+    out_links = _sums(deg["src_host"], deg["n"])
+    in_links = _sums(deg["dst_host"], deg["n"])
     df = ranks.assign(
         out_links=ranks["node"].map(out_links).fillna(0).astype("int64"),
         in_links=ranks["node"].map(in_links).fillna(0).astype("int64"),

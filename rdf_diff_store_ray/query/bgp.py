@@ -1977,7 +1977,8 @@ def finish_query(result: pd.DataFrame, group: dict,
     # projection / aggregate / ORDER BY expressions may carry EXISTS —
     # keep a group-evaluation context alive while they materialize
     if pattern_bindings is not None:
-        _EXISTS_EVAL.append(lambda g: eval_group(g, pattern_bindings))
+        _exists_stack().append(
+            lambda g: eval_group(g, pattern_bindings))
     try:
         if group.get("aggregates") or group.get("group_by"):
             result = _materialize_agg_exprs(result, group)
@@ -1996,7 +1997,7 @@ def finish_query(result: pd.DataFrame, group: dict,
         return finalize_bindings(result, group)
     finally:
         if pattern_bindings is not None:
-            _EXISTS_EVAL.pop()
+            _exists_stack().pop()
 
 
 def _having_true(row: dict, flt) -> bool:
@@ -2323,7 +2324,14 @@ def describe_triples(result: pd.DataFrame, describe,
     return out.sort_values(list(out.columns), ignore_index=True)
 
 
-_EXISTS_EVAL: list = []  # group-evaluator stack for expression EXISTS
+def _exists_stack() -> list:
+    """Group-evaluator stack for expression-level EXISTS — thread-local
+    (see ``_EVAL_TLS``): concurrent server handlers must not see each
+    other's bindings sources."""
+    st = getattr(_EVAL_TLS, "exists_eval", None)
+    if st is None:
+        st = _EVAL_TLS.exists_eval = []
+    return st
 
 
 def eval_group(group: dict, pattern_bindings,
@@ -2333,7 +2341,7 @@ def eval_group(group: dict, pattern_bindings,
     can evaluate its group against the same bindings source — the
     clause form ``FILTER [NOT] EXISTS`` never needed it because the
     group is applied structurally."""
-    _EXISTS_EVAL.append(
+    _exists_stack().append(
         lambda g: eval_group(g, pattern_bindings, graph_bindings,
                              service_eval)
     )
@@ -2341,7 +2349,7 @@ def eval_group(group: dict, pattern_bindings,
         return _eval_group_inner(group, pattern_bindings, graph_bindings,
                                  service_eval)
     finally:
-        _EXISTS_EVAL.pop()
+        _exists_stack().pop()
 
 
 def _eval_group_inner(group: dict, pattern_bindings,
@@ -3139,10 +3147,34 @@ _XSD_NUMERIC = frozenset(
 
 _DEC_EXTRACT = None  # lazy: (lex)(dtype)(lang) groups of a decorated token
 
-# NOW() context: the as-of timestamp of the running query_at (a pandas
-# Timestamp), bound around evaluation so NOW() is deterministic — it is
-# the time-travel instant being queried, not the wall clock.
-_EVAL_NOW: list = [None]
+# Per-THREAD evaluation context (ThreadingHTTPServer handlers share one
+# DiffStoreReader, so module-global mutable state would race across
+# concurrent queries): NOW()'s as-of instant and the expression-EXISTS
+# group-evaluator stack both live in thread-local storage.
+import threading as _threading
+
+
+class _EvalTLS(_threading.local):
+    """threading.local that cloudpickle can ship (Ray actor classes
+    capture module globals by value): pickles as a FRESH empty local —
+    per-query state never outlives the query, so an empty start on the
+    receiving worker is the correct semantics."""
+
+    def __reduce__(self):
+        return (_EvalTLS, ())
+
+
+_EVAL_TLS = _EvalTLS()
+
+
+def _now_slot() -> list:
+    """One-element slot holding the running query's as-of timestamp (a
+    pandas Timestamp) so NOW() is deterministic — the time-travel
+    instant being queried, not the wall clock. Thread-local."""
+    slot = getattr(_EVAL_TLS, "now", None)
+    if slot is None:
+        slot = _EVAL_TLS.now = [None]
+    return slot
 
 
 def _series_parts(s: pd.Series):
@@ -3247,6 +3279,18 @@ def _dur_lex(v) -> str | None:
     if not date and not time:
         return "PT0S"
     return f"{sign}P{date}" + (f"T{time}" if time else "")
+
+
+def _lex_clock(lex: pd.Series, is_lit) -> pd.Series:
+    """Parse the LEXICAL clock of ISO dateTime literals as tz-naive
+    timestamps: the designator is stripped first (so mixed-offset
+    columns parse row-independently, and accessors return lexical
+    parts per SPARQL 17.4.5), and ``format="ISO8601"`` prevents
+    pandas' first-row format inference from coercing mixed-precision
+    rows to NaT."""
+    s = lex.where(is_lit).str.replace(
+        r"(Z|[+-]\d{2}:\d{2})$", "", regex=True)
+    return pd.to_datetime(s, errors="coerce", format="ISO8601")
 
 
 def _temporal_arith(tl: pd.Series, tr: pd.Series, op: str, idx):
@@ -3529,9 +3573,7 @@ def _operand_series(o, result: pd.DataFrame):
         lex, _nm, _dt, _lg, is_lit = _series_parts(
             _operand_tagged(node, result)
         )
-        parse_ok = pd.to_datetime(
-            lex.where(is_lit), errors="coerce", utc=True
-        ).notna()
+        parse_ok = _lex_clock(lex, is_lit).notna()
         tzpart = lex.where(is_lit).str.extract(
             r"(Z|[+-]\d{2}:\d{2})$"
         )[0]
@@ -3583,11 +3625,17 @@ def _operand_series(o, result: pd.DataFrame):
             tok = ('L"' + val + f'"^^<{xsd}boolean>').where(val.notna())
             return tok.astype(object).where(tok.notna(), None), None
         if name == "datetime":
-            parsed = pd.to_datetime(lex.where(is_lit), errors="coerce")
+            # lexical clock + the ORIGINAL designator: the cast keeps
+            # the input's timezone (XPath), and parsing the stripped
+            # clock means mixed-offset / mixed-precision columns never
+            # coerce valid rows to NaT
+            parsed = _lex_clock(lex, is_lit)
+            desig = lex.where(is_lit).str.extract(
+                r"(Z|[+-]\d{2}:\d{2})$")[0].fillna("")
             iso = pd.Series(
                 [v.isoformat() if pd.notna(v) else None for v in parsed],
                 index=idx, dtype="string",
-            )
+            ) + desig.astype("string")
             tok = ('L"' + iso + f'"^^<{xsd}dateTime>').where(iso.notna())
             return tok.astype(object).where(tok.notna(), None), None
         # numeric casts: integer truncates toward zero (XPath); an
@@ -3609,9 +3657,11 @@ def _operand_series(o, result: pd.DataFrame):
         lex, _nm, _dt, _lg, is_lit = _series_parts(
             _operand_tagged(node, result)
         )
-        # accessor over date/dateTime literals: parse the lexical form
-        # (unparseable / non-literal terms are expression errors)
-        dt = pd.to_datetime(lex.where(is_lit), errors="coerce")
+        # accessor over date/dateTime literals: parse the LEXICAL form
+        # (SPARQL 17.4.5: accessors return the lexical parts, not the
+        # UTC-normalized clock; unparseable / non-literal terms are
+        # expression errors)
+        dt = _lex_clock(lex, is_lit)
         comp = {
             "year": dt.dt.year, "month": dt.dt.month, "day": dt.dt.day,
             "hours": dt.dt.hour, "minutes": dt.dt.minute,
@@ -3619,7 +3669,7 @@ def _operand_series(o, result: pd.DataFrame):
         }[name]
         return None, pd.Series(comp, index=idx).astype("Float64")
     if kind == "now":
-        ts = _EVAL_NOW[0]
+        ts = _now_slot()[0]
         if ts is None:
             raise ValueError(
                 "NOW() needs a query-timestamp context — evaluate via "
@@ -3716,12 +3766,12 @@ def _filter_mask(result: pd.DataFrame, flt) -> pd.Series:
         return ~_filter_mask(result, flt[1])
     if flt[0] == "exists":
         _, positive, eg = flt
-        if not _EXISTS_EVAL:
+        if not _exists_stack():
             raise ValueError(
                 "EXISTS inside an expression needs a group-evaluation "
                 "context (evaluate through eval_group/query_at)"
             )
-        eres = _EXISTS_EVAL[-1](eg)
+        eres = _exists_stack()[-1](eg)
         ok = _exists_mask(result, eres)
         return ok if positive else ~ok
     if flt[0] == "bound":
@@ -4023,12 +4073,12 @@ class DiffStoreReader:
             {iri: r._store_at(k) for iri, r in self.services.items()}
             if self.services and group_has_service(g) else None
         )
-        _EVAL_NOW[0] = pd.Timestamp(k, unit="s")
+        _now_slot()[0] = pd.Timestamp(k, unit="s")
         try:
             res = eval_bgp(self._store_at(k), query, quads=quads,
                            service_tables=svc)
         finally:
-            _EVAL_NOW[0] = None
+            _now_slot()[0] = None
         self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"
         self._record("sparql", self.last_cache_level, time.monotonic() - t0)

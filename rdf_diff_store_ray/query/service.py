@@ -207,13 +207,13 @@ class QueryService:
         hit = self._query_cache.get(key)
         if hit is not None:
             return hit
-        from .bgp import _EVAL_NOW
+        from .bgp import _now_slot
 
-        _EVAL_NOW[0] = pd.Timestamp(key[0], unit="s")
+        _now_slot()[0] = pd.Timestamp(key[0], unit="s")
         try:
             out = self._query_at_uncached(ts, query)
         finally:
-            _EVAL_NOW[0] = None
+            _now_slot()[0] = None
         self._query_cache.put(key, out)
         return out
 

@@ -125,6 +125,16 @@ class _RecordStream:
         return out
 
 
+def _hdr_str(b: bytes) -> str:
+    """Header value bytes → str: UTF-8 per WARC 1.1 (ISO 28500 §4),
+    falling back to latin-1 for the raw-byte headers real crawls
+    contain — never an exception, never mojibake for spec-clean input."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_http_response(block: bytes):
     """(status, content_type, location, payload) from an HTTP response
     block; (None, None, None, block) when the block isn't parseable
@@ -145,9 +155,9 @@ def _parse_http_response(block: bytes):
         k, _, v = ln.partition(b":")
         key = k.strip().lower()
         if key == b"content-type" and ctype is None:
-            ctype = v.strip().decode("latin-1")
+            ctype = _hdr_str(v.strip())
         elif key == b"location" and location is None:
-            location = v.strip().decode("latin-1")
+            location = _hdr_str(v.strip())
     return status, ctype, location, payload
 
 
@@ -174,7 +184,7 @@ def iter_warc_records(raw):
             return
         if not line.startswith(b"WARC/"):
             raise ValueError(f"not a WARC record boundary: {line[:40]!r}")
-        hdr: dict = {"__version": line.decode("latin-1")}
+        hdr: dict = {"__version": _hdr_str(line)}
         while True:
             ln = rs.read_line()
             if ln is None:
@@ -184,8 +194,7 @@ def iter_warc_records(raw):
             k, sep, v = ln.partition(b":")
             if not sep:
                 raise ValueError(f"malformed WARC header line: {ln[:60]!r}")
-            hdr[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1")
+            hdr[_hdr_str(k.strip().lower())] = _hdr_str(v.strip())
         try:
             n = int(hdr["content-length"])
         except (KeyError, ValueError):
@@ -274,11 +283,14 @@ def warc_record_bytes(url: str, ts_seconds: int, html: bytes,
     date = datetime.fromtimestamp(int(ts_seconds), tz=timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%SZ")
     loc_hdr = f"Location: {location}\r\n" if location else ""
+    # WARC 1.1 header values are UTF-8 (ISO 28500 §4); HTTP header
+    # bytes ride along utf-8 too so a non-latin-1 Location/IRI can't
+    # crash the sink (readers below decode the same way)
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {content_type}\r\n{loc_hdr}"
         f"Content-Length: {len(html)}\r\n\r\n"
-    ).encode("latin-1") + html
+    ).encode("utf-8") + html
     rid = hashlib.sha256(
         url.encode() + b"\x1f" + date.encode() + b"\x1f" + html).hexdigest()
     hdr = (
@@ -289,7 +301,7 @@ def warc_record_bytes(url: str, ts_seconds: int, html: bytes,
         f"WARC-Target-URI: {url}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
-    ).encode("latin-1")
+    ).encode("utf-8")
     return hdr + http + b"\r\n\r\n"
 
 

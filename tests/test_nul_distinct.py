@@ -107,3 +107,20 @@ def test_bpe_tokens_per_doc_nul_twin_words(ray_session):
     # before the fix a NUL-twin word missed its memo entry and the
     # int64 cast raised; counts must be finite and positive
     assert (out["n_tokens"] > 0).all()
+
+
+def test_repetition_top_token_keeps_nul_twins_distinct():
+    """The per-doc top-token counter groups on integer token codes, not
+    object keys: NUL-twin tokens must not merge into one count."""
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.text import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a\x00x a\x00x a\x00x a\x00y a\x00y b"]),
+    })
+    out = repetition_stats_batch(t).to_pandas().iloc[0]
+    assert out["n_tokens"] == 6
+    assert out["n_distinct_tokens"] == 3
+    assert out["top_token"] == "a\x00x" and out["top_token_count"] == 3

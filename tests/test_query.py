@@ -2340,3 +2340,70 @@ def test_order_by_expressions():
         "{ ?s <https://p/name> ?m } "
         "ORDER BY DESC(STRLEN(?m)) LIMIT 2 } }"))
     assert sorted(out4["s"]) == ["https://e/a", "https://e/c"]
+
+
+def test_tz_and_accessors_on_mixed_precision_offsets():
+    """Mixed-precision / mixed-offset dateTime columns must not coerce
+    valid rows to NaT (pandas first-row format inference), and
+    accessors return LEXICAL parts — not UTC-normalized ones."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    t = _triples_table([
+        ("https://e/a", "https://p/w",
+         f'"2024-03-01T10:00:00Z"^^<{XSD}dateTime>', True),
+        ("https://e/b", "https://p/w",
+         f'"2024-03-01T23:30:00.5+05:30"^^<{XSD}dateTime>', True),
+        ("https://e/c", "https://p/w",
+         f'"2024-03-01T07:00:00"^^<{XSD}dateTime>', True),
+    ])
+    out = eval_bgp(t, (
+        "SELECT ?s (TZ(?w) AS ?tz) (HOURS(?w) AS ?h) "
+        "(xsd:dateTime(?w) AS ?dt) "
+        "WHERE { ?s <https://p/w> ?w } ORDER BY ?s"))
+    recs = out.to_dict("records")
+    assert recs[0]["tz"] == "Z"
+    hours = [r["h"] for r in recs]
+    assert "10" in str(hours[0])
+    # lexical hours, not UTC-normalized (23:30+05:30 stays 23)
+    assert all(h is not None for h in hours)
+    assert "23" in str(hours[1])
+    assert "7" in str(hours[2])
+    # the cast keeps each input's own designator
+    assert str(recs[0]["dt"]).startswith('"2024-03-01T10:00:00Z"')
+    assert "+05:30" in str(recs[1]["dt"])
+    assert str(recs[2]["dt"]).startswith('"2024-03-01T07:00:00"')
+
+
+def test_expression_exists_is_thread_isolated():
+    """Expression-level EXISTS keeps its group-evaluator context in
+    thread-local storage: concurrent evaluations on DIFFERENT stores
+    must never read each other's bindings source (the server's
+    ThreadingHTTPServer shares one module)."""
+    import threading
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    t_a = _triples_table([
+        ("https://e/x", "https://p/q", "1", True),
+        ("https://e/x", "https://p/mark", "yes", True),
+    ])
+    t_b = _triples_table([
+        ("https://e/y", "https://p/q", "1", True),
+        # no mark triples in store B
+    ])
+    q = ("SELECT ?s (IF(EXISTS { ?s <https://p/mark> ?m }, 1, 0) AS ?f) "
+         "WHERE { ?s <https://p/q> ?v }")
+    errors = []
+
+    def run(table, want):
+        try:
+            for _ in range(25):
+                out = eval_bgp(table, q)
+                got = str(out.to_dict("records")[0]["f"])
+                if f'"{want}"' not in got:
+                    errors.append((want, got))
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    th_a = threading.Thread(target=run, args=(t_a, 1))
+    th_b = threading.Thread(target=run, args=(t_b, 0))
+    th_a.start(); th_b.start(); th_a.join(); th_b.join()
+    assert not errors, errors[:3]

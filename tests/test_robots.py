@@ -142,3 +142,26 @@ def test_schedule_frontier(ray_session):
         per_host_delay_s=2)
         .to_pandas().sort_values(["host", "slot"], ignore_index=True))
     assert out.equals(out2)
+
+
+def test_mixed_case_host_cannot_bypass_rules():
+    """Hostnames are case-insensitive (RFC 4343): a fail-open politeness
+    filter must treat Site0.EXAMPLE and site0.example as one host, on
+    both the rule-index side and the frontier side."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.functions.robots import (
+        allowed_mask,
+        compile_rules,
+    )
+
+    rules = compile_rules({"Site0.Example": "User-agent: *\nDisallow: /"})
+    urls = pa.array([
+        "https://site0.example/private",
+        "https://SITE0.EXAMPLE/private",
+        "https://Site0.Example/private",
+        "https://other.example/ok",
+    ])
+    mask = allowed_mask(urls, rules)
+    assert list(mask) == [False, False, False, True]

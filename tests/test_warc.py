@@ -145,3 +145,22 @@ def test_corrupt_gzip_member_raises_valueerror():
     data[len(data) // 2] ^= 0xFF
     with pytest.raises(ValueError, match="corrupt gzip"):
         _records(bytes(data))
+
+
+def test_non_latin1_uri_roundtrips_utf8():
+    """WARC 1.1 header values are UTF-8: an IRI with non-latin-1
+    characters must survive a write/read round-trip byte-exactly (it
+    previously crashed the sink with UnicodeEncodeError)."""
+    import io
+
+    from rdf_diff_store_ray.sources.warc import (
+        iter_warc_records,
+        warc_record_bytes,
+    )
+
+    url = "https://пример.example/päge/→"
+    rec = warc_record_bytes(url, 1700000000, b"<html>ok</html>",
+                            location="https://пример.example/nästa")
+    got = list(iter_warc_records(io.BytesIO(rec)))
+    assert len(got) == 1
+    assert got[0]["warc-target-uri"] == url
