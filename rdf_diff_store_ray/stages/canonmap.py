@@ -116,13 +116,21 @@ def _alias_table(gazetteer: dict) -> pa.Table:
 
 
 def _surfaces_of(batch: pa.Table) -> pa.Table:
-    seen = set()
-    for trips in batch["triples"].to_pylist():
-        for t in trips:
-            seen.add(t["subj_surface"])
-            if not t["obj_is_literal"]:
-                seen.add(t["obj_surface"])
-    return pa.table({"surface": pa.array(sorted(seen), pa.string())})
+    """Distinct entity surfaces of a nested-triples batch, sorted —
+    vectorized (list-flatten + Arrow unique/sort; UTF-8 byte order ==
+    code-point order, so the sort matches Python's)."""
+    trips = batch["triples"]
+    if isinstance(trips, pa.ChunkedArray):
+        trips = trips.combine_chunks()
+    flat = trips.flatten()
+    subj = flat.field("subj_surface")
+    obj = flat.field("obj_surface").filter(
+        pc.invert(flat.field("obj_is_literal")))
+    both = pa.chunked_array([subj, obj]).combine_chunks()
+    u = pc.unique(both)
+    return pa.table({
+        "surface": pc.take(u, pc.sort_indices(u)).cast(pa.string())
+    })
 
 
 def _distinct_by(ds, col: str, num_partitions: int):
