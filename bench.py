@@ -170,6 +170,7 @@ def run_bench() -> dict:
             "kg_rdfs_entailment", "kg_entity_components",
             "events_interval_join", "chunk_embed_search",
             "url_canonical_dedup", "url_domain_stats", "kg_link_graph",
+            "host_boilerplate", "kg_link_diff",
         ):
             timed(name, q.registry()[name])
 
