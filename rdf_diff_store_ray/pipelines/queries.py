@@ -4445,6 +4445,69 @@ def kg_churn(sf_dir: str, k: int = 20):
     )
 
 
+def kg_crawl_schedule(sf_dir: str, k: int = 30):
+    """Adaptive re-crawl scheduling from the store's OWN history — the
+    closing feedback loop of the crawl family (frontier filtering and
+    polite fetch scheduling decide *how* to fetch; this decides *what*,
+    per Cho & Garcia-Molina 2003's estimate-change-rate-then-prioritize):
+    ``priority = change_rate × staleness``, computed per url from the
+    delta log in exact integer micro-units so the output hashes stably —
+    ``(n_versions - 1) × (end_ts - last_change) × 10⁶ // history_span``.
+    Deletes count as changes (they are). One streaming pass over two log
+    columns, per-batch dictionary-code partials, bounded hash partitions
+    of ``graph_id`` (url cardinality is unbounded at web scale — never a
+    per-key Ray aggregate), top-k by (priority DESC, url)."""
+    from ..shuffle_utils import add_partition_id
+
+    res = kg_build_for(sf_dir)
+    end_ts = _store_end_ts(res)
+    log = res.delta_dataset().select_columns(["graph_id", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch["graph_id"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nk = len(enc.dictionary)
+        tnp = batch["warc_ts"].cast(pa.timestamp("s")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        first = np.full(nk, np.iinfo(np.int64).max)
+        np.minimum.at(first, codes, tnp)
+        last = np.full(nk, np.iinfo(np.int64).min)
+        np.maximum.at(last, codes, tnp)
+        t = pa.table({
+            "graph_id": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=nk).astype(
+                np.int64)),
+            "first_ts": pa.array(first, pa.int64()),
+            "last_ts": pa.array(last, pa.int64()),
+        })
+        return add_partition_id(t, "graph_id", 32, col="pid")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["graph_id"].to_numpy(dtype=object)
+        u, inv = np.unique(g, return_inverse=True)
+        n = np.bincount(inv, weights=df["n"].to_numpy()).astype(np.int64)
+        first = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, df["first_ts"].to_numpy())
+        last = np.full(len(u), np.iinfo(np.int64).min)
+        np.maximum.at(last, inv, df["last_ts"].to_numpy())
+        span = np.maximum(last - first, 1)
+        prio = (n - 1) * (end_ts - last) * 1_000_000 // span
+        return pd.DataFrame({
+            "graph_id": pd.Series(u, dtype=object),
+            "n_versions": n,
+            "last_change_ts": last,
+            "priority_micro": prio,
+        })
+
+    return (
+        log.map_batches(partial, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(fold, batch_format="pandas")
+        .sort(["priority_micro", "graph_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def kg_rdfs_entailment(sf_dir: str):
     """RDFS (ρdf) forward materialization over the store's end state
     with an out-of-band ontology — the reference's DCAT domain leans on
@@ -4572,6 +4635,7 @@ def kg_analytics(sf_dir: str):
             "churn": kg_churn,
             "diff": kg_diff,
             "entity_components": kg_entity_components,
+            "crawl_schedule": kg_crawl_schedule,
             "entity_degree": kg_entity_degree,
             "link_graph": kg_link_graph,
             "link_diff": kg_link_diff,
@@ -5173,6 +5237,7 @@ def registry():
         "kg_related_entities": kg_related_entities,
         "kg_link_graph": kg_link_graph,
         "kg_link_diff": kg_link_diff,
+        "kg_crawl_schedule": kg_crawl_schedule,
         "kg_warc_roundtrip": kg_warc_roundtrip,
         "charset_decode": charset_decode,
         "crawl_frontier": crawl_frontier,

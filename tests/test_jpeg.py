@@ -150,3 +150,28 @@ def test_multimodal_jpeg_entry_cross_codec_dedup(ray_session):
     assert fk["keep"].all()
     assert (jp["dup_of"].to_numpy() == jp["media_id"].to_numpy() - 1000).all()
     assert (df["height"] == 32).all() and (df["width"] == 32).all()
+
+
+def test_fuzz_corruption_never_crashes_unstructured():
+    """Random single-byte corruptions of a valid stream either decode
+    (DC/AC noise is legal) or raise ValueError — never any other
+    exception. Deterministic corruption schedule."""
+    import numpy as np
+
+    from rdf_diff_store_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(24, 40)
+    data = bytearray(encode_jpeg(img, quality=85, subsampling="420",
+                                 restart_interval=2))
+    rng = np.random.default_rng(77)
+    for _ in range(120):
+        i = int(rng.integers(2, len(data)))  # keep SOI intact
+        old = data[i]
+        data[i] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+        finally:
+            data[i] = old

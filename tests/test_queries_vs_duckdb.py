@@ -169,3 +169,34 @@ def test_kg_churn_matches_naive_log_replay(ray_session):
     # ordering: versions DESC, entity ASC tie-break
     key = list(zip(-got["n_versions"], got["entity"]))
     assert key == sorted(key)
+
+
+def test_kg_crawl_schedule_matches_naive_log_replay(ray_session):
+    """kg_crawl_schedule equals a driver-side replay: per url,
+    n_versions / first / last over ALL log rows (deletes are changes),
+    priority = (n-1) * (end - last) * 1e6 // max(span, 1), top-k by
+    (priority DESC, url)."""
+    import numpy as np
+
+    from rdf_diff_store_ray.pipelines import queries as q
+
+    res = q.kg_build_for(SF_DIR)
+    t = res.delta_table()
+    end_ts = q._store_end_ts(res)
+    agg: dict = {}
+    for g, ts in zip(t["graph_id"].to_pylist(),
+                     t["warc_ts"].to_pylist()):
+        s = int(ts.timestamp())
+        n, lo, hi = agg.get(g, (0, s, s))
+        agg[g] = (n + 1, min(lo, s), max(hi, s))
+    rows = []
+    for g, (n, lo, hi) in agg.items():
+        span = max(hi - lo, 1)
+        rows.append((g, n, hi, (n - 1) * (end_ts - hi) * 1_000_000 // span))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    got = q.kg_crawl_schedule(SF_DIR, k=25).to_pandas()
+    want = rows[:25]
+    assert list(zip(got["graph_id"], got["n_versions"],
+                    got["last_change_ts"], got["priority_micro"])) == want
+    # never-changed urls (n=1) score 0, changed-and-stale urls top
+    assert (got["priority_micro"].to_numpy() >= 0).all()
