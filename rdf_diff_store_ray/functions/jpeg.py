@@ -286,6 +286,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if comp is None:
                     raise ValueError("SOS references unknown component")
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if len(scan) != len(frame["comps"]):
+                # baseline-sequential with ns < nf is a legal multi-scan
+                # (non-interleaved) stream; decoding only the first scan
+                # would silently yield a partial (e.g. Y-only) image
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG is "
+                    "outside the supported subset")
             ecs_start = pos + seglen
             return _decode_scan(data, ecs_start, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
@@ -334,7 +341,15 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
     mcus_y = -(-h // mcu_h)
     n_mcus = mcus_x * mcus_y
 
-    segs, _ = _split_ecs(data, start)
+    segs, ecs_end = _split_ecs(data, start)
+    # the single interleaved scan must be the LAST scan: anything but EOI
+    # after the entropy-coded data means more scans/markers follow and a
+    # first-scan-only decode would be a wrong image, not a decoded one
+    if ecs_end + 1 < len(data) and data[ecs_end] == 0xFF \
+            and data[ecs_end + 1] not in (0xD9,):
+        raise ValueError(
+            f"JPEG marker 0x{data[ecs_end + 1]:02X} after the first scan "
+            "(multi-scan stream) is outside the supported subset")
     # per-component coefficient planes (in blocks)
     planes = []
     for c in comps:

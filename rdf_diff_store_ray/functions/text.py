@@ -469,6 +469,16 @@ def scoped_template_lines(docs_ds, *, scope_col: str = "host",
         keep = (flat.str.len() > 0).to_numpy(bool)
         line_arr = flat.to_numpy(dtype=object)[keep]
         doc_of = doc_of[keep]
+        scope_arr = df[scope_col].to_numpy(dtype=object)[doc_of]
+        # null scopes (hosts from malformed URLs are nullable) carry no
+        # template group: drop their rows before the \x1f-joined key —
+        # str.cat would yield NaN keys np.unique cannot sort
+        if len(scope_arr):
+            valid = ~pd.isna(scope_arr)
+            if not valid.all():
+                scope_arr = scope_arr[valid]
+                line_arr = line_arr[valid]
+                doc_of = doc_of[valid]
         if not len(line_arr):
             return pa.table({
                 "scope": pa.array([], pa.string()),
@@ -476,7 +486,6 @@ def scoped_template_lines(docs_ds, *, scope_col: str = "host",
                 "nd": pa.array([], pa.int64()),
                 "pid": pa.array([], pa.int32()),
             })
-        scope_arr = df[scope_col].to_numpy(dtype=object)[doc_of]
         # object-dtype concat (exact, incl. NUL bytes — numpy 'U'
         # arrays strip trailing NULs)
         key = _scoped_key(scope_arr, line_arr, sep)
@@ -577,12 +586,16 @@ def scoped_line_dedup(docs_ds, templates_ds=None, *,
         line_arr = flat.to_numpy(dtype=object)[keep]
         doc_of = doc_of[keep]
         scope_full = df[scope_col].to_numpy(dtype=object)
+        is_dup = np.zeros(len(line_arr), dtype=bool)
         if len(line_arr) and len(dup):
-            h = key_hash(scope_full[doc_of], line_arr)
-            pos = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
-            is_dup = dup[pos] == h
-        else:
-            is_dup = np.zeros(len(line_arr), dtype=bool)
+            # null-scope docs never match a template (detection drops
+            # them); probe only the rows with a real scope key
+            scope_rows = scope_full[doc_of]
+            valid = ~pd.isna(scope_rows)
+            if valid.any():
+                h = key_hash(scope_rows[valid], line_arr[valid])
+                pos = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
+                is_dup[valid] = dup[pos] == h
         n_lines = np.bincount(doc_of, minlength=len(df)).astype(np.int64)
         kept_doc = doc_of[~is_dup]
         joined = pd.Series(line_arr[~is_dup]).groupby(

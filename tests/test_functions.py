@@ -1648,6 +1648,42 @@ def test_scoped_template_lines_match_naive(ray_session):
         assert scrubbed.loc[r["doc_id"], "n_dropped"] == n_all - len(keep)
 
 
+def test_scoped_template_null_scope_rows(ray_session):
+    """Hosts parsed from malformed URLs are nullable: null-scope docs
+    crash neither detection nor scrub, form no template group, and come
+    back unscrubbed (ADVICE r4: str.cat yields NaN keys np.unique cannot
+    sort)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.text import (
+        scoped_line_dedup,
+        scoped_template_lines,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "host": ["a.com", "a.com", "a.com", None, None, None, "a.com"],
+        "text": ["nav\nbody0", "nav\nbody1", "nav\nbody2", "nav\nx0",
+                 "nav\nx1", "nav\nx2", "solo"],
+    })
+    tpl = scoped_template_lines(rd.from_pandas(docs), min_docs=3).to_pandas()
+    assert set(zip(tpl["scope"], tpl["line"])) == {("a.com", "nav")}
+
+    out = scoped_line_dedup(rd.from_pandas(docs), min_docs=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # a.com docs lose the template line; null-host docs keep everything
+    assert out.loc[0, "clean_text"] == "body0"
+    assert out.loc[3, "clean_text"] == "nav\nx0"
+    assert out.loc[3, "n_dropped"] == 0
+    assert out.loc[6, "clean_text"] == "solo"
+    # an all-null-scope corpus is a no-op, not a crash
+    docs2 = docs.assign(host=None)
+    tpl2 = scoped_template_lines(rd.from_pandas(docs2), min_docs=2) \
+        .to_pandas()
+    assert len(tpl2) == 0
+
+
 def test_scoped_template_scope_isolation(ray_session):
     """A line duplicated across DIFFERENT scopes but < min_docs within
     any one scope is NOT template (the whole point of scoping)."""

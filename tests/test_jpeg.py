@@ -114,6 +114,34 @@ def test_rejects_progressive_sof2():
         decode_jpeg(bytes(data))
 
 
+def test_rejects_multiscan_noninterleaved_sos():
+    """A legal baseline stream may carry one scan PER COMPONENT
+    (non-interleaved); decoding only the first would silently yield a
+    Y-only image. The contract is ValueError, never a wrong image."""
+    data = bytearray(encode_jpeg(_gradient_rgb(16, 16), subsampling="444"))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # rewrite the SOS header to reference only the first component
+    # (ns=1): seglen 6+2*1=8, keep component 1's tables, Ss/Se/Ah-Al
+    old_len = int.from_bytes(data[i + 2:i + 4], "big")
+    comp1 = bytes(data[i + 5:i + 7])  # (cs1, td/ta)
+    tail = bytes(data[i + 2 + old_len:])
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + comp1 \
+        + b"\x00\x3f\x00"
+    with pytest.raises(ValueError, match="multi-scan|non-interleaved"):
+        decode_jpeg(bytes(data[:i]) + new_sos + tail)
+
+
+def test_rejects_marker_after_first_scan():
+    data = bytearray(encode_jpeg(_gradient(16, 16)))
+    assert data[-2:] == b"\xff\xd9"
+    # a second SOS where EOI should be = more scans follow
+    forged = bytes(data[:-2]) + b"\xff\xda" + b"\x00\x08" + b"\x01\x01\x00" \
+        + b"\x00\x3f\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="after the first scan"):
+        decode_jpeg(forged)
+
+
 def test_rejects_corrupt_entropy_stream():
     data = bytearray(encode_jpeg(_gradient(32, 32), quality=95))
     # truncate the scan right after SOS: decodable header, dead stream
