@@ -127,7 +127,8 @@ def build(
     enforce_digest: str = "raise",
     write_triples: bool = True,
     use_actor_pools: bool = False,
-    canonical_map: str = "driver",
+    canonical_map: str = "auto",
+    auto_vocab_threshold: int = 250_000,
 ) -> BuildResult:
     """Run the full build. ``pages`` is a Parquet path/dir or a Dataset.
 
@@ -144,15 +145,26 @@ def build(
     (model weights, a large candidate index) — then amortizing it across
     an actor's lifetime wins.
 
-    ``canonical_map``: ``"driver"`` (default) reduces the surface
-    vocabulary to a dict on the driver and broadcasts it — right while
-    the vocabulary is bounded (gazetteer-anchored domains). ``"distributed"``
-    is the 100× path (:mod:`..stages.canonmap`): the map is built by
-    distributed min-label propagation, persisted as a hash-partitioned
-    parquet side table under ``out_dir/canonical/``, and resolution
-    happens by co-partition join — the vocabulary is never collected or
-    broadcast. Both paths emit byte-identical delta logs
-    (``test_canonmap.py`` asserts it).
+    ``canonical_map``: ``"driver"`` reduces the surface vocabulary to a
+    dict on the driver and broadcasts it — right while the vocabulary is
+    bounded (gazetteer-anchored domains). ``"distributed"`` is the 100×
+    path (:mod:`..stages.canonmap`): the map is built by distributed
+    min-label propagation, persisted as a hash-partitioned parquet side
+    table under ``out_dir/canonical/``, and resolution happens by
+    co-partition join — the vocabulary is never collected or broadcast.
+    Both paths emit byte-identical delta logs (``test_canonmap.py``
+    asserts it). ``"auto"`` (default) runs the shared vocabulary pass
+    once (:func:`..stages.canonmap.distinct_surfaces` — both paths need
+    exactly this set), counts it, and picks ``driver`` at or below
+    ``auto_vocab_threshold`` distinct surfaces, ``distributed`` above —
+    measured at sf0.1/32cpus the driver path builds 2.7× faster on a
+    7.8k-surface vocabulary (BASELINE.md, round 5), while the driver
+    dict's RSS grows linearly with vocabulary and the distributed path
+    stays flat. A resumed build is sticky: an existing
+    ``canonical/meta.json`` (or ``canonical_map.json``) decides the mode
+    before any counting, so resume never flips layout mid-store.
+    ``auto_vocab_threshold`` can be overridden per call or via the
+    ``KG_AUTO_VOCAB_THRESHOLD`` environment variable.
     """
     from .._bootstrap import ensure_importable
 
@@ -166,8 +178,8 @@ def build(
         stage_wall[name] = round(now - _last[0], 3)
         _last[0] = now
 
-    if canonical_map not in ("driver", "distributed"):
-        raise ValueError(f"canonical_map must be 'driver' or "
+    if canonical_map not in ("auto", "driver", "distributed"):
+        raise ValueError(f"canonical_map must be 'auto', 'driver' or "
                          f"'distributed', got {canonical_map!r}")
     os.makedirs(out_dir, exist_ok=True)
     delta_dir = os.path.join(out_dir, "deltas")
@@ -223,27 +235,48 @@ def build(
 
     from ..stages import canonmap as canonmap_mod
 
+    shared_surf = None
+    if canonical_map == "auto":
+        # sticky resume: an existing layout decides before any counting
+        if os.path.exists(os.path.join(canon_dir, canonmap_mod.META_NAME)):
+            canonical_map = "distributed"
+        elif os.path.exists(canon_path):
+            canonical_map = "driver"
+
+    def _gate() -> str:
+        nonlocal shared_surf
+        thresh = int(os.environ.get("KG_AUTO_VOCAB_THRESHOLD",
+                                    auto_vocab_threshold))
+        shared_surf = canonmap_mod.distinct_surfaces(
+            raw_ds, gazetteer).materialize()
+        n_vocab = shared_surf.count()
+        return "distributed" if n_vocab > thresh else "driver"
+
     def _canon():
         if canonical_map == "distributed":
             # persisted store (resume-safe: meta.json is written last)
             if not os.path.exists(os.path.join(canon_dir,
                                                canonmap_mod.META_NAME)):
                 canonmap_mod.build_canonical_store(raw_ds, gazetteer,
-                                                   canon_dir)
+                                                   canon_dir,
+                                                   surf_ds=shared_surf)
             return None  # never collected — resolution joins the store
         if os.path.exists(canon_path):
             with open(canon_path) as f:
                 return json.load(f)
-        cm = build_canonical_map(raw_ds, gazetteer)
+        cm = build_canonical_map(raw_ds, gazetteer, surf_ds=shared_surf)
         from .. import fs as _fs
 
         _fs.put_text(canon_path, json.dumps(cm, sort_keys=True))
         return cm
 
-    with _TPE(max_workers=2) as tpe:
-        fut_canon = tpe.submit(_canon)
+    with _TPE(max_workers=1) as tpe:
+        # the snapshot grid runs concurrently with the gate pass and the
+        # map build — all are independent consumers of raw_ds
         fut_snap = tpe.submit(_snapshot_times, raw_ds)
-        canon_dict = fut_canon.result()
+        if canonical_map == "auto":
+            canonical_map = _gate()
+        canon_dict = _canon()
         snapshot_times = fut_snap.result()
     if canon_dict is None:
         canon_map_size = canonmap_mod.map_size(canon_dir)
@@ -519,7 +552,7 @@ def build_incremental(
     batch_size: int = 1024,
     enforce_digest: str = "raise",
     write_triples: bool = True,
-    canonical_map: str = "driver",
+    canonical_map: str = "auto",
 ) -> BuildResult:
     """Append a NEW crawl snapshot batch to an EXISTING store — the
     distributed form of the reference's continuously-running writer
@@ -539,7 +572,11 @@ def build_incremental(
       built the same way) the extension is the O(batch) probe of the
       persisted band/norm indexes (:func:`..stages.canonmap.
       extend_canonical_store`) — no per-batch re-cluster of the
-      vocabulary, no driver dict, resolution by co-partition join;
+      vocabulary, no driver dict, resolution by co-partition join.
+      ``"auto"`` (default) follows the store's own layout: a persisted
+      ``canonical/meta.json`` selects the distributed O(batch)
+      extension, a ``canonical_map.json`` the driver extension — an
+      incremental writer never flips the layout it appends to;
     - each partition derives its delta rows against its existing log
       state (stored digests seed suppression; per-graph monotonicity is
       validated before any byte is written) and appends ONE new log
@@ -623,6 +660,14 @@ def build_incremental(
 
     canon_dir = os.path.join(out_dir, "canonical")
     new_snap = _snapshot_times(raw_ds)
+    if canonical_map == "auto":
+        # follow the store's own layout — appends never flip it
+        canonical_map = (
+            "distributed"
+            if os.path.exists(os.path.join(canon_dir,
+                                           canonmap_mod.META_NAME))
+            else "driver"
+        )
     if canonical_map == "distributed":
         if not os.path.exists(os.path.join(canon_dir,
                                            canonmap_mod.META_NAME)):

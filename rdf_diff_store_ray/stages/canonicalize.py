@@ -229,6 +229,7 @@ def build_canonical_map(
     bands: int = 16,
     batch_size: int = 4096,
     extra_surfaces=None,
+    surf_ds=None,
 ) -> dict:
     """Distributed canonicalization over a raw nested-triples Dataset.
 
@@ -239,7 +240,12 @@ def build_canonical_map(
     ``extra_surfaces``: additional vocabulary to cluster alongside the
     corpus surfaces (incremental builds pass the existing map's keys so
     new variants land in the clusters of the surfaces they vary).
-    """
+
+    ``surf_ds``: optional pre-materialized distinct-surface Dataset
+    (``canonmap.distinct_surfaces`` — must include the alias vocabulary;
+    incompatible with ``extra_surfaces``). Skips the corpus scan; the
+    resulting map is identical regardless of surface ORDER (clusters are
+    an order-free partition, IRIs derive from sorted members)."""
     import ray.data as rd
 
     def surfaces_of(batch: pa.Table) -> pa.Table:
@@ -251,19 +257,23 @@ def build_canonical_map(
                     seen.add(t["obj_surface"])
         return pa.table({"surface": pa.array(sorted(seen), pa.string())})
 
-    vocab = sorted(gazetteer["alias_to_eid"])
-    if extra_surfaces:
-        vocab = sorted(set(vocab) | set(extra_surfaces))
-    alias_tbl = pa.table({"surface": pa.array(vocab, pa.string())})
-    surf_ds = (
-        raw_ds.map_batches(surfaces_of, batch_format="pyarrow")
-        .union(rd.from_arrow(alias_tbl))
-        .groupby("surface")
-        .count()
-        .select_columns(["surface"])
-        .materialize()  # vocabulary-scale (small); consumed twice below —
-        # without this the corpus-scale surfaces_of pass would re-execute
-    )
+    if surf_ds is not None and extra_surfaces:
+        raise ValueError("surf_ds and extra_surfaces are exclusive")
+    if surf_ds is None:
+        vocab = sorted(gazetteer["alias_to_eid"])
+        if extra_surfaces:
+            vocab = sorted(set(vocab) | set(extra_surfaces))
+        alias_tbl = pa.table({"surface": pa.array(vocab, pa.string())})
+        surf_ds = (
+            raw_ds.map_batches(surfaces_of, batch_format="pyarrow")
+            .union(rd.from_arrow(alias_tbl))
+            .groupby("surface")
+            .count()
+            .select_columns(["surface"])
+            .materialize()  # vocabulary-scale (small); consumed twice
+            # below — without this the corpus-scale surfaces_of pass
+            # would re-execute
+        )
     bucket_ds = surf_ds.map_batches(
         minhash_signatures_batch,
         fn_kwargs={"num_perm": num_perm, "bands": bands},

@@ -224,6 +224,31 @@ def _lsh_edges(surf_ds, num_perm: int, bands: int, threshold: float):
 
 
 # ------------------------------------------------------------- store build
+def distinct_surfaces(raw_ds, gazetteer: dict):
+    """The shared vocabulary pass: distinct entity surfaces of the corpus
+    ∪ the gazetteer alias vocabulary, as a ``(surface)`` Dataset. Both
+    canonical-map paths consume exactly this set, so ``build()``'s auto
+    gate materializes it ONCE, counts it, and hands it to whichever path
+    the count selects.
+
+    Reduced by Ray's sort-shuffle ``groupby.count`` (a distributed
+    aggregate, NOT a per-key ``map_groups`` — fine at unbounded key
+    cardinality): measured at sf0.1 its sorted many-block output layout
+    feeds the downstream minhash/bucket stages 1.3 s faster than the
+    bounded-partition ``_distinct_by`` fold's few fat pandas-built
+    blocks (3.4 s vs 4.7 s canonical-stage wall)."""
+    import ray.data as rd
+
+    alias_tbl = _alias_table(gazetteer)
+    return (
+        raw_ds.map_batches(_surfaces_of, batch_format="pyarrow")
+        .union(rd.from_arrow(alias_tbl.select(["surface"])))
+        .groupby("surface")
+        .count()
+        .select_columns(["surface"])
+    )
+
+
 def build_canonical_store(
     raw_ds,
     gazetteer: dict,
@@ -233,11 +258,15 @@ def build_canonical_store(
     num_perm: int = 64,
     bands: int = 16,
     num_partitions: int = 16,
+    surf_ds=None,
 ) -> dict:
     """Build the persisted map from a raw nested-triples Dataset. The
     vocabulary is never collected: clustering reduces via distributed
     min-label propagation and every derivation below is a co-partition
-    pass over bounded hash partitions. Returns summary counts."""
+    pass over bounded hash partitions. Returns summary counts.
+
+    ``surf_ds``: optional pre-materialized :func:`distinct_surfaces`
+    result (must include the alias vocabulary) — skips the corpus scan."""
     canon_dir = fs.local(canon_dir)
     import ray.data as rd
     import shutil
@@ -247,13 +276,9 @@ def build_canonical_store(
     shutil.rmtree(canon_dir, ignore_errors=True)
     os.makedirs(canon_dir, exist_ok=True)
     alias_tbl = _alias_table(gazetteer)
-    surf_ds = _distinct_by(
-        raw_ds.map_batches(_surfaces_of, batch_format="pyarrow").union(
-            rd.from_arrow(alias_tbl.select(["surface"]))
-        ),
-        "surface",
-        num_partitions,
-    ).materialize()  # vocabulary-scale; consumed by edges + attach below
+    if surf_ds is None:
+        # vocabulary-scale; consumed by edges + attach below
+        surf_ds = distinct_surfaces(raw_ds, gazetteer).materialize()
 
     edges = _norm_edges(surf_ds, num_partitions).union(
         _lsh_edges(surf_ds, num_perm, bands, threshold)

@@ -145,6 +145,86 @@ def test_distributed_incremental_split_equals_full(corpus_split,
         _delta_rows(os.path.join(str(tmp_path / "inc"), "deltas"))
 
 
+def test_auto_gate_small_vocab_picks_driver(corpus_split, ray_session,
+                                            tmp_path):
+    """canonical_map='auto' (the default) runs ONE shared vocabulary pass,
+    counts it, and picks the broadcast-dict path below the threshold —
+    producing the driver layout (canonical_map.json, no canonical/ store)
+    and the byte-identical log."""
+    from rdf_diff_store_ray.pipelines.build import build
+
+    gaz = corpus_split["gazetteer"]
+    a = build(corpus_split["full"], str(tmp_path / "auto"), gazetteer=gaz,
+              num_partitions=4, resume=False, write_triples=False)
+    assert os.path.exists(str(tmp_path / "auto" / "canonical_map.json"))
+    assert not os.path.exists(str(tmp_path / "auto" / "canonical" /
+                                  "meta.json"))
+    b = build(corpus_split["full"], str(tmp_path / "drv"), gazetteer=gaz,
+              num_partitions=4, resume=False, write_triples=False,
+              canonical_map="driver")
+    assert _delta_rows(a.delta_dir) == _delta_rows(b.delta_dir)
+    assert a.canonical_map_size == b.canonical_map_size
+
+
+def test_auto_gate_large_vocab_picks_distributed(corpus_split, ray_session,
+                                                 tmp_path):
+    """Above the threshold the auto gate takes the persisted-store path —
+    same shared vocabulary pass, no driver dict, identical log — and a
+    RESUMED auto build follows the existing layout instead of recounting
+    (sticky: appends never flip a store's layout)."""
+    from rdf_diff_store_ray.pipelines.build import build, build_incremental
+
+    gaz = corpus_split["gazetteer"]
+    a = build(corpus_split["full"], str(tmp_path / "auto"), gazetteer=gaz,
+              num_partitions=4, resume=False, write_triples=False,
+              auto_vocab_threshold=1)
+    assert os.path.exists(str(tmp_path / "auto" / "canonical" /
+                              "meta.json"))
+    assert not os.path.exists(str(tmp_path / "auto" / "canonical_map.json"))
+    b = build(corpus_split["full"], str(tmp_path / "dst"), gazetteer=gaz,
+              num_partitions=4, resume=False, write_triples=False,
+              canonical_map="distributed")
+    assert _delta_rows(a.delta_dir) == _delta_rows(b.delta_dir)
+
+    # sticky resume: default threshold would pick driver, but the store
+    # already has the distributed layout — resume must keep it
+    r = build(corpus_split["full"], str(tmp_path / "auto"), gazetteer=gaz,
+              num_partitions=4, resume=True, write_triples=False)
+    assert not os.path.exists(str(tmp_path / "auto" / "canonical_map.json"))
+    assert _delta_rows(r.delta_dir) == _delta_rows(b.delta_dir)
+
+
+def test_auto_incremental_follows_store_layout(corpus_split, ray_session,
+                                               tmp_path):
+    """build_incremental's default follows the store it appends to: a
+    distributed-bootstrap store gets the O(batch) persisted-index
+    extension (no canonical_map.json ever appears), a driver store the
+    driver extension — both reproduce the one-shot full build."""
+    from rdf_diff_store_ray.pipelines.build import build, build_incremental
+
+    gaz = corpus_split["gazetteer"]
+    full = build(corpus_split["full"], str(tmp_path / "full"),
+                 gazetteer=gaz, num_partitions=4, resume=False,
+                 write_triples=False, canonical_map="distributed")
+    build(corpus_split["early"], str(tmp_path / "inc"), gazetteer=gaz,
+          num_partitions=4, resume=False, write_triples=False,
+          auto_vocab_threshold=1)  # auto → distributed bootstrap
+    inc = build_incremental(corpus_split["late"], str(tmp_path / "inc"),
+                            gazetteer=gaz, write_triples=False)  # auto
+    assert inc.applied_deltas > 0
+    assert not os.path.exists(str(tmp_path / "inc" / "canonical_map.json"))
+    assert _delta_rows(full.delta_dir) == _delta_rows(
+        os.path.join(str(tmp_path / "inc"), "deltas"))
+
+    build(corpus_split["early"], str(tmp_path / "drv"), gazetteer=gaz,
+          num_partitions=4, resume=False, write_triples=False)  # driver
+    build_incremental(corpus_split["late"], str(tmp_path / "drv"),
+                      gazetteer=gaz, write_triples=False)  # auto → driver
+    assert os.path.exists(str(tmp_path / "drv" / "canonical_map.json"))
+    assert _delta_rows(os.path.join(str(tmp_path / "drv"), "deltas")) == \
+        _delta_rows(full.delta_dir)
+
+
 def test_extension_is_o_batch_and_anchors_variants(ray_session, tmp_path):
     """Planted-truth extension: a typo variant of an indexed surface
     adopts that surface's cluster IRI through the persisted band/norm
