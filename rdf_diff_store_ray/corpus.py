@@ -238,15 +238,17 @@ def _page_facts(primary: _Entity, orgs, cities, rng: np.random.Generator,
 
 
 def _render(title: str, sentences, rng: np.random.Generator,
-            links: list | None = None):
+            links: list | None = None, plain_sentences=()):
     """Build (html_bytes, ground_truth_text). HTML-side-only noise: entity
     escaping, random double spaces, tab indentation — the extractor must
     normalize all of it away to reproduce ``text`` byte-identically.
     ``links`` (hrefs, optional) render inside ``<nav>``, which the
     extractor drops wholesale — link density never perturbs the
     extraction ground truth, and ``links=None`` emits byte-identical
-    pages to the pre-knob corpus."""
-    text = "\n".join([title] + list(sentences))
+    pages to the pre-knob corpus. ``plain_sentences`` render after the
+    main body WITHOUT the per-sentence noise coin (no main-rng draw), so
+    the vocab knob never perturbs the default corpus stream."""
+    text = "\n".join([title] + list(sentences) + list(plain_sentences))
 
     def noisy(s: str) -> str:
         esc = _htmlmod.escape(s)
@@ -258,7 +260,10 @@ def _render(title: str, sentences, rng: np.random.Generator,
         f' | <a href="{_htmlmod.escape(h, quote=True)}">ref</a>'
         for h in (links or [])
     )
-    paras = "\n".join(f"\t<p>{noisy(s)}</p>" for s in sentences)
+    paras = "\n".join(
+        [f"\t<p>{noisy(s)}</p>" for s in sentences]
+        + [f"\t<p>{_htmlmod.escape(s)}</p>" for s in plain_sentences]
+    )
     doc = (
         "<html><head><title>corpus page</title>"
         "<script>var t=1;</script><style>.x{color:red}</style></head>\n"
@@ -302,7 +307,7 @@ def _page_url(u: int) -> str:
 
 def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
              filler_sentences: int = 0, entity_skew: float = 0.0,
-             n_links: int = 0) -> Corpus:
+             n_links: int = 0, vocab_per_page: int = 0) -> Corpus:
     """Deterministic corpus. ~``n_urls * n_snapshots * 0.8`` page rows.
     ``filler_sentences`` > 0 pads every page with that many deterministic
     non-fact body sentences (bench realism knob; default 0 keeps the
@@ -316,10 +321,30 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
     truth ``(url, warc_ts, href, resolved)`` — ``resolved`` is the
     CANONICAL absolute target (fragment dropped), i.e. what resolve →
     canonicalize should produce. The draws come from a SEPARATE rng
-    stream, so the default corpus stays byte-stable."""
+    stream, so the default corpus stays byte-stable.
+
+    ``vocab_per_page`` > 0 plants that many UNIQUE random two-word org
+    surfaces per url (each in a real ``partners with`` sentence the NER
+    patterns extract, stable across the url's snapshots): distinct
+    surfaces then grow LINEARLY with pages instead of the default's
+    capped gazetteer vocabulary — the knob behind the driver-vs-
+    distributed canonical-map divergence measurement (BASELINE.md).
+    Separate rng stream; 0 keeps every default corpus byte-stable."""
     rng = np.random.default_rng(seed)
     link_rng = (np.random.default_rng(seed * 1_000_003 + 424_243)
                 if n_links else None)
+    boost_surfs: list[str] = []
+    if vocab_per_page:
+        vrng = np.random.default_rng(seed * 1_000_003 + 90_071)
+        n_boost = n_urls * vocab_per_page
+        raw = (vrng.integers(0, 26, size=(n_boost, 14), dtype=np.uint8)
+               + 97).tobytes()
+        for i in range(n_boost):
+            off = i * 14
+            boost_surfs.append(
+                raw[off:off + 7].decode().capitalize() + " "
+                + raw[off + 7:off + 14].decode().capitalize()
+            )
     lcols: dict = {k: [] for k in ("url", "warc_ts", "href", "resolved")}
     filler = _filler_pool(rng) if filler_sentences else []
     # entity vocabulary grows sublinearly and is capped: a web corpus 10×
@@ -400,6 +425,22 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
                         o_surf, o_iri, o_lit = obj, obj, True
                     sent_texts.append(_sentence(kind, s_surf, o_surf))
                     trips.append((entity_iri(subj_e.eid), _KIND_PRED[kind], o_iri, o_lit))
+                boost_texts = []
+                if vocab_per_page:
+                    # stable per url; subjects are singleton clusters so
+                    # their canonical IRI is the surface slug. The object
+                    # is a literal year: entity names can carry digit
+                    # suffixes at large n_orgs, which the MENTION pattern
+                    # rejects — a literal object extracts at every scale.
+                    from .stages.link import surface_slug
+
+                    for j, b in enumerate(
+                            boost_surfs[u * vocab_per_page:
+                                        (u + 1) * vocab_per_page]):
+                        year = str(1900 + (u + j) % 125)
+                        boost_texts.append(_sentence("founded", b, year))
+                        trips.append((ENTITY_NS + surface_slug(b),
+                                      P_FOUNDED, year, True))
                 if rng.random() < 0.4:
                     sent_texts.append(
                         _DISTRACTORS[int(rng.integers(len(_DISTRACTORS)))]
@@ -425,7 +466,8 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
                             page_links.append((f"{target}#sec", target))
                 html_b, text = _render(
                     title, sent_texts, rng,
-                    links=[h for h, _ in page_links] or None)
+                    links=[h for h, _ in page_links] or None,
+                    plain_sentences=boost_texts)
                 rendered = (html_b, text, trips, page_links)
             html_b, text, trips, page_links = rendered
             cols["url"].append(url)

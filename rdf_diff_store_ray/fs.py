@@ -38,6 +38,21 @@ points normalize through :func:`local` so every internal layer sees
 one canonical form. Hidden keys (basename starting with ``.``) are
 never part of a store's namespace: globs don't match them and
 :func:`visible_listdir` filters them.
+
+**Second scheme (round 5): ``mocks3://bucket/key``** — an object store
+emulated over a local directory (``$KG_MOCKS3_ROOT``, default
+``/tmp/kg_mocks3``) whose durable-write verbs all route through an
+**fsspec client** instead of raw ``os`` calls: ``pipe_file`` is the
+whole-object PUT, ``open(mode="xb")`` the conditional create,
+``ls(detail=True)`` the listing. ``local()`` maps a ``mocks3://`` URI
+onto the bucket's backing directory, so readers (Ray ``read_parquet``,
+glob-based log replay) see the same namespace from every worker
+process — the directory plays the server, the fsspec calls play the
+client, and the whole append/compact/sync/fsck/index matrix runs on
+the adapter (``tests/test_mocks3.py``). A real ``s3://`` deployment
+swaps the fsspec protocol (s3fs) behind the same
+:class:`_FsspecClient`; its conditional PUT should use
+``If-None-Match: *`` where the SDK exposes it.
 """
 
 from __future__ import annotations
@@ -46,15 +61,89 @@ import os
 import uuid
 
 SCHEME = "file://"
+MOCKS3_SCHEME = "mocks3://"
+
+
+def _mocks3_root() -> str:
+    return os.environ.get("KG_MOCKS3_ROOT", "/tmp/kg_mocks3")
 
 
 def is_uri(path: str) -> bool:
-    return isinstance(path, str) and path.startswith(SCHEME)
+    return isinstance(path, str) and (
+        path.startswith(SCHEME) or path.startswith(MOCKS3_SCHEME)
+    )
 
 
 def local(path: str) -> str:
-    """Canonical local form of a path or ``file://`` URI."""
-    return path[len(SCHEME):] if is_uri(path) else path
+    """Canonical local form of a path or URI. For ``mocks3://`` this is
+    the bucket's backing directory — what readers (glob, Ray parquet
+    reads) address; the write verbs recognize it and route through the
+    fsspec client."""
+    if not isinstance(path, str):
+        return path
+    if path.startswith(SCHEME):
+        return path[len(SCHEME):]
+    if path.startswith(MOCKS3_SCHEME):
+        return os.path.join(_mocks3_root(), path[len(MOCKS3_SCHEME):])
+    if path.startswith("s3://"):
+        raise NotImplementedError(
+            "s3:// stores need the s3fs-backed client (same _FsspecClient "
+            "shape as mocks3://) plus URI-native readers; this sandbox "
+            "has no network, so only the dir-backed emulation is wired"
+        )
+    return path
+
+
+def _in_mocks3(local_path: str) -> bool:
+    root = _mocks3_root()
+    return local_path == root or local_path.startswith(root + os.sep)
+
+
+class _FsspecClient:
+    """Object-store client over fsspec: only object verbs, no POSIX.
+
+    PUT publishes atomically (hidden staging key + server-side move —
+    the emulation of the store's internally-atomic whole-object PUT;
+    clients never rename a VISIBLE key). Conditional PUT is an
+    exclusive create. A real S3 adapter keeps these five methods and
+    swaps ``protocol="s3"``."""
+
+    def __init__(self, protocol: str = "file") -> None:
+        import fsspec
+
+        self.fs = fsspec.filesystem(protocol, auto_mkdir=True)
+
+    def put(self, key: str, data: bytes) -> None:
+        self.fs.makedirs(os.path.dirname(key), exist_ok=True)
+        tmp = _staging_name(key)
+        self.fs.pipe_file(tmp, data)
+        self.fs.mv(tmp, key)  # the mock server's atomic-PUT boundary
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        self.fs.makedirs(os.path.dirname(key), exist_ok=True)
+        try:
+            with self.fs.open(key, "xb") as f:
+                f.write(data)
+        except FileExistsError:
+            return False
+        return True
+
+    def list_visible(self, prefix: str) -> list:
+        return sorted(
+            os.path.basename(p.rstrip("/"))
+            for p in self.fs.ls(prefix, detail=False)
+            if not os.path.basename(p.rstrip("/")).startswith(".")
+        )
+
+
+_MOCKS3_CLIENT = None
+
+
+def _client() -> _FsspecClient:
+    global _MOCKS3_CLIENT
+    if _MOCKS3_CLIENT is None:
+        _MOCKS3_CLIENT = _FsspecClient("file")
+    return _MOCKS3_CLIENT
 
 
 def _staging_name(final: str) -> str:
@@ -66,8 +155,12 @@ def put_bytes(path: str, data: bytes) -> None:
     """Atomic whole-object publish (the PUT emulation): write a hidden
     staging key, fsync, swap into the final key. Readers of ``path``
     never observe a partial object; a crash leaves only an unreachable
-    hidden key."""
+    hidden key. ``mocks3://`` paths (or paths under the mock bucket
+    root) PUT through the fsspec client instead."""
     path = local(path)
+    if _in_mocks3(path):
+        _client().put(path, data)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = _staging_name(path)
     with open(tmp, "wb") as f:
@@ -82,10 +175,19 @@ def put_text(path: str, text: str) -> None:
 
 
 def put_table(table, path: str) -> None:
-    """Atomic parquet publish under the final key."""
+    """Atomic parquet publish under the final key. On ``mocks3://`` the
+    table serializes to one buffer and ships as a whole-object PUT —
+    exactly what a real object-store write would do."""
     import pyarrow.parquet as pq
 
     path = local(path)
+    if _in_mocks3(path):
+        import pyarrow as pa
+
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink)
+        _client().put(path, sink.getvalue().to_pybytes())
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = _staging_name(path)
     pq.write_table(table, tmp)
@@ -96,6 +198,8 @@ def put_if_absent(path: str, data: bytes) -> bool:
     """Conditional create (``If-None-Match: *``): True iff this call
     created the object. The lock primitive."""
     path = local(path)
+    if _in_mocks3(path):
+        return _client().put_if_absent(path, data)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -128,10 +232,12 @@ def copy_file(src: str, dst: str) -> None:
 
 def visible_listdir(path: str) -> list:
     """Names under a prefix, excluding hidden keys (staging garbage,
-    locks) — the store's namespace as a reader sees it."""
-    return sorted(
-        n for n in os.listdir(local(path)) if not n.startswith(".")
-    )
+    locks) — the store's namespace as a reader sees it. ``mocks3://``
+    lists through the fsspec client (the LIST verb)."""
+    path = local(path)
+    if _in_mocks3(path):
+        return _client().list_visible(path)
+    return sorted(n for n in os.listdir(path) if not n.startswith("."))
 
 
 def sweep_staging(path: str) -> int:

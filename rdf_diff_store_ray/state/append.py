@@ -245,23 +245,18 @@ class StoreWriteLock:
 
     def __init__(self, delta_dir: str):
         self.path = os.path.join(fs.local(delta_dir), ".write.lock")
-        self._fd = None
 
     def _try_acquire(self) -> bool:
-        try:
-            self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
+        # the conditional-create verb (If-None-Match: * on an object
+        # store, O_CREAT|O_EXCL on POSIX) — one primitive on every scheme
         import socket
         import time
 
-        os.write(self._fd, json.dumps({
+        return fs.put_if_absent(self.path, json.dumps({
             "pid": os.getpid(),
             "host": socket.gethostname(),
             "acquired_unix": int(time.time()),
         }).encode())
-        os.close(self._fd)
-        return True
 
     def _holder(self) -> dict:
         try:
