@@ -439,7 +439,9 @@ def cmd_graphs_at(args) -> int:
 
 
 def _parse_services(pairs) -> dict:
-    """``--service iri=path`` flags → {iri: DiffStoreReader} map."""
+    """``--service iri=path`` flags → {iri: DiffStoreReader} map; an
+    ``iri=http(s)://...`` value registers a live server instead (wire
+    federation via the SPARQL protocol)."""
     from .query.bgp import DiffStoreReader
 
     out = {}
@@ -447,7 +449,8 @@ def _parse_services(pairs) -> dict:
         if "=" not in kv:
             raise SystemExit(f"--service needs iri=path, got {kv!r}")
         iri, path = kv.split("=", 1)
-        out[iri] = DiffStoreReader(_delta_table(path))
+        out[iri] = (path if path.startswith(("http://", "https://"))
+                    else DiffStoreReader(_delta_table(path)))
     return out
 
 
@@ -646,8 +649,10 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="BGP query at ts")
     q.add_argument("--store", required=True)
     q.add_argument("--ts", type=int, required=True)
-    q.add_argument("--service", action="append", metavar="IRI=PATH",
-                   help="register a federated SERVICE endpoint store")
+    q.add_argument("--service", action="append", metavar="IRI=PATH|URL",
+                   help="register a federated SERVICE endpoint: a "
+                        "store dir (in-process) or a live server URL "
+                        "(SPARQL protocol over HTTP)")
     q.add_argument("--bgp", required=True)
     q.add_argument("--format", choices=["json", "csv", "tsv"],
                    default="json",
@@ -698,8 +703,10 @@ def main(argv=None) -> int:
                     help="require X-API-KEY on writes")
     sv.add_argument("--read-only", action="store_true", dest="read_only",
                     help="serve only the query-cache routes (writes 404)")
-    sv.add_argument("--service", action="append", metavar="IRI=PATH",
-                    help="register a federated SERVICE endpoint store")
+    sv.add_argument("--service", action="append", metavar="IRI=PATH|URL",
+                    help="register a federated SERVICE endpoint: a "
+                         "store dir (in-process) or a live server URL "
+                         "(SPARQL protocol over HTTP)")
     sv.add_argument("--distributed", action="store_true",
                     help="serve reads from one partition-reader actor "
                          "per delta partition (store never loads into "

@@ -795,6 +795,10 @@ def _parse_group_body(body: str) -> dict:
                 )
             sub = _plain_group(parse_query(inner[b + 1:-1].strip()),
                                "SERVICE")
+            # the raw brace content rides along so an HTTP endpoint can
+            # receive the sub-pattern verbatim (SELECT * WHERE {raw})
+            # without a group→text re-serializer
+            sub["raw_text"] = inner[b + 1:-1].strip()
             group["services"].append((silent, term[1], sub))
         elif up.startswith("VALUES"):
             group["values"].append(_parse_values(clause[len("VALUES"):]))
@@ -1904,14 +1908,26 @@ def eval_bgp(triples: pa.Table, query: str,
     group = parse_query(query)
 
     # federation: SERVICE <iri> { ... } evaluates against a registered
-    # endpoint's triple table (same endpoint namespace at every nesting
-    # level); the table→pandas conversion is lazy and memoized per iri
+    # endpoint — a triple TABLE (in-process, evaluated here) or a str
+    # URL (HTTP SPARQL protocol, sub-pattern shipped verbatim). An
+    # unregistered http(s) IRI dereferences ITSELF as the endpoint, the
+    # oxigraph behavior (src/query.rs:102-114). The table→pandas
+    # conversion is lazy and memoized per iri.
     svc_cache: dict = {}
 
     def service_eval(iri, sub):
         tbl = (service_tables or {}).get(iri)
+        if tbl is None and iri.startswith(("http://", "https://")):
+            tbl = iri
         if tbl is None:
             raise ValueError(f"unknown SERVICE endpoint <{iri}>")
+        if isinstance(tbl, str):
+            raw = sub.get("raw_text")
+            if raw is None:
+                raise ValueError(
+                    "HTTP SERVICE needs the raw sub-pattern text "
+                    "(query was not parsed by this engine)")
+            return http_service_bindings(tbl, raw)
         if iri not in svc_cache:
             svc_cache[iri] = tbl.to_pandas()
         sdf = svc_cache[iri]
@@ -3970,6 +3986,67 @@ def bindings_tsv(df: pd.DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
+def tagged_from_tsv(text: str) -> pd.DataFrame:
+    """Inverse of :func:`bindings_tsv`: W3C SPARQL-TSV → TAGGED bindings
+    frame (the internal join representation). TSV is the federation wire
+    format because it is the one W3C result format that preserves term
+    KIND exactly — IRIs bracketed, literals quoted/decorated — so a
+    remote literal ``"x"`` still never joins the local IRI ``<x>``."""
+    from ..ntriples import is_decorated_literal, unescape_literal
+
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if not lines:
+        return pd.DataFrame()
+    header = lines[0].split("\t") if lines[0] else []
+    cols = [h[1:] if h.startswith("?") else h for h in header if h]
+
+    def term(v: str):
+        if v == "":
+            return None  # unbound
+        if v.startswith("<") and v.endswith(">"):
+            return "I" + v[1:-1]
+        if v.startswith("_:"):
+            return "I" + v
+        if is_decorated_literal(v):
+            return "L" + v  # typed/lang literals stay decorated tokens
+        if v.startswith('"') and v.endswith('"'):
+            return "L" + unescape_literal(v[1:-1])
+        return "I" + v  # bare token: treat as IRI (lenient)
+
+    rows = [[term(v) for v in ln.split("\t")] for ln in lines[1:]]
+    if not cols:
+        return pd.DataFrame(index=range(len(rows)))
+    return pd.DataFrame(rows, columns=cols, dtype=object)
+
+
+def http_service_bindings(endpoint: str, raw_pattern: str) -> pd.DataFrame:
+    """SPARQL-protocol federation client (the wire analog of the
+    reference's oxigraph SERVICE, ``/root/reference/src/query.rs:102-114``):
+    ship the SERVICE sub-pattern to a remote endpoint as
+    ``SELECT * WHERE { ... }`` with ``Accept: text/tab-separated-values``
+    and parse the solutions back into tagged bindings."""
+    import urllib.parse
+    import urllib.request
+
+    q = f"SELECT * WHERE {{ {raw_pattern} }}"
+    sep = "&" if "?" in endpoint else "?"
+    url = endpoint + sep + urllib.parse.urlencode({"query": q})
+    req = urllib.request.Request(
+        url, headers={"Accept": "text/tab-separated-values"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            if resp.status != 200:
+                raise ValueError(
+                    f"SERVICE endpoint {endpoint!r} answered {resp.status}")
+            body = resp.read().decode("utf-8")
+    except OSError as e:  # URLError/HTTPError/socket — unreachable/4xx/5xx
+        raise ValueError(
+            f"SERVICE endpoint <{endpoint}> unreachable: {e}") from e
+    return tagged_from_tsv(body)
+
+
 class DiffStoreReader:
     """Cached reader over a delta-log table (one partition or a whole small
     store). Cache levels mirror the reference's ``CacheLevel``
@@ -3981,10 +4058,14 @@ class DiffStoreReader:
         from ..metrics import REGISTRY
 
         self.deltas = deltas
-        # federation endpoints: iri → DiffStoreReader over ANOTHER store;
-        # SERVICE <iri> { ... } evaluates there at the SAME timestamp
-        # (both stores share the version axis — the federated analog of
-        # the reference's one-repo-per-store pool)
+        # federation endpoints: iri → DiffStoreReader over ANOTHER store
+        # (in-process; SERVICE evaluates there at the SAME timestamp —
+        # shared version axis, the federated analog of the reference's
+        # one-repo-per-store pool) OR a str URL of a live `serve`
+        # process (HTTP SPARQL protocol; a bare server root also
+        # federates at the same timestamp via /api/sparql/{ts}, an
+        # explicit path is queried verbatim). Unregistered http(s)
+        # SERVICE IRIs dereference themselves, the oxigraph behavior.
         self.services = services or {}
         self.store_cache = LRU(cache_capacity)  # ts -> triple table
         self.quads_cache = LRU(cache_capacity)  # ts -> quad table (GRAPH)
@@ -4069,10 +4150,23 @@ class DiffStoreReader:
         need_quads = (group_has_graph(g) or g.get("from_graphs")
                       or g.get("from_named"))
         quads = self._quads_at(k) if need_quads else None
-        svc = (
-            {iri: r._store_at(k) for iri, r in self.services.items()}
-            if self.services and group_has_service(g) else None
-        )
+        svc = None
+        if self.services and group_has_service(g):
+            svc = {}
+            for iri, r in self.services.items():
+                if isinstance(r, str):
+                    # HTTP endpoint. A bare server root federates at the
+                    # SAME timestamp (shared version axis, like the
+                    # in-process form); an explicit path (e.g. /sparql)
+                    # is used verbatim (that endpoint's latest state).
+                    from urllib.parse import urlparse as _up
+
+                    svc[iri] = (
+                        f"{r.rstrip('/')}/api/sparql/{k}"
+                        if _up(r).path in ("", "/") else r
+                    )
+                else:
+                    svc[iri] = r._store_at(k)
         _now_slot()[0] = pd.Timestamp(k, unit="s")
         try:
             res = eval_bgp(self._store_at(k), query, quads=quads,

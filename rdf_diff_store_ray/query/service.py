@@ -417,12 +417,29 @@ class QueryService:
             graph_bindings = graph_pattern_in
 
         def service_eval(iri, sub):
-            # the endpoint is ANOTHER store: evaluate its sub-group on
-            # the router via the registered reader at the same ts (a
-            # corpus-scale endpoint would be its own QueryService — the
-            # local evaluator here mirrors the single-reader path)
-            from .bgp import eval_one_pattern
+            # the endpoint is ANOTHER store: a registered reader/dir is
+            # evaluated on the router at the same ts (a corpus-scale
+            # endpoint would be its own QueryService); an http(s) URL —
+            # registered or the IRI itself — federates over the wire
+            # (bare server root → /api/sparql/{ts}, same version axis)
+            from .bgp import eval_one_pattern, http_service_bindings
 
+            ep = self._services.get(iri)
+            if ep is None and iri.startswith(("http://", "https://")):
+                ep = iri
+            if isinstance(ep, str) and ep.startswith(("http://",
+                                                      "https://")):
+                from urllib.parse import urlparse
+
+                key = (ts if isinstance(ts, int)
+                       else int(pd.Timestamp(ts).timestamp()))
+                url = (f"{ep.rstrip('/')}/api/sparql/{key}"
+                       if urlparse(ep).path in ("", "/") else ep)
+                raw = sub.get("raw_text")
+                if raw is None:
+                    raise ValueError(
+                        "HTTP SERVICE needs the raw sub-pattern text")
+                return http_service_bindings(url, raw)
             rdr = self._service_reader(iri)
             sdf = rdr._store_at(ts).to_pandas()
             src = lambda pat: eval_one_pattern(sdf, pat)  # noqa: E731

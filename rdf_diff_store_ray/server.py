@@ -71,7 +71,9 @@ class StoreBackend:
                  services: dict | None = None):
         self.delta_dir = delta_dir
         self.prefixes = prefixes
-        self.services = dict(services or {})  # iri → store dir path
+        # iri → store dir path (loaded in-process) or http(s) URL of
+        # another live server (wire federation, passed to the reader)
+        self.services = dict(services or {})
         self._lock = threading.Lock()
         self._reader = None
 
@@ -88,7 +90,8 @@ class StoreBackend:
         with self._lock:
             if self._reader is None:
                 svc = {
-                    iri: DiffStoreReader(self._load(path))
+                    iri: (path if path.startswith(("http://", "https://"))
+                          else DiffStoreReader(self._load(path)))
                     for iri, path in self.services.items()
                 }
                 self._reader = DiffStoreReader(

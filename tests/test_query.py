@@ -2177,6 +2177,36 @@ class TestServiceFederation:
                         '{ ?s ?p ?o } }')
 
 
+def test_tsv_federation_wire_roundtrip():
+    """The SPARQL-TSV writer/parser pair is the federation wire format:
+    term KIND survives (IRI vs literal vs bnode), decorated literals
+    stay decorated tokens, escaped tabs/newlines/NULs round-trip, and
+    unbound cells come back as None — so a remote literal never joins a
+    local IRI after the hop."""
+    import pandas as pd
+
+    from rdf_diff_store_ray.query.bgp import bindings_tsv, tagged_from_tsv
+
+    df = pd.DataFrame({
+        "s": ["https://x/a", "_:b0", "https://x/c"],
+        "o": ["plain lit", '"5"^^<http://www.w3.org/2001/XMLSchema#int>',
+              "tab\there\nand\x00nul"],
+        "n": ["x", None, "y"],
+    })
+    back = tagged_from_tsv(bindings_tsv(df))
+    assert list(back.columns) == ["s", "o", "n"]
+    assert back["s"].tolist() == ["Ihttps://x/a", "I_:b0", "Ihttps://x/c"]
+    assert back["o"].tolist() == [
+        "Lplain lit",
+        'L"5"^^<http://www.w3.org/2001/XMLSchema#int>',
+        "Ltab\there\nand\x00nul",
+    ]
+    assert back["n"].tolist() == ["Lx", None, "Ly"]
+    # empty result set (header only) and empty body both parse
+    assert tagged_from_tsv("?a\n").empty
+    assert tagged_from_tsv("").empty
+
+
 def test_nul_distinct_bindings_survive_distinct_and_union():
     """Literals differing only past a NUL byte are distinct RDF terms;
     DISTINCT / UNION dedup must keep them apart (regression for the

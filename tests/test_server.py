@@ -312,6 +312,87 @@ def test_service_federation_over_http_both_backends(ray_session, tmp_path):
             srv.shutdown()
 
 
+def test_service_federates_two_live_servers(ray_session, tmp_path):
+    """SERVICE over the wire (VERDICT r4 #4): server A's SPARQL endpoint
+    federates against server B — a second live `serve` process reached
+    over HTTP (SPARQL protocol, TSV results), not an in-process reader.
+    A bare registered server root federates at the SAME timestamp
+    (shared version axis); an explicit /sparql endpoint IRI, never
+    registered anywhere, dereferences itself at B's latest state."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    store = init_log(str(tmp_path / "main"), num_partitions=2)
+    append_graphs(
+        store, {"g": '<https://x/a> <https://x/p> <https://x/b> .\n'}, T1)
+    vocab = init_log(str(tmp_path / "vocab"), num_partitions=2)
+    append_graphs(
+        vocab, {"v": '<https://x/p> <https://x/label> "old" .\n'}, T1)
+    append_graphs(
+        vocab, {"v": '<https://x/p> <https://x/label> "new" .\n'}, T2)
+
+    srv_b = DiffStoreServer(vocab, now_fn=lambda: T2).start()
+    root_b = f"http://127.0.0.1:{srv_b.port}"
+    try:
+        for distributed in (False, True):
+            srv_a = DiffStoreServer(
+                store, distributed=distributed,
+                services={"https://svc/vocab": root_b},
+                now_fn=lambda: T2,
+            ).start()
+            try:
+                base = f"http://127.0.0.1:{srv_a.port}"
+
+                def rows_at(ts, sparql):
+                    url = (f"{base}/api/sparql/{ts}?query="
+                           f"{urllib.parse.quote(sparql)}")
+                    st, _, body = _req("GET", url)
+                    assert st == 200
+                    return [
+                        (r["s"]["value"], r["l"]["value"])
+                        for r in json.loads(body)["results"]["bindings"]
+                    ]
+
+                reg = ("SELECT ?s ?l WHERE { ?s ?p ?o . "
+                       "SERVICE <https://svc/vocab> "
+                       "{ ?p <https://x/label> ?l } }")
+                # registered root federates at the REQUEST timestamp
+                assert rows_at(T2, reg) == [("https://x/a", "new")], \
+                    f"distributed={distributed}"
+                assert rows_at(T1, reg) == [("https://x/a", "old")], \
+                    f"distributed={distributed}"
+
+                # unregistered endpoint IRI: dereferences itself (B's
+                # latest state), the oxigraph SERVICE behavior
+                direct = ("SELECT ?s ?l WHERE { ?s ?p ?o . "
+                          f"SERVICE <{root_b}/sparql> "
+                          "{ ?p <https://x/label> ?l } }")
+                assert rows_at(T1, direct) == [("https://x/a", "new")], \
+                    f"distributed={distributed}"
+
+                # SILENT swallows a dead endpoint; non-SILENT is a 500
+                dead = ("SELECT ?s WHERE { ?s ?p ?o . "
+                        "SERVICE SILENT <http://127.0.0.1:1/sparql> "
+                        "{ ?s ?q ?v } }")
+                url = (f"{base}/api/sparql/{T2}?query="
+                       f"{urllib.parse.quote(dead)}")
+                st, _, body = _req("GET", url)
+                assert st == 200
+                assert json.loads(body)["results"]["bindings"]
+                loud = dead.replace("SERVICE SILENT", "SERVICE")
+                code, err_body = _err(
+                    "GET", f"{base}/api/sparql/{T2}?query="
+                    f"{urllib.parse.quote(loud)}")
+                # unreachable endpoint surfaces as a ValueError → 400
+                # with the endpoint named (the server's error model)
+                assert code == 400
+                assert "unreachable" in err_body["message"]
+            finally:
+                srv_a.shutdown()
+    finally:
+        srv_b.shutdown()
+
+
 def test_empty_store_metadata_and_sparql(ray_session, tmp_path):
     """A just-initialized store has no versions: /api/metadata must
     serve null bounds (the reference's Option fields serialize as JSON
