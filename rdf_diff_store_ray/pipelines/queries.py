@@ -4661,8 +4661,10 @@ def relational_suite(sf_dir: str):
     own DuckDB-oracle pytest check via ``oracle_sql``)."""
     return _digest_forms(
         {
+            "customers_without_orders": rel.customers_without_orders,
             "distinct_priorities": rel.distinct_priorities,
             "events_metadata": rel.events_metadata,
+            "events_top_users_per_type": rel.events_top_users_per_type,
             "events_version_times": rel.events_version_times,
             "json_props_stats": json_props_stats,
             "revenue_q6": rel.revenue_q6,
@@ -4845,6 +4847,171 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+
+def _events_ts_bounds(sf_dir: str) -> tuple:
+    """(min, max) event timestamp in unix seconds, from the parquet
+    FOOTER statistics — no data pages are read, so the driver-side
+    bounds probe stays O(row groups) at any corpus size."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    idx = f.schema_arrow.names.index("ts")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:  # stats absent: scan once
+            t = f.read(columns=["ts"])["ts"]
+            mn, mx = pc.min_max(t).values()
+            return (int(pd.Timestamp(mn.as_py()).timestamp()),
+                    int(pd.Timestamp(mx.as_py()).timestamp()))
+        lo = st.min if lo is None or st.min < lo else lo
+        hi = st.max if hi is None or st.max > hi else hi
+    return (int(pd.Timestamp(lo).timestamp()),
+            int(pd.Timestamp(hi).timestamp()))
+
+
+def events_outlink_diff(sf_dir: str):
+    """As-of edge-set diff over the events stream — the GRADED sibling
+    of :func:`kg_link_diff` (VERDICT r4 #7), exercising the same
+    factored operator (:func:`..functions.weblinks.edge_diff`) on a
+    table DuckDB can also see. Each user's hourly distinct event-type
+    set is a VERSION of that user's outlink set; the live version at an
+    hour-aligned instant t is the greatest completed hour bucket < t.
+    Instants sit at 1/3 and 2/3 of the stream's span (integer
+    arithmetic, mirrored exactly by the SQL oracle). Returns
+    ``(src, dst, change)`` sorted by (src, change, dst)."""
+    import ray.data as rd
+
+    from ..functions.weblinks import edge_diff
+
+    lo, hi = _events_ts_bounds(sf_dir)
+    t1 = ((lo + (hi - lo) // 3) // 3600) * 3600
+    t2 = ((lo + 2 * (hi - lo) // 3) // 3600) * 3600
+
+    def shape(batch: pa.Table) -> pa.Table:
+        # event timestamps carry microseconds: floor through integer µs
+        # (a cast to timestamp[s] raises on fractional values, and the
+        # SQL mirror floors via epoch_us // 1e6 — identical arithmetic)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        s = pc.divide(us, pa.scalar(1_000_000, pa.int64()))
+        h = pc.multiply(pc.divide(s, pa.scalar(3600, pa.int64())),
+                        pa.scalar(3600, pa.int64()))
+        return pa.table({
+            "src": batch["user_id"].cast(pa.int64()),
+            "ts": h,
+            "dst": batch["event_type"].cast(pa.string()),
+        })
+
+    edges = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).map_batches(shape, batch_format="pyarrow")
+    # h <= t-1  ⟺  h < t for integer hour buckets: only COMPLETED
+    # buckets are live at an hour-aligned instant
+    out = edge_diff(edges, t1 - 1, t2 - 1)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch["src"].cast(pa.int64()),
+            "dst": batch["dst"].cast(pa.string()),
+            "change": batch["change"].cast(pa.string()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow") \
+        .sort(["src", "change", "dst"])
+
+
+EVENTS_OUTLINK_DIFF_SQL = r"""
+WITH b AS (
+  SELECT epoch_us(min(ts)) // 1000000 AS lo,
+         epoch_us(max(ts)) // 1000000 AS hi
+  FROM events
+), cuts AS (
+  SELECT ((lo + (hi - lo) // 3) // 3600) * 3600 AS t1,
+         ((lo + 2 * (hi - lo) // 3) // 3600) * 3600 AS t2
+  FROM b
+), e AS (
+  SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS h,
+         event_type
+  FROM events
+), v1 AS (
+  SELECT user_id, max(h) AS mh FROM e, cuts WHERE h < t1 GROUP BY user_id
+), s1 AS (
+  SELECT DISTINCT e.user_id, e.event_type
+  FROM e JOIN v1 ON e.user_id = v1.user_id AND e.h = v1.mh
+), v2 AS (
+  SELECT user_id, max(h) AS mh FROM e, cuts WHERE h < t2 GROUP BY user_id
+), s2 AS (
+  SELECT DISTINCT e.user_id, e.event_type
+  FROM e JOIN v2 ON e.user_id = v2.user_id AND e.h = v2.mh
+), diff AS (
+  SELECT s2.user_id AS src, s2.event_type AS dst, 'added' AS change
+  FROM s2 LEFT JOIN s1
+    ON s2.user_id = s1.user_id AND s2.event_type = s1.event_type
+  WHERE s1.user_id IS NULL
+  UNION ALL
+  SELECT s1.user_id AS src, s1.event_type AS dst, 'removed' AS change
+  FROM s1 LEFT JOIN s2
+    ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+  WHERE s2.user_id IS NULL
+)
+SELECT src, dst, change FROM diff ORDER BY src, change, dst
+"""
+
+
+def documents_charset_roundtrip(sf_dir: str):
+    """Charset sniff + decode graded against ground truth — the SQL-
+    oracled sibling of the ``charset_decode`` digest entry (VERDICT r4
+    #7), whose six-codec synthetic corpus DuckDB cannot see. Each doc's
+    text encodes to bytes under a per-doc codec (doc_id % 4 → plain
+    utf-8 / BOM'd utf-16-le / BOM'd utf-16-be / utf-8-sig); the
+    production ``sniff_charsets`` + ``decode_html`` pipeline must name
+    the codec and restore the text byte-identically (testdata documents
+    are NFC, so the decoder's NFC pass is the identity). The encode
+    side is test harness, bounded per batch; the decode side is the
+    vectorized crawl-ingest code path."""
+    import codecs as _codecs
+
+    from ..functions import charset as cs_mod
+
+    _ENC = ("utf-8", "utf-16-le", "utf-16-be", "utf-8-sig")
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        payload = []
+        for i, s in zip(ids, texts):
+            k = int(i) % 4
+            if k == 0:
+                payload.append(s.encode("utf-8"))
+            elif k == 1:
+                payload.append(_codecs.BOM_UTF16_LE
+                               + s.encode("utf-16-le"))
+            elif k == 2:
+                payload.append(_codecs.BOM_UTF16_BE
+                               + s.encode("utf-16-be"))
+            else:
+                payload.append(_codecs.BOM_UTF8 + s.encode("utf-8"))
+        html = pa.array(payload, pa.binary())
+        sniffed = cs_mod.sniff_charsets(html)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "charset": sniffed,
+            "decoded": cs_mod.decode_html(html, sniffed),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow").sort("doc_id")
+
+
+DOCUMENTS_CHARSET_SQL = r"""
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+    WHEN 2 THEN 'utf-16-be' ELSE 'utf-8-sig' END AS charset,
+  text AS decoded
+FROM documents ORDER BY doc_id
 """
 
 
@@ -5087,16 +5254,20 @@ def registry():
         "events_change_log": rel.events_change_log,
         "region_nation_names": rel.region_nation_names,
         "events_interval_join": rel.events_interval_join,
+        # r5 rotation (VERDICT r4 #7): the two newly-oracled entries
+        # take graded slots; customers_without_orders and
+        # events_top_users_per_type (green since r2) move below the
+        # watermark — still registered and SQL-parity-pytested
+        "events_outlink_diff": events_outlink_diff,
+        "documents_charset_roundtrip": documents_charset_roundtrip,
         "triangle_counts": triangle_counts_q,
         "khop_sample": khop_sample,
-        "customers_without_orders": rel.customers_without_orders,
         "customer_order_counts": rel.customer_order_counts,
         "events_sessionize": rel.events_sessionize,
         "events_user_counts_salted": rel.events_user_counts_salted,
         "lineitem_sample": rel.lineitem_sample,
         "relational_suite": relational_suite,
         "customer_running_totals": rel.customer_running_totals,
-        "events_top_users_per_type": rel.events_top_users_per_type,
         "events_quantiles": rel.events_value_quantiles,
         "events_range_join": rel.events_range_join,
         "events_state_diff": rel.events_state_diff,
@@ -5138,6 +5309,8 @@ def registry():
         "dedup_suite": dedup_suite,
         "embed_text_suite": embed_text_suite,
         # ---- driver-cap watermark (position 50) ----
+        "customers_without_orders": rel.customers_without_orders,
+        "events_top_users_per_type": rel.events_top_users_per_type,
         "token_frequencies": token_frequencies,
         "json_props_stats": json_props_stats,
         "host_boilerplate_scrub": host_boilerplate_scrub,
@@ -5281,6 +5454,8 @@ def oracles():
         "lineitem_sample": rel.LINEITEM_SAMPLE_SQL,
         "region_nation_names": rel.REGION_NATION_NAMES_SQL,
         "events_interval_join": rel.EVENTS_INTERVAL_JOIN_SQL,
+        "events_outlink_diff": EVENTS_OUTLINK_DIFF_SQL,
+        "documents_charset_roundtrip": DOCUMENTS_CHARSET_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "events_top_users_per_type": rel.EVENTS_TOP_USERS_SQL,
         "events_quantiles": rel.EVENTS_QUANTILES_SQL,
