@@ -133,14 +133,22 @@ def decode_payload(codec: str, payload: bytes) -> np.ndarray:
 
             arr = decode_jpeg(payload)
             return arr if arr.ndim == 2 else to_grayscale(arr)
-        # STUB: bmp/webp decode needs PIL, which is not present in
-        # this environment. The call signature and batch plumbing are
-        # final; installing Pillow lights this path up with no code
-        # change (detected at import).
+        if codec == "bmp":
+            # real codec, vendored: uncompressed Windows DIB decode
+            # (functions/bmp.py — lossless, PIL-parity by layout)
+            from .bmp import decode_bmp
+            from .png import to_grayscale
+
+            arr = decode_bmp(payload)
+            return arr if arr.ndim == 2 else to_grayscale(arr)
+        # STUB: webp decode needs a VP8 entropy decoder (PIL/libwebp),
+        # not present in this environment. The call signature and batch
+        # plumbing are final; installing Pillow lights this path up
+        # with no code change (detected at import).
         raise NotImplementedError(
             f"codec {codec!r} requires Pillow, which is not installed; "
-            "use codec='png'/'jpeg' (vendored decoders) or 'fake-v1' "
-            "(deterministic test codec)"
+            "use codec='png'/'jpeg'/'bmp' (vendored decoders) or "
+            "'fake-v1' (deterministic test codec)"
         )
     raise NotImplementedError(
         f"codec {codec!r} is not supported (audio/video decode requires "

@@ -1567,6 +1567,53 @@ def multimodal_png(sf_dir: str):
     )
 
 
+def multimodal_bmp(sf_dir: str):
+    """REAL-codec BMP path (round-5; vendored uncompressed Windows DIB,
+    ``functions/bmp.py``): the same fixture shape as the PNG entry —
+    BMP payloads of the fake-v1 twins' exact pixels, decoded through
+    the production actor-pool stage; BMP is lossless so the perceptual
+    dedup must pair every twin across codecs and never across ids."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.bmp import encode_bmp
+    from ..functions.multimodal import (
+        decode_features,
+        encode_fake_image,
+        media_dedup,
+        synthetic_media_table,
+    )
+
+    n = 48
+    fake = synthetic_media_table(n=n, h=32, w=32)
+    pixels = [
+        np.frombuffer(encode_fake_image(i, 32, 32)[13:], np.uint8)
+        .reshape(32, 32)
+        for i in range(n)
+    ]
+    bmp = pa.table(
+        {
+            "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "codec": pa.array(["bmp"] * n, pa.string()),
+            "payload": pa.array([encode_bmp(p) for p in pixels],
+                                pa.binary()),
+        }
+    ).cast(fake.schema)
+    media = pa.concat_tables([fake, bmp])
+    feats = decode_features(rd.from_arrow(media)).select_columns(
+        ["media_id", "height", "width"]
+    )
+    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
+    out = feats.to_pandas().merge(
+        dedup[["media_id", "keep", "dup_of"]], on="media_id"
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
 def multimodal_jpeg(sf_dir: str):
     """REAL-codec JPEG path (round-4; closes the codec family: PNG,
     WAV, Y4M, now baseline T.81): banded-gradient images encoded by the
@@ -5223,6 +5270,7 @@ def embed_text_suite(sf_dir: str):
             "multimodal_decode": multimodal_decode,
             "multimodal_frames": multimodal_frames,
             "multimodal_png": multimodal_png,
+            "multimodal_bmp": multimodal_bmp,
             "multimodal_jpeg": multimodal_jpeg,
             "multimodal_audio": multimodal_audio,
             "multimodal_y4m": multimodal_y4m,
@@ -5382,6 +5430,7 @@ def registry():
         "ann_topk_lsh": ann_topk_lsh,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_bmp": multimodal_bmp,
         "multimodal_jpeg": multimodal_jpeg,
         "multimodal_audio": multimodal_audio,
         "multimodal_y4m": multimodal_y4m,

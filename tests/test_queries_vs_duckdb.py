@@ -143,7 +143,7 @@ def test_digest_suites_execute(ray_session):
     et = q.embed_text_suite(SF_DIR).to_pandas()
     assert list(dd.columns) == ["form", "rows", "digest"]
     assert len(dd) == 14 and dd["form"].is_unique
-    assert len(et) == 29 and et["form"].is_unique
+    assert len(et) == 30 and et["form"].is_unique
     assert (dd["digest"].str.len() == 16).all()
     assert (et["digest"].str.len() == 16).all()
 
