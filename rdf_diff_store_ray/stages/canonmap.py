@@ -638,17 +638,18 @@ def _resolve_stage(rows_ds, canon_dir: str, *, key_col: str, out_col: str,
         # later map rows (extension segments) supersede base rows
         m = m.drop_duplicates(subset=["surface"], keep="last")
         j = t.merge(m, left_on=key_col, right_on="surface", how="left")
-        iri = j["iri"].to_numpy(object)
-        res = iri.copy()
+        res = j["iri"].to_numpy(object).copy()
         passthrough = j["is_marker"].to_numpy(bool)
         if literal_passthrough:
             passthrough = passthrough | j["obj_is_literal"].to_numpy(bool)
         keys = j[key_col].to_numpy(object)
-        for i in range(len(j)):
-            if passthrough[i]:
-                res[i] = keys[i]
-            elif res[i] is None or res[i] != res[i]:  # NaN-safe missing
-                res[i] = ENTITY_NS + surface_slug(keys[i])
+        res[passthrough] = keys[passthrough]
+        # slug fallback only for surfaces ABSENT from the map — zero in
+        # a standard build (the map covers every corpus surface), so
+        # the per-row Python cost is O(missing), not O(partition)
+        missing = pd.isna(j["iri"]).to_numpy(bool) & ~passthrough
+        for i in np.flatnonzero(missing):
+            res[i] = ENTITY_NS + surface_slug(keys[i])
         j[out_col] = pd.Series(res, dtype=object)
         return j[list(out_schema.names)]
 
