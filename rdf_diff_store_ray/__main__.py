@@ -571,11 +571,15 @@ def main(argv=None) -> int:
                         "records, charset-transcode to utf-8, lang-ID "
                         "(pages_from_warc)")
     b.add_argument("--actor-pools", action="store_true")
-    b.add_argument("--canonical-map", choices=["driver", "distributed"],
-                   default="driver",
-                   help="'distributed' = persisted parquet map + "
-                        "co-partition-join resolution (unbounded-"
-                        "vocabulary scale path)")
+    b.add_argument("--canonical-map",
+                   choices=["auto", "driver", "distributed"],
+                   default="auto",
+                   help="'auto' (default) counts the surface vocabulary "
+                        "once and picks driver at or below the "
+                        "threshold (KG_AUTO_VOCAB_THRESHOLD, 250k), "
+                        "distributed above; 'distributed' = persisted "
+                        "parquet map + co-partition-join resolution "
+                        "(unbounded-vocabulary scale path)")
     b.set_defaults(fn=cmd_build)
 
     bi = sub.add_parser(
@@ -585,8 +589,10 @@ def main(argv=None) -> int:
     bi.add_argument("--pages", required=True)
     bi.add_argument("--out", required=True)
     bi.add_argument("--gazetteer", required=True)
-    bi.add_argument("--canonical-map", choices=["driver", "distributed"],
-                    default="driver")
+    bi.add_argument("--canonical-map",
+                    choices=["auto", "driver", "distributed"],
+                    default="auto",
+                    help="'auto' (default) follows the store's layout")
     bi.set_defaults(fn=cmd_build_inc)
 
     i = sub.add_parser("init", help="create an empty delta log")
