@@ -41,6 +41,9 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# "auto" (default) | "driver" | "distributed": forwarded to every build
+# call so the lifecycle legs can be measured on either canonical-map path
+CANON = os.environ.get("GRAFT_CANONICAL_MAP", "auto")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CACHE = "/tmp/ray_kg_bench"
 
@@ -127,7 +130,8 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
         res = build(pages_path, out_dir, gazetteer=gaz, num_partitions=32,
-                    resume=False, batch_size=256, actor_pool=pool)
+                    resume=False, batch_size=256, actor_pool=pool,
+                    canonical_map=CANON)
         build_legs.append(round(time.monotonic() - t0, 3))
     build_sec = min(build_legs)
     n_triples = pads.dataset(
@@ -166,7 +170,7 @@ def run_bench() -> dict:
             t0 = time.monotonic()
             build(pages_from_warc(warc_dir), warc_out, gazetteer=gaz,
                   num_partitions=32, resume=False, batch_size=256,
-                  actor_pool=pool)
+                  actor_pool=pool, canonical_map=CANON)
             warc_build_legs.append(round(time.monotonic() - t0, 3))
         shutil.rmtree(warc_out, ignore_errors=True)
         log(f"[bench] WARC-ingest build legs {warc_build_legs}")
@@ -324,7 +328,8 @@ def run_incremental() -> dict:
     boot_dir = os.path.join(work, "kg_boot")
     t0 = time.monotonic()
     build(early_p, boot_dir, gazetteer=gaz, num_partitions=32,
-          resume=False, batch_size=256, actor_pool=pool)
+          resume=False, batch_size=256, actor_pool=pool,
+          canonical_map=CANON)
     boot_sec = round(time.monotonic() - t0, 3)
     legs, applied = [], 0
     for leg in range(2):
@@ -333,7 +338,7 @@ def run_incremental() -> dict:
         shutil.copytree(boot_dir, run_dir)
         t0 = time.monotonic()
         res = build_incremental(late_p, run_dir, gazetteer=gaz,
-                                batch_size=256)
+                                batch_size=256)  # auto: follows store
         legs.append(round(time.monotonic() - t0, 3))
         applied = res.applied_deltas
         log(f"[bench] incremental leg {leg}: {legs[-1]}s "

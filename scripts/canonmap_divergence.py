@@ -45,6 +45,41 @@ raw_ds = rd.read_parquet(os.path.join(cdir, "raw"))
 # Python-heavy driver code, so walls are honest only with KG_DIV_TRACE=0
 # (report walls from an untraced run, heap from a traced one).
 trace = os.environ.get("KG_DIV_TRACE", "1") != "0"
+if mode in ("extend-driver", "extend-distributed"):
+    # incremental-extension divergence: build the base map/store from
+    # the corpus (untimed), then time extending it with a FIXED small
+    # batch (first 400 raw rows re-labeled as new surfaces via the
+    # batch corpus at u=1000) — the driver path re-clusters the whole
+    # vocabulary per batch (O(vocab)), the store path probes its band
+    # index (O(batch))
+    import pyarrow.dataset as pads
+    import ray.data as rd2
+    batch_dir = os.path.join(os.path.dirname(cdir.rstrip("/")),
+                             "u1000_v4", "raw")
+    batch_ds = rd2.read_parquet(batch_dir)
+    if mode == "extend-driver":
+        from rdf_diff_store_ray.stages.canonicalize import (
+            build_canonical_map, extend_canonical_map)
+        base = build_canonical_map(raw_ds, gaz)
+        t0 = time.monotonic()
+        cm = extend_canonical_map(base, batch_ds, gaz)
+        wall = time.monotonic() - t0
+        n = len(cm)
+    else:
+        from rdf_diff_store_ray.stages import canonmap
+        import shutil
+        out = os.path.join("/dev/shm", "vocab_canon_store")
+        shutil.rmtree(out, ignore_errors=True)
+        canonmap.build_canonical_store(raw_ds, gaz, out)
+        t0 = time.monotonic()
+        canonmap.extend_canonical_store(batch_ds, gaz, out)
+        wall = time.monotonic() - t0
+        n = canonmap.map_size(out)
+        shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({"mode": mode, "map_size": n,
+                      "wall_s": round(wall, 2)}))
+    ray.shutdown()
+    raise SystemExit(0)
 if trace:
     tracemalloc.start()
 t0 = time.monotonic()
@@ -110,11 +145,16 @@ def ensure_corpus(n_urls: int, vpp: int) -> str:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [4000, 16000, 64000, 128000]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sizes = [int(a) for a in args] or [4000, 16000, 64000, 128000]
     vpp = 4
+    modes = (("extend-driver", "extend-distributed")
+             if "--extend" in sys.argv else ("driver", "distributed"))
+    if "--extend" in sys.argv:
+        ensure_corpus(1000, vpp)  # the fixed extension batch
     for n_urls in sizes:
         cdir = ensure_corpus(n_urls, vpp)
-        for mode in ("driver", "distributed"):
+        for mode in modes:
             out = subprocess.run(
                 [sys.executable, "-c", CHILD, mode, cdir],
                 capture_output=True, text=True, check=True, cwd=REPO,
