@@ -210,6 +210,7 @@ def run_bench() -> dict:
             "events_interval_join", "chunk_embed_search",
             "url_canonical_dedup", "url_domain_stats", "kg_link_graph",
             "host_boilerplate", "kg_link_diff",
+            "events_outlink_diff", "documents_charset_roundtrip",
         ):
             timed(name, q.registry()[name])
 
