@@ -574,11 +574,13 @@ def _edge_diff_part(group: "pd.DataFrame", t1_s: int, *,
     is_link = group["dst"].notna().to_numpy(bool)
     in1 = is_link & (ts == v1[inv])
     in2 = is_link & (ts == v2[inv])
-    from ..shuffle_utils import drop_duplicates_nul_safe
+    from ..shuffle_utils import drop_duplicates_nul_safe, merge_outer_nul_safe
 
     s1 = drop_duplicates_nul_safe(group.loc[in1, [src_col, "dst"]])
     s2 = drop_duplicates_nul_safe(group.loc[in2, [src_col, "dst"]])
-    m = s1.merge(s2, on=[src_col, "dst"], how="outer", indicator=True)
+    # outer merge on NUL-bearing keys raises in pandas (multi-key at any
+    # size) — the nul-safe form is exact either way
+    m = merge_outer_nul_safe(s1, s2, on=[src_col, "dst"], indicator=True)
     changed = m[m["_merge"] != "both"]
     return pd.DataFrame({
         "src": changed[src_col].to_numpy(object),

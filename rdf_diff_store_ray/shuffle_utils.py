@@ -50,6 +50,53 @@ def add_partition_id(batch: pa.Table, key: str, num_partitions: int,
     return batch.append_column(col, pa.array(pids, pa.int32()))
 
 
+def merge_outer_nul_safe(left: pd.DataFrame, right: pd.DataFrame, on, *,
+                         suffixes=("_x", "_y"),
+                         indicator: bool = False) -> pd.DataFrame:
+    """FULL OUTER column merge that stays correct when key columns carry
+    NUL bytes.
+
+    pandas' OUTER merge factorizes keys through the NUL-truncating
+    C-string table and then ``safe_sort`` REJECTS the resulting
+    duplicate "uniques" (``ValueError: values should be unique if codes
+    is not None``) — multi-key at ANY size, single-key above the
+    factorize-size threshold (measured on pandas 2.2.2; at small sizes
+    single-key outer succeeds). inner/left/right merges and INDEX joins
+    are unaffected (measured — ``tests/test_nul_distinct.py`` pins all
+    of it). At least it's a loud crash, not a silent wrong answer.
+
+    The NUL-free common case delegates to pandas. Otherwise each key
+    column maps to exact integer codes over the UNION of both sides
+    (``np.unique`` — full-byte comparison), the merge runs on the code
+    columns, and the key values reconstruct from the code tables (merge
+    keys are never null, so reconstruction is total). Key columns must
+    be non-null; non-key overlapping columns get ``suffixes`` as usual.
+    """
+    cols = [on] if isinstance(on, str) else list(on)
+    if not (_keys_have_nul(left, cols) or _keys_have_nul(right, cols)):
+        return left.merge(right, on=cols, how="outer", suffixes=suffixes,
+                          indicator=indicator)
+    nl = len(left)
+    lf, rf = left.copy(), right.copy()
+    code_cols, tables = [], []
+    for c in cols:
+        both = np.concatenate([
+            lf[c].to_numpy(object), rf[c].to_numpy(object)
+        ])
+        u, inv = np.unique(both, return_inverse=True)
+        cc = f"__nulsafe_{c}"
+        lf[cc] = inv[:nl].astype(np.int64)
+        rf[cc] = inv[nl:].astype(np.int64)
+        code_cols.append(cc)
+        tables.append(u)
+    m = lf.merge(rf.drop(columns=cols), on=code_cols, how="outer",
+                 suffixes=suffixes, indicator=indicator)
+    for c, cc, u in zip(cols, code_cols, tables):
+        m[c] = pd.Series(u[m[cc].to_numpy(np.int64)], index=m.index,
+                         dtype=object)
+    return m.drop(columns=code_cols)
+
+
 def sort_values_nul_safe(df: pd.DataFrame, by, ascending=True,
                          ignore_index: bool = False) -> pd.DataFrame:
     """Multi-key ``DataFrame.sort_values`` that stays correct when object

@@ -189,14 +189,20 @@ def _diff_live_frames(live1: pd.DataFrame, live2: pd.DataFrame) -> pd.DataFrame:
     (columns ``graph_id, digest, delta_text``; one row per live graph).
     Unchanged graphs are skipped up front via the stored content digest —
     only changed graphs' texts are ever exploded."""
-    m = live1[["graph_id", "digest"]].merge(
-        live2[["graph_id", "digest"]], on="graph_id", how="outer",
-        suffixes=("_1", "_2"),
+    from ..shuffle_utils import merge_outer_nul_safe
+
+    # outer merges on NUL-bearing keys raise in pandas (hostile graph
+    # ids; canonical lines carry raw NULs — escape_literal leaves \x00
+    # alone); the nul-safe form is exact either way
+    m = merge_outer_nul_safe(
+        live1[["graph_id", "digest"]], live2[["graph_id", "digest"]],
+        on="graph_id", suffixes=("_1", "_2"),
     )
     changed = m.loc[m["digest_1"].ne(m["digest_2"]), "graph_id"]
     old = _lines_frame(live1[live1["graph_id"].isin(changed)])
     new = _lines_frame(live2[live2["graph_id"].isin(changed)])
-    j = old.merge(new, on=["graph_id", "line"], how="outer", indicator=True)
+    j = merge_outer_nul_safe(old, new, on=["graph_id", "line"],
+                             indicator=True)
     out = pd.DataFrame(
         {
             "graph_id": j["graph_id"].to_numpy(),

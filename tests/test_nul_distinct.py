@@ -124,3 +124,104 @@ def test_repetition_top_token_keeps_nul_twins_distinct():
     assert out["n_tokens"] == 6
     assert out["n_distinct_tokens"] == 3
     assert out["top_token"] == "a\x00x" and out["top_token_count"] == 3
+
+
+def test_upstream_outer_merge_nul_twin_behavior():
+    """Pin the pandas 2.2 behavior behind shuffle_utils.
+    merge_outer_nul_safe: OUTER column merges on NUL-twin keys RAISE
+    (multi-key at any size; single-key above the factorize-size
+    threshold), while inner/left/right merges and INDEX outer joins are
+    exact. If an upgrade changes this, the guarded call sites can be
+    revisited."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    a = pd.DataFrame({"k": np.array(["b\x00x", "b\x00y"], object),
+                      "j": ["z", "z"], "v": [1, 2]})
+    b = pd.DataFrame({"k": np.array(["b\x00x", "c"], object),
+                      "j": ["z", "z"], "w": [10, 20]})
+    with pytest.raises(ValueError, match="unique"):
+        a.merge(b, on=["k", "j"], how="outer")
+    n = 5000
+    big1 = pd.DataFrame({"k": np.array([f"b\x00{i}" for i in range(n)],
+                                       object), "v": range(n)})
+    big2 = pd.DataFrame({"k": np.array([f"b\x00{i}"
+                                        for i in range(0, n, 2)], object),
+                         "w": range(n // 2)})
+    with pytest.raises(ValueError, match="unique"):
+        big1.merge(big2, on="k", how="outer")
+    # inner/left stay exact (the pitfall census's measured-safe set)
+    m = a.merge(b, on=["k", "j"], how="inner")
+    assert m["k"].tolist() == ["b\x00x"]
+    m = a.merge(b, on=["k", "j"], how="left")
+    assert len(m) == 2 and m["w"].iloc[0] == 10.0 and pd.isna(m["w"].iloc[1])
+    # index outer joins are exact at both sizes
+    w = big1.set_index("k")["v"].to_frame("v")
+    g = big2.set_index("k")["w"].to_frame("w")
+    assert len(w.join(g, how="outer")) == n
+
+
+def test_merge_outer_nul_safe_matches_pandas_semantics():
+    """The nul-safe outer merge == pandas' outer merge on NUL-free
+    frames, and on NUL-twin keys produces exactly the set-union rows
+    pandas would if it could."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_diff_store_ray.shuffle_utils import merge_outer_nul_safe
+
+    clean_a = pd.DataFrame({"k": ["p", "q"], "v": [1, 2]})
+    clean_b = pd.DataFrame({"k": ["q", "r"], "w": [3, 4]})
+    want = clean_a.merge(clean_b, on="k", how="outer", indicator=True)
+    got = merge_outer_nul_safe(clean_a, clean_b, on="k", indicator=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("k", ignore_index=True)[want.columns],
+        want.sort_values("k", ignore_index=True))
+
+    a = pd.DataFrame({"k": np.array(["b\x00x", "b\x00y"], object),
+                      "j": ["z", "z"], "v": [1, 2]})
+    b = pd.DataFrame({"k": np.array(["b\x00x", "c"], object),
+                      "j": ["z", "z"], "w": [10, 20]})
+    m = merge_outer_nul_safe(a, b, on=["k", "j"], indicator=True)
+    rows = set(zip(m["k"], m["j"], m["_merge"].astype(str)))
+    assert rows == {("b\x00x", "z", "both"), ("b\x00y", "z", "left_only"),
+                    ("c", "z", "right_only")}
+    assert m.loc[m["k"] == "b\x00x", "v"].iloc[0] == 1
+    assert m.loc[m["k"] == "b\x00x", "w"].iloc[0] == 10
+    # suffixes apply to non-key overlaps
+    a2 = a.rename(columns={"v": "x"})
+    b2 = b.rename(columns={"w": "x"})
+    m2 = merge_outer_nul_safe(a2, b2, on=["k", "j"],
+                              suffixes=("_1", "_2"))
+    assert {"x_1", "x_2"} <= set(m2.columns)
+
+
+def test_diff_table_with_nul_twin_graph_ids_and_lines(ray_session):
+    """state diff over a store whose graph ids AND canonical lines are
+    NUL-twins — the reconstruct outer merges must not crash and must
+    diff the twins independently (regression for the pandas outer-merge
+    NUL crash)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rdf_diff_store_ray.ntriples import sha256_text
+    from rdf_diff_store_ray.schemas import DELTAS
+    from rdf_diff_store_ray.state.reconstruct import diff_table
+
+    g1, g2 = "https://x/a\x00p", "https://x/a\x00q"
+    l1 = '<https://x/s> <https://x/p> "v\x00a" .'
+    l2 = '<https://x/s> <https://x/p> "v\x00b" .'
+    rows = []
+    for seq, (g, ts, text) in enumerate((
+        (g1, 100, l1 + "\n"),
+        (g2, 100, l1 + "\n"),
+        (g1, 200, l2 + "\n"),       # twin 1 changes its line
+    )):
+        rows.append({"graph_id": g, "warc_ts": ts, "op": "update",
+                     "delta_text": text, "digest": sha256_text(text),
+                     "partition_id": 0, "seq": seq})
+    t = pa.Table.from_pylist(rows).select(DELTAS.names).cast(DELTAS)
+    d = diff_table(t, 100, 200).to_pandas()
+    assert set(zip(d["graph_id"], d["change"], d["line"])) == {
+        (g1, "removed", l1), (g1, "added", l2)}

