@@ -324,12 +324,15 @@ def generate(n_urls: int = 60, n_snapshots: int = 5, seed: int = 42,
     stream, so the default corpus stays byte-stable.
 
     ``vocab_per_page`` > 0 plants that many UNIQUE random two-word org
-    surfaces per url (each in a real ``partners with`` sentence the NER
-    patterns extract, stable across the url's snapshots): distinct
-    surfaces then grow LINEARLY with pages instead of the default's
-    capped gazetteer vocabulary — the knob behind the driver-vs-
-    distributed canonical-map divergence measurement (BASELINE.md).
-    Separate rng stream; 0 keeps every default corpus byte-stable."""
+    surfaces per url, each in a ``was founded in <year>`` sentence
+    (literal object — entity names can carry digit suffixes at large
+    ``n_orgs``, which the MENTION pattern rejects; a literal object
+    extracts at every scale), stable across the url's snapshots:
+    distinct surfaces then grow LINEARLY with pages instead of the
+    default's capped gazetteer vocabulary — the knob behind the
+    driver-vs-distributed canonical-map divergence measurement
+    (BASELINE.md). Separate rng stream; 0 keeps every default corpus
+    byte-stable."""
     rng = np.random.default_rng(seed)
     link_rng = (np.random.default_rng(seed * 1_000_003 + 424_243)
                 if n_links else None)

@@ -344,11 +344,16 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
     segs, ecs_end = _split_ecs(data, start)
     # the single interleaved scan must be the LAST scan: anything but EOI
     # after the entropy-coded data means more scans/markers follow and a
-    # first-scan-only decode would be a wrong image, not a decoded one
-    if ecs_end + 1 < len(data) and data[ecs_end] == 0xFF \
-            and data[ecs_end + 1] not in (0xD9,):
+    # first-scan-only decode would be a wrong image, not a decoded one.
+    # T.81 B.1.1.2 fill bytes (any run of 0xFF before the marker code)
+    # are legal padding and skip first.
+    j = ecs_end
+    while j + 1 < len(data) and data[j] == 0xFF and data[j + 1] == 0xFF:
+        j += 1
+    if j + 1 < len(data) and data[j] == 0xFF \
+            and data[j + 1] not in (0xD9,):
         raise ValueError(
-            f"JPEG marker 0x{data[ecs_end + 1]:02X} after the first scan "
+            f"JPEG marker 0x{data[j + 1]:02X} after the first scan "
             "(multi-scan stream) is outside the supported subset")
     # per-component coefficient planes (in blocks)
     planes = []

@@ -128,7 +128,7 @@ def build(
     write_triples: bool = True,
     use_actor_pools: bool = False,
     canonical_map: str = "auto",
-    auto_vocab_threshold: int = 250_000,
+    auto_vocab_threshold: int | None = None,
 ) -> BuildResult:
     """Run the full build. ``pages`` is a Parquet path/dir or a Dataset.
 
@@ -163,8 +163,9 @@ def build(
     stays flat. A resumed build is sticky: an existing
     ``canonical/meta.json`` (or ``canonical_map.json``) decides the mode
     before any counting, so resume never flips layout mid-store.
-    ``auto_vocab_threshold`` can be overridden per call or via the
-    ``KG_AUTO_VOCAB_THRESHOLD`` environment variable.
+    ``auto_vocab_threshold``: explicit argument wins; when None (the
+    default) the ``KG_AUTO_VOCAB_THRESHOLD`` environment variable
+    supplies the threshold, falling back to 250,000.
     """
     from .._bootstrap import ensure_importable
 
@@ -245,8 +246,11 @@ def build(
 
     def _gate() -> str:
         nonlocal shared_surf
-        thresh = int(os.environ.get("KG_AUTO_VOCAB_THRESHOLD",
-                                    auto_vocab_threshold))
+        # precedence: explicit argument > env override > built-in 250k
+        thresh = (auto_vocab_threshold
+                  if auto_vocab_threshold is not None
+                  else int(os.environ.get("KG_AUTO_VOCAB_THRESHOLD",
+                                          250_000)))
         shared_surf = canonmap_mod.distinct_surfaces(
             raw_ds, gazetteer).materialize()
         n_vocab = shared_surf.count()

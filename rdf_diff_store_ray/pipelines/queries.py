@@ -1517,101 +1517,73 @@ def multimodal_decode(sf_dir: str):
     return out.select_columns(["media_id", "height", "width"])
 
 
+def _multimodal_lossless_entry(codec: str, encode_fn, n: int = 48):
+    """Shared fixture for LOSSLESS real-codec entries (png/bmp): encode
+    the fake-v1 twins' exact pixels under ``codec`` via
+    ``encode_fn(i, pixels)``, decode through the production actor-pool
+    stage, and perceptual-dedup across codecs — every twin must pair,
+    never across ids. (The jpeg entry keeps its own banded fixture:
+    lossy codecs need margin engineering this shape doesn't.)"""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        decode_features,
+        encode_fake_image,
+        media_dedup,
+        synthetic_media_table,
+    )
+
+    fake = synthetic_media_table(n=n, h=32, w=32)
+    pixels = [
+        np.frombuffer(encode_fake_image(i, 32, 32)[13:], np.uint8)
+        .reshape(32, 32)
+        for i in range(n)
+    ]
+    real = pa.table(
+        {
+            "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "codec": pa.array([codec] * n, pa.string()),
+            "payload": pa.array(
+                [encode_fn(i, p) for i, p in enumerate(pixels)],
+                pa.binary(),
+            ),
+        }
+    ).cast(fake.schema)
+    media = pa.concat_tables([fake, real])
+    feats = decode_features(rd.from_arrow(media)).select_columns(
+        ["media_id", "height", "width"]
+    )
+    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
+    out = feats.to_pandas().merge(
+        dedup[["media_id", "keep", "dup_of"]], on="media_id"
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("media_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
 def multimodal_png(sf_dir: str):
     """REAL-codec decode path (round-4): PNG payloads written by the
     vendored encoder (every scanline filter type), decoded through the
     same actor-pool stage as production codecs — no Pillow, no fake
     header. Mixed with fake-v1 twins carrying identical pixels so the
     perceptual dedup must pair them across codecs."""
-    import numpy as np
-    import ray.data as rd
-
-    from ..functions.multimodal import (
-        decode_features,
-        encode_fake_image,
-        media_dedup,
-        synthetic_media_table,
-    )
     from ..functions.png import encode_png
 
-    n = 48
-    fake = synthetic_media_table(n=n, h=32, w=32)
-    pixels = [
-        np.frombuffer(encode_fake_image(i, 32, 32)[13:], np.uint8)
-        .reshape(32, 32)
-        for i in range(n)
-    ]
-    png = pa.table(
-        {
-            "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
-            "media_type": pa.array(["image"] * n, pa.string()),
-            "codec": pa.array(["png"] * n, pa.string()),
-            "payload": pa.array(
-                [encode_png(p, filter_type=i % 5)
-                 for i, p in enumerate(pixels)],
-                pa.binary(),
-            ),
-        }
-    ).cast(fake.schema)
-    media = pa.concat_tables([fake, png])
-    feats = decode_features(rd.from_arrow(media)).select_columns(
-        ["media_id", "height", "width"]
-    )
-    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
-    out = feats.to_pandas().merge(
-        dedup[["media_id", "keep", "dup_of"]], on="media_id"
-    )
-    return pa.Table.from_pandas(
-        out.sort_values("media_id", ignore_index=True),
-        preserve_index=False,
-    )
+    return _multimodal_lossless_entry(
+        "png", lambda i, p: encode_png(p, filter_type=i % 5))
 
 
 def multimodal_bmp(sf_dir: str):
     """REAL-codec BMP path (round-5; vendored uncompressed Windows DIB,
-    ``functions/bmp.py``): the same fixture shape as the PNG entry —
-    BMP payloads of the fake-v1 twins' exact pixels, decoded through
-    the production actor-pool stage; BMP is lossless so the perceptual
-    dedup must pair every twin across codecs and never across ids."""
-    import numpy as np
-    import ray.data as rd
-
+    ``functions/bmp.py``): the shared lossless fixture under the BMP
+    container."""
     from ..functions.bmp import encode_bmp
-    from ..functions.multimodal import (
-        decode_features,
-        encode_fake_image,
-        media_dedup,
-        synthetic_media_table,
-    )
 
-    n = 48
-    fake = synthetic_media_table(n=n, h=32, w=32)
-    pixels = [
-        np.frombuffer(encode_fake_image(i, 32, 32)[13:], np.uint8)
-        .reshape(32, 32)
-        for i in range(n)
-    ]
-    bmp = pa.table(
-        {
-            "media_id": pa.array(range(1000, 1000 + n), pa.int64()),
-            "media_type": pa.array(["image"] * n, pa.string()),
-            "codec": pa.array(["bmp"] * n, pa.string()),
-            "payload": pa.array([encode_bmp(p) for p in pixels],
-                                pa.binary()),
-        }
-    ).cast(fake.schema)
-    media = pa.concat_tables([fake, bmp])
-    feats = decode_features(rd.from_arrow(media)).select_columns(
-        ["media_id", "height", "width"]
-    )
-    dedup = media_dedup(rd.from_arrow(media)).to_pandas()
-    out = feats.to_pandas().merge(
-        dedup[["media_id", "keep", "dup_of"]], on="media_id"
-    )
-    return pa.Table.from_pandas(
-        out.sort_values("media_id", ignore_index=True),
-        preserve_index=False,
-    )
+    return _multimodal_lossless_entry("bmp", lambda i, p: encode_bmp(p))
 
 
 def multimodal_jpeg(sf_dir: str):

@@ -1893,7 +1893,8 @@ def _parse_path_token(t: str):
 
 def eval_bgp(triples: pa.Table, query: str,
              quads: "pa.Table | None" = None,
-             service_tables: "dict | None" = None) -> pd.DataFrame:
+             service_tables: "dict | None" = None,
+             finalize: bool = True) -> pd.DataFrame:
     """Evaluate a SPARQL-subset query against a triple table
     (``subj, pred, obj, obj_is_literal``); returns distinct bindings, one
     column per variable, sorted for determinism. Unbound OPTIONAL
@@ -1904,7 +1905,11 @@ def eval_bgp(triples: pa.Table, query: str,
     :func:`eval_one_pattern`) so that a
     literal ``"x"`` never joins the IRI ``<x>`` — across patterns AND for
     a variable repeated within one pattern (``?s <p> ?s`` = self-loops).
-    """
+
+    ``finalize=False`` returns the TAGGED frame instead of the
+    finalized one — the engine-to-engine federation wire needs term
+    KIND, which finalization deliberately drops. Plain SELECT groups
+    only (:func:`_tagged_result`)."""
     group = parse_query(query)
 
     # federation: SERVICE <iri> { ... } evaluates against a registered
@@ -1952,6 +1957,9 @@ def eval_bgp(triples: pa.Table, query: str,
         named = qdf[qdf["graph_id"].isin(fn or [])]
         source = lambda pat: eval_one_pattern(df, pat)  # noqa: E731
         gsource = lambda pat, gt: eval_pattern_in_graph(named, pat, gt)  # noqa: E731
+        if not finalize:
+            return _tagged_result(
+                eval_group(group, source, gsource, service_eval), group)
         return finish_query(
             eval_group(group, source, gsource, service_eval), group,
             source)
@@ -1971,8 +1979,130 @@ def eval_bgp(triples: pa.Table, query: str,
             qcache.append(quads.to_pandas())
         return eval_pattern_in_graph(qcache[0], pat, gt)
 
+    if not finalize:
+        return _tagged_result(
+            eval_group(group, source, gsource, service_eval), group)
     return finish_query(eval_group(group, source, gsource, service_eval),
                         group, source)
+
+
+def _tagged_result(result: pd.DataFrame, group: dict) -> pd.DataFrame:
+    """Tagged bindings of a PLAIN SELECT group, wire-ready: hidden
+    variables dropped, NUL-safe distinct, deterministic sort. Forms that
+    need the finalization machinery (aggregates, projection
+    expressions, modifiers, ASK/CONSTRUCT/DESCRIBE) raise — the
+    federation client only ever ships ``SELECT * WHERE { ... }``."""
+    from ..shuffle_utils import drop_duplicates_nul_safe, sort_values_nul_safe
+
+    if (group.get("aggregates") or group.get("group_by")
+            or group.get("select_exprs") or group.get("ask")
+            or group.get("construct") is not None
+            or group.get("describe") is not None
+            or group.get("order_by") or group.get("limit") is not None
+            or group.get("offset")):
+        raise ValueError(
+            "tagged evaluation supports plain SELECT groups only")
+    cols = [c for c in result.columns if not c.startswith("__")]
+    if group.get("select") is not None:
+        cols = [c for c in group["select"] if c in cols] or cols
+    out = result[cols]
+    if len(cols):
+        out = drop_duplicates_nul_safe(out, ignore_index=True)
+        out = sort_values_nul_safe(out, cols, ignore_index=True)
+    return out.reset_index(drop=True) if not len(cols) else out
+
+
+_WIRE_CTYPE = "application/x-kg-tagged-tsv"
+
+
+def _wire_escape(v: str) -> str:
+    return (v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _wire_unescape(v: str) -> str:
+    out, i, n = [], 0, len(v)
+    while i < n:
+        ch = v[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = v[i + 1]
+            rep = {"\\": "\\", "t": "\t", "n": "\n", "r": "\r"}.get(nxt)
+            if rep is not None:
+                out.append(rep)
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _wire_cell(v) -> str:
+    # tagged strings never start with "\", so "\"-prefixed sentinels are
+    # unambiguous: \U unbound, \i / \f native BIND-arithmetic numbers
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "\\U"
+    if isinstance(v, (bool, np.bool_)):
+        return f"\\i{int(v)}"  # engine booleans ride as tagged literals;
+        # a stray native bool degrades to int, never crashes the wire
+    if isinstance(v, (int, np.integer)):
+        return f"\\i{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"\\f{float(v)!r}"
+    return _wire_escape(v)
+
+
+def _unwire_cell(v: str):
+    if v == "\\U":
+        return None
+    if v.startswith("\\i"):
+        return int(v[2:])
+    if v.startswith("\\f"):
+        return float(v[2:])
+    return _wire_unescape(v)
+
+
+def tagged_wire(df: pd.DataFrame) -> str:
+    """Serialize a TAGGED bindings frame for the engine-to-engine
+    federation wire (content type ``application/x-kg-tagged-tsv``):
+    header of variable names, one escaped tagged string per cell,
+    unbound = ``\\U``. Exact — term kind, decorated literals, NULs and
+    whitespace, and native BIND-arithmetic numbers all survive, unlike
+    the W3C result formats, which serialize finalized values and cannot
+    carry kind for IRI-shaped plain literals."""
+    lines = ["\t".join(df.columns)]
+    for _, row in df.iterrows():
+        lines.append("\t".join(_wire_cell(row[c]) for c in df.columns))
+    return "\n".join(lines) + "\n"
+
+
+def tagged_from_wire(text: str) -> pd.DataFrame:
+    """Inverse of :func:`tagged_wire`."""
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if not lines:
+        return pd.DataFrame()
+    cols = [c for c in lines[0].split("\t") if c]
+    rows = [[_unwire_cell(v) for v in ln.split("\t")]
+            for ln in lines[1:]]
+    if not cols:
+        return pd.DataFrame(index=range(len(rows)))
+    return pd.DataFrame(rows, columns=cols, dtype=object)
+
+
+def collect_service_iris(group: dict) -> set:
+    """Every SERVICE endpoint IRI anywhere in the group tree."""
+    out = {iri for _, iri, _ in group.get("services") or []}
+    subs = [sub for _s, _i, sub in group.get("services") or []]
+    subs.extend(group.get("optionals") or [])
+    subs.extend(b for branches in group.get("unions") or [] for b in branches)
+    subs.extend(group.get("minus") or [])
+    subs.extend(eg for _, eg in group.get("exists") or [])
+    subs.extend(group.get("subqueries") or [])
+    subs.extend(g for _, g in group.get("graphs") or [])
+    for s in subs:
+        out |= collect_service_iris(s)
+    return out
 
 
 def finish_query(result: pd.DataFrame, group: dict,
@@ -4025,8 +4155,12 @@ def http_service_bindings(endpoint: str, raw_pattern: str) -> pd.DataFrame:
     """SPARQL-protocol federation client (the wire analog of the
     reference's oxigraph SERVICE, ``/root/reference/src/query.rs:102-114``):
     ship the SERVICE sub-pattern to a remote endpoint as
-    ``SELECT * WHERE { ... }`` with ``Accept: text/tab-separated-values``
-    and parse the solutions back into tagged bindings."""
+    ``SELECT * WHERE { ... }``, preferring the engine's EXACT tagged
+    wire format (``application/x-kg-tagged-tsv`` — term kind survives,
+    so an IRI-shaped plain literal never turns into an IRI across the
+    hop); a third-party SPARQL server answers W3C TSV instead, which is
+    parsed with the documented best-effort kind heuristic
+    (:func:`tagged_from_tsv`)."""
     import urllib.parse
     import urllib.request
 
@@ -4034,16 +4168,24 @@ def http_service_bindings(endpoint: str, raw_pattern: str) -> pd.DataFrame:
     sep = "&" if "?" in endpoint else "?"
     url = endpoint + sep + urllib.parse.urlencode({"query": q})
     req = urllib.request.Request(
-        url, headers={"Accept": "text/tab-separated-values"})
+        url, headers={"Accept": f"{_WIRE_CTYPE}, "
+                                "text/tab-separated-values;q=0.5"})
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
             if resp.status != 200:
                 raise ValueError(
                     f"SERVICE endpoint {endpoint!r} answered {resp.status}")
+            ctype = resp.headers.get("Content-Type", "")
             body = resp.read().decode("utf-8")
     except OSError as e:  # URLError/HTTPError/socket — unreachable/4xx/5xx
         raise ValueError(
             f"SERVICE endpoint <{endpoint}> unreachable: {e}") from e
+    if ctype.startswith(_WIRE_CTYPE):
+        return tagged_from_wire(body)
+    if "json" in ctype:
+        raise ValueError(
+            f"SERVICE endpoint {endpoint!r} ignored the Accept header "
+            "and answered JSON; SPARQL-TSV is required for federation")
     return tagged_from_tsv(body)
 
 
@@ -4135,48 +4277,102 @@ class DiffStoreReader:
         self._record("graphs", self.last_cache_level, time.monotonic() - t0)
         return text
 
+    def _svc_tables(self, g: dict, k: int) -> "dict | None":
+        """Endpoint map for one evaluation: registered readers resolve
+        to their store-at-k tables, registered HTTP URLs to wire
+        endpoints (a bare server root federates at the SAME timestamp
+        via /api/sparql/{k}; an explicit path is used verbatim — that
+        endpoint's latest state)."""
+        if not (self.services and group_has_service(g)):
+            return None
+        from urllib.parse import urlparse as _up
+
+        svc = {}
+        for iri, r in self.services.items():
+            if isinstance(r, str):
+                svc[iri] = (
+                    f"{r.rstrip('/')}/api/sparql/{k}"
+                    if _up(r).path in ("", "/") else r
+                )
+            else:
+                svc[iri] = r._store_at(k)
+        return svc
+
+    def _wire_latest(self, g: dict) -> bool:
+        """True when evaluating this query touches a LATEST-STATE wire
+        endpoint (an explicit-path registered URL, or an unregistered
+        http(s) SERVICE IRI dereferencing itself): such results are
+        time-varying inputs and must never enter the per-(ts, query)
+        cache."""
+        if not group_has_service(g):
+            return False
+        from urllib.parse import urlparse as _up
+
+        iris = collect_service_iris(g)
+        for iri in iris:
+            r = self.services.get(iri)
+            if r is None:
+                if iri.startswith(("http://", "https://")):
+                    return True
+            elif isinstance(r, str) and _up(r).path not in ("", "/"):
+                return True
+        return False
+
     def query_at(self, ts, query: str) -> pd.DataFrame:
         import time
 
         t0 = time.monotonic()
         k = self._key(ts)
-        hit = self.query_cache.get((k, query))
-        if hit is not None:
-            self.last_cache_level = "Query"
-            self._record("sparql", "Query", time.monotonic() - t0)
-            return hit
+        # latest-state wire endpoints make the result time-varying: the
+        # (ts, query) cache is bypassed on both read and write. The
+        # substring guard keeps the hot non-federated path parse-free.
+        g = parse_query(query) if "SERVICE" in query.upper() else None
+        cacheable = g is None or not self._wire_latest(g)
+        if cacheable:
+            hit = self.query_cache.get((k, query))
+            if hit is not None:
+                self.last_cache_level = "Query"
+                self._record("sparql", "Query", time.monotonic() - t0)
+                return hit
         had_store = self.store_cache.get(k) is not None
-        g = parse_query(query)
+        if g is None:
+            g = parse_query(query)
         need_quads = (group_has_graph(g) or g.get("from_graphs")
                       or g.get("from_named"))
         quads = self._quads_at(k) if need_quads else None
-        svc = None
-        if self.services and group_has_service(g):
-            svc = {}
-            for iri, r in self.services.items():
-                if isinstance(r, str):
-                    # HTTP endpoint. A bare server root federates at the
-                    # SAME timestamp (shared version axis, like the
-                    # in-process form); an explicit path (e.g. /sparql)
-                    # is used verbatim (that endpoint's latest state).
-                    from urllib.parse import urlparse as _up
-
-                    svc[iri] = (
-                        f"{r.rstrip('/')}/api/sparql/{k}"
-                        if _up(r).path in ("", "/") else r
-                    )
-                else:
-                    svc[iri] = r._store_at(k)
+        svc = self._svc_tables(g, k)
         _now_slot()[0] = pd.Timestamp(k, unit="s")
         try:
             res = eval_bgp(self._store_at(k), query, quads=quads,
                            service_tables=svc)
         finally:
             _now_slot()[0] = None
-        self.query_cache.put((k, query), res)
+        if cacheable:
+            self.query_cache.put((k, query), res)
         self.last_cache_level = "Store" if had_store else "Nothing"
         self._record("sparql", self.last_cache_level, time.monotonic() - t0)
         return res
+
+    def query_at_tagged_wire(self, ts, query: str) -> str:
+        """The engine-to-engine federation surface
+        (``application/x-kg-tagged-tsv``): evaluate WITHOUT finalizing
+        and serialize the tagged bindings exactly — term kind survives
+        the hop, so a remote IRI-shaped plain literal never joins a
+        local IRI. Plain SELECT queries only (the federation client
+        ships ``SELECT * WHERE {...}``); uncached."""
+        k = self._key(ts)
+        g = parse_query(query)
+        need_quads = (group_has_graph(g) or g.get("from_graphs")
+                      or g.get("from_named"))
+        quads = self._quads_at(k) if need_quads else None
+        svc = self._svc_tables(g, k)
+        _now_slot()[0] = pd.Timestamp(k, unit="s")
+        try:
+            res = eval_bgp(self._store_at(k), query, quads=quads,
+                           service_tables=svc, finalize=False)
+        finally:
+            _now_slot()[0] = None
+        return tagged_wire(res)
 
     def query_at_json(self, ts, query: str) -> str:
         return bindings_json(self.query_at(ts, query))

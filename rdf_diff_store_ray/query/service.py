@@ -425,6 +425,7 @@ class QueryService:
             from .bgp import eval_one_pattern, http_service_bindings
 
             ep = self._services.get(iri)
+            registered = ep is not None
             if ep is None and iri.startswith(("http://", "https://")):
                 ep = iri
             if isinstance(ep, str) and ep.startswith(("http://",
@@ -433,8 +434,13 @@ class QueryService:
 
                 key = (ts if isinstance(ts, int)
                        else int(pd.Timestamp(ts).timestamp()))
+                # only a REGISTERED bare server root gets the same-ts
+                # rewrite; an unregistered IRI dereferences VERBATIM
+                # (oxigraph behavior — and exactly what the single-
+                # reader path does, so the two backends agree)
                 url = (f"{ep.rstrip('/')}/api/sparql/{key}"
-                       if urlparse(ep).path in ("", "/") else ep)
+                       if registered and urlparse(ep).path in ("", "/")
+                       else ep)
                 raw = sub.get("raw_text")
                 if raw is None:
                     raise ValueError(
@@ -465,6 +471,51 @@ class QueryService:
                 if any(p.num_rows for p in parts) else parts[0]
             self._gather_cache.put(key, store)
         return eval_bgp(store, query)
+
+    def query_at_tagged_wire(self, ts, query: str) -> str:
+        """Engine-to-engine federation surface on the distributed
+        backend: the gathered store evaluates WITHOUT finalizing and
+        the tagged bindings serialize exactly (federation sub-queries
+        are plain SELECTs over endpoint-vocabulary-sized stores, so the
+        gather transfer is the right cost shape here)."""
+        from .bgp import eval_bgp, tagged_wire
+
+        key = ts if isinstance(ts, int) else int(pd.Timestamp(ts).timestamp())
+        store = self._gather_cache.get(key)
+        if store is None:
+            parts = ray.get([a.triples_at.remote(ts) for a in self.actors])
+            store = pa.concat_tables([p for p in parts if p.num_rows > 0]) \
+                if any(p.num_rows for p in parts) else parts[0]
+            self._gather_cache.put(key, store)
+        from .bgp import _now_slot
+
+        _now_slot()[0] = pd.Timestamp(key, unit="s")
+        try:
+            res = eval_bgp(store, query,
+                           service_tables=self._svc_wire_tables(key),
+                           finalize=False)
+        finally:
+            _now_slot()[0] = None
+        return tagged_wire(res)
+
+    def _svc_wire_tables(self, ts: int) -> "dict | None":
+        """Registered endpoints for a tagged-wire evaluation: reader/dir
+        endpoints resolve to their store at the SAME instant on the
+        router; registered bare-root URLs rewrite to /api/sparql/{ts}
+        (shared version axis), explicit paths pass verbatim."""
+        if not self._services:
+            return None
+        from urllib.parse import urlparse
+
+        out = {}
+        for iri, r in self._services.items():
+            if isinstance(r, str) and r.startswith(("http://",
+                                                    "https://")):
+                out[iri] = (f"{r.rstrip('/')}/api/sparql/{ts}"
+                            if urlparse(r).path in ("", "/") else r)
+            else:
+                out[iri] = self._service_reader(iri)._store_at(ts)
+        return out
 
     def graph_at(self, graph_id: str, ts):
         """Point lookup with PARTITION PRUNING: the build's

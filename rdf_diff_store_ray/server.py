@@ -140,6 +140,8 @@ class StoreBackend:
     def sparql_at(self, ts: int, query: str,
                   fmt: str = "json") -> tuple[str, str]:
         reader = self.reader()
+        if fmt == "tagged":  # engine-to-engine federation wire
+            return reader.query_at_tagged_wire(ts, query), "Store"
         fn = {"json": reader.query_at_json, "csv": reader.query_at_csv,
               "tsv": reader.query_at_tsv}[fmt]
         return fn(ts, query), reader.last_cache_level
@@ -232,6 +234,8 @@ class DistributedStoreBackend(StoreBackend):
     def sparql_at(self, ts: int, query: str,
                   fmt: str = "json") -> tuple[str, str]:
         svc = self._service()
+        if fmt == "tagged":  # engine-to-engine federation wire
+            return svc.query_at_tagged_wire(ts, query), self._level(svc)
         fn = {"json": svc.query_at_json, "csv": svc.query_at_csv,
               "tsv": svc.query_at_tsv}[fmt]
         return fn(ts, query), self._level(svc)
@@ -290,7 +294,10 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
             ts = backend.metadata()["end_time"] or 0
             accept = self.headers.get("Accept", "")
             fmt, ctype = "json", "application/json"
-            if "text/csv" in accept:
+            if "application/x-kg-tagged-tsv" in accept:
+                fmt = "tagged"
+                ctype = "application/x-kg-tagged-tsv"
+            elif "text/csv" in accept:
                 fmt, ctype = "csv", "text/csv"
             elif "text/tab-separated-values" in accept:
                 fmt, ctype = "tsv", "text/tab-separated-values"
@@ -327,7 +334,11 @@ def _make_handler(backend: StoreBackend, api_key: str | None,
                     # SPARQL 1.1 standard siblings)
                     accept = self.headers.get("Accept", "")
                     fmt, ctype = "json", "application/json"
-                    if "text/csv" in accept:
+                    if "application/x-kg-tagged-tsv" in accept:
+                        # engine-to-engine federation wire (exact tags)
+                        fmt = "tagged"
+                        ctype = "application/x-kg-tagged-tsv"
+                    elif "text/csv" in accept:
                         fmt, ctype = "csv", "text/csv"
                     elif "text/tab-separated-values" in accept:
                         fmt, ctype = "tsv", "text/tab-separated-values"

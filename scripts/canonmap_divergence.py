@@ -47,11 +47,11 @@ raw_ds = rd.read_parquet(os.path.join(cdir, "raw"))
 trace = os.environ.get("KG_DIV_TRACE", "1") != "0"
 if mode in ("extend-driver", "extend-distributed"):
     # incremental-extension divergence: build the base map/store from
-    # the corpus (untimed), then time extending it with a FIXED small
-    # batch (first 400 raw rows re-labeled as new surfaces via the
-    # batch corpus at u=1000) — the driver path re-clusters the whole
-    # vocabulary per batch (O(vocab)), the store path probes its band
-    # index (O(batch))
+    # the corpus (untimed), then time extending it with the SAME fixed
+    # batch at every base size — the full raw dataset of the u=1000
+    # knob corpus (~4.5k distinct surfaces). The driver path
+    # re-clusters the whole vocabulary per batch (O(vocab)), the store
+    # path probes its band index (O(batch)).
     import pyarrow.dataset as pads
     import ray.data as rd2
     batch_dir = os.path.join(os.path.dirname(cdir.rstrip("/")),

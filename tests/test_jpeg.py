@@ -142,6 +142,17 @@ def test_rejects_marker_after_first_scan():
         decode_jpeg(forged)
 
 
+def test_accepts_fill_bytes_before_eoi():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker
+    — a padded single-scan stream is legal and must decode identically
+    (regression: the first multi-scan guard rejected it)."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, quality=95))
+    assert data[-2:] == b"\xff\xd9"
+    padded = bytes(data[:-2]) + b"\xff\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(bytes(data)))
+
+
 def test_rejects_corrupt_entropy_stream():
     data = bytearray(encode_jpeg(_gradient(32, 32), quality=95))
     # truncate the scan right after SOS: decodable header, dead stream

@@ -2207,6 +2207,38 @@ def test_tsv_federation_wire_roundtrip():
     assert tagged_from_tsv("").empty
 
 
+def test_tagged_wire_roundtrip_exact():
+    """The engine-to-engine federation wire (tagged_wire/
+    tagged_from_wire) round-trips EVERYTHING the tagged representation
+    carries: term kind for IRI-shaped plain literals (the case the W3C
+    TSV heuristic cannot preserve), decorated literals, NULs/tabs/
+    newlines, native BIND-arithmetic numbers, bnodes, unbound cells."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_diff_store_ray.query.bgp import tagged_from_wire, tagged_wire
+
+    df = pd.DataFrame({
+        "a": pd.Series(["Ihttps://x/i", "Lhttps://x/i", "I_:b0"],
+                       dtype=object),
+        "b": pd.Series(['L"5"^^<http://www.w3.org/2001/XMLSchema#int>',
+                        "Ltab\there\nand\x00nul\\backslash", None],
+                       dtype=object),
+        "c": pd.Series([np.int64(7), 2.5, None], dtype=object),
+    })
+    back = tagged_from_wire(tagged_wire(df))
+    assert list(back.columns) == ["a", "b", "c"]
+    for col in df.columns:
+        for want, got in zip(df[col], back[col]):
+            if want is None or (isinstance(want, float) and np.isnan(want)):
+                assert got is None
+            else:
+                assert got == want and type(got) is not bool
+    # the kind-flip case specifically: literal stays L, IRI stays I
+    assert back["a"].tolist()[:2] == ["Ihttps://x/i", "Lhttps://x/i"]
+    assert tagged_from_wire("").empty
+
+
 def test_nul_distinct_bindings_survive_distinct_and_union():
     """Literals differing only past a NUL byte are distinct RDF terms;
     DISTINCT / UNION dedup must keep them apart (regression for the

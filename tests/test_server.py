@@ -393,6 +393,64 @@ def test_service_federates_two_live_servers(ray_session, tmp_path):
         srv_b.shutdown()
 
 
+def test_wire_federation_preserves_term_kind(ray_session, tmp_path):
+    """The engine-to-engine hop uses the exact tagged wire format: a
+    remote PLAIN LITERAL whose value is IRI-shaped must NOT join a
+    local IRI over the wire — identical semantics to in-process
+    federation (review r5 finding: the W3C TSV writer re-guesses kind
+    from finalized values, so the wire used to flip such literals into
+    IRIs and silently join)."""
+    from rdf_diff_store_ray.server import DiffStoreServer
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+
+    store = init_log(str(tmp_path / "main"), num_partitions=2)
+    append_graphs(
+        store, {"g": '<https://x/a> <https://x/p> <https://x/b> .\n'}, T1)
+    vocab = init_log(str(tmp_path / "vocab"), num_partitions=2)
+    # ?o of <https://x/p> in the vocab store is the PLAIN LITERAL
+    # "https://x/b" — same lexical form as main's IRI object, different
+    # term kind; plus a genuinely joinable IRI row as positive control
+    append_graphs(vocab, {"v":
+        '<https://x/p> <https://x/sameAs> "https://x/b" .\n'
+        '<https://x/q> <https://x/sameAs> <https://x/b> .\n'}, T1)
+
+    srv_b = DiffStoreServer(vocab, now_fn=lambda: T1).start()
+    root_b = f"http://127.0.0.1:{srv_b.port}"
+    try:
+        srv_a = DiffStoreServer(
+            store, services={"https://svc/vocab": root_b},
+            now_fn=lambda: T1).start()
+        try:
+            base = f"http://127.0.0.1:{srv_a.port}"
+            # join on ?o: local IRI <https://x/b> vs the remote terms
+            q = ("SELECT ?s ?p2 WHERE { ?s ?p ?o . "
+                 "SERVICE <https://svc/vocab> "
+                 "{ ?p2 <https://x/sameAs> ?o } }")
+            url = (f"{base}/api/sparql/{T1}?query="
+                   f"{urllib.parse.quote(q)}")
+            st, _, body = _req("GET", url)
+            assert st == 200
+            rows = [(r["s"]["value"], r["p2"]["value"])
+                    for r in json.loads(body)["results"]["bindings"]]
+            # ONLY the IRI row joins; the IRI-shaped literal must not
+            assert rows == [("https://x/a", "https://x/q")]
+
+            # the wire surface itself serves the tagged content type
+            st2, hdr2, body2 = _req(
+                "GET", f"{root_b}/api/sparql/{T1}?query="
+                + urllib.parse.quote(
+                    "SELECT ?v WHERE { ?x <https://x/sameAs> ?v }"),
+                headers={"Accept": "application/x-kg-tagged-tsv"})
+            assert hdr2["Content-Type"].startswith(
+                "application/x-kg-tagged-tsv")
+            cells = sorted(body2.strip().split("\n")[1:])
+            assert cells == ["Ihttps://x/b", "Lhttps://x/b"]
+        finally:
+            srv_a.shutdown()
+    finally:
+        srv_b.shutdown()
+
+
 def test_empty_store_metadata_and_sparql(ray_session, tmp_path):
     """A just-initialized store has no versions: /api/metadata must
     serve null bounds (the reference's Option fields serialize as JSON
