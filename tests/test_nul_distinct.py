@@ -225,3 +225,54 @@ def test_diff_table_with_nul_twin_graph_ids_and_lines(ray_session):
     d = diff_table(t, 100, 200).to_pandas()
     assert set(zip(d["graph_id"], d["change"], d["line"])) == {
         (g1, "removed", l1), (g1, "added", l2)}
+
+
+def test_merge_outer_nul_safe_property_vs_slow_oracle():
+    """Randomized frames (NUL-twin and NUL-free keys, single and multi
+    key, overlapping non-key columns): merge_outer_nul_safe == a slow
+    exact set-union oracle built with Python dicts."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_diff_store_ray.shuffle_utils import merge_outer_nul_safe
+
+    rng = np.random.default_rng(41)
+    keys_pool = ["a", "a\x00x", "a\x00y", "b", "b\x00", "c"]
+    for trial in range(20):
+        n1, n2 = rng.integers(0, 12, size=2)
+        multi = trial % 2 == 0
+        cols = ["k", "j"] if multi else ["k"]
+
+        def frame(n, val):
+            d = {"k": [keys_pool[i] for i in rng.integers(
+                0, len(keys_pool), size=n)]}
+            if multi:
+                d["j"] = [keys_pool[i] for i in rng.integers(
+                    0, 2, size=n)]
+            d[val] = list(range(n))
+            df = pd.DataFrame(d, dtype=object)
+            # unique keys per side (merge fan-out aside, the oracle
+            # below assumes key uniqueness per frame)
+            return df.drop_duplicates(subset=cols, ignore_index=True) \
+                if n else pd.DataFrame({c: [] for c in cols + [val]},
+                                       dtype=object)
+
+        a, b = frame(int(n1), "v"), frame(int(n2), "w")
+        got = merge_outer_nul_safe(a, b, on=cols, indicator=True)
+        la = {tuple(r[c] for c in cols): r["v"]
+              for _, r in a.iterrows()}
+        lb = {tuple(r[c] for c in cols): r["w"]
+              for _, r in b.iterrows()}
+        want = {}
+        for key in set(la) | set(lb):
+            want[key] = (la.get(key), lb.get(key),
+                         "both" if key in la and key in lb
+                         else ("left_only" if key in la
+                               else "right_only"))
+        got_map = {}
+        for _, r in got.iterrows():
+            key = tuple(r[c] for c in cols)
+            v = r["v"] if pd.notna(r["v"]) else None
+            w = r["w"] if pd.notna(r["w"]) else None
+            got_map[key] = (v, w, str(r["_merge"]))
+        assert got_map == want, (trial, cols)
