@@ -126,6 +126,37 @@ def test_store_lifecycle_on_mocks3(ray_session, mocks3_root, put_spy):
     _no_visible_garbage(mocks3_root)
 
 
+def test_cross_scheme_sync_file_to_mocks3(ray_session, tmp_path,
+                                          mocks3_root):
+    """Replication across SCHEMES: a file:// primary syncs into a
+    mocks3:// replica (the migrate-to-object-store path), quick-check
+    included, and the replica serves identical state."""
+    from rdf_diff_store_ray.query.bgp import DiffStoreReader
+    from rdf_diff_store_ray.state.append import append_graphs, init_log
+    from rdf_diff_store_ray.state.sync import sync_store
+
+    src = f"file://{tmp_path}/primary/deltas"
+    init_log(src, num_partitions=2)
+    append_graphs(src, {"g-a": G1, "g-b": G3}, T1)
+    dst = "mocks3://bucket/xscheme/deltas"
+    r1 = sync_store(src, dst)
+    assert r1["copied"] > 0
+    assert sync_store(src, dst)["copied"] == 0  # signature quick-check
+    rep = sorted(glob.glob(os.path.join(fs.local(dst), "partition=*",
+                                        "*.parquet")))
+    doc = DiffStoreReader(pads.dataset(rep).to_table()).graphs_at(T1)
+    assert '"1"' in doc and '"3"' in doc
+    # primary advances; re-sync carries only the change
+    append_graphs(src, {"g-a": G2}, T2)
+    r3 = sync_store(src, dst)
+    assert r3["copied"] > 0
+    rep = sorted(glob.glob(os.path.join(fs.local(dst), "partition=*",
+                                        "*.parquet")))
+    assert '"2"' in DiffStoreReader(
+        pads.dataset(rep).to_table()).graphs_at(T2)
+    _no_visible_garbage(mocks3_root)
+
+
 def test_text_index_on_mocks3(ray_session, mocks3_root):
     # NOTE: partition writes run inside Ray workers, which keep the
     # default bucket root — the driver-side spy can't observe them; the
